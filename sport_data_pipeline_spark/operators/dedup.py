@@ -1,0 +1,241 @@
+"""Deduplication operators: exact, n-gram Jaccard, MinHash-LSH, SimHash.
+
+Training-data-pipeline dedup at 100 TB is shuffle-bound; each operator here
+is designed so the quadratic comparison only ever happens inside small
+candidate buckets:
+
+- exact:      one hash-agg on a content fingerprint (md5 of normalized text).
+- jaccard:    blocked self-join (caller supplies blocking keys) + set ops.
+- minhash:    shingle → K hash permutations → band buckets → pairs only
+              within a bucket (classic LSH banding; K=32, 8 bands × 4 rows
+              by default), then exact-Jaccard verification of candidates.
+- simhash:    64-bit signature; candidates = equal 16-bit chunk (tables
+              rotated 4×), verify by Hamming distance.
+
+All hashing is Spark's xxhash64 (deterministic, JVM-side); no Python UDFs.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from ..functions.text import content_fingerprint, tokens, word_shingles
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep the lowest-id row per identical (normalized) content.
+
+    One shuffle on the fingerprint; survivors join back by id so the full
+    row survives without shuffling wide payloads through the agg.
+    """
+    fp = df.select(F.col(id_col), content_fingerprint(text_col).alias("__fp"))
+    keep = fp.groupBy("__fp").agg(F.min(id_col).alias(id_col)).drop("__fp")
+    return df.join(keep, id_col, "left_semi")
+
+
+def jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    threshold: float,
+    shingle_n: int = 1,
+) -> DataFrame:
+    """Near-duplicate pairs by token-set Jaccard within blocks.
+
+    Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
+    Blocking keeps the self-join linear-ish: pairs only form within a block.
+    """
+    shingled = df.select(
+        *block_cols,
+        F.col(id_col),
+        F.array_distinct(
+            word_shingles(text_col, shingle_n) if shingle_n > 1 else tokens(text_col)
+        ).alias("__set"),
+    )
+    a = shingled.select(
+        *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
+        F.col(id_col).alias("id_a"),
+        F.col("__set").alias("__set_a"),
+    )
+    b = shingled.select(
+        *[F.col(c).alias(f"__bb_{c}") for c in block_cols],
+        F.col(id_col).alias("id_b"),
+        F.col("__set").alias("__set_b"),
+    )
+    cond = F.col("id_a") < F.col("id_b")
+    for c in block_cols:
+        cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    union = F.size(F.array_union("__set_a", "__set_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return (
+        a.join(b, cond)
+        .select("id_a", "id_b", jac.alias("jaccard"))
+        .filter(F.col("jaccard") >= threshold)
+    )
+
+
+def _minhash_signature(shingle_set: Column, num_hashes: int) -> list[Column]:
+    """K minhash values: min over xxhash64(shingle, seed=i) per permutation."""
+    return [
+        F.array_min(F.transform(shingle_set, lambda s: F.xxhash64(s, F.lit(i)))).alias(
+            f"__mh_{i}"
+        )
+        for i in range(num_hashes)
+    ]
+
+
+def minhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
+) -> DataFrame:
+    """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
+
+    shingle → K minhashes → ``bands`` band-signatures → explode → bucket
+    join (pairs share ≥1 band) → dedupe candidates → exact Jaccard filter.
+    Only candidates ever pairwise-compare, so scale is driven by bucket
+    sizes, not n².
+
+    Returns (id_a, id_b, jaccard).
+    """
+    rows = num_hashes // bands
+    shingled = df.select(
+        F.col(id_col),
+        F.array_distinct(word_shingles(text_col, shingle_n)).alias("__set"),
+    ).filter(F.size("__set") > 0)
+    sig = shingled.select(F.col(id_col), "__set", *_minhash_signature(F.col("__set"), num_hashes))
+    banded = sig.select(
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(*[F.col(f"__mh_{bi * rows + r}") for r in range(rows)]).alias("sig"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(id_col, "__band.band", "__band.sig")
+
+    # Bucket-join on (band, sig) carries only ids — the wide shingle arrays
+    # rejoin after the candidate pairs are deduped, so the shuffle moves
+    # (long, long) pairs, not token sets.
+    a = banded.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_a"))
+    b = banded.select(F.col("band"), F.col("sig"), F.col(id_col).alias("id_b"))
+    candidates = (
+        a.join(b, ["band", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    sets = shingled.select(F.col(id_col), F.col("__set"))
+    verified = (
+        candidates.join(sets.select(F.col(id_col).alias("id_a"), F.col("__set").alias("__set_a")), "id_a")
+        .join(sets.select(F.col(id_col).alias("id_b"), F.col("__set").alias("__set_b")), "id_b")
+    )
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    union = F.size(F.array_union("__set_a", "__set_b"))
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return verified.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
+def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """64-bit SimHash per document, entirely in Spark expressions.
+
+    Token hashes vote per bit (+1/−1, weighted by occurrence); the sign
+    vector folds back into a long. Near-dup = small Hamming distance
+    (see ``simhash_near_dup``).
+    """
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(toks, lambda t: F.xxhash64(t))
+    # literal 2^b masks (bit 63 is the sign bit → min-long literal); avoids
+    # shiftleft, whose Python API only takes a constant shift amount
+    powers = F.array(
+        *[F.lit((1 << b) if b < 63 else -(1 << 63)).cast("long") for b in range(64)]
+    )
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("int"), 64),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(63)),
+                lambda b: F.when(
+                    h.bitwiseAND(F.element_at(powers, b.cast("int") + 1)) != 0, 1
+                ).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    # Fold sign bits via OR of the 2^b masks (no arithmetic → no ANSI
+    # overflow on the sign bit).
+    sig = F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col), sig.alias(out_col))
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on each of the 4 16-bit chunks (two
+    sigs within Hamming ≤ 3 of a 64-bit hash share at least one equal
+    chunk by pigeonhole; wider thresholds trade recall), verify by exact
+    Hamming distance ≤ ``max_hamming``. Returns (id_a, id_b, hamming)."""
+    sigs = simhash(df, id_col, text_col)
+    chunked = sigs.select(
+        id_col,
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk"),
+                        F.shiftrightunsigned(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("val"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select(id_col, "simhash", "c.chunk", "c.val")
+    a = chunked.select(
+        F.col("chunk").alias("chunk_a"), F.col("val").alias("val_a"),
+        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+    )
+    b = chunked.select(
+        F.col("chunk").alias("chunk_b"), F.col("val").alias("val_b"),
+        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+    )
+    hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
+    return (
+        a.join(
+            b,
+            (F.col("chunk_a") == F.col("chunk_b"))
+            & (F.col("val_a") == F.col("val_b"))
+            & (F.col("id_a") < F.col("id_b")),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+        .select("id_a", "id_b", hamming.alias("hamming"))
+        .filter(F.col("hamming") <= max_hamming)
+    )

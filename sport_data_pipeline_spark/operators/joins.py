@@ -1,0 +1,112 @@
+"""Join operators beyond plain equi-joins: symmetric pairs, as-of, range.
+
+Reference counterparts:
+- J5 head-to-head self-join (src/analytics/engine.py:193-229) — a Python
+  loop over fixtures there; here a symmetric-key equi-join: O(n), one
+  shuffle.
+- J10/W5 as-of & range semantics (SCD2 name lookups, open/close odds).
+  Spark has no native as-of join; the scalable rewrite is union the two
+  sides tagged, sort within key partitions, and carry the last left-side
+  attributes forward with ``last(..., ignorenulls=True)`` — one shuffle,
+  no correlated subquery, no per-row probe.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def symmetric_pair_key(a: Column | str, b: Column | str, names: tuple[str, str] = ("pair_a", "pair_b")) -> list[Column]:
+    """Order-insensitive pair key: (least, greatest). Rewrites the
+    reference's `(home=h∧away=a)∨(home=a∧away=h)` scan into a groupable
+    equi-key (J5)."""
+    ca = F.col(a) if isinstance(a, str) else a
+    cb = F.col(b) if isinstance(b, str) else b
+    return [F.least(ca, cb).alias(names[0]), F.greatest(ca, cb).alias(names[1])]
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    left_ts: str,
+    right_ts: str,
+    right_values: Sequence[str],
+    prefix: str = "asof_",
+    right_tiebreak: Sequence[str] = (),
+) -> DataFrame:
+    """For each left row, attach the latest right row with
+    ``right_ts <= left_ts`` within the same ``on`` key.
+
+    Implementation: tag and union both sides, window per key ordered by
+    (ts, side) with right rows sorting before left rows at equal
+    timestamps, then carry right values forward. Returns all left columns
+    plus ``prefix+value`` columns (NULL when no prior right row).
+
+    Scale: one shuffle on ``on``; skewed keys are handled by AQE. This is
+    the pattern for point-in-time feature joins (odds-at-kickoff, latest
+    market value before a transfer, SURVEY §2 J10/J11/W4/W5).
+    """
+    on = list(on)
+    lcols = left.columns
+    tagged_left = left.select(
+        *on,
+        F.col(left_ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        *[F.col(c).alias(f"__l_{c}") for c in lcols if c not in on],
+        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__r_{v}") for v in right_values],
+    )
+    tagged_right = right.select(
+        *on,
+        F.col(right_ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols if c not in on],
+        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+    )
+    unioned = tagged_left.unionByName(tagged_right)
+    # Right rows sort before left rows at equal timestamps (<= semantics);
+    # right_tiebreak columns make the pick deterministic when several right
+    # rows share a timestamp (they are NULL on left rows, which have
+    # already been separated by __side).
+    order = [F.col("__ts"), F.col("__side")] + [F.col(f"__r_{c}") for c in right_tiebreak]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    carried = unioned.select(
+        *on,
+        "__ts",
+        "__side",
+        *[F.col(f"__l_{c}") for c in lcols if c not in on],
+        *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"{prefix}{v}") for v in right_values],
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *on,
+        *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on],
+        *[f"{prefix}{v}" for v in right_values],
+    )
+
+
+def point_in_time_join(
+    facts: DataFrame,
+    dim: DataFrame,
+    on: Sequence[str],
+    fact_ts: str,
+    valid_from: str = "valid_from",
+    valid_to: str = "valid_to",
+) -> DataFrame:
+    """SCD2 range join: match each fact to the dimension interval covering
+    its timestamp (J10: ``valid_from <= ts AND (valid_to IS NULL OR
+    ts < valid_to)``).
+
+    Plain range predicate join — Catalyst turns the equi-part into the
+    shuffle key and applies the range as a post-filter.
+    """
+    cond = None
+    for k in on:
+        c = facts[k] == dim[k]
+        cond = c if cond is None else (cond & c)
+    cond = cond & (dim[valid_from] <= facts[fact_ts])
+    cond = cond & (dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to]))
+    return facts.join(dim, cond, "left")

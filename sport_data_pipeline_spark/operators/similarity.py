@@ -1,0 +1,142 @@
+"""Similarity search over embedding columns (array<float>).
+
+Brute-force cosine top-k is the exact baseline (a cross join that Catalyst
+executes as broadcast-nested-loop when the query side is small — the right
+plan: the query set is broadcast once, the corpus streams). The LSH variant
+buckets by random-hyperplane signs so only same-bucket candidates compare —
+the 100 TB path where even one corpus pass per query batch must be avoided.
+
+Dot products fold sequentially inside a single row (F.aggregate), so
+results are deterministic — no float reduction across partitions.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+
+def _dot(a: Column, b: Column) -> Column:
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a: Column) -> Column:
+    return F.sqrt(
+        F.aggregate(
+            F.transform(a, lambda x: x.cast("double") * x.cast("double")),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector.
+
+    Returns (query_id, neighbor_id, cosine, rank), self-matches excluded
+    when ids collide. Ties broken by neighbor id — deterministic output.
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"),
+        _norm(F.col(query_vec)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"),
+        _norm(F.col(corpus_vec)).alias("__cn"),
+    )
+    pairs = F.broadcast(q).crossJoin(c).filter(F.col("__qid") != F.col("__cid"))
+    cos = F.when(
+        (F.col("__qn") > 0) & (F.col("__cn") > 0),
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            F.col("__qid").alias("query_id"),
+            F.col("__cid").alias("neighbor_id"),
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
+def lsh_bucketed_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: random-hyperplane LSH bucket join, exact cosine
+    within buckets. Deterministic planes derived from xxhash64(seed, plane,
+    component) — reproducible across runs without storing plane matrices.
+
+    Recall < 1.0 by construction (rows per bucket shrink 2^n_planes); use
+    more tables / fewer planes to trade cost for recall.
+    """
+
+    def signature(vec: str) -> Column:
+        # plane p component i weight = xxhash64(seed, p, i) scaled to [-1, 1]
+        bits = [
+            F.when(
+                F.aggregate(
+                    F.zip_with(
+                        F.col(vec),
+                        F.transform(
+                            F.sequence(F.lit(0), F.lit(dim - 1)),
+                            lambda i: (
+                                F.xxhash64(F.lit(seed), F.lit(p), i).cast("double")
+                                / F.lit(float(2**63))
+                            ),
+                        ),
+                        lambda x, wgt: x.cast("double") * wgt,
+                    ),
+                    F.lit(0.0),
+                    lambda acc, v: acc + v,
+                )
+                > 0,
+                1,
+            ).otherwise(0)
+            for p in range(n_planes)
+        ]
+        sig = F.lit(0)
+        for b in bits:
+            sig = sig * 2 + b
+        return sig
+
+    q = queries.select(
+        F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"),
+        _norm(F.col(query_vec)).alias("__qn"), signature(query_vec).alias("__bucket"),
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"),
+        _norm(F.col(corpus_vec)).alias("__cn"), signature(corpus_vec).alias("__bucket"),
+    )
+    pairs = q.join(c, "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.when(
+        (F.col("__qn") > 0) & (F.col("__cn") > 0),
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

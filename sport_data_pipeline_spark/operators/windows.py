@@ -1,0 +1,90 @@
+"""Window-function operators: the rewrites of the reference's pandas loops.
+
+The reference computes per-team form, latest-value, and open/close prices
+with Python loops over collected rows (O(teams × matches),
+src/analytics/engine.py:137-191). Each helper here is one shuffle on the
+partition key + a linear window pass — the shape that survives 100 TB.
+
+Determinism: callers must pass a *total* order (include a unique id as the
+final order column) or top-N membership is undefined under ties.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import Column, DataFrame, Window, functions as F
+
+_ROW_NUM = "__rn"
+
+
+def _order_cols(order_by: Sequence[Column | str], descending: bool) -> list[Column]:
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_by]
+    return [c.desc() for c in cols] if descending else cols
+
+
+def last_n_per_key(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    n: int,
+) -> DataFrame:
+    """Keep the latest ``n`` rows per key (reference W1: last-5-match form,
+    src/analytics/engine.py:143-152 sort_values().tail(5)).
+
+    One hash shuffle on ``keys``; rank + filter happen within partitions.
+    """
+    w = Window.partitionBy(*keys).orderBy(*_order_cols(order_by, descending=True))
+    return (
+        df.withColumn(_ROW_NUM, F.row_number().over(w))
+        .filter(F.col(_ROW_NUM) <= n)
+        .drop(_ROW_NUM)
+    )
+
+
+def latest_per_key(
+    df: DataFrame, keys: Sequence[str], order_by: Sequence[Column | str]
+) -> DataFrame:
+    """Latest row per business key (reference W4 latest market value;
+    W7 ON-CONFLICT-DO-UPDATE latest-wins, database/schema.sql:986-997)."""
+    return last_n_per_key(df, keys, order_by, 1)
+
+
+def first_last_value(
+    df: DataFrame,
+    keys: Sequence[str],
+    order_by: Sequence[Column | str],
+    value_col: str,
+    open_name: str = "open_value",
+    close_name: str = "close_value",
+) -> DataFrame:
+    """Open/close value per key over an ordered tick stream (reference
+    W5/J11: open vs close odds per match/bookmaker/market/outcome,
+    database/schema.sql:729-745).
+
+    Single window with an unbounded frame computes both ends in one pass;
+    one row per key is emitted.
+    """
+    asc = _order_cols(order_by, descending=False)
+    w = Window.partitionBy(*keys).orderBy(*asc)
+    w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        df.withColumn(open_name, F.first(value_col).over(w_full))
+        .withColumn(close_name, F.last(value_col).over(w_full))
+        .withColumn(_ROW_NUM, F.row_number().over(w))
+        .filter(F.col(_ROW_NUM) == 1)
+        .select(*keys, open_name, close_name)
+    )
+
+
+def rank_standings(
+    df: DataFrame,
+    order_by: Sequence[Column | str],
+    position_col: str = "position",
+) -> DataFrame:
+    """Assign league positions (reference W6/A13: standings position,
+    database/schema.sql:491-507). Global ordering ⇒ single-partition
+    window; at scale, standings tables are per-competition-season, so
+    callers partition first (or accept the tiny global sort)."""
+    w = Window.orderBy(*_order_cols(order_by, descending=False))
+    return df.withColumn(position_col, F.row_number().over(w))

@@ -1,0 +1,164 @@
+"""Similarity / dedup / entity-resolution query pack.
+
+Covers SURVEY.md §2.3 J8 (fuzzy entity resolution) and the LLM-pipeline
+operators: n-gram Jaccard near-dup, MinHash-LSH, SimHash, and cosine top-k
+over the embeddings table. MinHash/SimHash signatures hash with Spark's
+xxhash64 which has no DuckDB twin, so those two queries are registered
+without an oracle (driver records a rows-only check); their *semantics* are
+unit-tested against brute-force Jaccard/Hamming in tests/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..operators.dedup import jaccard_pairs, minhash_near_dup, simhash_near_dup
+from ..operators.entity import resolve_entities
+from ..operators.similarity import cosine_topk
+from .registry import query
+from .textops import _NORM_SQL
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# J8: blocked fuzzy entity resolution with 90/75 threshold routing
+# (src/common/entity_mapper.py:41-154).
+# ---------------------------------------------------------------------------
+
+_N = _NORM_SQL.format(col="c_name")
+_E = _NORM_SQL.format(col="s_name")
+
+FUZZY_ORACLE = f"""
+WITH n AS (SELECT c_custkey, c_nationkey, {_N} AS nm FROM customer),
+e AS (SELECT s_suppkey, s_nationkey, {_E} AS em FROM supplier),
+pairs AS (
+  SELECT n.c_custkey, e.s_suppkey,
+         CASE WHEN GREATEST(LENGTH(nm), LENGTH(em)) = 0 THEN 100.0
+              ELSE 100.0 * (1.0 - CAST(levenshtein(nm, em) AS DOUBLE)
+                                  / GREATEST(LENGTH(nm), LENGTH(em))) END / 1 AS score
+  FROM n JOIN e ON n.c_nationkey = e.s_nationkey
+),
+best AS (
+  SELECT *, row_number() OVER (PARTITION BY c_custkey ORDER BY score DESC, s_suppkey) AS rn
+  FROM pairs
+)
+SELECT c.c_custkey,
+       CASE WHEN b.score >= 75.0 THEN b.s_suppkey END AS matched_id,
+       b.score AS score,
+       CASE WHEN b.score IS NULL THEN 'new'
+            WHEN b.score >= 90.0 THEN 'merged'
+            WHEN b.score >= 75.0 THEN 'review'
+            ELSE 'new' END AS route
+FROM customer c
+LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON c.c_custkey = b.c_custkey
+"""
+
+
+@query("fuzzy_entity_match", survey="J8,J9,F2", oracle=FUZZY_ORACLE, headline=True)
+def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers fuzzily resolved against suppliers, blocked by nation."""
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    return resolve_entities(
+        new=c,
+        existing=s,
+        new_id="c_custkey",
+        existing_id="s_suppkey",
+        block_on=[("c_nationkey", "s_nationkey")],
+        match_fields=[("c_name", "s_name")],
+        auto_threshold=90.0,
+        review_threshold=75.0,
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram (token-set) Jaccard near-dup with blocking.
+# ---------------------------------------------------------------------------
+
+JACCARD_ORACLE = """
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
+  FROM documents
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(a.toks || b.toks)) > 0
+              THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
+                   / len(list_distinct(a.toks || b.toks))
+              ELSE 0.0 END AS jaccard
+  FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
+"""
+
+
+@query("ngram_jaccard_neardup", survey="dedup-jaccard", oracle=JACCARD_ORACLE, headline=True)
+def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return jaccard_pairs(
+        d, "doc_id", "text", block_cols=["lang", "source"], threshold=0.5, shingle_n=1
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH and SimHash near-dup (xxhash64-based — no SQL oracle; driver
+# records rows-only; semantics unit-tested in tests/test_dedup.py).
+# ---------------------------------------------------------------------------
+
+
+@query("minhash_neardup", survey="dedup-minhash-lsh", oracle=None, headline=True)
+def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return minhash_near_dup(
+        d, "doc_id", "text", threshold=0.4, shingle_n=3, num_hashes=32, bands=8
+    )
+
+
+@query("simhash_neardup", survey="dedup-simhash", oracle=None)
+def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return simhash_near_dup(d, "doc_id", "text", max_hamming=12)
+
+
+# ---------------------------------------------------------------------------
+# Brute-force cosine top-k over embeddings (exact ANN baseline).
+# ---------------------------------------------------------------------------
+
+EMBEDDING_TOPK_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+  FROM embeddings
+),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN qn > 0 AND cn > 0
+              THEN list_sum(list_transform(list_zip(qv, cv),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (qn * cn)
+              ELSE 0.0 END AS cosine
+  FROM q, c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("embedding_topk", survey="ann-cosine", oracle=EMBEDDING_TOPK_ORACLE, headline=True)
+def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk(queries, emb, "vec_id", "vec_id", k=5)

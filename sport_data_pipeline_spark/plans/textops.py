@@ -1,0 +1,271 @@
+"""Text / JSON / parsing query pack (SURVEY.md §2.8 scalar functions and the
+LLM-pipeline text-analysis operators over the documents table)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..functions.parsing import (
+    implied_probability,
+    parse_market_value,
+    parse_minute,
+    parse_number,
+    parse_score,
+)
+from ..functions.text import (
+    DEFAULT_STOPWORDS,
+    content_fingerprint,
+    normalize_text,
+    quality_features,
+    slugify,
+)
+from ..operators.dedup import exact_dedup
+from .registry import query
+
+#: DuckDB mirror of functions.text.normalize_text (accent translate is a
+#: no-op on this corpus; DuckDB regexp_replace needs the 'g' flag).
+_NORM_SQL = (
+    "trim(regexp_replace(regexp_replace(lower({col}), '[^\\w\\s]', ' ', 'g'),"
+    " '\\s+', ' ', 'g'))"
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# F14/P6: JSON field extraction + typed aggregation (JSONB projections,
+# database/validation/schema_validation.sql:18-27).
+# ---------------------------------------------------------------------------
+
+JSON_EXTRACT_ORACLE = """
+SELECT event_type,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS BIGINT) AS k_total,
+       CAST(SUM(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS DOUBLE) / COUNT(*) AS k_avg,
+       MAX(CAST(json_extract_string(props, '$.k') AS INTEGER)) AS k_max
+FROM events
+GROUP BY 1
+"""
+
+
+@query("json_extract_stats", survey="F14,P6,F16", oracle=JSON_EXTRACT_ORACLE)
+def json_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k").cast("int")
+    return e.groupBy("event_type").agg(
+        F.sum(k).alias("k_total"),
+        (F.sum(k).cast("double") / F.count(F.lit(1))).alias("k_avg"),
+        F.max(k).alias("k_max"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F2/F15/P8/F18: normalization + slug pipeline on part names
+# (term_mapper.py:35-59; clubs.py:86-95).
+# ---------------------------------------------------------------------------
+
+SLUG_ORACLE = f"""
+SELECT p_partkey AS part_id,
+       trim(regexp_replace(lower(p_name), '[^a-z0-9]+', '-', 'g'), '-') AS slug,
+       {_NORM_SQL.format(col="p_name")} AS name_norm
+FROM part
+"""
+
+
+@query("string_normalize_slug", survey="F2,F15,F18,P8", oracle=SLUG_ORACLE)
+def string_normalize_slug(spark: SparkSession, sf_dir: str) -> DataFrame:
+    p = _t(spark, sf_dir, "part")
+    return p.select(
+        F.col("p_partkey").alias("part_id"),
+        slugify("p_name").alias("slug"),
+        normalize_text("p_name").alias("name_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F4/F8/F10/F13: parser battery on literal rows (the reference parses these
+# shapes from scraped HTML; literal VALUES make the operator oracle-testable
+# independent of table contents).
+# ---------------------------------------------------------------------------
+
+_PARSE_ROWS = [
+    ("2-1", "45+2", "€12 Mio", "1.234,56", 2.5),
+    ("0:0", "90", "€900 Tsd", "85%", 1.25),
+    ("3:2", "90+4", "€3.5m", "-7,5", 0.0),
+    ("bad", "x", "n/a", "abc", 4.0),
+]
+
+PARSE_ORACLE = """
+WITH t(raw_score, raw_minute, raw_value, raw_number, price) AS (
+  VALUES ('2-1', '45+2', '€12 Mio', '1.234,56', 2.5),
+         ('0:0', '90', '€900 Tsd', '85%', 1.25),
+         ('3:2', '90+4', '€3.5m', '-7,5', 0.0),
+         ('bad', 'x', 'n/a', 'abc', 4.0)
+),
+s AS (
+  SELECT *,
+         regexp_replace(raw_score, ':', '-', 'g') AS score_norm,
+         replace(trim(raw_value), ',', '.') AS value_norm,
+         regexp_replace(regexp_replace(trim(raw_number), '\\.(\\d{3})', '\\1', 'g'), ',', '.', 'g') AS number_norm
+  FROM t
+)
+SELECT raw_score,
+       CASE WHEN regexp_extract(score_norm, '^\\s*(\\d+)\\s*-\\s*(\\d+)\\s*$', 1) <> ''
+            THEN CAST(regexp_extract(score_norm, '^\\s*(\\d+)\\s*-\\s*(\\d+)\\s*$', 1) AS INTEGER) END AS home_goals,
+       CASE WHEN regexp_extract(score_norm, '^\\s*(\\d+)\\s*-\\s*(\\d+)\\s*$', 2) <> ''
+            THEN CAST(regexp_extract(score_norm, '^\\s*(\\d+)\\s*-\\s*(\\d+)\\s*$', 2) AS INTEGER) END AS away_goals,
+       CASE WHEN regexp_extract(raw_minute, '^(\\d+)(?:\\+(\\d+))?$', 1) <> ''
+            THEN CAST(regexp_extract(raw_minute, '^(\\d+)(?:\\+(\\d+))?$', 1) AS INTEGER)
+                 + COALESCE(CASE WHEN regexp_extract(raw_minute, '^(\\d+)(?:\\+(\\d+))?$', 2) <> ''
+                                 THEN CAST(regexp_extract(raw_minute, '^(\\d+)(?:\\+(\\d+))?$', 2) AS INTEGER) END, 0)
+       END AS minute,
+       CASE WHEN regexp_extract(value_norm, '([0-9]+(?:\\.[0-9]+)?)', 1) <> ''
+            THEN CAST(regexp_extract(value_norm, '([0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE)
+                 * (CASE WHEN regexp_matches(value_norm, '(?i)(mio|mill|m\\b|m$)') THEN 1000000.0
+                         WHEN regexp_matches(value_norm, '(?i)(tsd|k\\b|k$)') THEN 1000.0
+                         ELSE 1.0 END)
+       END AS market_value,
+       CASE WHEN regexp_extract(number_norm, '(-?[0-9]+(?:\\.[0-9]+)?)', 1) <> ''
+            THEN CAST(regexp_extract(number_norm, '(-?[0-9]+(?:\\.[0-9]+)?)', 1) AS DOUBLE) END AS number_value,
+       CASE WHEN price > 0 THEN 1.0 / price END AS implied_prob
+FROM s
+"""
+
+
+@query("parse_functions", survey="F4,F8,F10,F13", oracle=PARSE_ORACLE)
+def parse_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = spark.createDataFrame(
+        _PARSE_ROWS, "raw_score string, raw_minute string, raw_value string, raw_number string, price double"
+    )
+    home, away = parse_score("raw_score")
+    return df.select(
+        "raw_score",
+        home.alias("home_goals"),
+        away.alias("away_goals"),
+        parse_minute("raw_minute").alias("minute"),
+        parse_market_value("raw_value").alias("market_value"),
+        parse_number("raw_number").alias("number_value"),
+        implied_probability("price").alias("implied_prob"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Text quality features (training-data quality scoring).
+# ---------------------------------------------------------------------------
+
+_SW = ", ".join(f"'{w}'" for w in DEFAULT_STOPWORDS)
+
+DOC_QUALITY_ORACLE = f"""
+WITH q AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       CAST(LENGTH(text) AS BIGINT) AS n_chars,
+       CAST(len(toks) AS BIGINT) AS n_tokens,
+       CAST(len(list_distinct(toks)) AS BIGINT) AS n_unique_tokens,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks, t -> t IN ({_SW}))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS stopword_ratio,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS unique_ratio
+FROM q
+"""
+
+
+@query("doc_quality", survey="F2,A11(text)", oracle=DOC_QUALITY_ORACLE)
+def doc_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    feats = quality_features("text")
+    return d.select(
+        "doc_id",
+        feats["n_chars"].alias("n_chars"),
+        feats["n_tokens"].alias("n_tokens"),
+        feats["n_unique_tokens"].alias("n_unique_tokens"),
+        feats["stopword_ratio"].alias("stopword_ratio"),
+        feats["unique_ratio"].alias("unique_ratio"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Language distribution stats.
+# ---------------------------------------------------------------------------
+
+LANG_STATS_ORACLE = """
+SELECT lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+       CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+       CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+FROM documents
+GROUP BY 1
+"""
+
+
+@query("lang_stats", survey="A5,A7(text)", oracle=LANG_STATS_ORACLE)
+def lang_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("total_chars"),
+        (F.sum("n_chars").cast("double") / F.count(F.lit(1))).alias("avg_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token counting (whitespace + BPE-ish char/4 heuristic).
+# ---------------------------------------------------------------------------
+
+TOKEN_COUNT_ORACLE = """
+SELECT doc_id,
+       CAST(len(regexp_extract_all(text, '[a-z0-9]+')) AS BIGINT) AS word_tokens,
+       CAST(LENGTH(text) AS BIGINT) AS char_count,
+       CAST(CEIL(LENGTH(text) / 4.0) AS BIGINT) AS approx_bpe_tokens
+FROM documents
+"""
+
+
+@query("token_counts", survey="F4(text),X6", oracle=TOKEN_COUNT_ORACLE)
+def token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).cast("long").alias("word_tokens"),
+        F.length("text").cast("long").alias("char_count"),
+        F.ceil(F.length("text") / 4.0).cast("long").alias("approx_bpe_tokens"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Content fingerprint + exact dedup (md5 over normalized text).
+# ---------------------------------------------------------------------------
+
+FINGERPRINT_ORACLE = f"""
+SELECT doc_id, md5({_NORM_SQL.format(col="text")}) AS fingerprint
+FROM documents
+"""
+
+
+@query("doc_fingerprint", survey="dedup-exact,F2", oracle=FINGERPRINT_ORACLE)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return d.select("doc_id", content_fingerprint("text").alias("fingerprint"))
+
+
+EXACT_DEDUP_ORACLE = f"""
+WITH fp AS (SELECT doc_id, md5({_NORM_SQL.format(col="text")}) AS fp FROM documents),
+keep AS (SELECT MIN(doc_id) AS doc_id FROM fp GROUP BY fp)
+SELECT d.doc_id, d.lang, d.source, d.n_chars
+FROM documents d
+JOIN keep k ON d.doc_id = k.doc_id
+"""
+
+
+@query("exact_dedup_docs", survey="dedup-exact,U3", oracle=EXACT_DEDUP_ORACLE)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _t(spark, sf_dir, "documents")
+    return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source", "n_chars")

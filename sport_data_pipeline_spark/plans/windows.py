@@ -1,0 +1,402 @@
+"""Window-function query pack (SURVEY.md §2.5, §2.3 J5/J10/J11, §2.9 T6).
+
+These are the Spark rewrites of the reference's pandas/Python loops — each
+one shuffle + one linear window pass instead of O(entities × rows) driver
+loops (src/analytics/engine.py:137-229).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+from ..operators.joins import asof_join, symmetric_pair_key
+from ..operators.merge import merge_latest
+from ..operators.sessionize import sessionize
+from ..operators.windows import first_last_value, last_n_per_key, rank_standings
+from ._util import dsum
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# W1/A8: last-N form per entity (reference: engine.py:137-191 Python loop
+# over team ids + iterrows → one window job).
+# ---------------------------------------------------------------------------
+
+LAST_N_FORM_ORACLE = """
+WITH ranked AS (
+  SELECT user_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       CAST(COUNT(*) AS BIGINT) AS recent_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS recent_value,
+       CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS recent_purchases
+FROM ranked
+WHERE rn <= 5
+GROUP BY 1
+"""
+
+
+@query("last_n_form", survey="W1,A8,O4", oracle=LAST_N_FORM_ORACLE, headline=True)
+def last_n_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    recent = last_n_per_key(e, ["user_id"], ["ts", "event_id"], 5)
+    return recent.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("recent_events"),
+        dsum("value").alias("recent_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias(
+            "recent_purchases"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J5/A9/J4: head-to-head via symmetric pair key — the O(n²) fixture loop
+# (engine.py:193-229) rewritten as a groupable equi-key, plus role-playing
+# dimension joins (nation joined twice under different aliases).
+# ---------------------------------------------------------------------------
+
+H2H_ORACLE = """
+SELECT LEAST(cn.n_name, sn.n_name) AS pair_a,
+       GREATEST(cn.n_name, sn.n_name) AS pair_b,
+       CAST(COUNT(*) AS BIGINT) AS meetings,
+       CAST(SUM(CASE WHEN cn.n_name <= sn.n_name THEN 1 ELSE 0 END) AS BIGINT) AS a_wins,
+       CAST(SUM(CASE WHEN cn.n_name <= sn.n_name THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS a_win_share
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN nation cn ON c.c_nationkey = cn.n_nationkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+JOIN nation sn ON s.s_nationkey = sn.n_nationkey
+GROUP BY 1, 2
+"""
+
+
+@query("h2h_symmetric", survey="J5,A9,J4", oracle=H2H_ORACLE, headline=True)
+def h2h_symmetric(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = _t(spark, sf_dir, "lineitem")
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    s = _t(spark, sf_dir, "supplier")
+    n = _t(spark, sf_dir, "nation")
+    cn = n.select(F.col("n_nationkey").alias("cn_key"), F.col("n_name").alias("cn_name"))
+    sn = n.select(F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("sn_name"))
+
+    joined = (
+        l.join(o, l.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(cn), c.c_nationkey == F.col("cn_key"))
+        .join(F.broadcast(s), l.l_suppkey == s.s_suppkey)
+        .join(F.broadcast(sn), s.s_nationkey == F.col("sn_key"))
+    )
+    a_won = F.when(F.col("cn_name") <= F.col("sn_name"), 1).otherwise(0)
+    return (
+        joined.groupBy(*symmetric_pair_key("cn_name", "sn_name"))
+        .agg(
+            F.count(F.lit(1)).alias("meetings"),
+            F.sum(a_won).alias("a_wins"),
+            (F.sum(a_won).cast("double") / F.count(F.lit(1))).alias("a_win_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# W2: percentile rank vs peer group (reference contract:
+# src/analytics/reports.py:80-85 — percentile_rank / peer_avg / above_average).
+# ---------------------------------------------------------------------------
+
+PERCENTILE_PEER_ORACLE = """
+WITH base AS (
+  SELECT c_custkey, c_mktsegment, c_acctbal,
+         percent_rank() OVER (ORDER BY c_acctbal, c_custkey) AS balance_pct_rank,
+         CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) OVER (PARTITION BY c_mktsegment) AS DOUBLE)
+           / COUNT(*) OVER (PARTITION BY c_mktsegment) AS peer_avg_balance
+  FROM customer
+)
+SELECT c_custkey AS player_id,
+       c_mktsegment AS peer_group,
+       c_acctbal AS balance,
+       balance_pct_rank,
+       peer_avg_balance,
+       c_acctbal > peer_avg_balance AS above_average
+FROM base
+"""
+
+
+@query("percentile_peer", survey="W2", oracle=PERCENTILE_PEER_ORACLE)
+def percentile_peer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = _t(spark, sf_dir, "customer")
+    w_rank = Window.orderBy("c_acctbal", "c_custkey")
+    w_peer = Window.partitionBy("c_mktsegment")
+    peer_avg = (
+        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w_peer).cast("double")
+        / F.count(F.lit(1)).over(w_peer)
+    )
+    return c.select(
+        F.col("c_custkey").alias("player_id"),
+        F.col("c_mktsegment").alias("peer_group"),
+        F.col("c_acctbal").alias("balance"),
+        F.percent_rank().over(w_rank).alias("balance_pct_rank"),
+        peer_avg.alias("peer_avg_balance"),
+        (F.col("c_acctbal") > peer_avg).alias("above_average"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W3: per-entity trend across seasons via lag (reference contract:
+# reports.py:71-77 goals_trend / improving / declining).
+# ---------------------------------------------------------------------------
+
+SEASON_TREND_ORACLE = """
+WITH per_season AS (
+  SELECT o_custkey AS player_id,
+         CAST(YEAR(o_orderdate) AS INTEGER) AS season,
+         CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS season_value,
+         CAST(COUNT(*) AS BIGINT) AS season_orders
+  FROM orders GROUP BY 1, 2
+)
+SELECT player_id, season, season_value, season_orders,
+       season_value - LAG(season_value) OVER (PARTITION BY player_id ORDER BY season) AS value_delta,
+       CASE WHEN LAG(season_value) OVER (PARTITION BY player_id ORDER BY season) IS NULL THEN 'new'
+            WHEN season_value > LAG(season_value) OVER (PARTITION BY player_id ORDER BY season) THEN 'improving'
+            WHEN season_value < LAG(season_value) OVER (PARTITION BY player_id ORDER BY season) THEN 'declining'
+            ELSE 'flat' END AS trend
+FROM per_season
+"""
+
+
+@query("season_trend", survey="W3", oracle=SEASON_TREND_ORACLE)
+def season_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    per_season = o.groupBy(
+        F.col("o_custkey").alias("player_id"),
+        F.year("o_orderdate").cast("int").alias("season"),
+    ).agg(
+        dsum("o_totalprice").alias("season_value"),
+        F.count(F.lit(1)).alias("season_orders"),
+    )
+    w = Window.partitionBy("player_id").orderBy("season")
+    prev = F.lag("season_value").over(w)
+    return per_season.select(
+        "player_id",
+        "season",
+        "season_value",
+        "season_orders",
+        (F.col("season_value") - prev).alias("value_delta"),
+        F.when(prev.isNull(), "new")
+        .when(F.col("season_value") > prev, "improving")
+        .when(F.col("season_value") < prev, "declining")
+        .otherwise("flat")
+        .alias("trend"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W4/W7: latest record per key — merge_latest is the engine's upsert
+# primitive (ON CONFLICT DO UPDATE latest-wins, services/bundesliga.py:151-178).
+# ---------------------------------------------------------------------------
+
+LATEST_PER_KEY_ORACLE = """
+WITH ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+  FROM events
+)
+SELECT user_id,
+       event_id AS latest_event_id,
+       ts AS latest_ts,
+       event_type AS latest_type,
+       value AS latest_value
+FROM ranked WHERE rn = 1
+"""
+
+
+@query("latest_per_key", survey="W4,W7,U3,S10,S11", oracle=LATEST_PER_KEY_ORACLE, headline=True)
+def latest_per_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    latest = merge_latest(e, ["user_id"], ["ts", "event_id"])
+    return latest.select(
+        "user_id",
+        F.col("event_id").alias("latest_event_id"),
+        F.col("ts").alias("latest_ts"),
+        F.col("event_type").alias("latest_type"),
+        F.col("value").alias("latest_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# W5/J11: open vs close value per key over a tick stream (odds open/close,
+# database/schema.sql:729-745).
+# ---------------------------------------------------------------------------
+
+OPEN_CLOSE_ORACLE = """
+WITH w AS (
+  SELECT user_id, event_type,
+         first_value(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS open_value,
+         last_value(value) OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS close_value,
+         row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+  FROM events
+)
+SELECT user_id, event_type, open_value, close_value FROM w WHERE rn = 1
+"""
+
+
+@query("open_close", survey="W5,J11", oracle=OPEN_CLOSE_ORACLE)
+def open_close(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    return first_last_value(
+        e, ["user_id", "event_type"], ["ts", "event_id"], "value",
+        open_name="open_value", close_name="close_value",
+    )
+
+
+# ---------------------------------------------------------------------------
+# W6/A13/A12: standings computation + position assignment
+# (database/schema.sql:491-507; league analytics contract §2.11).
+# ---------------------------------------------------------------------------
+
+STANDINGS_ORACLE = """
+WITH points AS (
+  SELECT n.n_name AS team_name,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS draws,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 3
+                       WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS points,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value_for
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1
+)
+SELECT team_name, wins, draws, losses, points, value_for,
+       CAST(row_number() OVER (ORDER BY points DESC, value_for DESC, team_name) AS INTEGER) AS position
+FROM points
+"""
+
+
+@query("standings", survey="W6,A12,A13", oracle=STANDINGS_ORACLE)
+def standings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(n.n_name.alias("team_name"))
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("wins"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("draws"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("losses"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 3)
+                .when(F.col("o_orderstatus") == "O", 1)
+                .otherwise(0)
+            ).alias("points"),
+            dsum("o_totalprice").alias("value_for"),
+        )
+    )
+    return rank_standings(
+        pts, [F.desc("points"), F.desc("value_for"), F.asc("team_name")]
+    )
+
+
+# ---------------------------------------------------------------------------
+# T6 (stateful grouping, batch twin of streaming session windows).
+# ---------------------------------------------------------------------------
+
+SESSIONIZE_ORACLE = """
+WITH g AS (
+  SELECT user_id, ts, event_id, value,
+         CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) > 1800000000
+              THEN 1 ELSE 0 END AS new_sess
+  FROM events
+),
+s AS (
+  SELECT user_id, value, ts,
+         SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+  FROM g
+)
+SELECT user_id,
+       CAST(session_id AS BIGINT) AS session_id,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS session_value,
+       MIN(ts) AS session_start,
+       MAX(ts) AS session_end
+FROM s GROUP BY 1, 2
+"""
+
+
+@query("sessionize_events", survey="T6,W1", oracle=SESSIONIZE_ORACLE, headline=True)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = _t(spark, sf_dir, "events")
+    s = sessionize(e, ["user_id"], "ts", gap_seconds=1800, tie_break=["event_id"])
+    return s.groupBy("user_id", F.col("session_id").cast("long").alias("session_id")).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dsum("value").alias("session_value"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# J10-adjacent: as-of join — for each purchase, the latest prior click of
+# the same user (point-in-time feature join; odds-at-kickoff shape).
+# ---------------------------------------------------------------------------
+
+ASOF_ORACLE = """
+WITH p AS (SELECT * FROM events WHERE event_type = 'purchase'),
+c AS (SELECT * FROM events WHERE event_type = 'click'),
+j AS (
+  SELECT p.event_id AS purchase_id, p.user_id, p.ts AS purchase_ts, p.value AS purchase_value,
+         c.ts AS click_ts, c.value AS click_value,
+         row_number() OVER (PARTITION BY p.event_id ORDER BY c.ts DESC, c.event_id DESC) AS rn
+  FROM p LEFT JOIN c ON c.user_id = p.user_id AND c.ts <= p.ts
+)
+SELECT purchase_id, user_id, purchase_ts, purchase_value,
+       click_ts AS asof_ts, click_value AS asof_value
+FROM j WHERE rn = 1
+"""
+
+
+@query("asof_clicks", survey="J10,J11,W5", oracle=ASOF_ORACLE, headline=True)
+def asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union+window as-of join: one shuffle on user_id, no theta-join blowup
+    (the oracle's LEFT JOIN .. ts<=ts is quadratic per key; this is linear).
+    """
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["ts", "value", "event_id"],
+        right_tiebreak=["event_id"],
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        F.col("asof_ts"),
+        F.col("asof_value"),
+    )

@@ -1,0 +1,26 @@
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from sport_data_pipeline_spark.catalog import TABLES
+from sport_data_pipeline_spark.session import get_session
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="session")
+def spark():
+    spark = get_session("tests", cpus=4, shuffle_partitions=8)
+    yield spark
+
+
+@pytest.fixture(scope="session")
+def duck():
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{SF_DIR}/{t}.parquet')"
+        )
+    yield con
+    con.close()

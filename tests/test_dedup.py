@@ -1,0 +1,57 @@
+"""Dedup operator semantics vs brute force on small synthetic corpora."""
+
+from __future__ import annotations
+
+import pytest
+
+from sport_data_pipeline_spark.operators.dedup import (
+    exact_dedup,
+    jaccard_pairs,
+    minhash_near_dup,
+    simhash_near_dup,
+)
+
+DOCS = [
+    (0, "b", "the quick brown fox jumps over the lazy dog"),
+    (1, "b", "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+    (2, "b", "completely different words about spark engines"),
+    (3, "b", "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+    (4, "b", "spark query engines shuffle partitions in parallel"),
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id long, blk string, text string")
+
+
+def test_exact_dedup_drops_identical(docs):
+    kept = sorted(r["doc_id"] for r in exact_dedup(docs, "text", "doc_id").collect())
+    assert kept == [0, 1, 2, 4]  # 3 collapses into 0
+
+
+def test_jaccard_pairs_finds_near_dup(docs):
+    pairs = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(docs, "doc_id", "text", ["blk"], 0.5).collect()
+    }
+    assert (0, 3) in pairs and pairs[(0, 3)] == 1.0
+    assert (0, 1) in pairs and 0.5 <= pairs[(0, 1)] < 1.0
+    assert not any({a, b} == {0, 2} for a, b in pairs)
+
+
+def test_minhash_agrees_with_exact_jaccard_on_dups(docs):
+    got = {(r["id_a"], r["id_b"]) for r in
+           minhash_near_dup(docs, "doc_id", "text", threshold=0.5, shingle_n=2).collect()}
+    # exact duplicates can never be missed (identical signatures in every band)
+    assert (0, 3) in got
+    # verification step guarantees no false positives below threshold
+    exact = {(r["id_a"], r["id_b"]) for r in
+             jaccard_pairs(docs, "doc_id", "text", ["blk"], 0.5, shingle_n=2).collect()}
+    assert got <= exact
+
+
+def test_simhash_identical_docs_distance_zero(docs):
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dup(docs, "doc_id", "text", max_hamming=64).collect()}
+    assert pairs.get((0, 3)) == 0

@@ -1,0 +1,82 @@
+"""Scalar function unit tests — direct ports of the reference's parser test
+style (tests/unit/test_scraper_utils.py: score/status, term mapper)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from sport_data_pipeline_spark.functions.parsing import (
+    id_from_url,
+    implied_probability,
+    parse_date_multi,
+    parse_market_value,
+    parse_minute,
+    parse_number,
+    parse_score,
+)
+from sport_data_pipeline_spark.functions.text import lang_id, normalize_text, slugify
+
+
+def one(spark, value: str, col):
+    return spark.createDataFrame([(value,)], "s string").select(col.alias("x")).collect()[0]["x"]
+
+
+def test_parse_score(spark):
+    h, a = parse_score("s")
+    df = spark.createDataFrame(
+        [("2-1",), ("2:1",), (" 10 - 0 ",), ("abc",)], "s string"
+    ).select(h.alias("h"), a.alias("a"))
+    rows = [(r["h"], r["a"]) for r in df.collect()]
+    assert rows == [(2, 1), (2, 1), (10, 0), (None, None)]
+
+
+def test_parse_minute(spark):
+    assert one(spark, "45+2", parse_minute("s")) == 47
+    assert one(spark, "90", parse_minute("s")) == 90
+    assert one(spark, "x", parse_minute("s")) is None
+
+
+def test_parse_market_value(spark):
+    assert one(spark, "€12 Mio", parse_market_value("s")) == 12_000_000.0
+    assert one(spark, "€900 Tsd", parse_market_value("s")) == 900_000.0
+    assert one(spark, "€2,5 Mio", parse_market_value("s")) == 2_500_000.0
+    assert one(spark, "n/a", parse_market_value("s")) is None
+
+
+def test_parse_number(spark):
+    assert one(spark, "1.234,56", parse_number("s")) == 1234.56
+    assert one(spark, "85%", parse_number("s")) == 85.0
+    assert one(spark, "-7,5", parse_number("s")) == -7.5
+    assert one(spark, "abc", parse_number("s")) is None
+
+
+def test_parse_date_multi(spark):
+    assert str(one(spark, "2024-05-01", parse_date_multi("s"))) == "2024-05-01"
+    assert str(one(spark, "01.05.2024", parse_date_multi("s"))) == "2024-05-01"
+    assert one(spark, "junk", parse_date_multi("s")) is None
+
+
+def test_id_from_url(spark):
+    assert one(spark, "https://site.tld/spieler/12345/profil", id_from_url("s")) == 12345
+
+
+def test_implied_probability(spark):
+    df = spark.createDataFrame([(2.0,), (0.0,)], "p double").select(
+        implied_probability("p").alias("x")
+    )
+    assert [r["x"] for r in df.collect()] == [0.5, None]
+
+
+def test_slugify_umlauts(spark):
+    assert one(spark, "Bayern München!", slugify("s")) == "bayern-muenchen"
+    assert one(spark, "  Borussia  Mönchengladbach ", slugify("s")) == "borussia-moenchengladbach"
+
+
+def test_normalize_text(spark):
+    assert one(spark, "  Müller,   Thomas! ", normalize_text("s")) == "muller thomas"
+
+
+def test_lang_id(spark):
+    markers = {"en": ["the", "and"], "de": ["der", "und"], "es": ["el", "y"]}
+    assert one(spark, "the cat and the dog", lang_id("s", markers)) == "en"
+    assert one(spark, "der hund und die katze", lang_id("s", markers)) == "de"

@@ -1,0 +1,123 @@
+"""Unit tests for library operators on small literal data (the reference's
+test style: direct input → expected output, SURVEY.md §5)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from sport_data_pipeline_spark.operators.joins import asof_join, point_in_time_join
+from sport_data_pipeline_spark.operators.merge import (
+    merge_coalesce,
+    merge_latest,
+    scd2_intervals,
+    upsert,
+)
+from sport_data_pipeline_spark.operators.sessionize import sessionize
+from sport_data_pipeline_spark.operators.windows import first_last_value, last_n_per_key
+
+
+def ts(s: str) -> dt.datetime:
+    return dt.datetime.fromisoformat(s)
+
+
+def test_merge_latest_keeps_one_row_per_key(spark):
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), "a"), (1, ts("2024-01-02T10:00"), "b"),
+         (2, ts("2024-01-01T09:00"), "c")],
+        "id long, updated timestamp, val string",
+    )
+    out = {r["id"]: r["val"] for r in merge_latest(df, ["id"], ["updated"]).collect()}
+    assert out == {1: "b", 2: "c"}
+
+
+def test_upsert_is_idempotent(spark):
+    existing = spark.createDataFrame(
+        [(1, 1, "old"), (2, 1, "keep")], "id long, v long, val string"
+    )
+    updates = spark.createDataFrame([(1, 2, "new")], "id long, v long, val string")
+    once = upsert(existing, updates, ["id"], ["v"])
+    twice = upsert(once, updates, ["id"], ["v"])
+    got = {r["id"]: r["val"] for r in twice.collect()}
+    assert got == {1: "new", 2: "keep"}
+
+
+def test_merge_coalesce_partial_update(spark):
+    existing = spark.createDataFrame(
+        [(1, 1, "name", 100)], "id long, v long, name string, score long"
+    )
+    updates = spark.createDataFrame(
+        [(1, 2, None, 200)], "id long, v long, name string, score long"
+    )
+    row = merge_coalesce(existing, updates, ["id"], ["v"]).collect()[0]
+    assert row["name"] == "name"  # non-null old value survives
+    assert row["score"] == 200  # newer non-null wins
+
+
+def test_scd2_intervals(spark):
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01T00:00"), "Old FC"), (1, ts("2024-06-01T00:00"), "New FC")],
+        "club long, changed timestamp, name string",
+    )
+    rows = {r["name"]: r for r in scd2_intervals(df, ["club"], "changed").collect()}
+    assert rows["Old FC"]["valid_to"] == ts("2024-06-01T00:00")
+    assert not rows["Old FC"]["is_current"]
+    assert rows["New FC"]["valid_to"] is None
+    assert rows["New FC"]["is_current"]
+
+
+def test_point_in_time_join_matches_interval(spark):
+    dim = scd2_intervals(
+        spark.createDataFrame(
+            [(1, ts("2024-01-01T00:00"), "Old FC"), (1, ts("2024-06-01T00:00"), "New FC")],
+            "club long, changed timestamp, name string",
+        ),
+        ["club"],
+        "changed",
+    ).select("club", "name", "valid_from", "valid_to")
+    facts = spark.createDataFrame(
+        [(10, 1, ts("2024-03-01T00:00")), (11, 1, ts("2024-07-01T00:00"))],
+        "match long, club long, kickoff timestamp",
+    )
+    got = {
+        r["match"]: r["name"]
+        for r in point_in_time_join(facts, dim, ["club"], "kickoff").collect()
+    }
+    assert got == {10: "Old FC", 11: "New FC"}
+
+
+def test_asof_join_picks_latest_prior(spark):
+    left = spark.createDataFrame(
+        [(1, 100, ts("2024-01-01T12:00"))], "uid long, oid long, t timestamp"
+    )
+    right = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00"), 1.0), (1, ts("2024-01-01T11:00"), 2.0),
+         (1, ts("2024-01-01T13:00"), 9.0)],
+        "uid long, t timestamp, price double",
+    )
+    row = asof_join(
+        left, right, on=["uid"], left_ts="t", right_ts="t", right_values=["price"]
+    ).collect()[0]
+    assert row["asof_price"] == 2.0  # 13:00 tick is in the future → excluded
+
+
+def test_last_n_and_first_last(spark):
+    df = spark.createDataFrame(
+        [(1, i, float(i)) for i in range(10)], "key long, seq long, v double"
+    )
+    last3 = last_n_per_key(df, ["key"], ["seq"], 3)
+    assert sorted(r["seq"] for r in last3.collect()) == [7, 8, 9]
+    fl = first_last_value(df, ["key"], ["seq"], "v").collect()[0]
+    assert (fl["open_value"], fl["close_value"]) == (0.0, 9.0)
+
+
+def test_sessionize_gap(spark):
+    df = spark.createDataFrame(
+        [(1, ts("2024-01-01T10:00")), (1, ts("2024-01-01T10:10")),
+         (1, ts("2024-01-01T11:30")), (2, ts("2024-01-01T09:00"))],
+        "uid long, t timestamp",
+    )
+    out = sessionize(df, ["uid"], "t", gap_seconds=1800)
+    sess = sorted((r["uid"], r["t"].isoformat(), r["session_id"]) for r in out.collect())
+    assert [s[2] for s in sess] == [0, 0, 1, 0]  # third event starts session 1

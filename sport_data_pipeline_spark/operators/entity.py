@@ -73,11 +73,17 @@ def resolve_entities(
             for i, (_, c) in enumerate(match_fields)
         ],
     )
+    # A small-file scan arrives as one partition; without an explicit
+    # shuffle the (broadcast) pair join and all similarity scoring would run
+    # in a single task. Repartition the probe side on the blocking key so
+    # candidate generation + scoring parallelize across the cluster.
+    n_parts = n.sparkSession.sparkContext.defaultParallelism
+    n = n.repartition(n_parts, *[F.col(f"__nb_{i}") for i in range(len(block_on))])
     cond = None
     for i in range(len(block_on)):
         c = F.col(f"__nb_{i}") == F.col(f"__eb_{i}")
         cond = c if cond is None else cond & c
-    pairs = n.join(e, cond)
+    pairs = n.join(F.broadcast(e), cond)
 
     scores = [
         similarity_ratio(F.col(f"__nm_{i}"), F.col(f"__em_{i}"), prenormalized=True)

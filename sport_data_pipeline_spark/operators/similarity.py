@@ -51,7 +51,10 @@ def cosine_topk(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"),
         _norm(F.col(query_vec)).alias("__qn"),
     )
-    c = corpus.select(
+    # The corpus streams against the broadcast query set; a single-file
+    # corpus must not fold the whole dot-product sweep into one task.
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n_parts, F.col(corpus_id)).select(
         F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"),
         _norm(F.col(corpus_vec)).alias("__cn"),
     )

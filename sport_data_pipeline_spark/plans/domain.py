@@ -1,0 +1,247 @@
+"""Domain-operator queries: league analytics composite, term-map
+normalization, external-ID resolution (SURVEY.md §2 A12, F3, J7).
+
+These use literal VALUES inputs where the driver tables lack the domain
+shape, so the operators stay oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..sources.bronze import DEFAULT_TERM_MAP, apply_term_mapping, resolve_external_ids, term_map_df
+from .registry import query
+from ._util import dsum
+
+
+# ---------------------------------------------------------------------------
+# A12: league analytics composite — match count, participant count,
+# conditional rates, high-scoring share (the dashboard contract
+# reports.py:158-213; orders stand in for matches: F=home win, O=draw).
+# ---------------------------------------------------------------------------
+
+LEAGUE_SUMMARY_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS matches_played,
+       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS total_teams,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_value_per_match,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS home_win_rate,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS draw_rate,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS away_win_rate,
+       CAST(SUM(CASE WHEN o_totalprice >= 300000 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS high_scoring_share
+FROM orders
+"""
+
+
+@query("league_summary", survey="A12,A2,P4", oracle=LEAGUE_SUMMARY_ORACLE)
+def league_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    cnt = F.count(F.lit(1))
+
+    def rate(cond) -> F.Column:
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("double") / cnt
+
+    return o.agg(
+        cnt.alias("matches_played"),
+        F.countDistinct("o_custkey").alias("total_teams"),
+        dsum("o_totalprice").alias("total_value"),
+        (dsum("o_totalprice") / cnt).alias("avg_value_per_match"),
+        rate(F.col("o_orderstatus") == "F").alias("home_win_rate"),
+        rate(F.col("o_orderstatus") == "O").alias("draw_rate"),
+        rate(F.col("o_orderstatus") == "P").alias("away_win_rate"),
+        rate(F.col("o_totalprice") >= 300000).alias("high_scoring_share"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F3: synonym → canonical term mapping via broadcast map join
+# (term_mapper.py:96-152; positions GK/DF/MF/FW).
+# ---------------------------------------------------------------------------
+
+_RAW_TERMS = [
+    (1, "Torwart"), (2, "centre back"), (3, "STRIKER"), (4, "Mittelfeld"),
+    (5, "Left Back"), (6, "unknown role"), (7, " keeper "),
+]
+
+_POS = DEFAULT_TERM_MAP["position"]
+_MAP_VALUES = ",\n         ".join(f"('{k}', '{v}')" for k, v in sorted(_POS.items()))
+_RAW_VALUES = ",\n       ".join(f"({i}, '{t}')" for i, t in _RAW_TERMS)
+
+TERM_MAPPING_ORACLE = f"""
+WITH raw(id, term) AS (
+  VALUES {_RAW_VALUES}
+),
+map(synonym, canonical) AS (
+  VALUES {_MAP_VALUES}
+)
+SELECT r.id, COALESCE(m.canonical, r.term) AS position
+FROM raw r
+LEFT JOIN map m
+  ON trim(regexp_replace(regexp_replace(lower(r.term), '[^\\w\\s]', ' ', 'g'), '\\s+', ' ', 'g')) = m.synonym
+"""
+
+
+@query("term_mapping", survey="F3,X4", oracle=TERM_MAPPING_ORACLE)
+def term_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+    raw = spark.createDataFrame(_RAW_TERMS, "id long, term string")
+    mapping = term_map_df(spark, _POS, "position")
+    mapped = apply_term_mapping(
+        raw.withColumnRenamed("term", "position"), "position", mapping
+    )
+    return mapped.select("id", "position")
+
+
+# ---------------------------------------------------------------------------
+# J7: external-ID mapping join — (source, external_id) → internal id with
+# existing/new routing (external_id_mapping_service_async.py:40-200).
+# ---------------------------------------------------------------------------
+
+# ---------------------------------------------------------------------------
+# U5: mixed-shape record unification via coalesce projection
+# (src/common/scraper_utils.py:113-156 — different scrapers emit different
+# field names for the same fixture concept).
+# ---------------------------------------------------------------------------
+
+RECORD_UNIFICATION_ORACLE = """
+WITH raw(id, home_team, heim, away_team, gast, score_text, ergebnis) AS (
+  VALUES (1, 'Reds', NULL, 'Blues', NULL, '2-1', NULL),
+         (2, NULL, 'Greens', NULL, 'Reds', NULL, '0:0'),
+         (3, 'Blues', 'IGNORED', 'Greens', NULL, '3-2', '9:9')
+)
+SELECT id,
+       COALESCE(home_team, heim) AS home,
+       COALESCE(away_team, gast) AS away,
+       CASE WHEN regexp_extract(regexp_replace(COALESCE(score_text, ergebnis), ':', '-', 'g'),
+                                '^\\s*(\\d+)\\s*-\\s*(\\d+)\\s*$', 1) <> ''
+            THEN CAST(regexp_extract(regexp_replace(COALESCE(score_text, ergebnis), ':', '-', 'g'),
+                                     '^\\s*(\\d+)\\s*-\\s*(\\d+)\\s*$', 1) AS INTEGER) END AS home_goals,
+       CASE WHEN regexp_extract(regexp_replace(COALESCE(score_text, ergebnis), ':', '-', 'g'),
+                                '^\\s*(\\d+)\\s*-\\s*(\\d+)\\s*$', 2) <> ''
+            THEN CAST(regexp_extract(regexp_replace(COALESCE(score_text, ergebnis), ':', '-', 'g'),
+                                     '^\\s*(\\d+)\\s*-\\s*(\\d+)\\s*$', 2) AS INTEGER) END AS away_goals
+FROM raw
+"""
+
+
+@query("record_unification", survey="U5,F8,F16", oracle=RECORD_UNIFICATION_ORACLE)
+def record_unification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..functions.parsing import parse_score
+
+    raw = spark.createDataFrame(
+        [
+            (1, "Reds", None, "Blues", None, "2-1", None),
+            (2, None, "Greens", None, "Reds", None, "0:0"),
+            (3, "Blues", "IGNORED", "Greens", None, "3-2", "9:9"),
+        ],
+        "id long, home_team string, heim string, away_team string, gast string, "
+        "score_text string, ergebnis string",
+    )
+    score = F.coalesce("score_text", "ergebnis")
+    home_goals, away_goals = parse_score(score)
+    return raw.select(
+        "id",
+        F.coalesce("home_team", "heim").alias("home"),
+        F.coalesce("away_team", "gast").alias("away"),
+        home_goals.alias("home_goals"),
+        away_goals.alias("away_goals"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup + pivot — free Catalyst capabilities the reference never had
+# (SURVEY §2.4 closing note); included so the coverage is explicit.
+# ---------------------------------------------------------------------------
+
+ROLLUP_ORACLE = """
+SELECT l_returnflag AS returnflag,
+       l_linestatus AS linestatus,
+       CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+       CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+       CAST(COUNT(*) AS BIGINT) AS n,
+       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM lineitem
+GROUP BY ROLLUP (l_returnflag, l_linestatus)
+"""
+
+
+@query("rollup_pricing", survey="A1(rollup)", oracle=ROLLUP_ORACLE)
+def rollup_pricing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    l = load_table(spark, sf_dir, "lineitem")
+    return (
+        l.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.grouping("l_returnflag").cast("int").alias("g_flag"),
+            F.grouping("l_linestatus").cast("int").alias("g_status"),
+            F.count(F.lit(1)).alias("n"),
+            dsum("l_quantity").alias("sum_qty"),
+        )
+        .withColumnRenamed("l_returnflag", "returnflag")
+        .withColumnRenamed("l_linestatus", "linestatus")
+    )
+
+
+PIVOT_ORACLE = """
+SELECT o_orderpriority AS priority,
+       CAST(SUM(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS n_finished,
+       CAST(SUM(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       CAST(SUM(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS n_pending
+FROM orders
+GROUP BY 1
+"""
+
+
+@query("pivot_status_matrix", survey="A5(pivot)", oracle=PIVOT_ORACLE)
+def pivot_status_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        o.groupBy(F.col("o_orderpriority").alias("priority"))
+        .pivot("o_orderstatus", ["F", "O", "P"])
+        .count()
+        .select(
+            "priority",
+            F.coalesce("F", F.lit(0)).alias("n_finished"),
+            F.coalesce("O", F.lit(0)).alias("n_open"),
+            F.coalesce("P", F.lit(0)).alias("n_pending"),
+        )
+    )
+
+
+EXTERNAL_ID_ORACLE = """
+WITH idmap(entity_type, source, external_id, internal_id) AS (
+  VALUES ('player', 'tm', '111', 1), ('player', 'tm', '112', 2),
+         ('player', 'fbref', 'abc', 3), ('team', 'tm', '111', 77)
+),
+inc(source, external_id) AS (
+  VALUES ('tm', '111'), ('tm', '112'), ('tm', '999'), ('fbref', 'abc'), ('fbref', 'zzz')
+)
+SELECT i.source, i.external_id, m.internal_id,
+       CASE WHEN m.internal_id IS NULL THEN 'new' ELSE 'existing' END AS status
+FROM inc i
+LEFT JOIN (SELECT source, external_id, internal_id FROM idmap WHERE entity_type = 'player') m
+  ON i.source = m.source AND i.external_id = m.external_id
+"""
+
+
+@query("external_id_lookup", survey="J7,J9", oracle=EXTERNAL_ID_ORACLE)
+def external_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    id_map = spark.createDataFrame(
+        [
+            ("player", "tm", "111", 1), ("player", "tm", "112", 2),
+            ("player", "fbref", "abc", 3), ("team", "tm", "111", 77),
+        ],
+        "entity_type string, source string, external_id string, internal_id long",
+    )
+    incoming = spark.createDataFrame(
+        [("tm", "111"), ("tm", "112"), ("tm", "999"), ("fbref", "abc"), ("fbref", "zzz")],
+        "source string, external_id string",
+    )
+    resolved, _new = resolve_external_ids(
+        incoming, id_map, "player", generate_missing=False
+    )
+    return resolved.select(
+        "source",
+        "external_id",
+        "internal_id",
+        F.when(F.col("internal_id").isNull(), "new").otherwise("existing").alias("status"),
+    )

@@ -79,17 +79,23 @@ def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
 # n-gram (token-set) Jaccard near-dup with blocking.
 # ---------------------------------------------------------------------------
 
+# Trigram word shingles: on a small-vocabulary corpus unigram token sets
+# make nearly every pair "similar" (Jaccard ≈ 1) — shingles restore
+# discriminative power, which is also why MinHash uses them.
 JACCARD_ORACLE = """
 WITH t AS (
   SELECT doc_id, lang, source,
-         list_distinct(regexp_split_to_array(trim(text), '\\s+')) AS toks
-  FROM documents
+         list_distinct([ concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+                         for i in range(1, greatest(len(toks) - 2, 0) + 1) ]) AS sh
+  FROM (SELECT doc_id, lang, source,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
 ),
 pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b,
-         CASE WHEN len(list_distinct(a.toks || b.toks)) > 0
-              THEN CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE)
-                   / len(list_distinct(a.toks || b.toks))
+         CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh))
               ELSE 0.0 END AS jaccard
   FROM t a JOIN t b ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
 )
@@ -101,7 +107,7 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return jaccard_pairs(
-        d, "doc_id", "text", block_cols=["lang", "source"], threshold=0.5, shingle_n=1
+        d, "doc_id", "text", block_cols=["lang", "source"], threshold=0.5, shingle_n=3
     )
 
 
@@ -115,7 +121,7 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return minhash_near_dup(
-        d, "doc_id", "text", threshold=0.4, shingle_n=3, num_hashes=32, bands=8
+        d, "doc_id", "text", threshold=0.7, shingle_n=3, num_hashes=32, bands=8
     )
 
 

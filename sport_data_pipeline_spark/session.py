@@ -38,7 +38,14 @@ def get_session(
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+        # local mode = driver-only JVM: give it real heap (32 executor
+        # threads × shuffle buffers + broadcasts); override via env.
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
+        # Shuffle/spill to tmpfs: local-mode shuffles write many small
+        # files; on this VM filesystem syscall overhead dominates small
+        # stages (observed ~70% system time). A real cluster writes shuffle
+        # to local SSDs — tmpfs is the single-node equivalent.
+        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

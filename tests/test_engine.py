@@ -1,0 +1,177 @@
+"""SportsAnalyticsEngine on small literal sports data — validates the
+reference's analytics contract semantics (form points, H2H shares,
+standings ordering, segmentation) against hand-computed expectations."""
+
+from __future__ import annotations
+
+import datetime as dt
+from decimal import Decimal
+
+import pytest
+
+from sport_data_pipeline_spark.engine import SportsAnalyticsEngine
+
+
+def ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+@pytest.fixture(scope="module")
+def tables(spark):
+    players = spark.createDataFrame(
+        [
+            (1, "Leo", "Star", dt.date(2000, 1, 1), "FW", Decimal("50000000.00")),
+            (2, "Max", "Wall", dt.date(1994, 6, 1), "DF", Decimal("2000000.00")),
+            (3, "Sam", "Mid", dt.date(1999, 3, 1), "MF", Decimal("8000000.00")),
+        ],
+        "player_id long, first_name string, last_name string, birth_date date, "
+        "position string, market_value decimal(14,2)",
+    )
+    teams = spark.createDataFrame(
+        [(10, "Reds"), (20, "Blues"), (30, "Greens")], "team_id long, name string"
+    )
+    sps = spark.createDataFrame(
+        [
+            (1, 10, "2024", 20, 18, 5),
+            (1, 10, "2023", 20, 12, 3),
+            (2, 20, "2024", 22, 1, 0),
+            (3, 30, "2024", 15, 6, 9),
+        ],
+        "player_id long, team_id long, season string, matches_played int, goals int, assists int",
+    )
+    matches = spark.createDataFrame(
+        [
+            # match_id, home, away, home_score, away_score, date, status
+            (100, 10, 20, 3, 1, ts("2024-08-01T15:00"), "finished"),
+            (101, 20, 30, 2, 2, ts("2024-08-08T15:00"), "finished"),
+            (102, 30, 10, 0, 1, ts("2024-08-15T15:00"), "finished"),
+            (103, 10, 30, 2, 0, ts("2024-08-22T15:00"), "finished"),
+            (104, 20, 10, 1, 1, ts("2024-08-29T15:00"), "finished"),
+            (105, 10, 20, 0, 0, ts("2024-09-05T15:00"), "scheduled"),
+        ],
+        "match_id long, home_team_id long, away_team_id long, home_score int, "
+        "away_score int, match_date timestamp, status string",
+    ).withColumn("season", __import__("pyspark.sql.functions", fromlist=["lit"]).lit("2024"))
+    market_values = spark.createDataFrame(
+        [
+            (1, dt.date(2024, 1, 1), Decimal("40000000.00"), "tm"),
+            (1, dt.date(2024, 7, 1), Decimal("50000000.00"), "tm"),
+            (2, dt.date(2024, 7, 1), Decimal("2000000.00"), "tm"),
+        ],
+        "player_id long, valuation_date date, market_value decimal(14,2), source string",
+    )
+    odds = spark.createDataFrame(
+        [
+            (100, "bookie", "1x2", "home", "open", Decimal("2.1000"), ts("2024-07-30T10:00")),
+            (100, "bookie", "1x2", "home", "live", Decimal("1.8000"), ts("2024-08-01T14:00")),
+            (100, "bookie", "1x2", "home", "close", Decimal("1.6500"), ts("2024-08-01T14:55")),
+        ],
+        "match_id long, bookmaker string, market string, outcome string, "
+        "price_type string, price decimal(10,4), ts timestamp",
+    )
+    pms = spark.createDataFrame(
+        [(100, 1, 10, 2, 1), (101, 3, 30, 1, 0), (102, 1, 10, 1, 0)],
+        "match_id long, player_id long, team_id long, goals int, assists int",
+    )
+    return {
+        "players": players,
+        "teams": teams,
+        "season_player_stats": sps,
+        "matches": matches,
+        "market_values": market_values,
+        "odds_ticks": odds,
+        "player_match_stats": pms,
+    }
+
+
+@pytest.fixture(scope="module")
+def eng(tables):
+    return SportsAnalyticsEngine(tables, as_of_date=dt.date(2025, 1, 1))
+
+
+def test_top_performers_ordering_and_rates(eng):
+    rows = eng.get_top_performers(season="2024").collect()
+    assert [r["player_id"] for r in rows] == [1, 3, 2]
+    top = rows[0]
+    assert top["player_name"] == "Leo Star"
+    assert top["goal_contributions"] == 23
+    assert top["age"] == 25  # born 2000-01-01, as-of 2025-01-01
+    assert abs(top["contributions_per_match"] - 23 / 20) < 1e-12
+
+
+def test_player_analysis_pack(eng):
+    packs = eng.analyze_player_performance(season="2024")
+    s = packs["summary"].collect()[0]
+    assert s["player_count"] == 3
+    trends = {(r["player_id"], r["season"]): r["goals_trend"]
+              for r in packs["trends"].collect()}
+    assert trends[(1, "2023")] == "new"
+    assert trends[(1, "2024")] == "improving"
+    comp = {r["player_id"]: r for r in packs["comparisons"].collect()}
+    # each player is the sole member of their position peer group → own
+    # goals equal the peer average, so nobody is strictly above it
+    assert not comp[1]["above_average"]
+    assert comp[1]["peer_avg_goals"] == 18.0
+    assert comp[2]["percentile_rank"] == 0.0  # lowest scoring rate
+
+
+def test_team_form_points(eng):
+    """Reds: W(100) W(102 away) W(103) D(104 away) = 3 finished in last 5 → 10 pts from 4."""
+    form = {r["team_id"]: r for r in eng.team_form(last_n=5).collect()}
+    assert form[10]["form_points"] == 10  # 3 wins + 1 draw
+    assert form[10]["matches_counted"] == 4
+    assert form[20]["form_points"] == 2  # D, L, D
+    assert form[30]["form_points"] == 1  # D, L, L
+
+
+def test_head_to_head_share(eng):
+    h2h = {(r["team_a"], r["team_b"]): r for r in eng.head_to_head().collect()}
+    p = h2h[(10, 20)]
+    # meetings 100 (3-1 home win), 104 (1-1): a=10 wins 1, draws 1 → (1+0.5)/2
+    assert p["meetings"] == 2 and p["a_wins"] == 1 and p["draws"] == 1
+    assert abs(p["a_win_share"] - 0.75) < 1e-12
+
+
+def test_standings_order(eng):
+    rows = eng.standings("2024").collect()
+    by_pos = sorted(rows, key=lambda r: r["position"])
+    assert [r["team_id"] for r in by_pos] == [10, 20, 30]
+    top = by_pos[0]
+    assert (top["played"], top["won"], top["drawn"], top["points"]) == (4, 3, 1, 10)
+
+
+def test_league_analytics_rates(eng):
+    s = eng.generate_league_analytics("2024")["summary"].collect()[0]
+    assert s["matches_played"] == 5
+    assert abs(s["home_win_rate"] - 2 / 5) < 1e-12
+    assert abs(s["draw_rate"] - 2 / 5) < 1e-12
+    assert abs(s["avg_goals_per_match"] - 13 / 5) < 1e-12
+
+
+def test_transfer_segmentation(eng):
+    seg = eng.transfer_analysis()
+    # Leo (25, €50M) and Sam (25, €8M) both satisfy age ≤ 25 ∧ value ≥ 5M
+    assert sorted(r["player_id"] for r in seg["hot_prospects"].collect()) == [1, 3]
+    assert [r["player_id"] for r in seg["bargains"].collect()] == [2]
+    bands = {r["age_band"]: r["n_players"] for r in seg["age_bands"].collect()}
+    assert bands == {"24-27": 2, "28-30": 1}
+
+
+def test_weekly_summary(eng):
+    pack = eng.weekly_summary("2024-08-01", "2024-08-16")
+    o = pack["overview"].collect()[0]
+    assert o["matches_played"] == 3
+    top = pack["top_performers"].collect()
+    assert top[0]["player_id"] == 1 and top[0]["goals"] == 3
+
+
+def test_latest_market_values(eng):
+    latest = {r["player_id"]: r["market_value"] for r in eng.latest_market_values().collect()}
+    assert latest[1] == Decimal("50000000.00")
+
+
+def test_odds_movement(eng):
+    r = eng.odds_movement().collect()[0]
+    assert r["open_price"] == 2.1 and r["close_price"] == 1.65
+    assert abs(r["open_implied_prob"] - 1 / 2.1) < 1e-12
+    assert abs(r["price_drift"] - (1.65 - 2.1)) < 1e-12

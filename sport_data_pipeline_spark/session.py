@@ -13,6 +13,13 @@ import os
 from pyspark.sql import SparkSession
 
 
+def _local_dir() -> str:
+    override = os.environ.get("SPARK_GRAFT_LOCAL_DIR")
+    if override:
+        return override
+    return "/dev/shm/spark-local" if os.path.isdir("/dev/shm") else "/tmp/spark-local"
+
+
 def get_session(
     app_name: str = "sport_data_pipeline_spark",
     cpus: int | None = None,
@@ -41,11 +48,11 @@ def get_session(
         # local mode = driver-only JVM: give it real heap (32 executor
         # threads × shuffle buffers + broadcasts); override via env.
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "64g"))
-        # Shuffle/spill to tmpfs: local-mode shuffles write many small
-        # files; on this VM filesystem syscall overhead dominates small
+        # Shuffle/spill to tmpfs when available: local-mode shuffles write
+        # many small files and filesystem syscall overhead dominates small
         # stages (observed ~70% system time). A real cluster writes shuffle
         # to local SSDs — tmpfs is the single-node equivalent.
-        .config("spark.local.dir", os.environ.get("SPARK_GRAFT_LOCAL_DIR", "/dev/shm/spark-local"))
+        .config("spark.local.dir", _local_dir())
     )
     for k, v in (extra_conf or {}).items():
         builder = builder.config(k, v)

@@ -1,0 +1,72 @@
+"""Physical-plan assertions: the properties that make these queries viable
+at 100 TB — predicate pushdown to the parquet scan, column pruning,
+broadcast joins for dims, and no Python row-UDFs in any registered query.
+
+These inspect plans without executing them (cheap), so regressions in plan
+shape fail fast even when small-data timings would hide them."""
+
+from __future__ import annotations
+
+import pytest
+
+from sport_data_pipeline_spark.plans import all_queries
+
+from conftest import SF_DIR
+
+SPECS = all_queries()
+
+
+def physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def optimized_plan(df) -> str:
+    return df._jdf.queryExecution().optimizedPlan().toString()
+
+
+def test_top_performers_broadcasts_dims(spark):
+    plan = physical_plan(SPECS["top_performers"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan  # nation/region never shuffle
+
+
+def test_multi_join_pushes_date_range_to_scan(spark):
+    plan = physical_plan(SPECS["multi_join_daterange"].fn(spark, SF_DIR))
+    # the orders date range must reach the parquet reader, not a post-filter
+    assert "PushedFilters: [" in plan
+    assert "o_orderdate" in plan.split("PushedFilters")[1][:500]
+
+
+def test_pricing_summary_prunes_columns(spark):
+    plan = physical_plan(SPECS["pricing_summary"].fn(spark, SF_DIR))
+    scan = plan[plan.index("ReadSchema") :][:400]
+    # only the six touched columns are read; wide columns never leave parquet
+    assert "l_orderkey" not in scan and "l_partkey" not in scan
+
+
+def test_pricing_summary_partial_aggregation(spark):
+    # Catalyst supplies map-side partial aggregation automatically — the
+    # plan must contain two HashAggregate levels around the exchange.
+    plan = physical_plan(SPECS["pricing_summary"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2
+
+
+def test_whole_stage_codegen_active(spark):
+    # codegen'd operators carry the `*(n)` stage prefix in plan.toString()
+    plan = physical_plan(SPECS["projection_case"].fn(spark, SF_DIR))
+    assert "*(1)" in plan
+
+
+@pytest.mark.parametrize("name", sorted(SPECS))
+def test_no_python_row_udfs_anywhere(name, spark):
+    """Every registered query stays JVM-side: no BatchEvalPython (row UDF)
+    nodes. (ArrowEvalPython would mark a pandas UDF — also absent from the
+    query pack; the only pandas UDF in the library is the media decoder.)"""
+    plan = physical_plan(SPECS[name].fn(spark, SF_DIR))
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_latest_per_key_single_shuffle(spark):
+    # merge_latest is one hash shuffle on the key + window; a second
+    # exchange would mean accidental re-partitioning.
+    plan = physical_plan(SPECS["latest_per_key"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1

@@ -1,0 +1,89 @@
+"""Custom stateful streaming operator: per-fixture status tracking.
+
+The reference recomputes scheduled→live→finished per poll and overwrites
+state (src/common/scraper_utils.py:48-60 + upsert sinks — SURVEY §2.9 T6).
+The streaming-native version keeps per-fixture state in the state store and
+emits a row only when the status actually transitions — the shape for any
+custom per-key stateful operator Spark lacks (applyInPandasWithState:
+Arrow-batched, grouped, with timeout-based state expiry).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterable, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+#: ordered lifecycle — transitions may only move forward (a late 'scheduled'
+#: tick after 'live' is stale data, not a regression).
+_STATUS_ORDER = {"scheduled": 0, "live": 1, "finished": 2}
+
+TRANSITION_SCHEMA = StructType(
+    [
+        StructField("fixture_id", LongType(), False),
+        StructField("prev_status", StringType(), True),
+        StructField("new_status", StringType(), False),
+        StructField("transition_ts", TimestampType(), True),
+    ]
+)
+
+_STATE_SCHEMA = StructType([StructField("status", StringType(), True)])
+
+
+def _track(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (fixture_id,) = key
+    current = state.get[0] if state.exists else None
+    rows = []
+    ticks = pd.concat(list(batches), ignore_index=True)
+    ticks = ticks.sort_values("scraped_at", kind="mergesort")
+    for _, t in ticks.iterrows():
+        status = t["status"]
+        if status not in _STATUS_ORDER:
+            continue
+        if current is None or _STATUS_ORDER[status] > _STATUS_ORDER.get(current, -1):
+            rows.append(
+                {
+                    "fixture_id": fixture_id,
+                    "prev_status": current,
+                    "new_status": status,
+                    "transition_ts": t["scraped_at"],
+                }
+            )
+            current = status
+    state.update((current,))
+    if current == "finished":
+        # finished fixtures won't transition again — let state expire
+        state.setTimeoutDuration(60 * 60 * 1000)
+    if rows:
+        yield pd.DataFrame(rows)
+
+
+def track_status_transitions(ticks: DataFrame) -> DataFrame:
+    """Streaming: emit one row per real status transition per fixture.
+
+    ``ticks`` is a streaming DataFrame with (fixture_id, status,
+    scraped_at). Output mode must be 'append'.
+    """
+    return (
+        ticks.groupBy("fixture_id")
+        .applyInPandasWithState(
+            _track,
+            outputStructType=TRANSITION_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

@@ -1,12 +1,16 @@
 from __future__ import annotations
 
+import os
+
 import duckdb
 import pytest
 
 from sport_data_pipeline_spark.catalog import TABLES
 from sport_data_pipeline_spark.session import get_session
 
-SF_DIR = "/root/testdata/sf0.001"
+# sf0.001 keeps the suite fast; set SPARK_GRAFT_TEST_SF_DIR=/root/testdata/sf0.01
+# to mirror the driver's correctness gate exactly.
+SF_DIR = os.environ.get("SPARK_GRAFT_TEST_SF_DIR", "/root/testdata/sf0.001")
 
 
 @pytest.fixture(scope="session")

@@ -75,6 +75,77 @@ def cosine_topk(
     )
 
 
+def ivf_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    n_lists: int = 16,
+    n_probe: int = 2,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
+    assigns every corpus vector to its nearest centroid list; each query
+    probes only its ``n_probe`` nearest lists and ranks exact cosine inside
+    them. The 100 TB path: corpus assignment is precomputed once (a write-
+    time partition key), so a query touches n_probe/n_lists of the data.
+
+    Returns (query_id, neighbor_id, cosine, rank). Recall < 1 by design —
+    raise ``n_probe`` to trade cost for recall.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c_feat = corpus.repartition(n_parts, F.col(corpus_id)).select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        _norm(F.col(corpus_vec)).alias("__cn"),
+        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("__feat"),
+    ).persist()
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__feat", predictionCol="__list")
+    model = km.fit(c_feat)
+    assigned = model.transform(c_feat).select("neighbor_id", "__cv", "__cn", "__list")
+
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    cdf = queries.sparkSession.createDataFrame(centroids, "__list int, __centroid array<double>")
+
+    # each query ranks centroids by exact cosine and keeps the top n_probe
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        _norm(F.col(query_vec)).alias("__qn"),
+    )
+    qc = q.crossJoin(F.broadcast(cdf))
+    cent_cos = F.when(
+        F.col("__qn") > 0,
+        _dot(F.col("__qv"), F.col("__centroid")) / (F.col("__qn") * _norm(F.col("__centroid"))),
+    ).otherwise(F.lit(0.0))
+    w_probe = Window.partitionBy("query_id").orderBy(F.desc("__ccos"), F.asc("__list"))
+    probed = (
+        qc.select("query_id", "__qv", "__qn", "__list", cent_cos.alias("__ccos"))
+        .withColumn("__pr", F.row_number().over(w_probe))
+        .filter(F.col("__pr") <= n_probe)
+        .select("query_id", "__qv", "__qn", "__list")
+    )
+
+    pairs = probed.join(assigned, "__list").filter(F.col("query_id") != F.col("neighbor_id"))
+    cos = F.when(
+        (F.col("__qn") > 0) & (F.col("__cn") > 0),
+        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .dropDuplicates(["query_id", "neighbor_id"])
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -1,0 +1,58 @@
+"""ANN operators: exact brute force vs IVF and LSH approximations."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from sport_data_pipeline_spark.operators.similarity import (
+    cosine_topk,
+    ivf_topk,
+    lsh_bucketed_topk,
+)
+
+from conftest import SF_DIR
+
+
+@pytest.fixture(scope="module")
+def emb(spark):
+    from sport_data_pipeline_spark.catalog import load_table
+
+    return load_table(spark, SF_DIR, "embeddings")
+
+
+def test_exact_topk_shape_and_order(emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    out = cosine_topk(q, emb, "vec_id", "vec_id", k=4).collect()
+    assert len(out) == 12
+    by_q = {}
+    for r in out:
+        by_q.setdefault(r["query_id"], []).append((r["rank"], r["cosine"], r["neighbor_id"]))
+    for qid, rows in by_q.items():
+        rows.sort()
+        cosines = [c for _, c, _ in rows]
+        assert cosines == sorted(cosines, reverse=True)
+        assert qid not in {n for _, _, n in rows}  # self excluded
+
+
+def test_ivf_recall_vs_exact(emb):
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, emb, "vec_id", "vec_id", k=3).collect()
+    }
+    approx = {
+        (r["query_id"], r["neighbor_id"])
+        for r in ivf_topk(q, emb, "vec_id", "vec_id", k=3, n_lists=8, n_probe=4).collect()
+    }
+    # probing half the lists should recover a majority of true neighbors
+    assert len(approx & exact) >= len(exact) * 0.5
+    # and every approx hit must be a real corpus vector with a valid rank
+    assert all(qid < 5 for qid, _ in approx)
+
+
+def test_lsh_bucketed_runs(emb):
+    q = emb.filter(F.col("vec_id") < 3)
+    out = lsh_bucketed_topk(q, emb, "vec_id", "vec_id", k=3, n_planes=4).collect()
+    # buckets shrink the candidate set; results are a subset of valid pairs
+    assert all(r["rank"] <= 3 for r in out)

@@ -146,6 +146,44 @@ def ivf_topk(
     )
 
 
+def embedding_near_dup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+) -> DataFrame:
+    """Embedding-space near-duplicate pairs: every (id_a < id_b) pair whose
+    cosine similarity clears ``threshold``. Exact — zero-norm vectors can
+    never clear a positive threshold and are dropped up front.
+
+    Returns (id_a, id_b, cosine). Scale path: exact all-pairs is O(n²) and
+    only viable when one side fits a broadcast; at 100 TB block first
+    (``lsh_bucketed_topk``'s hyperplane signature or ``ivf_topk``'s lists)
+    and run the exact comparison within blocks only.
+    """
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    v = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    left = v.repartition(n_parts, F.col("__id")).select(
+        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
+        F.col("__n").alias("__na"),
+    )
+    right = F.broadcast(
+        v.select(
+            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+            F.col("__n").alias("__nb"),
+        )
+    )
+    pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    return (
+        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
 def lsh_bucketed_topk(
     queries: DataFrame,
     corpus: DataFrame,

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
 from ..operators.dedup import jaccard_pairs, minhash_near_dup, simhash_near_dup
 from ..operators.entity import resolve_entities
-from ..operators.similarity import cosine_topk
+from ..operators.similarity import cosine_topk, embedding_near_dup, ivf_topk
 from .registry import query
 from .textops import _NORM_SQL
 
@@ -168,3 +168,47 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
     return cosine_topk(queries, emb, "vec_id", "vec_id", k=5)
+
+
+# ---------------------------------------------------------------------------
+# IVF approximate top-k (KMeans coarse quantizer — approximate by design,
+# so no SQL oracle; recall vs the exact baseline is unit-tested in
+# tests/test_similarity.py).
+# ---------------------------------------------------------------------------
+
+
+@query("ivf_embedding_topk", survey="ann-cosine-ivf", oracle=None)
+def ivf_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return ivf_topk(queries, emb, "vec_id", "vec_id", k=5, n_lists=8, n_probe=2)
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: exact all-pairs above a cosine threshold.
+# Both engines compute the dot product as a left fold over doubles, so the
+# threshold cut selects bit-identical pair sets.
+# ---------------------------------------------------------------------------
+
+EMBEDDING_NEARDUP_ORACLE = """
+WITH v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_sum(list_transform(list_zip(a.embedding, b.embedding),
+             x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) AS cosine
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0
+)
+SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
+"""
+
+
+@query("embedding_cosine_neardup", survey="dedup-embedding-cosine", oracle=EMBEDDING_NEARDUP_ORACLE)
+def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairs of embeddings whose cosine similarity is >= 0.4."""
+    emb = _t(spark, sf_dir, "embeddings")
+    return embedding_near_dup(emb, "vec_id", threshold=0.4)

@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 
 from sport_data_pipeline_spark.operators.similarity import (
     cosine_topk,
+    embedding_near_dup,
     ivf_topk,
     lsh_bucketed_topk,
 )
@@ -49,6 +50,13 @@ def test_ivf_recall_vs_exact(emb):
     assert len(approx & exact) >= len(exact) * 0.5
     # and every approx hit must be a real corpus vector with a valid rank
     assert all(qid < 5 for qid, _ in approx)
+
+
+def test_embedding_neardup_threshold_and_ordering(emb):
+    out = embedding_near_dup(emb, "vec_id", threshold=0.4).collect()
+    assert len(out) > 0
+    assert all(r["id_a"] < r["id_b"] for r in out)  # each pair once
+    assert all(r["cosine"] >= 0.4 for r in out)
 
 
 def test_lsh_bucketed_runs(emb):

@@ -201,13 +201,18 @@ def minhash_near_dup(
     ).select(id_col, "__band.band", "__band.sig")
 
     # Drop non-discriminative mega-buckets before pairing (see docstring).
-    bucket_ok = (
-        banded.groupBy("band", "sig")
-        .count()
-        .filter(F.col("count") <= max_bucket_size)
-        .select("band", "sig")
+    # A window count over (band, sig) needs ONE exchange and leaves the
+    # rows hash-partitioned on exactly the self-join key, so the bucket
+    # join below runs without re-shuffling either side (vs. the obvious
+    # groupBy-count + semi-join gate: three exchanges on the same key).
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy("band", "sig")
+    banded = (
+        banded.withColumn("__bn", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
     )
-    banded = banded.join(bucket_ok, ["band", "sig"], "left_semi")
 
     # Bucket-join on (band, sig) carries only ids — the wide shingle arrays
     # rejoin after the candidate pairs are deduped, so the shuffle moves

@@ -15,7 +15,23 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window, functions as F
 
 
-def _dot(a: Column, b: Column) -> Column:
+def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
+    """Sequential-fold dot product.
+
+    With ``dim`` known, unrolls to a flat ``element_at`` sum — the same
+    left-to-right addition order as the fold (bit-identical result), but
+    codegen-able instead of interpreted: higher-order functions
+    (aggregate/zip_with) run on the expression interpreter — measured 26×
+    slower on a 2M-pair all-pairs sweep. The unrolled tree carries a fixed
+    ~2 s compile cost per plan, so pass ``dim`` only when the pair count is
+    large; small candidate sets (top-k with few queries) are faster on the
+    fold. Unknown/ragged dims always use the fold.
+    """
+    if dim is not None:
+        s: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            s = s + F.element_at(a, i).cast("double") * F.element_at(b, i).cast("double")
+        return s
     return F.aggregate(
         F.zip_with(a, b, lambda x, y: x.cast("double") * y.cast("double")),
         F.lit(0.0),
@@ -23,7 +39,13 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
-def _norm(a: Column) -> Column:
+def _norm(a: Column, dim: int | None = None) -> Column:
+    if dim is not None:
+        s: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            x = F.element_at(a, i).cast("double")
+            s = s + x * x
+        return F.sqrt(s)
     return F.sqrt(
         F.aggregate(
             F.transform(a, lambda x: x.cast("double") * x.cast("double")),
@@ -41,6 +63,7 @@ def cosine_topk(
     query_vec: str = "embedding",
     corpus_vec: str = "embedding",
     k: int = 5,
+    dim: int | None = None,
 ) -> DataFrame:
     """Exact top-k cosine neighbors per query vector.
 
@@ -49,19 +72,19 @@ def cosine_topk(
     """
     q = queries.select(
         F.col(query_id).alias("__qid"), F.col(query_vec).alias("__qv"),
-        _norm(F.col(query_vec)).alias("__qn"),
+        _norm(F.col(query_vec), dim).alias("__qn"),
     )
     # The corpus streams against the broadcast query set; a single-file
     # corpus must not fold the whole dot-product sweep into one task.
     n_parts = corpus.sparkSession.sparkContext.defaultParallelism
     c = corpus.repartition(n_parts, F.col(corpus_id)).select(
         F.col(corpus_id).alias("__cid"), F.col(corpus_vec).alias("__cv"),
-        _norm(F.col(corpus_vec)).alias("__cn"),
+        _norm(F.col(corpus_vec), dim).alias("__cn"),
     )
     pairs = F.broadcast(q).crossJoin(c).filter(F.col("__qid") != F.col("__cid"))
     cos = F.when(
         (F.col("__qn") > 0) & (F.col("__cn") > 0),
-        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")),
     ).otherwise(F.lit(0.0))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -86,6 +109,7 @@ def ivf_topk(
     n_lists: int = 16,
     n_probe: int = 2,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k: k-means coarse quantizer
     assigns every corpus vector to its nearest centroid list; each query
@@ -103,7 +127,7 @@ def ivf_topk(
     c_feat = corpus.repartition(n_parts, F.col(corpus_id)).select(
         F.col(corpus_id).alias("neighbor_id"),
         F.col(corpus_vec).alias("__cv"),
-        _norm(F.col(corpus_vec)).alias("__cn"),
+        _norm(F.col(corpus_vec), dim).alias("__cn"),
         array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("__feat"),
     ).persist()
     km = KMeans(k=n_lists, seed=seed, featuresCol="__feat", predictionCol="__list")
@@ -117,12 +141,13 @@ def ivf_topk(
     q = queries.select(
         F.col(query_id).alias("query_id"),
         F.col(query_vec).alias("__qv"),
-        _norm(F.col(query_vec)).alias("__qn"),
+        _norm(F.col(query_vec), dim).alias("__qn"),
     )
     qc = q.crossJoin(F.broadcast(cdf))
     cent_cos = F.when(
         F.col("__qn") > 0,
-        _dot(F.col("__qv"), F.col("__centroid")) / (F.col("__qn") * _norm(F.col("__centroid"))),
+        _dot(F.col("__qv"), F.col("__centroid"), dim)
+        / (F.col("__qn") * _norm(F.col("__centroid"), dim)),
     ).otherwise(F.lit(0.0))
     w_probe = Window.partitionBy("query_id").orderBy(F.desc("__ccos"), F.asc("__list"))
     probed = (
@@ -135,7 +160,7 @@ def ivf_topk(
     pairs = probed.join(assigned, "__list").filter(F.col("query_id") != F.col("neighbor_id"))
     cos = F.when(
         (F.col("__qn") > 0) & (F.col("__cn") > 0),
-        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")),
     ).otherwise(F.lit(0.0))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
@@ -151,6 +176,7 @@ def embedding_near_dup(
     id_col: str,
     vec_col: str = "embedding",
     threshold: float = 0.4,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-space near-duplicate pairs: every (id_a < id_b) pair whose
     cosine similarity clears ``threshold``. Exact — zero-norm vectors can
@@ -164,7 +190,7 @@ def embedding_near_dup(
     n_parts = df.sparkSession.sparkContext.defaultParallelism
     v = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
-        _norm(F.col(vec_col)).alias("__n"),
+        _norm(F.col(vec_col), dim).alias("__n"),
     ).filter(F.col("__n") > 0)
     left = v.repartition(n_parts, F.col("__id")).select(
         F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
@@ -177,7 +203,7 @@ def embedding_near_dup(
         )
     )
     pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
-    cos = _dot(F.col("__va"), F.col("__vb")) / (F.col("__na") * F.col("__nb"))
+    cos = _dot(F.col("__va"), F.col("__vb"), dim) / (F.col("__na") * F.col("__nb"))
     return (
         pairs.select("id_a", "id_b", cos.alias("cosine"))
         .filter(F.col("cosine") >= F.lit(threshold))
@@ -235,16 +261,16 @@ def lsh_bucketed_topk(
 
     q = queries.select(
         F.col(query_id).alias("query_id"), F.col(query_vec).alias("__qv"),
-        _norm(F.col(query_vec)).alias("__qn"), signature(query_vec).alias("__bucket"),
+        _norm(F.col(query_vec), dim).alias("__qn"), signature(query_vec).alias("__bucket"),
     )
     c = corpus.select(
         F.col(corpus_id).alias("neighbor_id"), F.col(corpus_vec).alias("__cv"),
-        _norm(F.col(corpus_vec)).alias("__cn"), signature(corpus_vec).alias("__bucket"),
+        _norm(F.col(corpus_vec), dim).alias("__cn"), signature(corpus_vec).alias("__bucket"),
     )
     pairs = q.join(c, "__bucket").filter(F.col("query_id") != F.col("neighbor_id"))
     cos = F.when(
         (F.col("__qn") > 0) & (F.col("__cn") > 0),
-        _dot(F.col("__qv"), F.col("__cv")) / (F.col("__qn") * F.col("__cn")),
+        _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")),
     ).otherwise(F.lit(0.0))
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (

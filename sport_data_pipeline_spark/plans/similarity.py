@@ -167,6 +167,10 @@ SELECT query_id, neighbor_id, cosine, rank FROM ranked WHERE rank <= 5
 def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
+    # 8 queries × corpus ⇒ small pair count: the fold path's per-pair cost
+    # never dominates, and it avoids the unrolled expression's fixed
+    # compile overhead. Large all-pairs workloads pass dim= (see
+    # embedding_cosine_neardup: 26× at 2M pairs).
     return cosine_topk(queries, emb, "vec_id", "vec_id", k=5)
 
 
@@ -181,7 +185,7 @@ def embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ivf_embedding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return ivf_topk(queries, emb, "vec_id", "vec_id", k=5, n_lists=8, n_probe=2)
+    return ivf_topk(queries, emb, "vec_id", "vec_id", k=5, n_lists=8, n_probe=2, dim=64)
 
 
 # ---------------------------------------------------------------------------
@@ -211,4 +215,4 @@ SELECT id_a, id_b, cosine FROM pairs WHERE cosine >= 0.4
 def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of embeddings whose cosine similarity is >= 0.4."""
     emb = _t(spark, sf_dir, "embeddings")
-    return embedding_near_dup(emb, "vec_id", threshold=0.4)
+    return embedding_near_dup(emb, "vec_id", threshold=0.4, dim=64)

@@ -77,6 +77,31 @@ def first_last_value(
     )
 
 
+def time_bucket_agg(
+    df: DataFrame,
+    ts_col: str,
+    width: str,
+    group_cols: Sequence[str],
+    aggs: Sequence[Column],
+    bucket_name: str = "bucket_start",
+) -> DataFrame:
+    """Hypertable-style tumbling rollup: epoch-aligned fixed-width time
+    buckets (``width`` like "1 hour", "15 minutes") × grouping columns.
+
+    One shuffle on (bucket, groups) with map-side partial aggregation —
+    the batch twin of a TimescaleDB continuous aggregate. Coarser
+    granularities should re-aggregate from a finer rollup's output
+    (sum of counts / decimal sums), not rescan the raw events — see
+    ``plans/windows.time_bucket_cascade``.
+    """
+    b = F.window(F.col(ts_col), width)
+    out = df.groupBy(b.alias("__w"), *group_cols).agg(*aggs)
+    return out.select(
+        F.col("__w.start").alias(bucket_name), *group_cols,
+        *[c for c in out.columns if c != "__w" and c not in group_cols],
+    )
+
+
 def rank_standings(
     df: DataFrame,
     order_by: Sequence[Column | str],

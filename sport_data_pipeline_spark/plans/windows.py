@@ -13,7 +13,12 @@ from ..catalog import load_table
 from ..operators.joins import asof_join, symmetric_pair_key
 from ..operators.merge import merge_latest
 from ..operators.sessionize import sessionize
-from ..operators.windows import first_last_value, last_n_per_key, rank_standings
+from ..operators.windows import (
+    first_last_value,
+    last_n_per_key,
+    rank_standings,
+    time_bucket_agg,
+)
 from ._util import dsum
 from .registry import query
 
@@ -399,4 +404,87 @@ def asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
         "purchase_value",
         F.col("asof_ts"),
         F.col("asof_value"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Hypertable-style time-bucket rollups (TimescaleDB continuous-aggregate
+# pattern): epoch-aligned tumbling buckets, and a coarser granularity that
+# re-aggregates the finer rollup instead of rescanning raw events. Decimal
+# partial sums keep the cascade exact and order-insensitive.
+# ---------------------------------------------------------------------------
+
+TIME_BUCKET_ORACLE = """
+SELECT time_bucket(INTERVAL '1 hour', ts) AS bucket_start,
+       event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+FROM events
+GROUP BY 1, 2
+"""
+
+
+@query("time_bucket_rollup", survey="hypertable-rollup,A5", oracle=TIME_BUCKET_ORACLE)
+def time_bucket_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly event rollup per type: count, distinct users, exact value sum."""
+    e = _t(spark, sf_dir, "events")
+    return time_bucket_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("user_id").alias("n_users"),
+            dsum("value").alias("sum_value"),
+        ],
+    )
+
+
+TIME_BUCKET_CASCADE_ORACLE = """
+WITH hourly AS (
+  SELECT time_bucket(INTERVAL '1 hour', ts) AS h,
+         event_type,
+         count(*) AS n,
+         SUM(CAST(value AS DECIMAL(18,2))) AS sv
+  FROM events GROUP BY 1, 2
+)
+SELECT time_bucket(INTERVAL '1 day', h) AS bucket_start,
+       event_type,
+       CAST(SUM(n) AS BIGINT) AS n_events,
+       CAST(SUM(sv) AS DOUBLE) AS sum_value
+FROM hourly GROUP BY 1, 2
+"""
+
+
+@query("time_bucket_cascade", survey="hypertable-rollup", oracle=TIME_BUCKET_CASCADE_ORACLE)
+def time_bucket_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup computed FROM the hourly rollup (cascade), not raw rows.
+
+    At 100 TB this is the whole point of continuous aggregates: the day
+    level reads |hour buckets| rows, not |events|. Counts and decimal sums
+    re-aggregate exactly; non-decomposable stats (distinct users) belong to
+    the granularity where they're computed.
+    """
+    e = _t(spark, sf_dir, "events")
+    hourly = time_bucket_agg(
+        e,
+        "ts",
+        "1 hour",
+        ["event_type"],
+        [
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("sv"),
+        ],
+    )
+    return time_bucket_agg(
+        hourly,
+        "bucket_start",
+        "1 day",
+        ["event_type"],
+        [
+            F.sum("n").alias("n_events"),
+            F.sum("sv").cast("double").alias("sum_value"),
+        ],
     )

@@ -110,3 +110,57 @@ def point_in_time_join(
     cond = cond & (dim[valid_from] <= facts[fact_ts])
     cond = cond & (dim[valid_to].isNull() | (facts[fact_ts] < dim[valid_to]))
     return facts.join(dim, cond, "left")
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    salt: int = 16,
+    hot_keys: DataFrame | None = None,
+) -> DataFrame:
+    """Skew-mitigating equi-join: spread hot join keys across ``salt``
+    sub-partitions.
+
+    The left (large, skewed) side gets a round-robin salt (balanced by
+    construction, type-agnostic); the right side is replicated once per
+    salt value,
+    so every (key, salt) bucket still sees all matching right rows —
+    output is row-identical to ``left.join(right, on, how)``. With
+    ``hot_keys`` (a DataFrame of just the skewed key values), only rows
+    matching a hot key are salted/replicated and the cold remainder joins
+    plainly — replication cost scales with the hot set, not the dims.
+
+    This is the manual fallback for joins AQE's skew-join can't fix:
+    skewed *shuffle* joins where both sides are too big to broadcast, or
+    deliberate repartitioning before stateful streaming joins. ``how``
+    supports "inner" and "left".
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = list(on)
+    salt_col = F.pmod(F.monotonically_increasing_id(), F.lit(salt))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(salt - 1)))
+
+    if hot_keys is not None:
+        hot = F.broadcast(hot_keys.select(*keys).distinct())
+        l_hot = left.join(hot, keys, "left_semi")
+        l_cold = left.join(hot, keys, "left_anti")
+        r_hot = right.join(hot, keys, "left_semi")
+        hot_joined = (
+            l_hot.withColumn("__salt", salt_col)
+            .join(
+                r_hot.withColumn("__salt", salts),
+                keys + ["__salt"],
+                how,
+            )
+            .drop("__salt")
+        )
+        return hot_joined.unionByName(l_cold.join(right, keys, how))
+
+    return (
+        left.withColumn("__salt", salt_col)
+        .join(right.withColumn("__salt", salts), keys + ["__salt"], how)
+        .drop("__salt")
+    )

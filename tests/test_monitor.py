@@ -1,0 +1,78 @@
+"""Salted skew join equivalence + streaming observability (T7)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import time
+
+from pyspark.sql import functions as F
+
+from sport_data_pipeline_spark.operators.joins import salted_join
+from sport_data_pipeline_spark.streaming.monitor import ProgressRecorder, observe_rates
+
+
+def _sorted_rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_salted_join_matches_plain_join(spark):
+    # 10k facts, 90% on one hot key — the shape AQE skew-join targets.
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    plain = left.join(right, ["k"], "inner")
+    salted = salted_join(left, right, ["k"], how="inner", salt=8)
+    assert _sorted_rows(salted) == _sorted_rows(plain)
+
+
+def test_salted_join_left_and_hot_keys(spark):
+    left = spark.range(1_000).select(
+        (F.col("id") % 5).alias("k"), F.col("id").alias("fact_id")
+    )
+    right = spark.createDataFrame([(0, "a"), (1, "b")], "k long, v string")
+    hot = spark.createDataFrame([(0,)], "k long")
+    plain = left.join(right, ["k"], "left")
+    salted = salted_join(left, right, ["k"], how="left", salt=4, hot_keys=hot)
+    assert _sorted_rows(salted.select("k", "fact_id", "v")) == _sorted_rows(
+        plain.select("k", "fact_id", "v")
+    )
+
+
+def test_observed_metrics_and_listener(spark, tmp_path):
+    src = str(tmp_path / "ticks")
+    rows = [(i, float(i), dt.datetime(2024, 1, 1, 10, 0, i)) for i in range(10)]
+    spark.createDataFrame(rows, "tick_id long, value double, ts timestamp").coalesce(
+        1
+    ).write.parquet(src)
+
+    rec = ProgressRecorder()
+    spark.streams.addListener(rec)
+    try:
+        stream = spark.readStream.schema("tick_id long, value double, ts timestamp").parquet(src)
+        observed = observe_rates(stream, "ticks", value_col="value")
+        q = (
+            observed.writeStream.format("memory")
+            .queryName("obs_sink")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+        # listener events are delivered async — wait for the progress event
+        for _ in range(100):
+            if rec.total_rows >= 10:
+                break
+            time.sleep(0.2)
+    finally:
+        spark.streams.removeListener(rec)
+
+    assert rec.total_rows == 10
+    obs = {}
+    for r in rec.records:
+        obs.update(r.observed)
+    assert "ticks" in obs
+    assert obs["ticks"]["n_rows"] == 10
+    assert abs(obs["ticks"]["sum_value"] - sum(float(i) for i in range(10))) < 1e-9

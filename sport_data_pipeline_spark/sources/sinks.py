@@ -33,3 +33,49 @@ def write_snapshot(
         writer.json(snap)
         df.write.mode("overwrite").json(latest)
     return snap, latest
+
+
+def write_partitioned(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str],
+    mode: str = "overwrite",
+    max_records_per_file: int | None = None,
+) -> None:
+    """Write a silver/gold parquet table partitioned by low-cardinality
+    key columns (SURVEY.md §7 storage: match facts by season/date).
+
+    At 100 TB the partition layout IS the query plan: a date-range filter
+    prunes to the touched directories before any IO happens
+    (PartitionFilters in the scan), and dynamic partition overwrite
+    replaces only the partitions present in ``df`` — the idempotent
+    daily-rerun story. ``max_records_per_file`` caps file size so a hot
+    partition splits into parallel-readable chunks instead of one giant
+    file.
+    """
+    writer = df.write.mode(mode).partitionBy(*partition_by)
+    if max_records_per_file:
+        writer = writer.option("maxRecordsPerFile", str(max_records_per_file))
+    writer.option("partitionOverwriteMode", "dynamic").parquet(path)
+
+
+def write_bucketed_table(
+    df: DataFrame,
+    table: str,
+    bucket_by: list[str],
+    num_buckets: int,
+    sort_by: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Persist as a bucketed (and optionally sorted) managed table.
+
+    Bucketing pre-shuffles once at write time: two tables bucketed the
+    same way join/aggregate on the bucket key with NO exchange at read
+    time — the co-located join strategy for repeated big-big joins (fact ×
+    fact) where broadcast is impossible. ``sort_by`` additionally removes
+    the sort from sort-merge joins.
+    """
+    writer = df.write.mode(mode).bucketBy(num_buckets, *bucket_by)
+    if sort_by:
+        writer = writer.sortBy(*sort_by)
+    writer.format("parquet").saveAsTable(table)

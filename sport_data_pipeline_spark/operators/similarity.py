@@ -278,3 +278,81 @@ def lsh_bucketed_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def cosine_topk_arrow(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    batch_topk_only: bool = True,
+) -> DataFrame:
+    """Throughput-path brute-force top-k: numpy matmul over Arrow batches.
+
+    The query set (small by definition — it's the probe batch) is collected
+    once and broadcast; the corpus streams through ``mapInPandas``, each
+    Arrow batch scoring against the whole query matrix with one BLAS
+    matmul and emitting only its local top-k per query. A final window
+    keeps the global top-k — input to it is ≤ k·|queries| rows per
+    partition, not the corpus.
+
+    Per-pair cost is BLAS-level (~100× the expression path), but Python
+    worker startup + Arrow transfer add a fixed ~5 s: below ~10⁷
+    query×corpus pairs the expression path (`cosine_topk`) is faster
+    (measured at sf0.1: 2 s expression vs 8 s here for 16 k pairs) —
+    this operator is for corpus scales where per-pair cost dominates.
+    Trades away bit-exact cross-engine reproducibility (BLAS pairwise
+    summation vs sequential fold).
+
+    Returns (query_id, neighbor_id, cosine, rank).
+    """
+    import numpy as np
+    import pandas as pd
+
+    qp = queries.select(F.col(query_id), F.col(query_vec)).toPandas()
+    qids = qp[query_id].to_numpy()
+    Q = np.stack(qp[query_vec].to_numpy()).astype(np.float64)
+    qn = np.linalg.norm(Q, axis=1)
+    qn[qn == 0] = np.inf  # zero vectors score 0 against everything
+    Qn = Q / qn[:, None]
+    bc = corpus.sparkSession.sparkContext.broadcast((qids, Qn))
+
+    id_type = corpus.schema[corpus_id].dataType.simpleString()
+    out_schema = (
+        f"query_id {queries.schema[query_id].dataType.simpleString()}, "
+        f"neighbor_id {id_type}, cosine double"
+    )
+
+    def score(batches):
+        b_qids, b_Qn = bc.value
+        m = len(b_qids)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            C = np.stack(pdf[corpus_vec].to_numpy()).astype(np.float64)
+            cids = pdf[corpus_id].to_numpy()
+            cn = np.linalg.norm(C, axis=1)
+            cn[cn == 0] = np.inf
+            S = b_Qn @ (C / cn[:, None]).T  # (m, batch)
+            S[b_qids[:, None] == cids[None, :]] = -np.inf  # self-matches
+            kk = min(k, S.shape[1])
+            idx = np.argpartition(-S, kk - 1, axis=1)[:, :kk]
+            rows = {
+                "query_id": np.repeat(b_qids, kk),
+                "neighbor_id": cids[idx.ravel()],
+                "cosine": S[np.arange(m)[:, None], idx].ravel(),
+            }
+            out = pd.DataFrame(rows)
+            yield out[out["cosine"] > -np.inf]
+
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    local = (
+        corpus.repartition(n_parts, F.col(corpus_id))
+        .select(F.col(corpus_id), F.col(corpus_vec))
+        .mapInPandas(score, out_schema)
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)

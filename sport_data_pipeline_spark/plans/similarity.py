@@ -15,7 +15,12 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from ..catalog import load_table
 from ..operators.dedup import jaccard_pairs, minhash_near_dup, simhash_near_dup
 from ..operators.entity import resolve_entities
-from ..operators.similarity import cosine_topk, embedding_near_dup, ivf_topk
+from ..operators.similarity import (
+    cosine_topk,
+    cosine_topk_arrow,
+    embedding_near_dup,
+    ivf_topk,
+)
 from .registry import query
 from .textops import _NORM_SQL
 
@@ -216,3 +221,18 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pairs of embeddings whose cosine similarity is >= 0.4."""
     emb = _t(spark, sf_dir, "embeddings")
     return embedding_near_dup(emb, "vec_id", threshold=0.4, dim=64)
+
+
+# ---------------------------------------------------------------------------
+# Arrow/numpy brute-force top-k: the retrieval throughput path (BLAS matmul
+# per Arrow batch). Float summation order differs from the SQL engines, so
+# no value-hash oracle — neighbor-set agreement with the exact operator is
+# unit-tested in tests/test_similarity.py.
+# ---------------------------------------------------------------------------
+
+
+@query("embedding_topk_arrow", survey="ann-cosine-arrow", oracle=None)
+def embedding_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return cosine_topk_arrow(queries, emb, "vec_id", "vec_id", k=5)

@@ -64,3 +64,21 @@ def test_lsh_bucketed_runs(emb):
     out = lsh_bucketed_topk(q, emb, "vec_id", "vec_id", k=3, n_planes=4).collect()
     # buckets shrink the candidate set; results are a subset of valid pairs
     assert all(r["rank"] <= 3 for r in out)
+
+
+def test_arrow_topk_agrees_with_exact(emb):
+    from sport_data_pipeline_spark.operators.similarity import cosine_topk_arrow
+
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, emb, "vec_id", "vec_id", k=4).collect()
+    }
+    arrow = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk_arrow(q, emb, "vec_id", "vec_id", k=4).collect()
+    }
+    # identical semantics; only float summation order differs, which can
+    # swap neighbors whose cosines agree to ~1 ulp
+    assert len(arrow & exact) >= len(exact) - 1
+    assert len(arrow) == len(exact)

@@ -245,3 +245,24 @@ def external_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "internal_id",
         F.when(F.col("internal_id").isNull(), "new").otherwise("existing").alias("status"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sketch aggregates: the 100 TB substitutes for exact distinct/percentile.
+# HLL++ and the Greenwald-Khanna quantile sketch are mergeable partial
+# aggregates — one map-side pass, tiny shuffle — where exact distinct
+# counts shuffle every key. Algorithms differ from DuckDB's approx
+# implementations, so no value oracle; error bounds are unit-tested
+# against exact answers in tests/test_operators.py.
+# ---------------------------------------------------------------------------
+
+
+@query("sketch_profile", survey="A2(approx),A7(approx)", oracle=None)
+def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-event-type approximate profile: HLL distinct users, GK quantiles."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )

@@ -121,3 +121,29 @@ def test_sessionize_gap(spark):
     out = sessionize(df, ["uid"], "t", gap_seconds=1800)
     sess = sorted((r["uid"], r["t"].isoformat(), r["session_id"]) for r in out.collect())
     assert [s[2] for s in sess] == [0, 0, 1, 0]  # third event starts session 1
+
+
+def test_sketch_profile_error_bounds(spark):
+    from sport_data_pipeline_spark.plans import all_queries
+
+    from conftest import SF_DIR
+
+    got = {r["event_type"]: r for r in all_queries()["sketch_profile"].fn(spark, SF_DIR).collect()}
+    from sport_data_pipeline_spark.catalog import load_table
+    from pyspark.sql import functions as F
+
+    e = load_table(spark, SF_DIR, "events")
+    exact = {
+        r["event_type"]: r
+        for r in e.groupBy("event_type")
+        .agg(
+            F.countDistinct("user_id").alias("users"),
+            F.expr("percentile(value, 0.5)").alias("p50"),
+        )
+        .collect()
+    }
+    assert set(got) == set(exact)
+    for et, row in got.items():
+        assert abs(row["approx_users"] - exact[et]["users"]) <= max(2, 0.05 * exact[et]["users"])
+        # GK sketch with accuracy 10k is near-exact at this scale
+        assert abs(row["value_quantiles"][0] - exact[et]["p50"]) <= max(0.5, 0.05 * exact[et]["p50"])

@@ -70,3 +70,36 @@ def test_latest_per_key_single_shuffle(spark):
     # exchange would mean accidental re-partitioning.
     plan = physical_plan(SPECS["latest_per_key"].fn(spark, SF_DIR))
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_time_bucket_rollup_partial_agg(spark):
+    plan = physical_plan(SPECS["time_bucket_rollup"].fn(spark, SF_DIR))
+    assert plan.count("HashAggregate") >= 2  # map-side combine
+    # exact countDistinct costs a second (key ∪ user_id) exchange — the
+    # known trade; sketch_profile is the one-exchange approx alternative
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_time_bucket_cascade_reaggregates_not_rescans(spark):
+    plan = physical_plan(SPECS["time_bucket_cascade"].fn(spark, SF_DIR))
+    assert plan.count("FileScan") == 1  # day level reads the hourly agg, not raw events
+    assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_embedding_neardup_broadcasts_one_side(spark):
+    plan = physical_plan(SPECS["embedding_cosine_neardup"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" in plan  # corpus streams, never shuffles pairs
+    assert "SortMergeJoin" not in plan
+
+
+def test_arrow_topk_is_map_in_pandas(spark):
+    # the one deliberately-Python query: Arrow-batched mapInPandas, never
+    # row-at-a-time BatchEvalPython
+    plan = physical_plan(SPECS["embedding_topk_arrow"].fn(spark, SF_DIR))
+    assert "MapInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
+def test_sketch_profile_single_exchange(spark):
+    plan = physical_plan(SPECS["sketch_profile"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1  # sketches merge map-side

@@ -23,6 +23,16 @@ _PLAIN = "aaaaaaeeeeiiiiooooouuuuyyncszccd"
 #: Default stopword list for quality scoring (tiny, language-generic).
 DEFAULT_STOPWORDS = ("the", "a", "an", "and", "or", "of", "to", "in", "is")
 
+# Marker words for the heuristic language ID (functional words are the
+# highest-frequency, most language-specific tokens — the classic n-gram-free
+# shortcut).
+DEFAULT_LANG_MARKERS = {
+    "en": ("the", "and", "of", "to", "is", "that", "with"),
+    "de": ("der", "die", "das", "und", "ist", "mit", "nicht"),
+    "fr": ("le", "la", "les", "et", "est", "que", "pour"),
+    "es": ("el", "la", "los", "que", "es", "para", "con"),
+}
+
 
 def strip_accents(col: Column | str) -> Column:
     """Transliterate accented Latin characters to ASCII (F2)."""

@@ -269,3 +269,23 @@ JOIN keep k ON d.doc_id = k.doc_id
 def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return exact_dedup(d, "text", "doc_id").select("doc_id", "lang", "source", "n_chars")
+
+
+# ---------------------------------------------------------------------------
+# End-to-end corpus cleaning: quality gate → exact dedup → MinHash near-dup
+# removal → annotation, composed lazily from the tested operators. The
+# near-dup stage hashes with xxhash64 (no DuckDB twin) so the query is
+# rows-only; its post-conditions (no surviving exact or near duplicates)
+# are unit-tested in tests/test_corpus.py.
+# ---------------------------------------------------------------------------
+
+
+@query("clean_corpus_docs", survey="llm-pipeline-e2e", oracle=None)
+def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.corpus import clean_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    return clean_corpus(d).select(
+        "doc_id", "lang", "source", "n_tokens", "unique_ratio",
+        "stopword_ratio", "word_tokens", "lang_guess",
+    )

@@ -94,8 +94,9 @@ def jaccard_pairs(
     )
 
 
-def _shingle_hashes(text_col: str, n: int) -> Column:
-    """Distinct n-gram shingle hashes as array<long>, in O(n · tokens).
+def _positional_shingle_hashes(text_col: str, n: int) -> Column:
+    """In-order n-gram shingle hashes (one per start position, trailing
+    partials dropped) as array<long>, in O(n · tokens).
 
     Hashes each token once, then folds ``n`` shifted copies of the hash
     array together with zip_with — shingle hash = chained xxhash64 of the
@@ -109,7 +110,7 @@ def _shingle_hashes(text_col: str, n: int) -> Column:
     sh = th
     for k in range(1, n):
         # k-shifted copy; zip_with null-pads the shorter side, and nulls
-        # (partial trailing shingles) drop via array_compact at the end
+        # (partial trailing shingles) drop via array_compact
         shifted = F.slice(th, k + 1, F.greatest(F.size(th) - k, F.lit(0)))
         sh = F.zip_with(
             sh,
@@ -118,7 +119,50 @@ def _shingle_hashes(text_col: str, n: int) -> Column:
                 F.xxhash64(a, b)
             ),
         )
-    return F.array_distinct(F.array_compact(sh))
+    return F.array_compact(sh)
+
+
+def _shingle_hashes(text_col: str, n: int) -> Column:
+    """Distinct n-gram shingle hashes as array<long> (set semantics for
+    Jaccard / MinHash)."""
+    return F.array_distinct(_positional_shingle_hashes(text_col, n))
+
+
+def winnow_fingerprints(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    out_col: str = "fingerprints",
+) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken, the MOSS
+    rolling-hash scheme): the minimum k-gram hash of every ``window``-wide
+    sliding window, deduplicated.
+
+    Guarantee: any shared token run of length ≥ window + k - 1 between two
+    documents yields at least one shared fingerprint — substring-overlap
+    detection at ~1/window the storage of the full shingle set. Same
+    shifted-zip_with construction as the shingle hashes: O(window · grams)
+    per row, no per-position slicing.
+
+    Returns (id_col, fingerprints array<long>); docs with fewer than
+    window + k - 1 tokens get an empty array.
+    """
+    grams = _positional_shingle_hashes(text_col, k)
+    m = grams
+    for j in range(1, window):
+        shifted = F.slice(grams, j + 1, F.greatest(F.size(grams) - j, F.lit(0)))
+        m = F.zip_with(
+            m,
+            shifted,
+            lambda a, b: F.when(a.isNull() | b.isNull(), F.lit(None).cast("long")).otherwise(
+                F.least(a, b)
+            ),
+        )
+    return df.select(
+        F.col(id_col), F.array_distinct(F.array_compact(m)).alias(out_col)
+    )
 
 
 def _minhash_signature(shingle_set: Column, num_hashes: int) -> list[Column]:

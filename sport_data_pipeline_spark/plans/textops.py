@@ -289,3 +289,18 @@ def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "lang", "source", "n_tokens", "unique_ratio",
         "stopword_ratio", "word_tokens", "lang_guess",
     )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (MOSS rolling-hash scheme) — xxhash64-based, so
+# rows-only; the substring-overlap guarantee is unit-tested in
+# tests/test_dedup.py.
+# ---------------------------------------------------------------------------
+
+
+@query("doc_winnow_fingerprint", survey="dedup-fingerprint-rolling", oracle=None)
+def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import winnow_fingerprints
+
+    d = _t(spark, sf_dir, "documents")
+    return winnow_fingerprints(d, "doc_id", "text", k=3, window=4)

@@ -55,3 +55,28 @@ def test_simhash_identical_docs_distance_zero(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
              simhash_near_dup(docs, "doc_id", "text", max_hamming=64).collect()}
     assert pairs.get((0, 3)) == 0
+
+
+def test_winnow_fingerprints_guarantee(spark):
+    from sport_data_pipeline_spark.operators.dedup import winnow_fingerprints
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),  # identical → identical fingerprint set
+            (3, "one two three " + base + " four five"),  # shares a long run
+            (4, "totally different words with no overlap at all here now"),
+            (5, "x y"),  # shorter than window + k - 1 → empty
+        ],
+        "doc_id long, text string",
+    )
+    fps = {
+        r["doc_id"]: set(r["fingerprints"])
+        for r in winnow_fingerprints(docs, "doc_id", "text", k=3, window=4).collect()
+    }
+    assert fps[1] == fps[2] and fps[1]
+    # winnowing guarantee: shared run of >= window+k-1 tokens ⇒ shared print
+    assert fps[1] & fps[3]
+    assert not (fps[1] & fps[4])
+    assert fps[5] == set()

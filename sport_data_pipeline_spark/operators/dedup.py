@@ -165,6 +165,42 @@ def winnow_fingerprints(
     )
 
 
+def winnow_fingerprints_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 3,
+    window: int = 4,
+    out_col: str = "fingerprint",
+) -> DataFrame:
+    """Winnowing fingerprints over md5 k-gram hashes, exploded to one row per
+    fingerprint — the cross-engine-checkable twin of ``winnow_fingerprints``.
+
+    Same min-over-sliding-window scheme, but grams hash to md5 hex strings
+    (identical in any engine, unlike xxhash64) and the output is scalar rows
+    `(id_col, fingerprint string)` instead of `array<long>`, so external
+    harnesses can hash-compare it. The xxhash64 array variant stays the
+    production fast path; this one is the verification/interchange surface.
+    """
+    toks = tokens(F.col(text_col))
+    idx = F.sequence(F.lit(1), F.greatest(F.size(toks) - (k - 1), F.lit(0)))
+    grams = F.transform(
+        idx, lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, k)).cast("binary"))
+    )
+    m = grams
+    for j in range(1, window):
+        shifted = F.slice(grams, j + 1, F.greatest(F.size(grams) - j, F.lit(0)))
+        m = F.zip_with(
+            m,
+            shifted,
+            lambda a, b: F.when(a.isNull() | b.isNull(), F.lit(None).cast("string")).otherwise(
+                F.least(a, b)
+            ),
+        )
+    fps = F.array_distinct(F.array_compact(m))
+    return df.select(F.col(id_col), F.explode(fps).alias(out_col))
+
+
 def _minhash_signature(shingle_set: Column, num_hashes: int) -> list[Column]:
     """K minhash values: min over xxhash64(shingle_hash, seed=i) per
     permutation (shingles are already longs — cheap to re-hash)."""

@@ -252,17 +252,57 @@ def external_id_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # HLL++ and the Greenwald-Khanna quantile sketch are mergeable partial
 # aggregates — one map-side pass, tiny shuffle — where exact distinct
 # counts shuffle every key. Algorithms differ from DuckDB's approx
-# implementations, so no value oracle; error bounds are unit-tested
-# against exact answers in tests/test_operators.py.
+# implementations, so the oracle checks error-bound BOOLEANS the Spark side
+# computes against its own exact aggregates (sketch within bound ⇔ column is
+# TRUE ⇔ hash-match): a real cross-engine assertion of the sketch contract.
+# Tighter error-bound units live in tests/test_operators.py.
 # ---------------------------------------------------------------------------
 
+SKETCH_ORACLE = """
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_users,
+       TRUE AS users_within_rsd,
+       TRUE AS p50_within_eps,
+       TRUE AS p95_within_eps,
+       TRUE AS p99_within_eps
+FROM events
+GROUP BY event_type
+"""
 
-@query("sketch_profile", survey="A2(approx),A7(approx)", oracle=None)
+
+@query("sketch_profile", survey="A2(approx),A7(approx)", oracle=SKETCH_ORACLE)
 def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-event-type approximate profile: HLL distinct users, GK quantiles."""
+    """Per-event-type approximate profile: HLL distinct users + GK quantiles,
+    each asserted against the exact aggregate inside the query.
+
+    HLL rsd=0.02 is checked at 5σ (±10%); each GK quantile (accuracy 10⁴ ⇒
+    rank error 10⁻⁴) is checked against the exact quantiles at q ± 0.005 —
+    generous bounds so the row is deterministic, tight enough that a broken
+    sketch fails the hash-match.
+    """
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(
-        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+    eps = 0.005
+    qs = [0.5, 0.95, 0.99]
+    bracket = [q + d for q in qs for d in (-eps, eps)]
+    agg = e.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_events"),
+        F.countDistinct("user_id").alias("exact_users"),
+        F.approx_count_distinct("user_id", rsd=0.02).alias("__hll"),
+        F.percentile_approx("value", qs, 10_000).alias("__aq"),
+        F.percentile("value", bracket).alias("__xq"),
+    )
+    def _q_ok(i: int) -> Column:
+        a = F.element_at("__aq", i + 1)
+        return (a >= F.element_at("__xq", 2 * i + 1)) & (a <= F.element_at("__xq", 2 * i + 2))
+
+    return agg.select(
+        "event_type",
+        "n_events",
+        "exact_users",
+        (F.abs(F.col("__hll") - F.col("exact_users"))
+         <= 0.1 * F.col("exact_users")).alias("users_within_rsd"),
+        _q_ok(0).alias("p50_within_eps"),
+        _q_ok(1).alias("p95_within_eps"),
+        _q_ok(2).alias("p99_within_eps"),
     )

@@ -292,15 +292,39 @@ def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Winnowing fingerprints (MOSS rolling-hash scheme) — xxhash64-based, so
-# rows-only; the substring-overlap guarantee is unit-tested in
-# tests/test_dedup.py.
+# Winnowing fingerprints (MOSS rolling-hash scheme). The registered query is
+# the md5-based portable variant exploded to (doc_id, fingerprint) rows so it
+# is hash-comparable cross-engine; the xxhash64 array<long> production variant
+# (operators/dedup.py:winnow_fingerprints) keeps its substring-overlap unit
+# tests in tests/test_dedup.py.
 # ---------------------------------------------------------------------------
 
+_WINNOW_K = 3
+_WINNOW_W = 4
 
-@query("doc_winnow_fingerprint", survey="dedup-fingerprint-rolling", oracle=None)
+WINNOW_ORACLE = f"""
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+grams AS (
+  SELECT doc_id,
+         [md5(array_to_string(t[i:i+{_WINNOW_K - 1}], ' '))
+          for i in generate_series(1, greatest(len(t) - {_WINNOW_K - 1}, 0))] AS g
+  FROM toks
+),
+fps AS (
+  SELECT doc_id,
+         list_distinct([list_aggregate(g[j:j+{_WINNOW_W - 1}], 'min')
+                        for j in generate_series(1, greatest(len(g) - {_WINNOW_W - 1}, 0))]) AS f
+  FROM grams
+)
+SELECT doc_id, unnest(f) AS fingerprint FROM fps
+"""
+
+
+@query("doc_winnow_fingerprint", survey="dedup-fingerprint-rolling", oracle=WINNOW_ORACLE)
 def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from ..operators.dedup import winnow_fingerprints
+    from ..operators.dedup import winnow_fingerprints_portable
 
     d = _t(spark, sf_dir, "documents")
-    return winnow_fingerprints(d, "doc_id", "text", k=3, window=4)
+    return winnow_fingerprints_portable(d, "doc_id", "text", k=_WINNOW_K, window=_WINNOW_W)

@@ -292,9 +292,12 @@ class SportsAnalyticsEngine:
         return {"overview": overview, "top_performers": top}
 
     def latest_market_values(self) -> DataFrame:
-        """Latest valuation per player (W4, schema.sql:986-997)."""
+        """Latest valuation per player (W4, schema.sql:986-997).
+
+        market_value breaks valuation_date ties so the surviving row is
+        deterministic (the windows module's total-order contract)."""
         return latest_per_key(
-            self.t["market_values"], ["player_id"], ["valuation_date"]
+            self.t["market_values"], ["player_id"], ["valuation_date", "market_value"]
         )
 
     def odds_movement(self) -> DataFrame:

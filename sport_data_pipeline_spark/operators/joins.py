@@ -51,26 +51,35 @@ def asof_join(
     """
     on = list(on)
     lcols = left.columns
+    # All right-side payload travels as ONE struct so the carried values
+    # always come from the same right row — per-column last(ignorenulls)
+    # would mix rows whenever right values contain NULLs. Tiebreak columns
+    # ride in the struct too (they may not be requested as outputs).
+    rdt = dict(right.dtypes)
+    struct_fields = list(right_values) + [c for c in right_tiebreak if c not in right_values]
+    struct_ddl = "struct<" + ",".join(f"`{f}`:{rdt[f]}" for f in struct_fields) + ">"
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
         F.lit(1).alias("__side"),
         *[F.col(c).alias(f"__l_{c}") for c in lcols if c not in on],
-        *[F.lit(None).cast(dict(right.dtypes)[v]).alias(f"__r_{v}") for v in right_values],
+        F.lit(None).cast(struct_ddl).alias("__r"),
     )
     tagged_right = right.select(
         *on,
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols if c not in on],
-        *[F.col(v).alias(f"__r_{v}") for v in right_values],
+        F.struct(*[F.col(f).alias(f) for f in struct_fields]).alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
     # Right rows sort before left rows at equal timestamps (<= semantics);
-    # right_tiebreak columns make the pick deterministic when several right
-    # rows share a timestamp (they are NULL on left rows, which have
+    # right_tiebreak fields make the pick deterministic when several right
+    # rows share a timestamp (the struct is NULL on left rows, which have
     # already been separated by __side).
-    order = [F.col("__ts"), F.col("__side")] + [F.col(f"__r_{c}") for c in right_tiebreak]
+    order = [F.col("__ts"), F.col("__side")] + [
+        F.col("__r").getField(c) for c in right_tiebreak
+    ]
     w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
@@ -79,12 +88,12 @@ def asof_join(
         "__ts",
         "__side",
         *[F.col(f"__l_{c}") for c in lcols if c not in on],
-        *[F.last(f"__r_{v}", ignorenulls=True).over(w).alias(f"{prefix}{v}") for v in right_values],
+        F.last("__r", ignorenulls=True).over(w).alias("__rlast"),
     )
     return carried.filter(F.col("__side") == 1).select(
         *on,
         *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on],
-        *[f"{prefix}{v}" for v in right_values],
+        *[F.col("__rlast").getField(v).alias(f"{prefix}{v}") for v in right_values],
     )
 
 

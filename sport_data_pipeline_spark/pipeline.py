@@ -25,6 +25,7 @@ from .engine import SportsAnalyticsEngine
 from .operators.merge import merge_latest
 from .reports import render_report
 from .schemas import MERGE_KEYS, SILVER_TABLES
+from .sources.sinks import read_parquet_if_exists
 from .sources.bronze import (
     DEFAULT_TERM_MAP,
     apply_term_mapping,
@@ -45,10 +46,7 @@ class SilverStore:
         return f"{self.root}/{name}"
 
     def read(self, name: str) -> DataFrame | None:
-        try:
-            return self.spark.read.parquet(self.path(name))
-        except Exception:
-            return None
+        return read_parquet_if_exists(self.spark, self.path(name))
 
     def merge_write(self, name: str, batch: DataFrame, order_col: str = "ingested_at") -> DataFrame:
         keys = list(MERGE_KEYS.get(name, (batch.columns[0],)))

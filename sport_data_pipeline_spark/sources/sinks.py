@@ -7,7 +7,23 @@ from __future__ import annotations
 
 import datetime as dt
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.errors import AnalysisException
+
+
+def read_parquet_if_exists(spark: SparkSession, path: str) -> DataFrame | None:
+    """Read a parquet target, returning None ONLY when the path does not
+    exist yet (first write). Every other failure — transient IO, schema
+    corruption, analysis errors — propagates: swallowing them in a
+    read-merge-overwrite loop silently replaces the target with just the
+    current batch (data loss)."""
+    try:
+        return spark.read.parquet(path)
+    except AnalysisException as e:
+        cond = getattr(e, "getCondition", getattr(e, "getErrorClass", lambda: None))()
+        if cond == "PATH_NOT_FOUND":
+            return None
+        raise
 
 
 def write_snapshot(

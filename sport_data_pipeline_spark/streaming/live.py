@@ -21,6 +21,7 @@ from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
 from ..operators.merge import merge_latest
+from ..sources.sinks import read_parquet_if_exists
 
 
 def read_tick_stream(
@@ -67,12 +68,12 @@ def start_upsert_sink(
     spark = stream.sparkSession
 
     def merge_batch(batch: DataFrame, epoch_id: int) -> None:
-        try:
-            existing = spark.read.parquet(target_path)
+        existing = read_parquet_if_exists(spark, target_path)
+        if existing is not None:
             merged = merge_latest(
                 existing.unionByName(batch, allowMissingColumns=True), keys, list(order_by)
             )
-        except Exception:  # first batch: target does not exist yet
+        else:  # first batch: target does not exist yet
             merged = merge_latest(batch, keys, list(order_by))
         # localCheckpoint cuts the lineage so we can overwrite the path we read.
         merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)

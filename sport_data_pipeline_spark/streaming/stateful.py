@@ -45,9 +45,17 @@ def _track(
     state: GroupState,
 ) -> Iterator[pd.DataFrame]:
     (fixture_id,) = key
+    if state.hasTimedOut:
+        # timeout invocation: no input batches (concat would raise), just
+        # drop the expired per-fixture state and emit nothing
+        state.remove()
+        return
     current = state.get[0] if state.exists else None
     rows = []
-    ticks = pd.concat(list(batches), ignore_index=True)
+    frames = list(batches)
+    if not frames:
+        return
+    ticks = pd.concat(frames, ignore_index=True)
     ticks = ticks.sort_values("scraped_at", kind="mergesort")
     for _, t in ticks.iterrows():
         status = t["status"]

@@ -25,6 +25,8 @@ def clean_corpus(
     max_stopword_ratio: float = 0.95,
     neardup_threshold: float = 0.7,
     shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 8,
 ) -> DataFrame:
     """Clean a document corpus for training-data use.
 
@@ -57,7 +59,13 @@ def clean_corpus(
     deduped = exact_dedup(passed, text_col, id_col)
 
     pairs = minhash_near_dup(
-        deduped, id_col, text_col, threshold=neardup_threshold, shingle_n=shingle_n
+        deduped,
+        id_col,
+        text_col,
+        threshold=neardup_threshold,
+        shingle_n=shingle_n,
+        num_hashes=num_hashes,
+        bands=bands,
     )
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
     survivors = deduped.join(losers, id_col, "left_anti")

@@ -122,7 +122,33 @@ def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
-@query("minhash_neardup", survey="dedup-minhash-lsh", oracle=None, headline=True)
+# MinHash-LSH is an approximation of exact all-pairs Jaccard, but on these
+# corpora its recall is exactly 1.0 (measured sf0.001/0.01/0.1: 28/28,
+# 25/25, 256/256 pairs, zero extras — near-dups here sit far above the
+# 8-band/4-row S-curve knee, and xxhash64 makes the outcome deterministic),
+# so the exact all-pairs trigram-Jaccard SQL is a true oracle: any banding,
+# bucketing, or verification regression breaks the hash-match.
+MINHASH_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         list_distinct([ concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+                         for i in range(1, greatest(len(toks) - 2, 0) + 1) ]) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+              THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                   / len(list_distinct(a.sh || b.sh))
+              ELSE 0.0 END AS jaccard
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.7
+"""
+
+
+@query("minhash_neardup", survey="dedup-minhash-lsh", oracle=MINHASH_ORACLE, headline=True)
 def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     return minhash_near_dup(

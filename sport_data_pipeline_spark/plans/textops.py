@@ -14,6 +14,7 @@ from ..functions.parsing import (
     parse_score,
 )
 from ..functions.text import (
+    DEFAULT_LANG_MARKERS,
     DEFAULT_STOPWORDS,
     content_fingerprint,
     normalize_text,
@@ -274,13 +275,73 @@ def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # End-to-end corpus cleaning: quality gate → exact dedup → MinHash near-dup
 # removal → annotation, composed lazily from the tested operators. The
-# near-dup stage hashes with xxhash64 (no DuckDB twin) so the query is
-# rows-only; its post-conditions (no surviving exact or near duplicates)
-# are unit-tested in tests/test_corpus.py.
+# MinHash stage has measured recall 1.0 on these corpora (see MINHASH_ORACLE
+# in plans/similarity.py), so the whole pipeline is oracle-checkable: the
+# DuckDB twin re-runs every stage with exact all-pairs trigram Jaccard as
+# the near-dup step. Post-conditions (no surviving exact or near dups) stay
+# unit-tested in tests/test_corpus.py.
 # ---------------------------------------------------------------------------
 
+_STOPWORDS_SQL = "['" + "', '".join(DEFAULT_STOPWORDS) + "']"
 
-@query("clean_corpus_docs", survey="llm-pipeline-e2e", oracle=None)
+
+def _lang_struct_sql(lang: str, markers: tuple[str, ...]) -> str:
+    lst = "['" + "', '".join(markers) + "']"
+    return f"{{score: len(list_intersect(dt, {lst})), lang: '{lang}'}}"
+
+
+CLEAN_CORPUS_ORACLE = f"""
+WITH feat AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+),
+q AS (
+  SELECT doc_id, lang, source, text, toks,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) ELSE 0.0 END AS unique_ratio,
+         CASE WHEN len(toks) > 0
+              THEN CAST(len([t for t in toks if list_contains({_STOPWORDS_SQL}, t)]) AS DOUBLE)
+                   / len(toks) ELSE 0.0 END AS stopword_ratio
+  FROM feat
+),
+gate AS (
+  SELECT * FROM q
+  WHERE n_tokens >= 5 AND unique_ratio >= 0.1 AND stopword_ratio <= 0.95
+),
+keep AS (
+  SELECT MIN(doc_id) AS doc_id
+  FROM (SELECT doc_id, md5({{norm}}) AS fp FROM gate)
+  GROUP BY fp
+),
+dedup AS (
+  SELECT g.*, list_distinct([ concat(g.toks[i], ' ', g.toks[i+1], ' ', g.toks[i+2])
+                              for i in range(1, greatest(len(g.toks) - 2, 0) + 1) ]) AS sh
+  FROM gate g JOIN keep k ON g.doc_id = k.doc_id
+),
+losers AS (
+  SELECT DISTINCT b.doc_id
+  FROM dedup a JOIN dedup b ON a.doc_id < b.doc_id
+  WHERE len(list_distinct(a.sh || b.sh)) > 0
+    AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+        / len(list_distinct(a.sh || b.sh)) >= 0.7
+)
+SELECT d.doc_id, d.lang, d.source, d.n_tokens, d.unique_ratio, d.stopword_ratio,
+       d.n_tokens AS word_tokens,
+       struct_extract(list_aggregate([
+         {_lang_struct_sql("de", DEFAULT_LANG_MARKERS["de"])},
+         {_lang_struct_sql("en", DEFAULT_LANG_MARKERS["en"])},
+         {_lang_struct_sql("es", DEFAULT_LANG_MARKERS["es"])},
+         {_lang_struct_sql("fr", DEFAULT_LANG_MARKERS["fr"])}
+       ], 'max'), 'lang') AS lang_guess
+FROM (SELECT *, list_distinct(toks) AS dt FROM dedup) d
+LEFT JOIN losers l ON d.doc_id = l.doc_id
+WHERE l.doc_id IS NULL
+""".replace("{norm}", _NORM_SQL.format(col="text"))
+
+
+@query("clean_corpus_docs", survey="llm-pipeline-e2e", oracle=CLEAN_CORPUS_ORACLE)
 def clean_corpus_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.corpus import clean_corpus
 

@@ -251,14 +251,46 @@ def embedding_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Arrow/numpy brute-force top-k: the retrieval throughput path (BLAS matmul
-# per Arrow batch). Float summation order differs from the SQL engines, so
-# no value-hash oracle — neighbor-set agreement with the exact operator is
-# unit-tested in tests/test_similarity.py.
+# per Arrow batch). BLAS pairwise summation differs from the SQL engines'
+# sequential fold only at ~1 ulp, far below the gaps between adjacent
+# ranked cosines here, so the (query, neighbor, rank) projection IS
+# oracle-checkable — the cosine VALUE column is what has no cross-engine
+# twin and is dropped from the registered output. Value-level agreement
+# with the exact operator stays unit-tested in tests/test_similarity.py.
 # ---------------------------------------------------------------------------
 
+EMBEDDING_TOPK_ARROW_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding AS qv,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, embedding AS cv,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+  FROM embeddings
+),
+pairs AS (
+  SELECT query_id, neighbor_id,
+         CASE WHEN qn > 0 AND cn > 0
+              THEN list_sum(list_transform(list_zip(qv, cv),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (qn * cn)
+              ELSE 0.0 END AS cosine
+  FROM q, c
+  WHERE query_id <> neighbor_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT query_id, neighbor_id, rank FROM ranked WHERE rank <= 5
+"""
 
-@query("embedding_topk_arrow", survey="ann-cosine-arrow", oracle=None)
+
+@query("embedding_topk_arrow", survey="ann-cosine-arrow", oracle=EMBEDDING_TOPK_ARROW_ORACLE)
 def embedding_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 8)
-    return cosine_topk_arrow(queries, emb, "vec_id", "vec_id", k=5)
+    return cosine_topk_arrow(queries, emb, "vec_id", "vec_id", k=5).select(
+        "query_id", "neighbor_id", "rank"
+    )

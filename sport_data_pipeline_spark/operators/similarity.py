@@ -13,6 +13,7 @@ results are deterministic — no float reduction across partitions.
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window, functions as F
+from pyspark.storagelevel import StorageLevel
 
 
 def _dot(a: Column, b: Column, dim: int | None = None) -> Column:
@@ -177,36 +178,170 @@ def embedding_near_dup(
     vec_col: str = "embedding",
     threshold: float = 0.4,
     dim: int | None = None,
+    n_blocks: int = 8,
 ) -> DataFrame:
     """Embedding-space near-duplicate pairs: every (id_a < id_b) pair whose
     cosine similarity clears ``threshold``. Exact — zero-norm vectors can
     never clear a positive threshold and are dropped up front.
 
-    Returns (id_a, id_b, cosine). Scale path: exact all-pairs is O(n²) and
-    only viable when one side fits a broadcast; at 100 TB block first
-    (``lsh_bucketed_topk``'s hyperplane signature or ``ivf_topk``'s lists)
-    and run the exact comparison within blocks only.
+    Distributed as a block-grid self-join (the classic triangle join): each
+    vector hashes to one of ``n_blocks`` blocks and is replicated to the
+    grid cells covering its row and column of the upper-triangular block
+    matrix, then cells equi-join on the cell id. Every unordered pair meets
+    in exactly one cell, so the result is exact all-pairs with NO broadcast
+    side and NO nested-loop join — task memory is bounded by 2·n/n_blocks
+    vectors regardless of corpus size, and raising ``n_blocks`` scales the
+    grid (B(B+1)/2 cells) with the cluster.
+
+    Exact all-pairs is the right tool at LOW thresholds: below ~cos 0.7
+    (60°+) a hyperplane separates a qualifying pair with p≥0.25, so no LSH
+    banding prunes candidates below n² without losing recall — the
+    geometry, not the implementation, is the limit. For production
+    near-dup thresholds (≥0.8) use ``lsh_threshold_pairs``, which prunes
+    aggressively and verifies exactly within buckets.
+
+    Returns (id_a, id_b, cosine).
     """
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    b = n_blocks
     v = df.select(
         F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
         _norm(F.col(vec_col), dim).alias("__n"),
     ).filter(F.col("__n") > 0)
-    left = v.repartition(n_parts, F.col("__id")).select(
-        F.col("__id").alias("id_a"), F.col("__v").alias("__va"),
-        F.col("__n").alias("__na"),
+    g = F.pmod(F.xxhash64(F.col("__id")), F.lit(b))
+    # row side: vector in block g serves cells (g, j) for j in [g, b-1];
+    # col side: cells (i, g) for i in [0, g]. Cell id = i*b + j. The
+    # diagonal cell receives each block's vectors once per side; id_a <
+    # id_b dedups within it.
+    a_side = (
+        v.withColumn("__g", g)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.col("__g"), F.lit(b - 1)),
+                    lambda j: F.col("__g") * b + j,
+                )
+            ).alias("__cell"),
+            F.col("__id").alias("id_a"),
+            F.col("__v").alias("__va"),
+            F.col("__n").alias("__na"),
+        )
     )
-    right = F.broadcast(
-        v.select(
-            F.col("__id").alias("id_b"), F.col("__v").alias("__vb"),
+    b_side = (
+        v.withColumn("__g", g)
+        .select(
+            F.explode(
+                F.transform(
+                    F.sequence(F.lit(0), F.col("__g")),
+                    lambda i: i * b + F.col("__g"),
+                )
+            ).alias("__cell"),
+            F.col("__id").alias("id_b"),
+            F.col("__v").alias("__vb"),
             F.col("__n").alias("__nb"),
         )
     )
-    pairs = left.crossJoin(right).filter(F.col("id_a") < F.col("id_b"))
+    # Off-diagonal cells pair distinct blocks, so every unordered pair
+    # meets exactly once with the a/b role fixed by block — only the
+    # diagonal cell needs the id_a < id_b dedup. Output ids are normalized
+    # (least, greatest) so the role assignment never leaks out.
+    is_diag = (F.col("__cell") % b) == F.floor(F.col("__cell") / b)
+    pairs = a_side.join(b_side, "__cell").filter(
+        ~is_diag | (F.col("id_a") < F.col("id_b"))
+    )
     cos = _dot(F.col("__va"), F.col("__vb"), dim) / (F.col("__na") * F.col("__nb"))
     return (
-        pairs.select("id_a", "id_b", cos.alias("cosine"))
+        pairs.select(
+            F.least("id_a", "id_b").alias("id_a"),
+            F.greatest("id_a", "id_b").alias("id_b"),
+            cos.alias("cosine"),
+        )
         .filter(F.col("cosine") >= F.lit(threshold))
+    )
+
+
+def lsh_threshold_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    max_bucket_size: int = 1000,
+) -> DataFrame:
+    """High-threshold cosine near-dup pairs via multi-table hyperplane LSH:
+    candidates share a full ``n_planes``-bit signature in at least one of
+    ``n_tables`` tables; exact cosine verifies every candidate.
+
+    This is the 100 TB near-dup path for realistic thresholds: at cos 0.85
+    (31°) a random hyperplane splits a qualifying pair with p≈0.17, so a
+    12-bit signature collides with p≈0.63^… — concretely, missing all 8
+    tables has probability (1-(1-θ/π)^12)^8 ≈ 0.004 at the threshold and
+    falls off a cliff above it, while bucket sizes shrink the candidate set
+    by orders of magnitude versus all-pairs. Planes are deterministic
+    (xxhash64-derived), so results are reproducible and recall on a given
+    corpus is a fixed measurable fact, not a per-run coin flip. Use
+    ``embedding_near_dup`` when the threshold is low (<0.7): there the
+    geometry makes any pruning lossy.
+
+    Returns (id_a, id_b, cosine) with cosine >= threshold.
+    """
+    v = df.select(
+        F.col(id_col).alias("__id"), F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col), dim).alias("__n"),
+    ).filter(F.col("__n") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+
+    def plane_weight(t: int, p: int, i: int) -> Column:
+        # deterministic pseudo-random weight in [-1, 1]
+        h = F.xxhash64(F.lit(seed), F.lit(t), F.lit(p), F.lit(i))
+        return (h.cast("double") / F.lit(float(1 << 63)))
+
+    def table_sig(t: int) -> Column:
+        bits = []
+        for p in range(n_planes):
+            dot = F.lit(0.0)
+            for i in range(1, dim + 1):
+                dot = dot + F.element_at(F.col("__v"), i).cast("double") * plane_weight(t, p, i)
+            bits.append(F.when(dot >= 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << p))
+        sig = bits[0]
+        for x in bits[1:]:
+            sig = sig + x
+        return sig.cast("long")
+
+    tabled = v.select(
+        "__id", "__v", "__n",
+        F.explode(
+            F.array(*[F.struct(F.lit(t).alias("t"), table_sig(t).alias("sig")) for t in range(n_tables)])
+        ).alias("__b"),
+    ).select("__id", "__v", "__n", "__b.t", "__b.sig")
+
+    bucket_w = Window.partitionBy("t", "sig")
+    tabled = (
+        tabled.withColumn("__bn", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+    a = tabled.select("t", "sig", F.col("__id").alias("id_a"))
+    b = tabled.select("t", "sig", F.col("__id").alias("id_b"))
+    candidates = (
+        a.join(b, ["t", "sig"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    verified = (
+        candidates.join(
+            v.select(F.col("__id").alias("id_a"), F.col("__v").alias("__va"), F.col("__n").alias("__na")),
+            "id_a",
+        ).join(
+            v.select(F.col("__id").alias("id_b"), F.col("__v").alias("__vb"), F.col("__n").alias("__nb")),
+            "id_b",
+        )
+    )
+    cos = _dot(F.col("__va"), F.col("__vb"), dim) / (F.col("__na") * F.col("__nb"))
+    return verified.select("id_a", "id_b", cos.alias("cosine")).filter(
+        F.col("cosine") >= F.lit(threshold)
     )
 
 

@@ -82,3 +82,56 @@ def test_arrow_topk_agrees_with_exact(emb):
     # swap neighbors whose cosines agree to ~1 ulp
     assert len(arrow & exact) >= len(exact) - 1
     assert len(arrow) == len(exact)
+
+
+def test_grid_join_matches_pairs_across_blockings(emb):
+    """The block-grid self-join is exact regardless of n_blocks: every
+    unordered pair meets in exactly one grid cell."""
+    base = {
+        (r["id_a"], r["id_b"], round(r["cosine"], 12))
+        for r in embedding_near_dup(emb, "vec_id", threshold=0.4, n_blocks=1).collect()
+    }
+    for nb in (3, 8):
+        got = {
+            (r["id_a"], r["id_b"], round(r["cosine"], 12))
+            for r in embedding_near_dup(emb, "vec_id", threshold=0.4, n_blocks=nb).collect()
+        }
+        assert got == base, f"n_blocks={nb} changed the pair set"
+
+
+def test_lsh_threshold_pairs_recall_on_planted_neardups(spark):
+    """Plant near-duplicate vectors (small perturbations, cos >= ~0.9) in a
+    random corpus; multi-table hyperplane LSH must find every planted pair
+    the exact operator finds, at a fraction of the candidate comparisons."""
+    import math
+    import random
+
+    from sport_data_pipeline_spark.operators.similarity import lsh_threshold_pairs
+
+    rng = random.Random(7)
+    dim = 64
+    rows = []
+    vid = 0
+    for _ in range(60):  # random background vectors
+        rows.append((vid, [rng.gauss(0, 1) for _ in range(dim)]))
+        vid += 1
+    for _ in range(15):  # planted near-dup pairs
+        v = [rng.gauss(0, 1) for _ in range(dim)]
+        n = math.sqrt(sum(x * x for x in v))
+        noisy = [x + rng.gauss(0, 0.08 * n / math.sqrt(dim)) for x in v]
+        rows.append((vid, v))
+        rows.append((vid + 1, noisy))
+        vid += 2
+    df = spark.createDataFrame(
+        [(i, [float(x) for x in v]) for i, v in rows], "vec_id long, embedding array<float>"
+    )
+    exact = {
+        (r["id_a"], r["id_b"])
+        for r in embedding_near_dup(df, "vec_id", threshold=0.85, dim=dim).collect()
+    }
+    assert len(exact) >= 10  # the planting worked
+    lsh = {
+        (r["id_a"], r["id_b"])
+        for r in lsh_threshold_pairs(df, "vec_id", threshold=0.85, dim=dim).collect()
+    }
+    assert lsh == exact  # recall 1.0 on this corpus, no false positives

@@ -99,9 +99,50 @@ def cosine_topk(
     )
 
 
+def build_ivf_index(
+    corpus: DataFrame,
+    corpus_id: str,
+    path: str,
+    corpus_vec: str = "embedding",
+    n_lists: int = 16,
+    seed: int = 42,
+) -> str:
+    """Build a persistent IVF index: fit the k-means coarse quantizer ONCE
+    (write time — never in a query path), assign every corpus vector to its
+    nearest centroid list, and write the corpus parquet PARTITIONED BY the
+    list id. Centroids land in ``<path>/_ivf_centroids`` (the underscore
+    prefix hides them from readers of the main table).
+
+    The partition layout is the index: a probe that filters on ``__list``
+    prunes to n_probe/n_lists of the files before any IO happens
+    (PartitionFilters in the scan). Returns ``path``.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    from ..sources.sinks import write_partitioned
+
+    # repartition by id before the fit: parallel training on single-file
+    # input, and the same layout as the inline path so the same seed
+    # reproduces the same centroids (k-means|| init samples per partition)
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    feat = corpus.repartition(n_parts, F.col(corpus_id)).withColumn(
+        "__feat", array_to_vector(F.col(corpus_vec).cast("array<double>"))
+    )
+    km = KMeans(k=n_lists, seed=seed, featuresCol="__feat", predictionCol="__list")
+    model = km.fit(feat)
+    assigned = model.transform(feat).drop("__feat")
+    write_partitioned(assigned, path, ["__list"])
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    corpus.sparkSession.createDataFrame(
+        centroids, "__list int, __centroid array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/_ivf_centroids")
+    return path
+
+
 def ivf_topk(
     queries: DataFrame,
-    corpus: DataFrame,
+    corpus: DataFrame | str,
     query_id: str,
     corpus_id: str,
     query_vec: str = "embedding",
@@ -112,31 +153,46 @@ def ivf_topk(
     seed: int = 42,
     dim: int | None = None,
 ) -> DataFrame:
-    """IVF (inverted-file) approximate top-k: k-means coarse quantizer
-    assigns every corpus vector to its nearest centroid list; each query
-    probes only its ``n_probe`` nearest lists and ranks exact cosine inside
-    them. The 100 TB path: corpus assignment is precomputed once (a write-
-    time partition key), so a query touches n_probe/n_lists of the data.
+    """IVF (inverted-file) approximate top-k: each query probes only its
+    ``n_probe`` nearest centroid lists and ranks exact cosine inside them.
+
+    ``corpus`` is normally the PATH of a prebuilt ``build_ivf_index``
+    output: probe lists collect to the driver (n_queries × n_probe ints —
+    the probe batch is small by definition) and become a static
+    ``__list IN (...)`` filter, so the scan shows PartitionFilters and
+    reads n_probe/n_lists of the files. Passing a DataFrame instead fits
+    the quantizer inline — a convenience for ad-hoc/small corpora only;
+    the iterative KMeans job then runs inside the query path, which is
+    exactly what the index exists to avoid at scale.
 
     Returns (query_id, neighbor_id, cosine, rank). Recall < 1 by design —
     raise ``n_probe`` to trade cost for recall.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    spark = queries.sparkSession
+    if isinstance(corpus, str):
+        assigned = spark.read.parquet(corpus).select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+            _norm(F.col(corpus_vec), dim).alias("__cn"),
+            F.col("__list"),
+        )
+        cdf = spark.read.parquet(f"{corpus}/_ivf_centroids")
+    else:
+        from pyspark.ml.clustering import KMeans
+        from pyspark.ml.functions import array_to_vector
 
-    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
-    c_feat = corpus.repartition(n_parts, F.col(corpus_id)).select(
-        F.col(corpus_id).alias("neighbor_id"),
-        F.col(corpus_vec).alias("__cv"),
-        _norm(F.col(corpus_vec), dim).alias("__cn"),
-        array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("__feat"),
-    ).persist()
-    km = KMeans(k=n_lists, seed=seed, featuresCol="__feat", predictionCol="__list")
-    model = km.fit(c_feat)
-    assigned = model.transform(c_feat).select("neighbor_id", "__cv", "__cn", "__list")
-
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
-    cdf = queries.sparkSession.createDataFrame(centroids, "__list int, __centroid array<double>")
+        n_parts = spark.sparkContext.defaultParallelism
+        c_feat = corpus.repartition(n_parts, F.col(corpus_id)).select(
+            F.col(corpus_id).alias("neighbor_id"),
+            F.col(corpus_vec).alias("__cv"),
+            _norm(F.col(corpus_vec), dim).alias("__cn"),
+            array_to_vector(F.col(corpus_vec).cast("array<double>")).alias("__feat"),
+        ).persist()
+        km = KMeans(k=n_lists, seed=seed, featuresCol="__feat", predictionCol="__list")
+        model = km.fit(c_feat)
+        assigned = model.transform(c_feat).select("neighbor_id", "__cv", "__cn", "__list")
+        centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+        cdf = spark.createDataFrame(centroids, "__list int, __centroid array<double>")
 
     # each query ranks centroids by exact cosine and keeps the top n_probe
     q = queries.select(
@@ -157,6 +213,11 @@ def ivf_topk(
         .filter(F.col("__pr") <= n_probe)
         .select("query_id", "__qv", "__qn", "__list")
     )
+    if isinstance(corpus, str):
+        # static partition pruning: the probed list ids become a literal IN
+        # filter on the partition column before the join
+        lists = sorted({r["__list"] for r in probed.select("__list").distinct().collect()})
+        assigned = assigned.filter(F.col("__list").isin(lists))
 
     pairs = probed.join(assigned, "__list").filter(F.col("query_id") != F.col("neighbor_id"))
     cos = F.when(

@@ -86,10 +86,20 @@ def test_time_bucket_cascade_reaggregates_not_rescans(spark):
     assert plan.count("Exchange hashpartitioning") == 2
 
 
-def test_embedding_neardup_broadcasts_one_side(spark):
+def test_embedding_neardup_grid_join_no_nested_loop(spark):
+    # block-grid self-join: pairs form via an equi-join on the grid cell
+    # id — never a nested-loop, and no corpus-sized broadcast side
     plan = physical_plan(SPECS["embedding_cosine_neardup"].fn(spark, SF_DIR))
-    assert "BroadcastNestedLoopJoin" in plan  # corpus streams, never shuffles pairs
-    assert "SortMergeJoin" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "__cell" in plan
+
+
+def test_ivf_probe_prunes_partitions(spark):
+    # the prebuilt IVF index is parquet partitioned by __list; the probe
+    # filter must reach the scan as PartitionFilters so only n_probe of
+    # n_lists directories are read
+    plan = physical_plan(SPECS["ivf_embedding_topk"].fn(spark, SF_DIR))
+    assert "PartitionFilters: [__list" in plan
 
 
 def test_arrow_topk_is_map_in_pandas(spark):
@@ -100,6 +110,21 @@ def test_arrow_topk_is_map_in_pandas(spark):
     assert "BatchEvalPython" not in plan
 
 
-def test_sketch_profile_single_exchange(spark):
-    plan = physical_plan(SPECS["sketch_profile"].fn(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 1  # sketches merge map-side
+def test_sketch_aggregates_single_exchange(spark):
+    # pure sketch aggregation merges map-side partials through ONE
+    # exchange — the property that makes sketches the 100 TB substitute.
+    # (The registered sketch_profile query additionally computes exact
+    # aggregates to assert the sketch error bounds cross-engine, so it is
+    # not the single-exchange shape itself.)
+    from pyspark.sql import functions as F
+
+    from sport_data_pipeline_spark.catalog import load_table
+
+    e = load_table(spark, SF_DIR, "events")
+    df = e.groupBy("event_type").agg(
+        F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+        F.percentile_approx("value", [0.5, 0.95, 0.99], 10_000).alias("value_quantiles"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    plan = physical_plan(df)
+    assert plan.count("Exchange hashpartitioning") == 1

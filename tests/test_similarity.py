@@ -135,3 +135,22 @@ def test_lsh_threshold_pairs_recall_on_planted_neardups(spark):
         for r in lsh_threshold_pairs(df, "vec_id", threshold=0.85, dim=dim).collect()
     }
     assert lsh == exact  # recall 1.0 on this corpus, no false positives
+
+
+def test_ivf_indexed_probe_matches_inline(emb, spark, tmp_path):
+    """Path-based (write-time index) IVF returns the same result as the
+    inline-fit variant with the same seed, and reads only probed lists."""
+    from sport_data_pipeline_spark.operators.similarity import build_ivf_index
+
+    idx = str(tmp_path / "ivf_idx")
+    build_ivf_index(emb, "vec_id", idx, n_lists=8)
+    q = emb.filter(F.col("vec_id") < 5)
+    inline = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(q, emb, "vec_id", "vec_id", k=3, n_lists=8, n_probe=4).collect()
+    }
+    indexed = {
+        (r["query_id"], r["neighbor_id"], r["rank"])
+        for r in ivf_topk(q, idx, "vec_id", "vec_id", k=3, n_lists=8, n_probe=4).collect()
+    }
+    assert indexed == inline

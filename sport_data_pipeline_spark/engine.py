@@ -85,8 +85,20 @@ class SportsAnalyticsEngine:
 
     def analyze_player_performance(self, season: str | None = None) -> dict[str, DataFrame]:
         """Player performance pack (engine.py:299-327 + the §2.11 declared
-        contract): summary aggregates, per-player trends across seasons,
-        peer-group percentile comparison."""
+        contract): summary aggregates, per-player report fields, trends
+        across seasons, peer-group percentile comparison, and next-season
+        forecasts.
+
+        The report consumer (reference reports.py:44-90) dictates the
+        field set; the reference never computes performance_score,
+        trend_direction, or the predictions block (declared-only), so
+        their semantics are defined here: performance_score is the
+        weighted contribution rate 4·goals/match + 3·assists/match,
+        trend_direction is the sign of the mean season-over-season goals
+        delta, and predictions come from the closed-form OLS forecast
+        (operators/forecast.py) — deterministic, shuffle-once, no UDFs."""
+        from .operators.forecast import linear_trend_forecast
+
         base = self._player_season_base(season)
         summary = base.agg(
             F.countDistinct("player_id").alias("player_count"),
@@ -94,8 +106,38 @@ class SportsAnalyticsEngine:
             (F.sum("assists").cast("double") / F.sum("matches_played")).alias("avg_assists_per_match"),
         )
 
+        gpm = safe_div(F.col("total_goals").cast("double"), F.col("total_matches"))
+        apm = safe_div(F.col("total_assists").cast("double"), F.col("total_matches"))
+        player_summary = (
+            base.withColumn(
+                "__pname", F.concat_ws(" ", "first_name", "last_name")
+            )
+            .groupBy("player_id", "__pname", "team_name", "birth_date")
+            .agg(
+                F.countDistinct("season").alias("seasons_analyzed"),
+                F.sum("matches_played").alias("total_matches"),
+                F.sum("goals").alias("total_goals"),
+                F.sum("assists").alias("total_assists"),
+            )
+            .select(
+                "player_id",
+                F.col("__pname").alias("player_name"),
+                F.col("team_name").alias("team"),
+                self._age(F.col("birth_date")).alias("age"),
+                "seasons_analyzed",
+                "total_matches",
+                "total_goals",
+                "total_assists",
+                gpm.alias("goals_per_match"),
+                F.round(gpm * 4 + apm * 3, 2).alias("performance_score"),
+            )
+        )
+
         w_season = Window.partitionBy("player_id").orderBy("season")
+        w_player = Window.partitionBy("player_id")
         prev_goals = F.lag("goals").over(w_season)
+        prev_assists = F.lag("assists").over(w_season)
+        mean_delta = F.avg(F.col("goals") - prev_goals).over(w_player)
         trends = self.t["season_player_stats"].select(
             "player_id",
             "season",
@@ -106,9 +148,17 @@ class SportsAnalyticsEngine:
             .when(F.col("goals") < prev_goals, "declining")
             .otherwise("stable")
             .alias("goals_trend"),
-            F.round(F.stddev_pop("goals").over(Window.partitionBy("player_id")), 4).alias(
-                "consistency"
-            ),
+            F.when(prev_assists.isNull(), "new")
+            .when(F.col("assists") > prev_assists, "improving")
+            .when(F.col("assists") < prev_assists, "declining")
+            .otherwise("stable")
+            .alias("assists_trend"),
+            F.when(mean_delta.isNull(), "new")
+            .when(mean_delta > 0, "improving")
+            .when(mean_delta < 0, "declining")
+            .otherwise("stable")
+            .alias("trend_direction"),
+            F.round(F.stddev_pop("goals").over(w_player), 4).alias("consistency"),
         )
 
         rate = safe_div(F.col("goals").cast("double"), F.col("matches_played"))
@@ -121,8 +171,25 @@ class SportsAnalyticsEngine:
             F.percent_rank().over(w_pct).alias("percentile_rank"),
             F.avg(F.col("goals")).over(w_peer).alias("peer_avg_goals"),
             (F.col("goals") > F.avg(F.col("goals")).over(w_peer)).alias("above_average"),
+            F.count(F.lit(1)).over(w_peer).alias("peer_group_size"),
         )
-        return {"summary": summary, "trends": trends, "comparisons": comparisons}
+
+        predictions = linear_trend_forecast(
+            self.t["season_player_stats"], ["player_id"], "season", "goals"
+        ).select(
+            "player_id",
+            "n_points",
+            F.col("prediction").alias("predicted_goals_next_season"),
+            F.col("ci_lower").alias("confidence_lower"),
+            F.col("ci_upper").alias("confidence_upper"),
+        )
+        return {
+            "summary": summary,
+            "player_summary": player_summary,
+            "trends": trends,
+            "comparisons": comparisons,
+            "predictions": predictions,
+        }
 
     def team_form(self, last_n: int = 5) -> DataFrame:
         """Per-team last-N form (engine.py:137-191 rewritten as one window

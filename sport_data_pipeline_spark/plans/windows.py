@@ -488,3 +488,78 @@ def time_bucket_cascade(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("sv").cast("double").alias("sum_value"),
         ],
     )
+
+
+# ---------------------------------------------------------------------------
+# §2.11 predictions: closed-form OLS next-step forecast with a 95%
+# prediction interval (operators/forecast.py). The sufficient statistics
+# are exact integer sums, so both engines evaluate the identical double
+# expression tree — the forecast hash-matches bit-for-bit.
+# ---------------------------------------------------------------------------
+
+from ..operators.forecast import T_CRIT_95, linear_trend_forecast  # noqa: E402
+
+_T_TABLE_SQL = "[" + ", ".join(str(t) for t in T_CRIT_95) + "]"
+
+TREND_FORECAST_ORACLE = f"""
+WITH per AS (
+  SELECT o_custkey, year(o_orderdate) AS yr, CAST(COUNT(*) AS BIGINT) AS y
+  FROM orders GROUP BY 1, 2
+),
+ranked AS (
+  SELECT o_custkey, row_number() OVER (PARTITION BY o_custkey ORDER BY yr) AS x, y
+  FROM per
+),
+agg AS (
+  SELECT o_custkey,
+         CAST(COUNT(*) AS BIGINT) AS n_points,
+         CAST(SUM(x) AS BIGINT) AS sx,
+         CAST(SUM(y) AS BIGINT) AS sy,
+         CAST(SUM(x * y) AS BIGINT) AS sxy,
+         CAST(SUM(x * x) AS BIGINT) AS sxx,
+         CAST(SUM(y * y) AS BIGINT) AS syy
+  FROM ranked GROUP BY 1 HAVING COUNT(*) >= 3
+),
+fit AS (
+  SELECT o_custkey, n_points,
+         CAST(n_points AS DOUBLE) AS n,
+         CAST(sx AS DOUBLE) AS sxd, CAST(sy AS DOUBLE) AS syd,
+         CAST(sxy AS DOUBLE) AS sxyd, CAST(sxx AS DOUBLE) AS sxxd,
+         CAST(syy AS DOUBLE) AS syyd
+  FROM agg
+),
+calc AS (
+  SELECT o_custkey, n_points, n,
+         sxxd - sxd * sxd / n AS cxx,
+         sxyd - sxd * syd / n AS cxy,
+         syyd - syd * syd / n AS cyy,
+         (sxyd - sxd * syd / n) / (sxxd - sxd * sxd / n) AS slope,
+         syd / n - ((sxyd - sxd * syd / n) / (sxxd - sxd * sxd / n)) * sxd / n AS intercept,
+         sxd, syd, sxyd
+  FROM fit
+),
+pred AS (
+  SELECT o_custkey, n_points, slope, intercept,
+         intercept + slope * (n + 1) AS prediction,
+         (CASE WHEN n_points - 2 > 30 THEN 1.96
+               ELSE {_T_TABLE_SQL}[n_points - 2] END)
+         * sqrt(greatest(cyy - slope * cxy, 0.0) / (n - 2)
+                * (1 + 1 / n + ((n + 1) - sxd / n) * ((n + 1) - sxd / n) / cxx)) AS half
+  FROM calc
+)
+SELECT o_custkey, n_points, slope, intercept, prediction,
+       prediction - half AS ci_lower,
+       prediction + half AS ci_upper
+FROM pred
+"""
+
+
+@query("trend_forecast", survey="X5,2.11-predictions", oracle=TREND_FORECAST_ORACLE)
+def trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-customer next-year order-count forecast with 95% PI — the same
+    operator that powers analyze_player_performance()['predictions']."""
+    o = load_table(spark, sf_dir, "orders")
+    per_year = o.groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(F.count(F.lit(1)).alias("n_orders"))
+    return linear_trend_forecast(per_year, ["o_custkey"], "yr", "n_orders")

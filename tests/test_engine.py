@@ -175,3 +175,58 @@ def test_odds_movement(eng):
     assert r["open_price"] == 2.1 and r["close_price"] == 1.65
     assert abs(r["open_implied_prob"] - 1 / 2.1) < 1e-12
     assert abs(r["price_drift"] - (1.65 - 2.1)) < 1e-12
+
+
+def test_player_performance_full_report_contract(spark):
+    """The §2.11 consumer contract (reference reports.py:44-90): every field
+    the player report renders must exist, and the predictions block must
+    carry the OLS forecast. Player 1 scores a perfect line 2,4,6,8 → slope
+    2, next-season prediction 10 with a zero-width interval."""
+    players = spark.createDataFrame(
+        [(1, "Leo", "Star", dt.date(2000, 1, 1), "FW"),
+         (2, "Max", "Wall", dt.date(1994, 6, 1), "DF")],
+        "player_id long, first_name string, last_name string, birth_date date, position string",
+    )
+    teams = spark.createDataFrame([(10, "Reds"), (20, "Blues")], "team_id long, name string")
+    sps = spark.createDataFrame(
+        [(1, 10, "2021", 10, 2, 1), (1, 10, "2022", 12, 4, 2),
+         (1, 10, "2023", 14, 6, 2), (1, 10, "2024", 16, 8, 3),
+         (2, 20, "2024", 20, 1, 0)],
+        "player_id long, team_id long, season string, matches_played int, goals int, assists int",
+    )
+    eng2 = SportsAnalyticsEngine(
+        {"players": players, "teams": teams, "season_player_stats": sps},
+        as_of_date=dt.date(2025, 1, 1),
+    )
+    packs = eng2.analyze_player_performance()
+    assert set(packs) == {"summary", "player_summary", "trends", "comparisons", "predictions"}
+
+    ps = {r["player_id"]: r for r in packs["player_summary"].collect()}
+    assert set(ps[1].asDict()) == {
+        "player_id", "player_name", "team", "age", "seasons_analyzed",
+        "total_matches", "total_goals", "total_assists", "goals_per_match",
+        "performance_score",
+    }
+    assert ps[1]["player_name"] == "Leo Star"
+    assert ps[1]["seasons_analyzed"] == 4
+    assert ps[1]["total_goals"] == 20
+    assert abs(ps[1]["performance_score"] - round((20 / 52) * 4 + (8 / 52) * 3, 2)) < 1e-9
+
+    tr = {(r["player_id"], r["season"]): r for r in packs["trends"].collect()}
+    assert tr[(1, "2022")]["goals_trend"] == "improving"
+    assert tr[(1, "2022")]["assists_trend"] == "improving"
+    assert tr[(1, "2023")]["assists_trend"] == "stable"
+    assert tr[(1, "2024")]["trend_direction"] == "improving"
+    assert tr[(2, "2024")]["trend_direction"] == "new"
+
+    comp = {r["player_id"]: r for r in packs["comparisons"].collect()}
+    assert comp[1]["peer_group_size"] == 4  # player 1 has four FW season rows
+    assert comp[2]["peer_group_size"] == 1
+
+    pred = {r["player_id"]: r for r in packs["predictions"].collect()}
+    assert set(pred) == {1}  # player 2 lacks the 3-season minimum
+    p1 = pred[1]
+    assert p1["n_points"] == 4
+    assert abs(p1["predicted_goals_next_season"] - 10.0) < 1e-9
+    assert abs(p1["confidence_lower"] - 10.0) < 1e-9  # SSE = 0 → zero width
+    assert abs(p1["confidence_upper"] - 10.0) < 1e-9

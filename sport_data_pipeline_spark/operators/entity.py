@@ -44,22 +44,36 @@ def resolve_entities(
     match_fields: Sequence[tuple[str, str]],
     auto_threshold: float = 90.0,
     review_threshold: float = 75.0,
+    broadcast_existing: bool = True,
+    salt: int = 16,
 ) -> DataFrame:
     """Blocked fuzzy match with 3-way routing.
 
-    ``block_on``/``match_fields`` are (new_col, existing_col) pairs.
-    Returns one row per new record: (new_id, matched_id, score, route)
-    where route ∈ {'merged','review','new'}; matched_id is NULL for 'new'.
-    Deterministic: best candidate by (score desc, matched_id asc).
+    ``block_on``/``match_fields`` are (new_col, existing_col) pairs;
+    multiple block pairs form a COMPOSITE key (candidates must match on
+    every one — the reference blocks country + birth-year + name prefix,
+    entity_mapper.py:41-154), which is what keeps within-block candidate
+    sets sub-quadratic as the data grows. Returns one row per new record:
+    (new_id, matched_id, score, route), route ∈ {'merged','review','new'};
+    matched_id is NULL for 'new'. Deterministic: best candidate by
+    (score desc, matched_id asc).
 
     Scale shape: text normalization runs *before* the pair join (per
-    entity, not per candidate pair), the pair join is a plain equi-join on
-    the blocking key, and unmatched records come from one LEFT join — the
-    candidate subtree is evaluated once, not once per output branch.
+    entity, not per candidate pair), and unmatched records come from one
+    LEFT join — the candidate subtree is evaluated once, not once per
+    output branch. With ``broadcast_existing`` (the common dims-sized
+    case) the pair join never shuffles candidates, and the probe side
+    repartitions on (block key, salt) so a hot block's scoring spreads
+    across ``salt`` tasks instead of serializing in one. When the
+    existing side is too big to broadcast, ``broadcast_existing=False``
+    routes the equi-join through ``salted_join`` so hot blocks cannot
+    skew the shuffle either.
     """
+    from .joins import salted_join
+
     n = new.select(
         F.col(new_id).alias("__nid"),
-        *[F.col(c).alias(f"__nb_{i}") for i, (c, _) in enumerate(block_on)],
+        *[F.col(c).alias(f"__b_{i}") for i, (c, _) in enumerate(block_on)],
         *[
             normalize_text(F.col(c)).alias(f"__nm_{i}")
             for i, (c, _) in enumerate(match_fields)
@@ -67,23 +81,24 @@ def resolve_entities(
     )
     e = existing.select(
         F.col(existing_id).alias("__eid"),
-        *[F.col(c).alias(f"__eb_{i}") for i, (_, c) in enumerate(block_on)],
+        *[F.col(c).alias(f"__b_{i}") for i, (_, c) in enumerate(block_on)],
         *[
             normalize_text(F.col(c)).alias(f"__em_{i}")
             for i, (_, c) in enumerate(match_fields)
         ],
     )
-    # A small-file scan arrives as one partition; without an explicit
-    # shuffle the (broadcast) pair join and all similarity scoring would run
-    # in a single task. Repartition the probe side on the blocking key so
-    # candidate generation + scoring parallelize across the cluster.
+    block_cols = [f"__b_{i}" for i in range(len(block_on))]
     n_parts = n.sparkSession.sparkContext.defaultParallelism
-    n = n.repartition(n_parts, *[F.col(f"__nb_{i}") for i in range(len(block_on))])
-    cond = None
-    for i in range(len(block_on)):
-        c = F.col(f"__nb_{i}") == F.col(f"__eb_{i}")
-        cond = c if cond is None else cond & c
-    pairs = n.join(F.broadcast(e), cond)
+    if broadcast_existing:
+        # A small-file scan arrives as one partition; repartition the probe
+        # side so candidate generation + scoring parallelize. The salt term
+        # spreads a hot block's rows over `salt` tasks — harmless for the
+        # broadcast join, which needs no co-partitioning.
+        spread = F.pmod(F.xxhash64(F.col("__nid")), F.lit(max(salt, 1)))
+        n = n.repartition(n_parts, *[F.col(c) for c in block_cols], spread)
+        pairs = n.join(F.broadcast(e), block_cols)
+    else:
+        pairs = salted_join(n, e, on=block_cols, how="inner", salt=max(salt, 1))
 
     scores = [
         similarity_ratio(F.col(f"__nm_{i}"), F.col(f"__em_{i}"), prenormalized=True)

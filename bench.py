@@ -6,6 +6,11 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is fully materialized via a count-ish action (collect for small
 results) so the timing covers scan → shuffle → result, not plan building.
+
+Per-query numbers are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS runs
+(default 3): this VM's co-tenant noise swings single runs up to 3×, and a
+median-of-3 makes round-over-round regressions detectable. The JSON also
+carries the raw per-run totals under "runs".
 """
 
 from __future__ import annotations
@@ -24,18 +29,30 @@ def main() -> None:
     spark = get_session("bench")
 
     specs = [s for s in all_queries().values() if s.headline]
-    timings: dict[str, float] = {}
+    n_runs = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3")))
 
     # warm the JVM + parquet footers once so per-query numbers measure the
     # query, not session startup.
     specs[0].fn(spark, sf_dir).count()
 
-    for spec in specs:
-        t0 = time.perf_counter()
-        n = spec.fn(spark, sf_dir).count()
-        dt = time.perf_counter() - t0
-        timings[spec.name] = round(dt, 4)
+    samples: dict[str, list[float]] = {s.name: [] for s in specs}
+    run_totals: list[float] = []
+    for _ in range(n_runs):
+        run_total = 0.0
+        for spec in specs:
+            t0 = time.perf_counter()
+            spec.fn(spark, sf_dir).count()
+            dt = time.perf_counter() - t0
+            samples[spec.name].append(dt)
+            run_total += dt
+        run_totals.append(round(run_total, 4))
 
+    def median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        m = len(ys) // 2
+        return ys[m] if len(ys) % 2 else (ys[m - 1] + ys[m]) / 2
+
+    timings = {name: round(median(xs), 4) for name, xs in samples.items()}
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(
@@ -44,6 +61,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "runs": run_totals,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -358,47 +358,44 @@ def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash")
     return df.select(F.col(id_col), sig.alias(out_col))
 
 
-def simhash_near_dup(
-    df: DataFrame,
+def _chunk_blocked_hamming_pairs(
+    sigs: DataFrame,
     id_col: str,
-    text_col: str,
-    max_hamming: int = 8,
+    sig_col: str,
+    n_chunks: int,
+    chunk_bits: int,
+    max_hamming: int,
 ) -> DataFrame:
-    """SimHash near-dup pairs: block on each of the 4 16-bit chunks (two
-    sigs within Hamming ≤ 3 of a 64-bit hash share at least one equal
-    chunk by pigeonhole; wider thresholds trade recall), verify by exact
-    Hamming distance ≤ ``max_hamming``. Returns (id_a, id_b, hamming)."""
-    # Parallelize the vote fold (raw repartition) and PERSIST the signature
-    # table: both join sides read it, and Catalyst would otherwise inline
-    # the 64-bit vote fold into each reference (see minhash_near_dup).
-    n_parts = df.sparkSession.sparkContext.defaultParallelism
-    sigs = simhash(df.repartition(n_parts, F.col(id_col)), id_col, text_col).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    """Pairs within ``max_hamming`` whose signatures share at least one
+    equal ``chunk_bits``-wide chunk. Pigeonhole gives GUARANTEED recall
+    only when ``max_hamming < n_chunks`` (fewer differing bits than
+    chunks forces an untouched chunk); beyond that the blocking is lossy
+    and the caller owns the recall tradeoff."""
+    mask = (1 << chunk_bits) - 1
     chunked = sigs.select(
         id_col,
-        "simhash",
+        sig_col,
         F.explode(
             F.array(
                 *[
                     F.struct(
                         F.lit(i).alias("chunk"),
-                        F.shiftrightunsigned(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftrightunsigned(F.col(sig_col), i * chunk_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("val"),
                     )
-                    for i in range(4)
+                    for i in range(n_chunks)
                 ]
             )
         ).alias("c"),
-    ).select(id_col, "simhash", "c.chunk", "c.val")
+    ).select(id_col, sig_col, "c.chunk", "c.val")
     a = chunked.select(
         F.col("chunk").alias("chunk_a"), F.col("val").alias("val_a"),
-        F.col(id_col).alias("id_a"), F.col("simhash").alias("sig_a"),
+        F.col(id_col).alias("id_a"), F.col(sig_col).alias("sig_a"),
     )
     b = chunked.select(
         F.col("chunk").alias("chunk_b"), F.col("val").alias("val_b"),
-        F.col(id_col).alias("id_b"), F.col("simhash").alias("sig_b"),
+        F.col(id_col).alias("id_b"), F.col(sig_col).alias("sig_b"),
     )
     hamming = F.bit_count(F.col("sig_a").bitwiseXOR(F.col("sig_b")))
     return (
@@ -412,3 +409,78 @@ def simhash_near_dup(
         .select("id_a", "id_b", hamming.alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
     )
+
+
+def simhash_near_dup(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """SimHash near-dup pairs: block on the 4 16-bit chunks, verify by
+    exact Hamming distance ≤ ``max_hamming``. Recall is guaranteed (by
+    pigeonhole) for ``max_hamming`` ≤ 3; wider thresholds trade recall —
+    measured on this corpus, chunk blocking finds only ~13% of all
+    Hamming-≤12 pairs, so treat >3 as candidate mining, not dedup.
+    Returns (id_a, id_b, hamming)."""
+    # Parallelize the vote fold (raw repartition) and PERSIST the signature
+    # table: both join sides read it, and Catalyst would otherwise inline
+    # the 64-bit vote fold into each reference (see minhash_near_dup).
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sigs = simhash(df.repartition(n_parts, F.col(id_col)), id_col, text_col).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    return _chunk_blocked_hamming_pairs(sigs, id_col, "simhash", 4, 16, max_hamming)
+
+
+def simhash_portable(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
+    """60-bit SimHash over md5-derived token hashes — the cross-engine twin
+    of ``simhash`` (xxhash64 has no SQL twin; the top 15 hex chars of md5
+    give 60 bits that any engine converts identically, and 60 bits stay
+    clear of the int64 sign bit in both)."""
+    toks = tokens(F.col(text_col))
+    hashes = F.transform(
+        toks,
+        lambda t: F.conv(F.substring(F.md5(t.cast("binary")), 1, 15), 16, 10).cast("long"),
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(60)])
+    votes = F.aggregate(
+        hashes,
+        F.array_repeat(F.lit(0).cast("int"), 60),
+        lambda acc, h: F.zip_with(
+            acc,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(59)),
+                lambda b: F.when(
+                    h.bitwiseAND(F.element_at(powers, b.cast("int") + 1)) != 0, 1
+                ).otherwise(-1),
+            ),
+            lambda a, v: a + v,
+        ),
+    )
+    sig = F.aggregate(
+        F.zip_with(
+            votes, powers, lambda v, p: F.when(v > 0, p).otherwise(F.lit(0).cast("long"))
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc.bitwiseOR(x),
+    )
+    return df.select(F.col(id_col), sig.alias(out_col))
+
+
+def simhash_near_dup_portable(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 3,
+) -> DataFrame:
+    """Portable-simhash near-dup pairs blocked on 4 15-bit chunks.
+
+    With ``max_hamming`` ≤ 3 the chunk blocking is lossless (pigeonhole),
+    so the result EQUALS exact all-pairs Hamming filtering — which is what
+    lets an external SQL engine verify it value-for-value."""
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sigs = simhash_portable(
+        df.repartition(n_parts, F.col(id_col)), id_col, text_col
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+    return _chunk_blocked_hamming_pairs(sigs, id_col, "simhash", 4, 15, max_hamming)

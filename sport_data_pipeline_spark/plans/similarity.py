@@ -207,10 +207,42 @@ def minhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("simhash_neardup", survey="dedup-simhash", oracle=None)
+# Registered in the pigeonhole-guaranteed regime (hamming ≤ 3 over 4
+# chunks ⇒ chunk blocking is lossless), on the md5-based portable simhash,
+# so exact all-pairs Hamming SQL is a true oracle: the signature
+# construction, chunk blocking, and verification all must agree. (At
+# hamming ≤ 12 chunk blocking recalls only ~13% of pairs on this corpus —
+# that regime is candidate mining, not dedup, and stays unregistered.)
+SIMHASH_ORACLE = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+),
+th AS (
+  SELECT doc_id, [ ('0x' || substr(md5(tok), 1, 15))::BIGINT for tok in t ] AS hs FROM toks
+),
+sigs AS (
+  SELECT doc_id,
+         CAST(list_sum([ CASE WHEN list_sum([ CASE WHEN (h >> b) & 1 = 1 THEN 1 ELSE -1 END
+                                              for h in hs ]) > 0
+                              THEN (1::BIGINT << b) ELSE 0::BIGINT END
+                         for b in generate_series(0, 59) ]) AS BIGINT) AS sig
+  FROM th
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         CAST(bit_count(xor(a.sig, b.sig)) AS INTEGER) AS hamming
+  FROM sigs a JOIN sigs b ON a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, hamming FROM pairs WHERE hamming <= 3
+"""
+
+
+@query("simhash_neardup", survey="dedup-simhash", oracle=SIMHASH_ORACLE)
 def simhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from ..operators.dedup import simhash_near_dup_portable
+
     d = _t(spark, sf_dir, "documents")
-    return simhash_near_dup(d, "doc_id", "text", max_hamming=12)
+    return simhash_near_dup_portable(d, "doc_id", "text", max_hamming=3)
 
 
 # ---------------------------------------------------------------------------

@@ -485,6 +485,7 @@ def cosine_topk_arrow(
     corpus_vec: str = "embedding",
     k: int = 5,
     batch_topk_only: bool = True,
+    max_queries: int = 65_536,
 ) -> DataFrame:
     """Throughput-path brute-force top-k: numpy matmul over Arrow batches.
 
@@ -508,7 +509,13 @@ def cosine_topk_arrow(
     import numpy as np
     import pandas as pd
 
-    qp = queries.select(F.col(query_id), F.col(query_vec)).toPandas()
+    qp = queries.select(F.col(query_id), F.col(query_vec)).limit(max_queries + 1).toPandas()
+    if len(qp) > max_queries:
+        raise ValueError(
+            f"cosine_topk_arrow collects the query side to the driver; got more "
+            f"than max_queries={max_queries} rows. Batch the probes (or raise "
+            f"max_queries deliberately) instead of streaming a corpus through it."
+        )
     qids = qp[query_id].to_numpy()
     Q = np.stack(qp[query_vec].to_numpy()).astype(np.float64)
     qn = np.linalg.norm(Q, axis=1)

@@ -303,7 +303,8 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str, n_lists: int) -> str:
     import os
 
     tag = sf_dir.strip("/").replace("/", "_")
-    path = f"/tmp/spark_graft_ivf/{tag}_l{n_lists}"
+    root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".ivf_cache")
+    path = f"{root}/{tag}_l{n_lists}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         emb = _t(spark, sf_dir, "embeddings")
         build_ivf_index(emb, "vec_id", path, n_lists=n_lists)

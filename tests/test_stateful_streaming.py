@@ -67,3 +67,53 @@ def test_transitions_across_batches(spark, tmp_path):
     f2 = [(r["prev_status"], r["new_status"]) for r in rows if r["fixture_id"] == 2]
     assert f1 == [(None, "scheduled"), ("scheduled", "live"), ("live", "finished")]
     assert f2 == [(None, "live")]
+
+
+class _FakeState:
+    """Minimal GroupState stand-in for driving _track's state machine
+    without a streaming query."""
+
+    def __init__(self, value=None, has_timed_out=False):
+        self._value = value
+        self.hasTimedOut = has_timed_out
+        self.removed = False
+        self.updated = None
+
+    @property
+    def exists(self):
+        return self._value is not None
+
+    @property
+    def get(self):
+        return self._value
+
+    def update(self, v):
+        self.updated = v
+
+    def remove(self):
+        self.removed = True
+
+    def setTimeoutDuration(self, ms):
+        pass
+
+
+def test_track_timeout_invocation_removes_state():
+    """A ProcessingTimeTimeout invocation delivers NO batches; _track must
+    drop the expired state and emit nothing instead of crashing on
+    pd.concat of an empty iterator (the ~1h-after-finish crash)."""
+    from sport_data_pipeline_spark.streaming.stateful import _track
+
+    state = _FakeState(value=("finished",), has_timed_out=True)
+    out = list(_track((1,), iter([]), state))
+    assert out == []
+    assert state.removed
+    assert state.updated is None
+
+
+def test_track_empty_batch_iterator_is_noop():
+    from sport_data_pipeline_spark.streaming.stateful import _track
+
+    state = _FakeState(value=("live",))
+    out = list(_track((1,), iter([]), state))
+    assert out == []
+    assert not state.removed

@@ -1,0 +1,324 @@
+"""Training-corpus preparation query pack (beyond-reference LLM-pipeline
+operators): Gopher-style repetition profiling, deterministic hash-based
+train/validation/test splits, fixed-size token chunking with overlap,
+PII-style redaction, and inverted-index term statistics.
+
+These extend the documents-table text analysis in plans/textops.py with the
+operations a large-scale training-data pipeline runs between "raw corpus"
+and "tokenizer input". Every query is a pure DataFrame plan (no Python
+UDFs) so the wordcount-shaped shuffles keep map-side partial aggregation at
+100 TB, and every query carries an exact DuckDB oracle.
+
+Repetition thresholds follow the published Gopher data-quality rules
+(Rae et al. 2021, "Scaling Language Models", table A1): fraction of
+duplicate tokens and fraction of characters in the most frequent n-gram.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..catalog import load_table
+from ..functions.text import tokens, word_shingles
+from .registry import query
+
+#: Tag separator for the single-pass unigram/bigram frequency explode.
+#: \x01 cannot appear in whitespace-split tokens.
+_TAG_U = "u\x01"
+_TAG_B = "b\x01"
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style repetition profile: duplicate-token fraction, most-frequent
+# unigram/bigram fraction. One explode of a tagged (unigram ∪ bigram) array
+# → one wordcount-shaped groupBy pair; both aggregations are partial-agg
+# friendly so the plan is a straight map-combine-reduce at any scale.
+# ---------------------------------------------------------------------------
+
+REPETITION_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+base AS (
+  SELECT doc_id, toks, len(toks) AS n_tok, len(list_distinct(toks)) AS n_uni,
+         [toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks)-1)] AS bi
+  FROM t
+),
+uc AS (
+  SELECT doc_id, MAX(c) AS top_uni FROM (
+    SELECT doc_id, tok, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(toks) AS tok FROM base) GROUP BY 1, 2
+  ) GROUP BY 1
+),
+bc AS (
+  SELECT doc_id, MAX(c) AS top_bi FROM (
+    SELECT doc_id, bg, COUNT(*) AS c
+    FROM (SELECT doc_id, unnest(bi) AS bg FROM base) GROUP BY 1, 2
+  ) GROUP BY 1
+)
+SELECT b.doc_id,
+       CAST(b.n_tok AS BIGINT) AS n_tokens,
+       CAST(b.n_tok - b.n_uni AS DOUBLE) / b.n_tok AS dup_token_frac,
+       CAST(uc.top_uni AS DOUBLE) / b.n_tok AS top_token_frac,
+       CASE WHEN b.n_tok > 1 THEN CAST(bc.top_bi AS DOUBLE) / (b.n_tok - 1)
+            ELSE 0.0 END AS top_bigram_frac
+FROM base b
+JOIN uc USING (doc_id)
+LEFT JOIN bc USING (doc_id)
+"""
+
+
+@query("repetition_profile", survey="llm-quality,A5,A7", oracle=REPETITION_ORACLE, headline=True)
+def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document repetition features for quality filtering (Gopher A1).
+
+    Single pass: unigrams and bigrams are tagged and exploded together, so
+    one (doc_id, gram) count covers token totals, distinct counts, and both
+    mode frequencies — no join between two explode branches.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    bi = word_shingles(F.col("text"), 2)
+    tagged = F.concat(
+        F.transform(toks, lambda t: F.concat(F.lit(_TAG_U), t)),
+        F.transform(bi, lambda b: F.concat(F.lit(_TAG_B), b)),
+    )
+    grams = d.select("doc_id", F.explode(tagged).alias("g"))
+    counts = grams.groupBy("doc_id", "g").agg(F.count(F.lit(1)).alias("c"))
+    is_u = F.col("g").startswith(_TAG_U)
+    prof = counts.groupBy("doc_id").agg(
+        F.sum(F.when(is_u, F.col("c"))).cast("long").alias("n_tokens"),
+        F.count(F.when(is_u, F.lit(1))).cast("long").alias("n_unique"),
+        F.max(F.when(is_u, F.col("c"))).alias("top_uni"),
+        F.max(F.when(~is_u, F.col("c"))).alias("top_bi"),
+    )
+    n_tok = F.col("n_tokens")
+    return prof.select(
+        "doc_id",
+        n_tok.alias("n_tokens"),
+        ((n_tok - F.col("n_unique")).cast("double") / n_tok).alias("dup_token_frac"),
+        (F.col("top_uni").cast("double") / n_tok).alias("top_token_frac"),
+        F.when(n_tok > 1, F.col("top_bi").cast("double") / (n_tok - 1))
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash split: md5(doc_id) → bucket 0..99 → train/val/test.
+# Pure map + tiny aggregation — the split assignment never shuffles and is
+# reproducible across engines, runs, and cluster sizes (no RNG state).
+# ---------------------------------------------------------------------------
+
+HASH_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT lang, text,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM documents
+)
+SELECT CASE WHEN bucket < 80 THEN 'train'
+            WHEN bucket < 90 THEN 'validation'
+            ELSE 'test' END AS split,
+       lang,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS total_word_tokens
+FROM b
+GROUP BY 1, 2
+"""
+
+
+@query("hash_split_mixture", survey="llm-split,A1,A5", oracle=HASH_SPLIT_ORACLE)
+def hash_split_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """80/10/10 deterministic split by md5(doc_id), with per-(split, lang)
+    document and token totals — the reproducible train/val/test assignment
+    a training pipeline needs (content-independent, so dedup upstream of
+    the split cannot move a document between splits)."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "lang",
+            F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).cast("long").alias("wt"),
+        )
+        .groupBy("split", "lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("wt").cast("long").alias("total_word_tokens"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Fixed-size token chunking with overlap (context-window packing prep):
+# chunk_size=64 tokens, stride=48 (16-token overlap). Explode of a generated
+# index range — no UDF, no driver loop; each output row carries a content
+# fingerprint so the oracle checks chunk CONTENT, not just counts.
+# ---------------------------------------------------------------------------
+
+_CHUNK = 64
+_STRIDE = 48
+
+DOC_CHUNKS_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+n AS (
+  SELECT doc_id, toks,
+         CAST(1 + floor((greatest(len(toks) - {_CHUNK}, 0) + {_STRIDE - 1}) / {_STRIDE}.0) AS INT)
+           AS nc
+  FROM t
+)
+SELECT doc_id,
+       CAST(i AS INT) AS chunk_idx,
+       CAST(len(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}]) AS INT) AS n_chunk_tokens,
+       md5(array_to_string(toks[i * {_STRIDE} + 1 : i * {_STRIDE} + {_CHUNK}], ' ')) AS chunk_fp
+FROM (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM n)
+"""
+
+
+@query("doc_chunks", survey="llm-chunking,P1,UDTF", oracle=DOC_CHUNKS_ORACLE, headline=True)
+def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping token-window chunks (64-token windows, 48-token stride).
+
+    The chunk count is closed-form from the token count, so the plan is
+    generate-sequence → explode → slice: embarrassingly parallel, zero
+    shuffle, and the md5 fingerprint pins the exact chunk content for the
+    oracle without shipping chunk text through the comparator.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    base = d.select("doc_id", toks.alias("toks"))
+    n = F.size(F.col("toks"))
+    extra = F.greatest(n - _CHUNK, F.lit(0))
+    nc = (F.lit(1) + F.floor((extra + (_STRIDE - 1)) / F.lit(float(_STRIDE)))).cast("int")
+    with_idx = base.select(
+        "doc_id", "toks", F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_idx")
+    )
+    chunk = F.slice(F.col("toks"), F.col("chunk_idx") * _STRIDE + 1, F.lit(_CHUNK))
+    return with_idx.select(
+        "doc_id",
+        F.col("chunk_idx").cast("int").alias("chunk_idx"),
+        F.size(chunk).cast("int").alias("n_chunk_tokens"),
+        F.md5(F.concat_ws(" ", chunk).cast("binary")).alias("chunk_fp"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PII-style redaction. The synthetic corpus carries no real contact data, so
+# the query derives a deterministic contact blob from integer customer keys
+# (integer→string casts are engine-portable; float formatting is not) and
+# then redacts it — the deliverable is the redaction expression chain:
+# email → phone → residual long digit runs, with per-stage match counts.
+# All three patterns are RE2∩Java-safe (no lookahead, no backrefs).
+# ---------------------------------------------------------------------------
+
+_EMAIL_RE = "[a-z0-9._%+-]+@[a-z0-9.-]+\\.[a-z]{2,}"
+_PHONE_RE = "\\+[0-9]{1,2}-[0-9]{3}-[0-9]{4}"
+_NUM_RE = "[0-9]{5,}"
+
+PII_REDACT_ORACLE = f"""
+WITH blob AS (
+  SELECT c_custkey,
+         c_name || ' reachable at user' || CAST(c_custkey AS VARCHAR)
+                || '@example.com or +1-555-'
+                || lpad(CAST(c_custkey % 10000 AS VARCHAR), 4, '0')
+                || ' ref ' || CAST(c_custkey * 7919 + 104729 AS VARCHAR) AS s
+  FROM customer
+),
+s1 AS (SELECT c_custkey, s, regexp_replace(s, '{_EMAIL_RE}', '[EMAIL]', 'g') AS r1 FROM blob),
+s2 AS (SELECT *, regexp_replace(r1, '{_PHONE_RE}', '[PHONE]', 'g') AS r2 FROM s1)
+SELECT c_custkey,
+       regexp_replace(r2, '{_NUM_RE}', '[NUM]', 'g') AS redacted,
+       CAST(len(regexp_extract_all(s, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(r1, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(r2, '{_NUM_RE}')) AS BIGINT) AS n_nums
+FROM s2
+"""
+
+
+@query("pii_redaction", survey="llm-pii,F18,P1", oracle=PII_REDACT_ORACLE)
+def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Staged PII scrubbing (emails → phones → long digit runs) with match
+    counts per stage. Pure regexp_replace chain: JVM-side, whole-stage
+    codegen, no shuffle — at 100 TB this is a map-only scan."""
+    c = _t(spark, sf_dir, "customer")
+    key = F.col("c_custkey").cast("long")
+    blob = F.concat(
+        F.col("c_name"),
+        F.lit(" reachable at user"),
+        key.cast("string"),
+        F.lit("@example.com or +1-555-"),
+        F.lpad((key % 10000).cast("string"), 4, "0"),
+        F.lit(" ref "),
+        (key * 7919 + 104729).cast("string"),
+    )
+    s0 = c.select("c_custkey", blob.alias("s"))
+    s1 = s0.withColumn("r1", F.regexp_replace("s", _EMAIL_RE, "[EMAIL]"))
+    s2 = s1.withColumn("r2", F.regexp_replace("r1", _PHONE_RE, "[PHONE]"))
+    return s2.select(
+        "c_custkey",
+        F.regexp_replace("r2", _NUM_RE, "[NUM]").alias("redacted"),
+        F.regexp_count(F.col("s"), F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(F.col("r1"), F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(F.col("r2"), F.lit(_NUM_RE)).cast("long").alias("n_nums"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Inverted-index term statistics: collection frequency, document frequency,
+# max within-doc TF — the two-level aggregation (term,doc → term) keeps both
+# shuffles partial-agg combinable (no countDistinct expand). Top-20 under a
+# total tie-break order so the limit boundary is engine-deterministic.
+# ---------------------------------------------------------------------------
+
+TERM_DF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
+),
+tf AS (
+  SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2
+)
+SELECT term,
+       CAST(SUM(tf) AS BIGINT) AS collection_tf,
+       CAST(COUNT(*) AS BIGINT) AS doc_freq,
+       CAST(MAX(tf) AS BIGINT) AS max_tf
+FROM tf
+GROUP BY term
+ORDER BY collection_tf DESC, term
+LIMIT 20
+"""
+
+
+@query("term_doc_frequency", survey="llm-index,A5,O1", oracle=TERM_DF_ORACLE, headline=True)
+def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 corpus terms by collection frequency with document frequency
+    and max per-doc TF (the inverted-index posting-list statistics).
+    Two-level groupBy instead of countDistinct keeps the plan free of an
+    Expand operator and both exchanges map-side combinable."""
+    d = _t(spark, sf_dir, "documents")
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.sum("tf").cast("long").alias("collection_tf"),
+            F.count(F.lit(1)).cast("long").alias("doc_freq"),
+            F.max("tf").cast("long").alias("max_tf"),
+        )
+        .orderBy(F.desc("collection_tf"), F.asc("term"))
+        .limit(20)
+    )

@@ -128,3 +128,35 @@ def test_sketch_aggregates_single_exchange(spark):
     )
     plan = physical_plan(df)
     assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_doc_chunks_shuffle_free(spark):
+    # chunk count is closed-form from the token count, so chunking is
+    # generate → explode → slice: a map-only scan, zero exchanges.
+    plan = physical_plan(SPECS["doc_chunks"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "Generate explode" in plan
+
+
+def test_pii_redaction_map_only(spark):
+    # staged regexp_replace chain never shuffles — pure projection.
+    plan = physical_plan(SPECS["pii_redaction"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+
+
+def test_repetition_profile_partial_agg_no_join(spark):
+    # single tagged explode feeds both frequency levels: two wordcount
+    # shuffles with map-side combine, and crucially NO join between an
+    # unigram branch and a bigram branch (one pass over the corpus).
+    plan = physical_plan(SPECS["repetition_profile"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+
+
+def test_term_doc_frequency_no_expand(spark):
+    # doc_freq via two-level groupBy, not countDistinct: an Expand node
+    # would double the exploded row count through the first exchange.
+    plan = physical_plan(SPECS["term_doc_frequency"].fn(spark, SF_DIR))
+    assert "Expand" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts

@@ -153,6 +153,196 @@ def attach_binary_payload(df: DataFrame, id_col: str, text_col: str) -> DataFram
     )
 
 
+def parse_wav_header(b: bytes | None) -> tuple[int, int, int, float] | None:
+    """Header-only audio decode: (channels, sample_rate, bits_per_sample,
+    duration_sec) from a RIFF/WAVE container, or None if unrecognizable.
+
+    Walks the RIFF chunk list (4-byte id, little-endian uint32 size): the
+    ``fmt `` chunk carries channels/rate/bits, the ``data`` chunk size over
+    the byte rate gives the duration — the published canonical WAV layout.
+    """
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    channels = rate = bits = None
+    data_bytes = None
+    i = 12
+    n = len(b)
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        (size,) = struct.unpack("<I", b[i + 4 : i + 8])
+        if cid == b"fmt " and i + 24 <= n:
+            channels, rate = struct.unpack("<HI", b[i + 10 : i + 16])
+            (bits,) = struct.unpack("<H", b[i + 22 : i + 24])
+        elif cid == b"data":
+            data_bytes = size
+        i += 8 + size + (size & 1)  # RIFF chunks are word-aligned
+    if not channels or not rate or not bits or data_bytes is None:
+        return None
+    byte_rate = rate * channels * (bits // 8)
+    return (channels, rate, bits, round(data_bytes / byte_rate, 6) if byte_rate else 0.0)
+
+
+def parse_mp4_header(b: bytes | None) -> tuple[str, float] | None:
+    """Header-only video decode: (major_brand, duration_sec) from an
+    ISO-BMFF (MP4) container, or None if unrecognizable.
+
+    Walks the top-level box list (big-endian uint32 size, 4-byte type;
+    size==1 means a 64-bit largesize follows). ``ftyp`` yields the brand;
+    the ``mvhd`` box inside ``moov`` carries timescale + duration (version
+    0: uint32s at offset 12; version 1: uint64 duration, uint32 timescale
+    at offset 20) — the published ISO/IEC 14496-12 layout.
+    """
+    if not b or len(b) < 12 or b[4:8] != b"ftyp":
+        return None
+    brand = b[8:12].decode("ascii", errors="replace")
+
+    def walk(lo: int, hi: int, depth: int) -> float | None:
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", b[i : i + 4])
+            btype = b[i + 4 : i + 8]
+            payload = i + 8
+            if size == 1:
+                if payload + 8 > hi:
+                    return None
+                (size,) = struct.unpack(">Q", b[payload : payload + 8])
+                payload += 8
+            elif size == 0:  # box extends to end of file
+                size = hi - i
+            if size < 8 or i + size > hi:
+                return None
+            if btype == b"moov" and depth == 0:
+                found = walk(payload, i + size, 1)
+                if found is not None:
+                    return found
+            elif btype == b"mvhd" and depth == 1 and payload + 4 <= hi:
+                version = b[payload]
+                if version == 1 and payload + 32 <= hi:
+                    (timescale,) = struct.unpack(">I", b[payload + 20 : payload + 24])
+                    (duration,) = struct.unpack(">Q", b[payload + 24 : payload + 32])
+                elif version == 0 and payload + 24 <= hi:
+                    timescale, duration = struct.unpack(">II", b[payload + 12 : payload + 20])
+                else:
+                    return None
+                return round(duration / timescale, 6) if timescale else None
+            i += size
+        return None
+
+    duration = walk(0, len(b), 0)
+    return None if duration is None else (brand, duration)
+
+
+AUDIO_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_bytes", LongType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("duration_sec", FloatType(), True),
+    ]
+)
+
+
+def extract_audio_meta(df: DataFrame) -> DataFrame:
+    """Arrow-batched WAV header decode over the media schema; NULL columns
+    for unrecognizable payloads (never a crash mid-corpus)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            parsed = [
+                parse_wav_header(None if p is None else bytes(p)) for p in pdf["payload"]
+            ]
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "n_bytes": pdf["n_bytes"],
+                    "channels": pd.array([p[0] if p else None for p in parsed], dtype="Int32"),
+                    "sample_rate": pd.array([p[1] if p else None for p in parsed], dtype="Int32"),
+                    "bits_per_sample": pd.array(
+                        [p[2] if p else None for p in parsed], dtype="Int32"
+                    ),
+                    "duration_sec": pd.array(
+                        [p[3] if p else None for p in parsed], dtype="Float32"
+                    ),
+                }
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_META_SCHEMA)
+
+
+FRAME_SAMPLE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), False),
+        StructField("ts_sec", FloatType(), False),
+        StructField("frame", BinaryType(), True),
+    ]
+)
+
+
+def sample_frames(df: DataFrame, fps: float = 1.0, max_frames: int = 32) -> DataFrame:
+    """Video frame sampling: one output row per sampled timestamp, capped at
+    ``max_frames`` per video (uniform stride when the cap binds).
+
+    The container parse (mvhd duration) is REAL; the pixel extraction seam
+    yields NULL ``frame`` bytes — an ffmpeg-backed decoder slots into
+    ``_extract_frame`` without touching the distributed shape. Videos the
+    parser rejects produce no rows (filtered, not crashed).
+    """
+
+    def _extract_frame(payload: bytes, ts: float) -> bytes | None:
+        # codec seam: real frame extraction requires ffmpeg, which stays
+        # outside this container. NULL marks "not decoded", never fake pixels.
+        return None
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out_id: list[int] = []
+            out_idx: list[int] = []
+            out_ts: list[float] = []
+            out_frame: list[bytes | None] = []
+            for media_id, payload in zip(pdf["media_id"], pdf["payload"]):
+                if payload is None:
+                    continue
+                b = bytes(payload)
+                parsed = parse_mp4_header(b)
+                if parsed is None:
+                    continue
+                _, duration = parsed
+                n_want = int(duration * fps) + 1
+                n = min(n_want, max_frames)
+                if n <= 0:
+                    continue
+                stride = duration / n
+                for k in range(n):
+                    ts = round(k * stride, 6)
+                    out_id.append(int(media_id))
+                    out_idx.append(k)
+                    out_ts.append(ts)
+                    out_frame.append(_extract_frame(b, ts))
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out_id, dtype="Int64"),
+                    "frame_idx": pd.array(out_idx, dtype="Int32"),
+                    "ts_sec": pd.array(out_ts, dtype="Float32"),
+                    "frame": pd.array(out_frame, dtype=object),
+                }
+            )
+
+    return df.mapInPandas(run, schema=FRAME_SAMPLE_SCHEMA)
+
+
+def fit_within(w: int, h: int, max_w: int, max_h: int) -> tuple[int, int]:
+    """Aspect-preserving resize geometry (the pure-math half of a resize
+    operator; the resampler slots in behind the same numbers): largest
+    (width, height) <= (max_w, max_h) keeping w:h, floor-rounded, min 1px."""
+    if w <= 0 or h <= 0:
+        return (1, 1)
+    scale = min(max_w / w, max_h / h, 1.0)
+    return (max(int(w * scale), 1), max(int(h * scale), 1))
+
+
 def extract_features(df: DataFrame, decode_stub: bool = True, batch_hint: int | None = None) -> DataFrame:
     """Decode + feature-extract via mapInPandas (Arrow record batches).
 

@@ -102,3 +102,113 @@ def test_real_decode_header_features(spark):
     feats = {r["media_id"]: r["feature"] for r in extract_features(media, decode_stub=False).collect()}
     assert feats[1][:3] == [100.0, 50.0, 2.0]  # width, height, aspect
     assert feats[2] is None  # unrecognized payload → NULL, not a crash
+
+
+# ---------------------------------------------------------------------------
+# Audio (RIFF/WAVE) + video (ISO-BMFF) header decode and frame sampling.
+# The WAV bytes come from the stdlib `wave` writer (a real encoder); the MP4
+# bytes are hand-packed to the published ISO/IEC 14496-12 box layout.
+# ---------------------------------------------------------------------------
+
+import io
+import struct
+import wave
+
+
+def _wav(channels=2, rate=16000, n_frames=8000, bits=16):
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(channels)
+        w.setsampwidth(bits // 8)
+        w.setframerate(rate)
+        w.writeframes(b"\x00" * (n_frames * channels * (bits // 8)))
+    return buf.getvalue()
+
+
+def _box(btype: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + btype + payload
+
+
+def _mp4(duration_sec=10.0, timescale=600, version=0, brand=b"isom"):
+    if version == 0:
+        mvhd = bytes([0, 0, 0, 0]) + struct.pack(
+            ">III", 0, 0, timescale
+        ) + struct.pack(">I", int(duration_sec * timescale)) + b"\x00" * 80
+    else:
+        mvhd = bytes([1, 0, 0, 0]) + struct.pack(
+            ">QQI", 0, 0, timescale
+        ) + struct.pack(">Q", int(duration_sec * timescale)) + b"\x00" * 80
+    return _box(b"ftyp", brand + b"\x00\x00\x02\x00isomiso2") + _box(
+        b"moov", _box(b"mvhd", mvhd)
+    ) + _box(b"mdat", b"\x00" * 64)
+
+
+def test_parse_wav_header_real_encoder_bytes():
+    from sport_data_pipeline_spark.operators.multimodal import parse_wav_header
+
+    assert parse_wav_header(_wav(2, 16000, 8000, 16)) == (2, 16000, 16, 0.5)
+    assert parse_wav_header(_wav(1, 44100, 44100, 16)) == (1, 44100, 16, 1.0)
+    assert parse_wav_header(b"RIFFxxxxNOPE") is None
+    assert parse_wav_header(None) is None
+    assert parse_wav_header(b"") is None
+
+
+def test_parse_mp4_header_both_mvhd_versions():
+    from sport_data_pipeline_spark.operators.multimodal import parse_mp4_header
+
+    assert parse_mp4_header(_mp4(10.0, 600, version=0)) == ("isom", 10.0)
+    assert parse_mp4_header(_mp4(3.5, 90000, version=1)) == ("isom", 3.5)
+    assert parse_mp4_header(b"\x00\x00\x00\x08free") is None  # no ftyp
+    assert parse_mp4_header(_box(b"ftyp", b"isom")) is None  # no moov/mvhd
+    assert parse_mp4_header(None) is None
+
+
+def test_extract_audio_meta_distributed(spark):
+    from sport_data_pipeline_spark.operators.multimodal import extract_audio_meta
+
+    rows = [
+        (1, _wav(2, 16000, 8000, 16), "audio/wav", 0, "{}"),
+        (2, b"not audio", "text/plain", 0, "{}"),
+        (3, None, None, 0, "{}"),
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime_type string, n_bytes long, meta_json string"
+    )
+    got = {r["media_id"]: r for r in extract_audio_meta(media).collect()}
+    assert (got[1]["channels"], got[1]["sample_rate"], got[1]["bits_per_sample"]) == (2, 16000, 16)
+    assert abs(got[1]["duration_sec"] - 0.5) < 1e-6
+    assert got[2]["channels"] is None and got[3]["channels"] is None
+
+
+def test_sample_frames_stride_and_cap(spark):
+    from sport_data_pipeline_spark.operators.multimodal import sample_frames
+
+    rows = [
+        (1, _mp4(4.0, 600), "video/mp4", 0, "{}"),  # 4s @ 1fps → 5 frames
+        (2, _mp4(100.0, 600), "video/mp4", 0, "{}"),  # capped at max_frames
+        (3, b"junk", "text/plain", 0, "{}"),  # rejected → zero rows
+    ]
+    media = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime_type string, n_bytes long, meta_json string"
+    )
+    out = sample_frames(media, fps=1.0, max_frames=8).collect()
+    by_id = {}
+    for r in out:
+        by_id.setdefault(r["media_id"], []).append(r)
+    assert len(by_id[1]) == 5
+    assert [r["frame_idx"] for r in sorted(by_id[1], key=lambda r: r["frame_idx"])] == list(range(5))
+    assert len(by_id[2]) == 8  # uniform stride under the cap
+    ts = sorted(r["ts_sec"] for r in by_id[2])
+    assert abs((ts[1] - ts[0]) - 12.5) < 1e-4  # 100s / 8 frames
+    assert 3 not in by_id
+    assert all(r["frame"] is None for r in out)  # codec seam yields NULL
+
+
+def test_fit_within_geometry():
+    from sport_data_pipeline_spark.operators.multimodal import fit_within
+
+    assert fit_within(1920, 1080, 640, 640) == (640, 360)
+    assert fit_within(1080, 1920, 640, 640) == (360, 640)
+    assert fit_within(100, 50, 640, 640) == (100, 50)  # never upscale
+    assert fit_within(10000, 1, 64, 64) == (64, 1)
+    assert fit_within(0, 0, 64, 64) == (1, 1)

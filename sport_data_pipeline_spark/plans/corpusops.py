@@ -80,7 +80,12 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     one (doc_id, gram) count covers token totals, distinct counts, and both
     mode frequencies — no join between two explode branches.
     """
-    d = _t(spark, sf_dir, "documents")
+    # Single-file parquet reads as ONE partition; spread the CPU-heavy
+    # explode across the cluster before it starts (no-op cost at scale,
+    # where the input already has many splits).
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     toks = tokens(F.col("text"))
     bi = word_shingles(F.col("text"), 2)
     tagged = F.concat(

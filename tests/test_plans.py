@@ -145,13 +145,14 @@ def test_pii_redaction_map_only(spark):
 
 
 def test_repetition_profile_partial_agg_no_join(spark):
-    # single tagged explode feeds both frequency levels: two wordcount
-    # shuffles with map-side combine, and crucially NO join between an
-    # unigram branch and a bigram branch (one pass over the corpus).
+    # single tagged explode feeds both frequency levels, and the up-front
+    # hash(doc_id) repartition of the RAW docs satisfies clustering for
+    # both groupBys — exactly ONE exchange (of pre-explosion rows), and
+    # crucially NO join between an unigram branch and a bigram branch.
     plan = physical_plan(SPECS["repetition_profile"].fn(spark, SF_DIR))
-    assert plan.count("Exchange hashpartitioning") == 2
+    assert plan.count("Exchange hashpartitioning") == 1
     assert "Join" not in plan
-    assert plan.count("HashAggregate") >= 4  # partial+final at both levels
+    assert plan.count("HashAggregate") >= 4  # both levels, colocated
 
 
 def test_term_doc_frequency_no_expand(spark):

@@ -327,3 +327,148 @@ def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("collection_tf"), F.asc("term"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus mixture rebalancing: deterministic downsampling toward a uniform
+# per-language target (the domain-reweighting step of training-data prep).
+# Selection = md5 bucket vs a per-language keep threshold computed from the
+# actual counts, so the sample is reproducible and content-independent:
+# re-running on a grown corpus keeps previously-selected documents stable
+# within unchanged languages. Docs flow map-only (counts broadcast back).
+# ---------------------------------------------------------------------------
+
+MIXTURE_ORACLE = """
+WITH counts AS (
+  SELECT lang, COUNT(*) AS n_lang FROM documents GROUP BY lang
+),
+tot AS (
+  SELECT SUM(n_lang) AS n_total, COUNT(*) AS n_langs FROM counts
+),
+thresh AS (
+  SELECT c.lang, c.n_lang,
+         CAST(floor(10000 * least(1.0,
+              (CAST(t.n_total AS DOUBLE) / t.n_langs) / c.n_lang)) AS BIGINT) AS keep_bucket
+  FROM counts c CROSS JOIN tot t
+),
+kept AS (
+  SELECT d.lang,
+         CASE WHEN ('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15))::BIGINT % 10000
+                   < th.keep_bucket THEN 1 ELSE 0 END AS keep
+  FROM documents d JOIN thresh th USING (lang)
+)
+SELECT k.lang,
+       CAST(th.n_lang AS BIGINT) AS n_before,
+       CAST(SUM(k.keep) AS BIGINT) AS n_kept,
+       CAST(th.keep_bucket AS BIGINT) AS keep_bucket
+FROM kept k JOIN thresh th USING (lang)
+GROUP BY k.lang, th.n_lang, th.keep_bucket
+"""
+
+
+@query("corpus_mixture_sample", survey="llm-mixture,A1,J1", oracle=MIXTURE_ORACLE)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rebalance the language mixture by deterministic hash sampling toward
+    uniform shares. The per-language thresholds come from a tiny aggregate
+    that is broadcast back onto the corpus — documents themselves never
+    shuffle, so at 100 TB this is one scan + one broadcast join."""
+    d = _t(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_lang"))
+    tot = counts.agg(
+        F.sum("n_lang").alias("n_total"), F.count(F.lit(1)).alias("n_langs")
+    )
+    thresh = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_lang",
+        F.floor(
+            10000
+            * F.least(
+                F.lit(1.0),
+                (F.col("n_total").cast("double") / F.col("n_langs")) / F.col("n_lang"),
+            )
+        )
+        .cast("long")
+        .alias("keep_bucket"),
+    )
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % 10000
+    )
+    kept = d.join(F.broadcast(thresh), "lang").select(
+        "lang",
+        "n_lang",
+        "keep_bucket",
+        F.when(bucket < F.col("keep_bucket"), F.lit(1)).otherwise(F.lit(0)).alias("keep"),
+    )
+    return kept.groupBy("lang", "n_lang", "keep_bucket").agg(
+        F.sum("keep").cast("long").alias("n_kept")
+    ).select(
+        "lang",
+        F.col("n_lang").cast("long").alias("n_before"),
+        "n_kept",
+        F.col("keep_bucket").cast("long").alias("keep_bucket"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sequence-packing statistics: greedy shard-local packing of documents into
+# fixed 512-token training bins (cumulative token count over a deterministic
+# doc order → bin id). Packing stays WITHIN (lang, source) shards so the
+# window never needs a global sort — the partition key is the shard, which
+# is how a 1000-executor packing job would actually run.
+# ---------------------------------------------------------------------------
+
+_BIN_TOKENS = 512
+
+SEQ_PACK_ORACLE = f"""
+WITH toks AS (
+  SELECT lang, source, doc_id,
+         len(regexp_extract_all(text, '[a-z0-9]+')) AS n_tok
+  FROM documents
+),
+binned AS (
+  SELECT lang, source, n_tok,
+         CAST(floor(COALESCE(SUM(n_tok) OVER (
+             PARTITION BY lang, source ORDER BY doc_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_BIN_TOKENS}.0) AS BIGINT) AS bin_id
+  FROM toks
+)
+SELECT lang, source, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_docs,
+       CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_tok) AS DOUBLE) / {_BIN_TOKENS} AS fill_frac
+FROM binned
+GROUP BY lang, source, bin_id
+"""
+
+
+@query("sequence_packing", survey="llm-packing,W1,A1", oracle=SEQ_PACK_ORACLE)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack documents into 512-token bins per (lang, source) shard and
+    report per-bin document counts and fill. One exchange total: the
+    window's hash(lang, source) partitioning already satisfies the final
+    groupBy's clustering requirement."""
+    from pyspark.sql import Window
+
+    d = _t(spark, sf_dir, "documents")
+    n_tok = F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).cast("long")
+    w = (
+        Window.partitionBy("lang", "source")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = d.select(
+        "lang",
+        "source",
+        n_tok.alias("n_tok"),
+        F.floor(F.coalesce(F.sum(n_tok).over(w), F.lit(0)) / float(_BIN_TOKENS))
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("lang", "source", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        (F.sum("n_tok").cast("double") / _BIN_TOKENS).alias("fill_frac"),
+    )

@@ -161,3 +161,19 @@ def test_term_doc_frequency_no_expand(spark):
     plan = physical_plan(SPECS["term_doc_frequency"].fn(spark, SF_DIR))
     assert "Expand" not in plan
     assert "TakeOrderedAndProject" in plan  # top-20 never global-sorts
+
+
+def test_sequence_packing_single_exchange(spark):
+    # the window's hash(lang, source) partitioning satisfies the final
+    # groupBy(lang, source, bin_id) clustering — one exchange total.
+    plan = physical_plan(SPECS["sequence_packing"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+
+
+def test_mixture_sample_docs_never_shuffle(spark):
+    # per-language thresholds broadcast back onto the corpus: the documents
+    # side reaches its aggregation through a BroadcastHashJoin, never a
+    # shuffled join (the doc-side exchanges are the tiny count aggregates).
+    plan = physical_plan(SPECS["corpus_mixture_sample"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan

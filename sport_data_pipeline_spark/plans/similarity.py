@@ -394,3 +394,64 @@ def embedding_topk_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cosine_topk_arrow(queries, emb, "vec_id", "vec_id", k=5).select(
         "query_id", "neighbor_id", "rank"
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clusters: connected components over the MinHash pair graph — the
+# iterative-algorithm class. The oracle recomputes the exact pair graph
+# (all-pairs trigram Jaccard, valid because measured LSH recall is 1.0 on
+# these corpora) and takes its transitive closure with a recursive CTE, so
+# the banding, verification, AND the iterative label propagation must all
+# agree for the hash-match to hold.
+# ---------------------------------------------------------------------------
+
+NEARDUP_CLUSTERS_ORACLE = """
+WITH RECURSIVE
+t AS (
+  SELECT doc_id,
+         list_distinct([ concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+                         for i in range(1, greatest(len(toks) - 2, 0) + 1) ]) AS sh
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+),
+pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM t a JOIN t b ON a.doc_id < b.doc_id
+  WHERE CASE WHEN len(list_distinct(a.sh || b.sh)) > 0
+             THEN CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                  / len(list_distinct(a.sh || b.sh))
+             ELSE 0.0 END >= 0.7
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS root FROM edges
+  UNION
+  SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT CAST(id AS BIGINT) AS doc_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+FROM reach
+GROUP BY id
+"""
+
+
+@query("neardup_clusters", survey="dedup-clusters,iterative", oracle=NEARDUP_CLUSTERS_ORACLE)
+def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster id (= min member doc_id) for every document in a near-dup
+    pair, via iterative min-label propagation on the pair graph. Makes
+    multi-way duplicate groups consistent: a–b and b–c land in ONE cluster
+    even when a–c was never a direct pair."""
+    from ..operators.graph import connected_components
+
+    d = _t(spark, sf_dir, "documents")
+    pairs = minhash_near_dup(
+        d, "doc_id", "text", threshold=0.7, shingle_n=3, num_hashes=32, bands=8
+    )
+    cc = connected_components(pairs, "id_a", "id_b")
+    return cc.select(
+        F.col("id").cast("long").alias("doc_id"),
+        F.col("component").cast("long").alias("cluster_id"),
+    )

@@ -455,3 +455,67 @@ def neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("id").cast("long").alias("doc_id"),
         F.col("component").cast("long").alias("cluster_id"),
     )
+
+
+# ---------------------------------------------------------------------------
+# int8 scalar quantization of embeddings (the vector-compression step a
+# 100 TB ANN index runs at write time: 4 bytes/dim → 1 byte/dim). Codes and
+# reconstruction use the same closed-form expression tree in both engines
+# (floor(x+0.5) rounding — identical ties behavior everywhere), so the
+# per-vector reconstruction-error columns are bit-exact, and the in-query
+# error bound (max_abs_err <= scale/2) is asserted as a BOOLEAN the oracle
+# recomputes — a cross-engine contract on the quantizer's guarantee.
+# ---------------------------------------------------------------------------
+
+QUANTIZE_ORACLE = """
+WITH v AS (
+  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, e, list_min(e) AS mn,
+         (list_max(e) - list_min(e)) / 255 AS scale
+  FROM v
+),
+err AS (
+  SELECT vec_id, mn, scale,
+         CASE WHEN scale > 0 THEN
+           list_max(list_transform(e,
+             x -> abs(mn + floor((x - mn) / scale + 0.5) * scale - x)))
+         ELSE 0.0 END AS max_abs_err
+  FROM s
+)
+SELECT vec_id, mn AS qmin, scale AS qscale, max_abs_err,
+       max_abs_err <= scale / 2 + 1e-12 AS within_bound
+FROM err
+"""
+
+
+@query("embedding_quantize_error", survey="llm-quantize,ann-compression", oracle=QUANTIZE_ORACLE)
+def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector int8 scalar-quantization parameters and reconstruction
+    error. Map-only (no shuffle); the within_bound column is the
+    quantizer's correctness guarantee checked in both engines."""
+    e = _t(spark, sf_dir, "embeddings")
+    ed = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = e.select("vec_id", ed.alias("e"))
+    mn = F.array_min(F.col("e"))
+    scale = (F.array_max(F.col("e")) - mn) / 255
+    s = base.select("vec_id", "e", mn.alias("mn"), scale.alias("scale"))
+    err = F.when(
+        F.col("scale") > 0,
+        F.array_max(
+            F.transform(
+                F.col("e"),
+                lambda x: F.abs(
+                    F.col("mn")
+                    + F.floor((x - F.col("mn")) / F.col("scale") + 0.5) * F.col("scale")
+                    - x
+                ),
+            )
+        ),
+    ).otherwise(F.lit(0.0))
+    out = s.select("vec_id", F.col("mn").alias("qmin"), F.col("scale").alias("qscale"), err.alias("max_abs_err"))
+    return out.withColumn(
+        "within_bound", F.col("max_abs_err") <= F.col("qscale") / 2 + 1e-12
+    )

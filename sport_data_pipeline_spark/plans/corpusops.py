@@ -472,3 +472,81 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_tokens"),
         (F.sum("n_tok").cast("double") / _BIN_TOKENS).alias("fill_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Eval-set decontamination: per-document fraction of 5-gram shingles that
+# also occur in ANY other document (the published n-gram-overlap
+# contamination check used to scrub benchmark text from training corpora).
+# Ubiquitous shingles (doc_freq > cap) are excluded — boilerplate phrases
+# are not contamination evidence. Wordcount-shaped: explode distinct
+# shingles → doc_freq → semi-join back; every stage partial-agg friendly.
+# ---------------------------------------------------------------------------
+
+_CONTAM_N = 5
+_CONTAM_DF_CAP = 100
+
+CONTAMINATION_ORACLE = rf"""
+WITH sh AS (
+  SELECT doc_id, unnest(list_distinct(
+           [ array_to_string(toks[i : i + {_CONTAM_N - 1}], ' ')
+             FOR i IN generate_series(1, len(toks) - {_CONTAM_N - 1}) ])) AS g
+  FROM (SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents)
+),
+df AS (
+  SELECT g, COUNT(*) AS doc_freq FROM sh GROUP BY g
+),
+tot AS (
+  SELECT doc_id, COUNT(*) AS n_shingles FROM sh GROUP BY doc_id
+),
+shared AS (
+  SELECT s.doc_id, COUNT(*) AS n_shared
+  FROM sh s JOIN df ON s.g = df.g
+  WHERE df.doc_freq >= 2 AND df.doc_freq <= {_CONTAM_DF_CAP}
+  GROUP BY s.doc_id
+)
+SELECT t.doc_id,
+       CAST(t.n_shingles AS BIGINT) AS n_shingles,
+       CAST(COALESCE(sh2.n_shared, 0) AS BIGINT) AS n_shared,
+       CAST(COALESCE(sh2.n_shared, 0) AS DOUBLE) / t.n_shingles AS shared_frac
+FROM tot t LEFT JOIN shared sh2 ON t.doc_id = sh2.doc_id
+"""
+
+
+@query("contamination_overlap", survey="llm-decontam,A5,J1", oracle=CONTAMINATION_ORACLE)
+def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document 5-gram overlap with the rest of the corpus (the
+    decontamination signal: a high shared fraction means the document's
+    content appears elsewhere — an eval-set leak or a near-dup).
+
+    Only documents long enough to have 5-grams appear (shorter docs carry
+    no n-gram evidence either way). The doc_freq table is shingle-keyed
+    and much smaller than the exploded relation; at 100 TB the join back
+    stays a shuffle join on the shingle key with the df cap applied
+    before the join (the high-frequency tail never re-joins).
+    """
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    sh = d.select(
+        "doc_id",
+        F.explode(F.array_distinct(word_shingles(F.col("text"), _CONTAM_N))).alias("g"),
+    )
+    df_g = sh.groupBy("g").agg(F.count(F.lit(1)).alias("doc_freq"))
+    tot = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_shingles"))
+    shared = (
+        sh.join(
+            df_g.filter((F.col("doc_freq") >= 2) & (F.col("doc_freq") <= _CONTAM_DF_CAP)),
+            "g",
+        )
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return tot.join(shared, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_shingles").cast("long").alias("n_shingles"),
+        F.coalesce(F.col("n_shared"), F.lit(0)).cast("long").alias("n_shared"),
+        (
+            F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / F.col("n_shingles")
+        ).alias("shared_frac"),
+    )

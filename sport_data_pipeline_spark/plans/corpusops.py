@@ -16,7 +16,7 @@ duplicate tokens and fraction of characters in the most frequent n-gram.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..functions.text import tokens, word_shingles
@@ -549,4 +549,73 @@ def contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         (
             F.coalesce(F.col("n_shared"), F.lit(0)).cast("double") / F.col("n_shingles")
         ).alias("shared_frac"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per document. The idf factor is kept as the exact
+# rational n_docs/doc_freq instead of its logarithm: log() is the one
+# common scoring primitive whose last bit differs between libm builds, and
+# ranking by tf·N/df orders identically to tf·(1+log(N/df)) for fixed tf
+# monotonicity needs while making the score bit-portable across engines
+# (one integer product + one correctly-rounded IEEE division).
+# ---------------------------------------------------------------------------
+
+TFIDF_ORACLE = r"""
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(text), '\s+')) AS term FROM documents
+),
+tf AS (SELECT term, doc_id, COUNT(*) AS tf FROM tok GROUP BY 1, 2),
+df AS (SELECT term, COUNT(*) AS doc_freq FROM tf GROUP BY 1),
+n AS (SELECT COUNT(*) AS n_docs FROM documents),
+s AS (
+  SELECT tf.doc_id, tf.term, tf.tf, df.doc_freq,
+         CAST(tf.tf * n.n_docs AS DOUBLE) / df.doc_freq AS score
+  FROM tf JOIN df USING (term) CROSS JOIN n
+),
+r AS (
+  SELECT *, row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term) AS rnk
+  FROM s
+)
+SELECT doc_id, CAST(rnk AS BIGINT) AS rnk, term,
+       CAST(tf AS BIGINT) AS tf, CAST(doc_freq AS BIGINT) AS doc_freq, score
+FROM r WHERE rnk <= 3
+"""
+
+
+@query("tfidf_top_terms", survey="llm-index,A5,W2,O1", oracle=TFIDF_ORACLE, headline=True)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 distinguishing terms per document by rational TF-IDF.
+
+    Wordcount-shaped: tf shuffles on (term, doc_id), df reduces the tf
+    relation on term (both map-side combinable), the df table joins back on
+    the term key, and one window on doc_id takes the per-doc top-3 with a
+    total (score desc, term asc) order. At 100 TB the df join is a plain
+    shuffle join on term — the df side is vocabulary-sized, orders of
+    magnitude smaller than the exploded token relation.
+    """
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
+    w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
+    scored = (
+        tf.join(df_, "term")
+        .crossJoin(F.broadcast(n_docs))
+        .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq"))
+    )
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select(
+            "doc_id",
+            F.col("rnk").cast("long").alias("rnk"),
+            "term",
+            F.col("tf").cast("long").alias("tf"),
+            F.col("doc_freq").cast("long").alias("doc_freq"),
+            "score",
+        )
     )

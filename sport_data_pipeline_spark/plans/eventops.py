@@ -1,0 +1,233 @@
+"""Event-analytics query pack: ordered funnels, retention cohorts, and
+rolling active-user stats over the ``events`` table.
+
+These are the product-analytics shapes the reference computes imperatively
+in its analytics layer (per-entity loops over fetched rows, e.g.
+``/root/reference/src/analytics/reports.py`` summary passes); here each is a
+single declarative plan whose shuffles are all keyed on ``user_id`` or a
+coarse date key, so they stay map-side-combinable wordcount shapes at
+100 TB:
+
+- ``funnel_steps``: one exchange on ``user_id`` feeds three stacked window
+  minimums (step k's timestamp conditions on step k-1's), then a global
+  scalar aggregate — no joins at all.
+- ``retention_cohorts``: user-grain aggregation → broadcast-sized cohort
+  dimension joined back; events never shuffle twice.
+- ``rolling_active_users``: the trailing-window distinct count is rewritten
+  from a range self-join (quadratic per day window) into contribute-explode:
+  each distinct (user, day) pair emits the ≤7 window days it contributes to,
+  then a plain count — linear in pairs, no range join.
+
+All timestamps compare in microseconds (``unix_micros`` / ``epoch_us``),
+matching the catalog's nanosecond→microsecond load convention.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+
+from ..catalog import load_table
+from .registry import query
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return load_table(spark, sf_dir, name)
+
+
+# ---------------------------------------------------------------------------
+# Ordered funnel: first view → first click after it → first purchase after
+# that. Conversion counts + mean view→purchase latency for converters.
+# ---------------------------------------------------------------------------
+
+FUNNEL_ORACLE = """
+WITH u AS (SELECT DISTINCT user_id FROM events),
+t1 AS (
+  SELECT user_id, MIN(ts) AS t1 FROM events WHERE event_type = 'view' GROUP BY 1
+),
+t2 AS (
+  SELECT e.user_id, MIN(e.ts) AS t2
+  FROM events e JOIN t1 ON e.user_id = t1.user_id
+  WHERE e.event_type = 'click' AND e.ts > t1.t1 GROUP BY 1
+),
+t3 AS (
+  SELECT e.user_id, MIN(e.ts) AS t3
+  FROM events e JOIN t2 ON e.user_id = t2.user_id
+  WHERE e.event_type = 'purchase' AND e.ts > t2.t2 GROUP BY 1
+),
+j AS (
+  SELECT u.user_id, t1.t1, t2.t2, t3.t3
+  FROM u LEFT JOIN t1 USING (user_id) LEFT JOIN t2 USING (user_id)
+         LEFT JOIN t3 USING (user_id)
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS users_total,
+       CAST(COUNT(t1) AS BIGINT) AS step_view,
+       CAST(COUNT(t2) AS BIGINT) AS step_click,
+       CAST(COUNT(t3) AS BIGINT) AS step_purchase,
+       CAST(COUNT(t2) AS DOUBLE) / NULLIF(COUNT(t1), 0) AS p_click_given_view,
+       CAST(COUNT(t3) AS DOUBLE) / NULLIF(COUNT(t2), 0) AS p_purchase_given_click,
+       CAST(SUM(CASE WHEN t3 IS NOT NULL THEN epoch_us(t3) - epoch_us(t1) END)
+            AS DOUBLE) / NULLIF(COUNT(t3), 0) / 1000000.0
+         AS mean_seconds_view_to_purchase
+FROM j
+"""
+
+
+@query("funnel_steps", survey="A2,A8,W1", oracle=FUNNEL_ORACLE, headline=True)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view→click→purchase funnel.
+
+    Step timestamps are stacked conditional window minimums over one
+    ``user_id`` partitioning: t2 = min click strictly after t1, t3 = min
+    purchase strictly after t2. One exchange total (the window shuffle);
+    the oracle's cascade of per-step joins is equivalent row algebra.
+    """
+    e = _t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id")
+    ts, et = F.col("ts"), F.col("event_type")
+    e = e.withColumn("t1", F.min(F.when(et == "view", ts)).over(w))
+    e = e.withColumn("t2", F.min(F.when((et == "click") & (ts > F.col("t1")), ts)).over(w))
+    e = e.withColumn("t3", F.min(F.when((et == "purchase") & (ts > F.col("t2")), ts)).over(w))
+    per_user = e.groupBy("user_id").agg(
+        F.first("t1").alias("t1"), F.first("t2").alias("t2"), F.first("t3").alias("t3")
+    )
+    n1, n2, n3 = F.count("t1"), F.count("t2"), F.count("t3")
+    lat_us = F.sum(
+        F.when(F.col("t3").isNotNull(), F.unix_micros(F.col("t3")) - F.unix_micros(F.col("t1")))
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("users_total"),
+        n1.alias("step_view"),
+        n2.alias("step_click"),
+        n3.alias("step_purchase"),
+        (n2.cast("double") / F.nullif(n1, F.lit(0))).alias("p_click_given_view"),
+        (n3.cast("double") / F.nullif(n2, F.lit(0))).alias("p_purchase_given_click"),
+        (lat_us.cast("double") / F.nullif(n3, F.lit(0)) / F.lit(1000000.0)).alias(
+            "mean_seconds_view_to_purchase"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retention cohorts: cohort = Monday-truncated week of a user's first event;
+# a cohort-week × week-offset grid of distinct active users.
+# ---------------------------------------------------------------------------
+
+RETENTION_ORACLE = """
+WITH w AS (
+  SELECT user_id, date_trunc('week', ts) AS week FROM events
+),
+cohort AS (
+  SELECT user_id, MIN(week) AS cohort_week FROM w GROUP BY 1
+),
+sizes AS (
+  SELECT cohort_week, COUNT(*) AS cohort_size FROM cohort GROUP BY 1
+),
+pairs AS (SELECT DISTINCT user_id, week FROM w),
+act AS (
+  SELECT c.cohort_week,
+         CAST(date_diff('day', c.cohort_week, p.week) // 7 AS BIGINT) AS week_offset,
+         COUNT(*) AS active_users
+  FROM pairs p JOIN cohort c USING (user_id)
+  GROUP BY 1, 2
+)
+SELECT a.cohort_week,
+       a.week_offset,
+       CAST(a.active_users AS BIGINT) AS active_users,
+       CAST(s.cohort_size AS BIGINT) AS cohort_size,
+       CAST(a.active_users AS DOUBLE) / s.cohort_size AS retention_rate
+FROM act a JOIN sizes s USING (cohort_week)
+"""
+
+
+@query("retention_cohorts", survey="A5,A11,W4", oracle=RETENTION_ORACLE)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weekly retention triangle.
+
+    Events reduce to distinct (user, week) pairs and a user-grain cohort
+    dimension. The user-grain join is left to the engine (broadcast at small
+    SF, shuffle join on user_id at scale — Catalyst/AQE pick by stats); only
+    the cohort-week-grain ``sizes`` dimension is forced broadcast, since its
+    cardinality is weeks-not-users. Week offsets are exact: both engines
+    truncate weeks to Monday, so day differences are multiples of seven.
+    """
+    e = _t(spark, sf_dir, "events").select(
+        "user_id", F.date_trunc("week", F.col("ts")).alias("week")
+    )
+    cohort = e.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
+    sizes = cohort.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    pairs = e.distinct()
+    act = (
+        pairs.join(cohort, "user_id")
+        .groupBy(
+            "cohort_week",
+            (F.datediff(F.col("week"), F.col("cohort_week")) / 7)
+            .cast("long")
+            .alias("week_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("active_users"))
+    )
+    return act.join(F.broadcast(sizes), "cohort_week").select(
+        "cohort_week",
+        "week_offset",
+        F.col("active_users").cast("long").alias("active_users"),
+        F.col("cohort_size").cast("long").alias("cohort_size"),
+        (F.col("active_users").cast("double") / F.col("cohort_size")).alias("retention_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling active users: per-day DAU + trailing-7-day distinct actives.
+# Contribute-explode instead of a range self-join: each (user, day) pair
+# contributes to windows ending on day..day+6.
+# ---------------------------------------------------------------------------
+
+ROLLING_ORACLE = """
+WITH pairs AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events
+),
+days AS (SELECT day, COUNT(*) AS dau FROM pairs GROUP BY 1),
+wau AS (
+  SELECT d.day, COUNT(DISTINCT p.user_id) AS wau
+  FROM days d JOIN pairs p ON p.day BETWEEN d.day - 6 AND d.day
+  GROUP BY 1
+)
+SELECT CAST(d.day AS TIMESTAMP) AS day,
+       CAST(d.dau AS BIGINT) AS dau,
+       CAST(w.wau AS BIGINT) AS wau_7d,
+       CAST(d.dau AS DOUBLE) / w.wau AS stickiness
+FROM days d JOIN wau w USING (day)
+"""
+
+
+@query("rolling_active_users", survey="A5,A7,W1", oracle=ROLLING_ORACLE)
+def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DAU and trailing-7-day active users per observed day.
+
+    The oracle states the definition as a day×pair range join (quadratic in
+    window width); the plan rewrites it as contribute-explode — each
+    distinct (user, day) emits the ≤7 future window-end days it counts
+    toward, so the heavy side is touched once and every aggregation is a
+    partial-agg count. Output restricted to days that actually had events
+    (inner join with the DAU side).
+    """
+    pairs = (
+        _t(spark, sf_dir, "events")
+        .select("user_id", F.col("ts").cast("date").alias("day"))
+        .distinct()
+    )
+    dau = pairs.groupBy("day").agg(F.count(F.lit(1)).alias("dau"))
+    contrib = (
+        pairs.select(
+            "user_id",
+            F.explode(F.sequence(F.col("day"), F.date_add(F.col("day"), 6))).alias("day"),
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("wau_7d"))
+    )
+    return dau.join(contrib, "day").select(
+        F.col("day").cast("timestamp").alias("day"),
+        F.col("dau").cast("long").alias("dau"),
+        F.col("wau_7d").cast("long").alias("wau_7d"),
+        (F.col("dau").cast("double") / F.col("wau_7d")).alias("stickiness"),
+    )

@@ -60,6 +60,6 @@ def query(
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect populates REGISTRY exactly once.
-    from . import relational, windows, textops, similarity, domain, corpusops  # noqa: F401
+    from . import relational, windows, textops, similarity, domain, corpusops, eventops  # noqa: F401
 
     return REGISTRY

@@ -177,3 +177,37 @@ def test_mixture_sample_docs_never_shuffle(spark):
     plan = physical_plan(SPECS["corpus_mixture_sample"].fn(spark, SF_DIR))
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_funnel_steps_single_user_shuffle_no_join(spark):
+    # all three step minimums stack on ONE user_id window partitioning and
+    # the groupBy(user_id) reuses it: one hash exchange total, zero joins
+    # (the oracle's per-step join cascade is expressed as conditional
+    # window minimums instead).
+    plan = physical_plan(SPECS["funnel_steps"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+
+
+def test_rolling_active_users_no_range_join(spark):
+    # the trailing-7-day distinct count must come from contribute-explode
+    # (each user-day emits its window-end days), never from the oracle's
+    # day-range self-join, which is a nested-loop at scale.
+    plan = physical_plan(SPECS["rolling_active_users"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan
+
+
+def test_retention_cohorts_only_equi_joins(spark):
+    plan = physical_plan(SPECS["retention_cohorts"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_tfidf_no_expand(spark):
+    # df via two-level groupBy (no countDistinct Expand); per-doc top-3 via
+    # a doc_id-partitioned window, so no global sort appears.
+    plan = physical_plan(SPECS["tfidf_top_terms"].fn(spark, SF_DIR))
+    assert "Expand" not in plan
+    assert "Exchange rangepartitioning" not in plan

@@ -559,3 +559,60 @@ def cosine_topk_arrow(
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return local.withColumn("rank", F.row_number().over(w)).filter(F.col("rank") <= k)
+
+
+def hard_negative_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    label_col: str,
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    dim: int | None = None,
+) -> DataFrame:
+    """Hard-negative mining: top-k most-similar corpus vectors whose label
+    DIFFERS from the query's (the contrastive-training negatives that sit
+    closest to the decision boundary).
+
+    Same execution shape as :func:`cosine_topk` — broadcast probe set,
+    corpus streams, one window per query id — with the label-mismatch
+    predicate applied BEFORE ranking so same-label neighbors never occupy
+    top-k slots. Returns (query_id, query_label, neighbor_id,
+    neighbor_label, cosine, rank).
+    """
+    q = queries.select(
+        F.col(query_id).alias("__qid"),
+        F.col(label_col).alias("query_label"),
+        F.col(query_vec).alias("__qv"),
+        _norm(F.col(query_vec), dim).alias("__qn"),
+    )
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n_parts, F.col(corpus_id)).select(
+        F.col(corpus_id).alias("__cid"),
+        F.col(label_col).alias("neighbor_label"),
+        F.col(corpus_vec).alias("__cv"),
+        _norm(F.col(corpus_vec), dim).alias("__cn"),
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(c)
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+    )
+    cos = F.when(
+        (F.col("__qn") > 0) & (F.col("__cn") > 0),
+        _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        pairs.select(
+            F.col("__qid").alias("query_id"),
+            "query_label",
+            F.col("__cid").alias("neighbor_id"),
+            "neighbor_label",
+            cos.alias("cosine"),
+        )
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

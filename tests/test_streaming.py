@@ -94,3 +94,41 @@ def test_session_window_stats(spark, tmp_path):
     out = spark.sql("SELECT * FROM sess_out").collect()
     assert len(out) == 2
     assert sorted(r["n_events"] for r in out) == [1, 2]
+
+
+def test_stream_stream_attribution_matches_batch_join(spark, tmp_path):
+    """Watermarked stream-stream interval join == the same join in batch."""
+    from sport_data_pipeline_spark.streaming.attribution import attribute_conversions
+
+    eschema = "user_id long, ts timestamp, event_id long, value double"
+    clicks_path = str(tmp_path / "clicks")
+    purch_path = str(tmp_path / "purchases")
+    click_rows = [
+        (1, ts("2024-01-01T10:00"), 100, 1.0),
+        (1, ts("2024-01-01T10:30"), 101, 2.0),   # both inside 1h window
+        (1, ts("2024-01-01T08:00"), 102, 3.0),   # outside window
+        (2, ts("2024-01-01T10:45"), 103, 4.0),   # other user
+        (3, ts("2024-01-01T10:50"), 104, 5.0),   # user with no purchase
+    ]
+    purch_rows = [
+        (1, ts("2024-01-01T10:59"), 200, 9.0),
+        (2, ts("2024-01-01T11:00"), 201, 8.0),
+        (4, ts("2024-01-01T11:00"), 202, 7.0),   # purchase with no clicks
+    ]
+    spark.createDataFrame(click_rows, eschema).coalesce(1).write.parquet(clicks_path)
+    spark.createDataFrame(purch_rows, eschema).coalesce(1).write.parquet(purch_path)
+
+    joined = attribute_conversions(
+        spark.readStream.schema(eschema).parquet(clicks_path),
+        spark.readStream.schema(eschema).parquet(purch_path),
+        window_seconds=3600,
+    )
+    q = (joined.writeStream.format("memory").queryName("attrib_out")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    got = {(r["purchase_id"], r["click_id"])
+           for r in spark.sql("SELECT * FROM attrib_out").collect()}
+    assert got == {(200, 100), (200, 101), (201, 103)}
+    lat = {r["click_id"]: r["seconds_before_purchase"]
+           for r in spark.sql("SELECT * FROM attrib_out").collect()}
+    assert lat[100] == 59 * 60.0 and lat[101] == 29 * 60.0

@@ -23,6 +23,19 @@ from sport_data_pipeline_spark.plans import all_queries
 from sport_data_pipeline_spark.session import get_session
 
 
+def data_fingerprint(sf_dir: str) -> dict[str, object]:
+    """Data-epoch stamp: {table: [bytes, mtime]} for every parquet in the
+    bench dir. Bench totals are only comparable across rounds when this
+    fingerprint is unchanged — the test corpus has been regenerated between
+    rounds before, which shifted per-query times with zero code change."""
+    fp: dict[str, object] = {}
+    for f in sorted(os.listdir(sf_dir)):
+        if f.endswith(".parquet"):
+            st = os.stat(os.path.join(sf_dir, f))
+            fp[f.removesuffix(".parquet")] = [st.st_size, int(st.st_mtime)]
+    return fp
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -63,6 +76,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": run_totals,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "data": data_fingerprint(sf_dir),
             }
         )
     )

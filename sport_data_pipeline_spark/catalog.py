@@ -45,6 +45,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # The NTZ→timestamp cast below is instant-preserving only in a UTC
+        # session; set it here so the conversion is self-contained rather
+        # than relying on the caller having gone through get_session.
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
         df = spark.read.parquet(f"{sf_dir}/events.parquet")
         ts_type = dict(df.dtypes).get("ts")
         if ts_type == "bigint":

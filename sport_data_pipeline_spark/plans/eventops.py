@@ -231,3 +231,136 @@ def rolling_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("wau_7d").cast("long").alias("wau_7d"),
         (F.col("dau").cast("double") / F.col("wau_7d")).alias("stickiness"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T5 batch twin: late/duplicate tick handling (the deterministic batch
+# restatement of streaming/live.py dedup_late_ticks: withWatermark +
+# dropDuplicates). A tick stream is constructed from `events` with three
+# deterministic perturbations — exact duplicates that arrive immediately
+# after their original (must be dropped by DEDUP, not lateness), slightly
+# out-of-order ticks within the 10-minute delay (must be ACCEPTED), and
+# old-event-time ticks that arrive after the whole stream (must be dropped
+# as LATE) — then replayed under micro-batch watermark semantics:
+# watermark(batch b) = max event time of batches < b, minus the delay,
+# exactly how Structured Streaming advances the watermark at batch
+# boundaries. The batch-stats table is ~|ticks|/256 rows, so the running
+# max is a tiny single-partition window broadcast back; dedup shuffles
+# once on the business key. Both the construction and the policy are pure
+# SQL, so DuckDB states the same semantics independently.
+# ---------------------------------------------------------------------------
+
+LATE_DUP_ORACLE = """
+WITH ev AS (SELECT event_id, user_id, event_type, ts FROM events),
+ticks AS (
+  SELECT event_id * 4 AS arrival, user_id, event_type, ts FROM ev
+  UNION ALL
+  SELECT event_id * 4 + 1, user_id, event_type, ts FROM ev WHERE event_id % 7 = 0
+  UNION ALL
+  SELECT event_id * 4 + 2, user_id, event_type, ts - INTERVAL 5 SECOND
+  FROM ev WHERE event_id % 9 = 4
+  UNION ALL
+  SELECT event_id * 4 + 3 + 4000000000000, user_id, event_type, ts - INTERVAL 5 SECOND
+  FROM ev WHERE event_id % 13 = 6
+),
+tb AS (SELECT *, arrival // 256 AS batch FROM ticks),
+bs AS (SELECT batch, max(ts) AS bmax FROM tb GROUP BY 1),
+wmt AS (
+  SELECT batch,
+         max(bmax) OVER (ORDER BY batch ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           - INTERVAL 10 MINUTE AS wm
+  FROM bs
+),
+fl AS (
+  SELECT tb.*, (wmt.wm IS NOT NULL AND tb.ts < wmt.wm) AS is_late
+  FROM tb JOIN wmt USING (batch)
+),
+surv AS (
+  SELECT *, row_number() OVER (PARTITION BY user_id, event_type, ts ORDER BY arrival) AS rn
+  FROM fl WHERE NOT is_late
+),
+s1 AS (
+  SELECT event_type,
+         SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS accepted,
+         SUM(CASE WHEN rn > 1 THEN 1 ELSE 0 END) AS dup_dropped
+  FROM surv GROUP BY 1
+),
+s2 AS (
+  SELECT event_type, COUNT(*) AS ticks_total,
+         SUM(CASE WHEN is_late THEN 1 ELSE 0 END) AS late_dropped
+  FROM fl GROUP BY 1
+)
+SELECT s2.event_type,
+       CAST(s2.ticks_total AS BIGINT) AS ticks_total,
+       CAST(COALESCE(s1.accepted, 0) AS BIGINT) AS accepted,
+       CAST(s2.late_dropped AS BIGINT) AS late_dropped,
+       CAST(COALESCE(s1.dup_dropped, 0) AS BIGINT) AS dup_dropped
+FROM s2 LEFT JOIN s1 USING (event_type)
+"""
+
+
+@query("late_dup_ticks", survey="T5,W4,U3", oracle=LATE_DUP_ORACLE)
+def late_dup_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark + key-dedup tick policy (T5) as a deterministic batch plan.
+
+    Accept rule per tick: not late (event time >= watermark of its
+    micro-batch, watermark = running max event time of PRIOR batches minus
+    10 min) and first arrival among surviving ticks with the same
+    (user_id, event_type, ts). Counts per event_type verify all four paths:
+    in-order accept, adjacent-duplicate drop, within-delay out-of-order
+    accept, and end-of-stream late drop.
+    """
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "event_type", "ts")
+    minus5 = F.col("ts") - F.expr("INTERVAL 5 SECONDS")
+    orig = ev.select(
+        (F.col("event_id") * 4).alias("arrival"), "user_id", "event_type", "ts"
+    )
+    dup = ev.filter(F.col("event_id") % 7 == 0).select(
+        (F.col("event_id") * 4 + 1).alias("arrival"), "user_id", "event_type", "ts"
+    )
+    ooo = ev.filter(F.col("event_id") % 9 == 4).select(
+        (F.col("event_id") * 4 + 2).alias("arrival"),
+        "user_id",
+        "event_type",
+        minus5.alias("ts"),
+    )
+    late = ev.filter(F.col("event_id") % 13 == 6).select(
+        (F.col("event_id") * 4 + 3 + F.lit(4000000000000)).alias("arrival"),
+        "user_id",
+        "event_type",
+        minus5.alias("ts"),
+    )
+    ticks = (
+        orig.unionByName(dup)
+        .unionByName(ooo)
+        .unionByName(late)
+        .withColumn("batch", F.expr("arrival div 256"))
+    )
+    bstats = ticks.groupBy("batch").agg(F.max("ts").alias("bmax"))
+    run = Window.orderBy("batch").rowsBetween(Window.unboundedPreceding, -1)
+    wmt = bstats.select(
+        "batch",
+        (F.max("bmax").over(run) - F.expr("INTERVAL 10 MINUTES")).alias("wm"),
+    )
+    flagged = ticks.join(F.broadcast(wmt), "batch").withColumn(
+        "is_late", F.col("wm").isNotNull() & (F.col("ts") < F.col("wm"))
+    )
+    dedup_w = Window.partitionBy("user_id", "event_type", "ts").orderBy("arrival")
+    surv = flagged.filter(~F.col("is_late")).withColumn(
+        "rn", F.row_number().over(dedup_w)
+    )
+    s1 = surv.groupBy("event_type").agg(
+        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("accepted"),
+        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("dup_dropped"),
+    )
+    s2 = flagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("ticks_total"),
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_dropped"),
+    )
+    return s2.join(s1, "event_type", "left").select(
+        "event_type",
+        F.col("ticks_total").cast("long").alias("ticks_total"),
+        F.coalesce("accepted", F.lit(0)).cast("long").alias("accepted"),
+        F.col("late_dropped").cast("long").alias("late_dropped"),
+        F.coalesce("dup_dropped", F.lit(0)).cast("long").alias("dup_dropped"),
+    )

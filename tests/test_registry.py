@@ -1,0 +1,53 @@
+"""Registry-order contract: external correctness harnesses check a bounded
+prefix of the registry (the first 50 entries), so the prefix must stay
+exactly the curated DRIVER_WINDOW — every entry oracle-bearing, no operator
+family left outside the window without an earlier representative."""
+
+from sport_data_pipeline_spark.plans import all_queries
+from sport_data_pipeline_spark.plans.registry import DRIVER_WINDOW
+
+
+def test_driver_window_is_prefix():
+    names = list(all_queries())
+    assert names[: len(DRIVER_WINDOW)] == list(DRIVER_WINDOW)
+
+
+def test_driver_window_size():
+    # The harness checks exactly 50 entries; a larger window silently drops
+    # queries from hard checking, a smaller one wastes checked slots.
+    assert len(DRIVER_WINDOW) == 50
+    assert len(set(DRIVER_WINDOW)) == 50
+
+
+def test_driver_window_all_oracle_bearing():
+    specs = all_queries()
+    no_oracle = [n for n in DRIVER_WINDOW if specs[n].oracle is None]
+    assert no_oracle == [], f"window entries without an oracle: {no_oracle}"
+
+
+def test_window_covers_all_survey_ops():
+    # Every operator id claimed by ANY registered query must be claimed by
+    # at least one query inside the checked window (so no §2 op is only
+    # covered by an unchecked registry-tail query).
+    specs = all_queries()
+
+    def ops(spec):
+        return {t.strip() for t in spec.survey.split(",") if t.strip()}
+
+    window_ops = set().union(*(ops(specs[n]) for n in DRIVER_WINDOW))
+    tail_only = {
+        n: sorted(ops(s) - window_ops)
+        for n, s in specs.items()
+        if n not in DRIVER_WINDOW and not ops(s) <= window_ops
+    }
+    # Known, accepted exceptions — all still checked by the local DuckDB
+    # oracle suite: A6 histogram buckets and U2 two-column distinct union
+    # gave up their window slots to families with no other coverage;
+    # A11(text)/F4(text) are text variants of in-window base ops; X6 is
+    # plan-asserted over every registered query (tests/test_plans.py) and
+    # the skew-safe join path is equivalence-unit-tested.
+    # A1(rollup) is the grouping-sets variant of in-window A1.
+    accepted = {"A6", "U2", "A11(text)", "F4(text)", "X6", "skew", "A1(rollup)"}
+    real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
+    real = {n: lost for n, lost in real.items() if lost}
+    assert real == {}, f"survey ops only covered outside the window: {real}"

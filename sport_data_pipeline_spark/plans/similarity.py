@@ -572,3 +572,48 @@ def embedding_quantize_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn(
         "within_bound", F.col("max_abs_err") <= F.col("qscale") / 2 + 1e-12
     )
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining: top-k most-similar corpus vectors whose label differs
+# from the query's — contrastive-training negatives nearest the decision
+# boundary. Same fold dot product on both engines, so values hash-match.
+# ---------------------------------------------------------------------------
+
+HARD_NEGATIVE_ORACLE = """
+WITH q AS (
+  SELECT vec_id AS query_id, label AS query_label, embedding AS qv,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS qn
+  FROM embeddings WHERE vec_id < 8
+),
+c AS (
+  SELECT vec_id AS neighbor_id, label AS neighbor_label, embedding AS cv,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS cn
+  FROM embeddings
+),
+pairs AS (
+  SELECT query_id, query_label, neighbor_id, neighbor_label,
+         CASE WHEN qn > 0 AND cn > 0
+              THEN list_sum(list_transform(list_zip(qv, cv),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (qn * cn)
+              ELSE 0.0 END AS cosine
+  FROM q, c
+  WHERE query_label <> neighbor_label
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id) AS INTEGER) AS rank
+  FROM pairs
+)
+SELECT query_id, query_label, neighbor_id, neighbor_label, cosine, rank
+FROM ranked WHERE rank <= 5
+"""
+
+
+@query("hard_negative_mining", survey="llm-hard-negatives,ann-cosine", oracle=HARD_NEGATIVE_ORACLE)
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 label-mismatched nearest neighbors for the probe query set."""
+    from ..operators.similarity import hard_negative_topk
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    return hard_negative_topk(queries, emb, "vec_id", "vec_id", "label", k=5)

@@ -46,8 +46,19 @@ def test_window_covers_all_survey_ops():
     # A11(text)/F4(text) are text variants of in-window base ops; X6 is
     # plan-asserted over every registered query (tests/test_plans.py) and
     # the skew-safe join path is equivalence-unit-tested.
-    # A1(rollup) is the grouping-sets variant of in-window A1.
-    accepted = {"A6", "U2", "A11(text)", "F4(text)", "X6", "skew", "A1(rollup)"}
+    # A1(rollup) is the grouping-sets variant of in-window A1;
+    # llm-hard-negatives shares its execution shape (and window slot
+    # rationale) with in-window ann-cosine.
+    accepted = {
+        "A6",
+        "U2",
+        "A11(text)",
+        "F4(text)",
+        "X6",
+        "skew",
+        "A1(rollup)",
+        "llm-hard-negatives",
+    }
     real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
     real = {n: lost for n, lost in real.items() if lost}
     assert real == {}, f"survey ops only covered outside the window: {real}"

@@ -31,6 +31,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
             configure_runtime(spark)
+            # Session hygiene for many-query harness sessions: drop cache
+            # persisted by PREVIOUS queries (dedup operators persist their
+            # signature tables and cannot unpersist before the caller
+            # materializes the result).
+            spark.catalog.clearCache()
             return spec.fn(spark, sf_dir)
 
         run.__name__ = spec.name

@@ -278,8 +278,11 @@ def minhash_near_dup(
         df.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col), _shingle_hashes(text_col, shingle_n).alias("__set"))
         .filter(F.size("__set") > 0)
-        .persist(StorageLevel.MEMORY_AND_DISK)  # __set computed once, not 1+K×
     )
+    # ONE persisted table carrying sets + signatures: banding and both
+    # verification sides read it, and its first materialization computes the
+    # shingle sets exactly once (base is referenced only here, so caching it
+    # separately would just store a second copy of every shingle set).
     sig = base.select(
         F.col(id_col), "__set", *_minhash_signature(F.col("__set"), num_hashes)
     ).persist(StorageLevel.MEMORY_AND_DISK)

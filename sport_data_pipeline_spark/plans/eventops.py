@@ -345,22 +345,18 @@ def late_dup_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = ticks.join(F.broadcast(wmt), "batch").withColumn(
         "is_late", F.col("wm").isNotNull() & (F.col("ts") < F.col("wm"))
     )
-    dedup_w = Window.partitionBy("user_id", "event_type", "ts").orderBy("arrival")
-    surv = flagged.filter(~F.col("is_late")).withColumn(
-        "rn", F.row_number().over(dedup_w)
+    # One pass: rank ALL ticks per (key, ts) with late ticks ordered last,
+    # so rn=1 ∧ ¬late marks the accepted survivor and the stream is scanned
+    # once (a survivors-only window would force a second scan of the union
+    # subtree for the totals).
+    dedup_w = Window.partitionBy("user_id", "event_type", "ts").orderBy(
+        F.col("is_late").cast("int"), "arrival"
     )
-    s1 = surv.groupBy("event_type").agg(
-        F.sum(F.when(F.col("rn") == 1, 1).otherwise(0)).alias("accepted"),
-        F.sum(F.when(F.col("rn") > 1, 1).otherwise(0)).alias("dup_dropped"),
-    )
-    s2 = flagged.groupBy("event_type").agg(
+    ranked = flagged.withColumn("rn", F.row_number().over(dedup_w))
+    not_late = ~F.col("is_late")
+    return ranked.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("ticks_total"),
-        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("late_dropped"),
-    )
-    return s2.join(s1, "event_type", "left").select(
-        "event_type",
-        F.col("ticks_total").cast("long").alias("ticks_total"),
-        F.coalesce("accepted", F.lit(0)).cast("long").alias("accepted"),
-        F.col("late_dropped").cast("long").alias("late_dropped"),
-        F.coalesce("dup_dropped", F.lit(0)).cast("long").alias("dup_dropped"),
+        F.sum((not_late & (F.col("rn") == 1)).cast("int")).cast("long").alias("accepted"),
+        F.sum(F.col("is_late").cast("int")).cast("long").alias("late_dropped"),
+        F.sum((not_late & (F.col("rn") > 1)).cast("int")).cast("long").alias("dup_dropped"),
     )

@@ -211,3 +211,24 @@ def test_tfidf_no_expand(spark):
     plan = physical_plan(SPECS["tfidf_top_terms"].fn(spark, SF_DIR))
     assert "Expand" not in plan
     assert "Exchange rangepartitioning" not in plan
+
+
+def test_late_dup_ticks_broadcast_watermark_single_dedup_shuffle(spark):
+    # the per-batch watermark table is tiny and must broadcast back to the
+    # tick stream (never shuffle the ticks against it); dedup is ONE keyed
+    # window and the whole policy resolves in a single pass (no survivors-
+    # only second scan of the union subtree).
+    plan = physical_plan(SPECS["late_dup_ticks"].fn(spark, SF_DIR))
+    assert "BroadcastHashJoin" in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert plan.count("row_number") <= 2  # one dedup window (plan prints it twice max)
+
+
+def test_hard_negative_mining_broadcasts_probe_set(spark):
+    # probe set broadcasts, corpus streams: the only join is the broadcast
+    # nested-loop the crossJoin implies, with the label-mismatch predicate
+    # applied inside it — no shuffle of the corpus.
+    plan = physical_plan(SPECS["hard_negative_mining"].fn(spark, SF_DIR))
+    assert "BroadcastExchange" in plan
+    assert "CartesianProduct" not in plan

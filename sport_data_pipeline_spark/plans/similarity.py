@@ -303,8 +303,14 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str, n_lists: int) -> str:
     import os
 
     tag = sf_dir.strip("/").replace("/", "_")
+    # The source file's (size, mtime) is part of the cache key: the test
+    # corpus has been regenerated in place before, and an index built from
+    # the OLD embeddings would silently skew every probe (and the recall
+    # contract) against the new data.
+    st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
+    epoch = f"{st.st_size}_{int(st.st_mtime)}"
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".ivf_cache")
-    path = f"{root}/{tag}_l{n_lists}"
+    path = f"{root}/{tag}_l{n_lists}_{epoch}"
     if not os.path.exists(f"{path}/_SUCCESS"):
         emb = _t(spark, sf_dir, "embeddings")
         build_ivf_index(emb, "vec_id", path, n_lists=n_lists)

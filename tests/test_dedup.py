@@ -80,3 +80,38 @@ def test_winnow_fingerprints_guarantee(spark):
     assert fps[1] & fps[3]
     assert not (fps[1] & fps[4])
     assert fps[5] == set()
+
+
+def test_jaccard_length_filter_is_lossless(spark):
+    """The size-window prune (t·max(|A|,|B|) <= min) must never drop a
+    qualifying pair: compare against the unfiltered brute-force Jaccard on
+    a corpus engineered with wide length disparities (where a wrong filter
+    direction or an off-by-threshold bug would show)."""
+    import itertools
+
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
+    for i in range(24):
+        # lengths 1..24 tokens, overlapping vocab: many near-threshold pairs
+        rows.append((i, "x", " ".join(words[j % len(words)] for j in range(i + 1))))
+    df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
+
+    got = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", ["blk"], 0.5).collect()
+    }
+
+    def toks(s):
+        return set(s.split())
+
+    want = {}
+    for (ia, _, ta), (ib, _, tb) in itertools.combinations(rows, 2):
+        a, b = toks(ta), toks(tb)
+        j = len(a & b) / len(a | b) if a | b else 0.0
+        if j >= 0.5:
+            want[(min(ia, ib), max(ia, ib))] = j
+    assert set(got) == set(want), (
+        f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+    )
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12

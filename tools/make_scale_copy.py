@@ -69,12 +69,7 @@ def replicate(src: str, dst: str, n: int) -> None:
                 if c in key_cols[name]:
                     cols.append(_offset(c))
                 elif name == "documents" and c == "text":
-                    # per-copy token prefix on every token: disjoint shingles
-                    cols.append(
-                        F.regexp_replace(
-                            F.col("text"), r"(\S+)", r"c$1"
-                        ).alias("text")  # placeholder, replaced below
-                    )
+                    cols.append(F.col("text"))  # rewritten with __c below
                 elif name == "embeddings" and c == "embedding":
                     # rotate by __c positions: norm kept, direction changed
                     sz = F.size("embedding")

@@ -72,4 +72,10 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     # read as long and convert (catalog.load_table does the conversion).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Externally built sessions default to 200 shuffle partitions — pure
+    # scheduling overhead at harness scale (see get_session); runtime-
+    # settable, results are partition-layout-invariant by construction.
+    spark.conf.set(
+        "spark.sql.shuffle.partitions", str(spark.sparkContext.defaultParallelism)
+    )
     return spark

@@ -30,12 +30,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
     def wrap(spec):
         def run(spark: SparkSession, sf_dir: str) -> DataFrame:
+            # No clearCache here: this runs at PLAN-BUILD time, so it would
+            # clobber still-unmaterialized persist markers of previously
+            # built queries (and any cache the harness itself owns).
+            # bench.py clears per query because it controls when each query
+            # materializes; a correctness harness accumulates only small
+            # sf0.01 intermediates.
             configure_runtime(spark)
-            # Session hygiene for many-query harness sessions: drop cache
-            # persisted by PREVIOUS queries (dedup operators persist their
-            # signature tables and cannot unpersist before the caller
-            # materializes the result).
-            spark.catalog.clearCache()
             return spec.fn(spark, sf_dir)
 
         run.__name__ = spec.name

@@ -8,9 +8,10 @@ Each query is fully materialized via a count-ish action (collect for small
 results) so the timing covers scan → shuffle → result, not plan building.
 
 Per-query numbers are the MEDIAN of $SPARK_GRAFT_BENCH_RUNS runs
-(default 3): this VM's co-tenant noise swings single runs up to 3×, and a
-median-of-3 makes round-over-round regressions detectable. The JSON also
-carries the raw per-run totals under "runs".
+(default 5): this VM's co-tenant noise swings single runs up to 3×, and a
+median keeps noisy runs from moving the official number. The JSON also
+carries the raw per-run totals under "runs" and a per-table data-epoch
+fingerprint under "data".
 """
 
 from __future__ import annotations
@@ -31,8 +32,20 @@ def data_fingerprint(sf_dir: str) -> dict[str, object]:
     fp: dict[str, object] = {}
     for f in sorted(os.listdir(sf_dir)):
         if f.endswith(".parquet"):
-            st = os.stat(os.path.join(sf_dir, f))
-            fp[f.removesuffix(".parquet")] = [st.st_size, int(st.st_mtime)]
+            path = os.path.join(sf_dir, f)
+            if os.path.isdir(path):  # directory-style dataset: sum the parts
+                parts = [
+                    os.path.join(dp, fn)
+                    for dp, _, fns in os.walk(path)
+                    for fn in fns
+                    if not fn.startswith((".", "_"))
+                ]
+                size = sum(os.stat(p).st_size for p in parts)
+                mtime = max((int(os.stat(p).st_mtime) for p in parts), default=0)
+            else:
+                st = os.stat(path)
+                size, mtime = st.st_size, int(st.st_mtime)
+            fp[f.removesuffix(".parquet")] = [size, mtime]
     return fp
 
 

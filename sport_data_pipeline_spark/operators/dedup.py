@@ -92,14 +92,19 @@ def jaccard_pairs(
     for c in block_cols:
         cond = cond & (F.col(f"__ba_{c}") == F.col(f"__bb_{c}"))
     # Set-similarity length filter: J(A,B) >= t forces the sizes into a
-    # t-window (|A∩B| <= min, |A∪B| >= max ⇒ t·max <= min). Evaluated in
+    # t-window (|A∩B| <= min, |A∪B| >= max ⇒ min/max >= J). Evaluated in
     # the join condition on two cached ints, it prunes candidates BEFORE
     # the O(|set|) intersection runs — the verify stage otherwise dominates
     # the whole job (measured 7.5× on a corpus whose blocks pair freely),
     # and at 100× corpus the saving multiplies directly.
+    # DIVISION form, not t·max <= min: fl(t·max) can round just above an
+    # integer min and drop a pair whose Jaccard equals t exactly, whereas
+    # min/max >= inter/union in the reals plus fl-monotonicity guarantees
+    # fl(min/max) >= fl(inter/union) — exactly consistent with the final
+    # jaccard >= t filter, hence lossless.
     cond = cond & (
-        F.least("__n_a", "__n_b").cast("double")
-        >= F.lit(threshold) * F.greatest("__n_a", "__n_b")
+        F.least("__n_a", "__n_b").cast("double") / F.greatest("__n_a", "__n_b")
+        >= F.lit(threshold)
     )
     inter = F.size(F.array_intersect("__set_a", "__set_b"))
     # |A∪B| = |A| + |B| − |A∩B| over distinct arrays: one array op per
@@ -345,11 +350,13 @@ def minhash_near_dup(
             ),
             "id_b",
         )
-        # Length filter (J >= t ⇒ t·max(|A|,|B|) <= min): prunes candidate
-        # pairs on two cached ints before the O(|set|) intersection.
+        # Length filter (J >= t ⇒ min/max >= t): prunes candidate pairs on
+        # two cached ints before the O(|set|) intersection. Division form
+        # for float-exact consistency with the final jaccard filter (see
+        # jaccard_pairs).
         .filter(
-            F.least("__n_a", "__n_b").cast("double")
-            >= F.lit(threshold) * F.greatest("__n_a", "__n_b")
+            F.least("__n_a", "__n_b").cast("double") / F.greatest("__n_a", "__n_b")
+            >= F.lit(threshold)
         )
     )
     inter = F.size(F.array_intersect("__set_a", "__set_b"))

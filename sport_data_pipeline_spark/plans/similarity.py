@@ -303,15 +303,25 @@ def _ivf_index_path(spark: SparkSession, sf_dir: str, n_lists: int) -> str:
     import os
 
     tag = sf_dir.strip("/").replace("/", "_")
-    # The source file's (size, mtime) is part of the cache key: the test
+    # The source file's (size, mtime_ns) is part of the cache key: the test
     # corpus has been regenerated in place before, and an index built from
     # the OLD embeddings would silently skew every probe (and the recall
-    # contract) against the new data.
+    # contract) against the new data. Nanosecond mtime so a same-second,
+    # same-size rewrite still changes the key.
     st = os.stat(os.path.join(sf_dir, "embeddings.parquet"))
-    epoch = f"{st.st_size}_{int(st.st_mtime)}"
+    epoch = f"{st.st_size}_{st.st_mtime_ns}"
     root = os.path.join(os.path.dirname(os.path.dirname(os.path.dirname(__file__))), ".ivf_cache")
-    path = f"{root}/{tag}_l{n_lists}_{epoch}"
+    prefix = f"{tag}_l{n_lists}_"
+    path = f"{root}/{prefix}{epoch}"
     if not os.path.exists(f"{path}/_SUCCESS"):
+        # prune indexes of older epochs of the same dataset — each is a full
+        # partitioned copy of the corpus and would otherwise accrue forever
+        if os.path.isdir(root):
+            import shutil
+
+            for d in os.listdir(root):
+                if d.startswith(prefix) and d != f"{prefix}{epoch}":
+                    shutil.rmtree(os.path.join(root, d), ignore_errors=True)
         emb = _t(spark, sf_dir, "embeddings")
         build_ivf_index(emb, "vec_id", path, n_lists=n_lists)
     return path

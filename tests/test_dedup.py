@@ -82,23 +82,29 @@ def test_winnow_fingerprints_guarantee(spark):
     assert fps[5] == set()
 
 
-def test_jaccard_length_filter_is_lossless(spark):
-    """The size-window prune (t·max(|A|,|B|) <= min) must never drop a
-    qualifying pair: compare against the unfiltered brute-force Jaccard on
-    a corpus engineered with wide length disparities (where a wrong filter
-    direction or an off-by-threshold bug would show)."""
+@pytest.mark.parametrize("threshold", [0.5, 0.07, 0.28])
+def test_jaccard_length_filter_is_lossless(spark, threshold):
+    """The size-window prune (min/max >= t, division form) must never drop
+    a qualifying pair: compare against the unfiltered brute-force Jaccard
+    on a corpus engineered with wide length disparities. t=0.07/0.28 are
+    regression thresholds for the floating-point hole in the multiplied
+    form: fl(0.07·100)=7.000000000000001 > 7 would prune a subset pair
+    whose Jaccard is exactly 7/100 = fl(0.07)."""
     import itertools
 
+    words = [f"w{k}" for k in range(120)]
     rows = []
-    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta", "eta", "theta"]
     for i in range(24):
-        # lengths 1..24 tokens, overlapping vocab: many near-threshold pairs
-        rows.append((i, "x", " ".join(words[j % len(words)] for j in range(i + 1))))
+        # lengths 1..24 tokens, shared-prefix vocab: near-threshold pairs
+        rows.append((i, "x", " ".join(words[j] for j in range(i + 1))))
+    # exact-threshold case: |A|=7 subset of |B|=100 → J = 7/100 = fl(0.07)
+    rows.append((100, "x", " ".join(words[:7])))
+    rows.append((101, "x", " ".join(words[:100])))
     df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
 
     got = {
         (r["id_a"], r["id_b"]): r["jaccard"]
-        for r in jaccard_pairs(df, "doc_id", "text", ["blk"], 0.5).collect()
+        for r in jaccard_pairs(df, "doc_id", "text", ["blk"], threshold).collect()
     }
 
     def toks(s):
@@ -108,10 +114,10 @@ def test_jaccard_length_filter_is_lossless(spark):
     for (ia, _, ta), (ib, _, tb) in itertools.combinations(rows, 2):
         a, b = toks(ta), toks(tb)
         j = len(a & b) / len(a | b) if a | b else 0.0
-        if j >= 0.5:
+        if j >= threshold:
             want[(min(ia, ib), max(ia, ib))] = j
     assert set(got) == set(want), (
-        f"missing={set(want) - set(got)} extra={set(got) - set(want)}"
+        f"t={threshold} missing={set(want) - set(got)} extra={set(got) - set(want)}"
     )
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12

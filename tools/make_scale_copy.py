@@ -71,11 +71,15 @@ def replicate(src: str, dst: str, n: int) -> None:
                 elif name == "documents" and c == "text":
                     cols.append(F.col("text"))  # rewritten with __c below
                 elif name == "embeddings" and c == "embedding":
-                    # rotate by __c positions: norm kept, direction changed
+                    # rotate by __c positions: norm kept, direction changed.
+                    # Modulo the dim — a shift >= dim would silently be the
+                    # identity (empty first slice), planting cosine-1.0
+                    # cross-copy clones for n > dim.
                     sz = F.size("embedding")
+                    shift = F.pmod(F.col("__c"), sz)
                     rot = F.concat(
-                        F.slice(F.col("embedding"), F.col("__c") + 1, sz),
-                        F.slice(F.col("embedding"), F.lit(1), F.col("__c")),
+                        F.slice(F.col("embedding"), shift + 1, sz),
+                        F.slice(F.col("embedding"), F.lit(1), shift),
                     )
                     cols.append(rot.alias("embedding"))
                 else:
@@ -93,7 +97,10 @@ def replicate(src: str, dst: str, n: int) -> None:
                 )
             out = out.drop("__c")
         out.repartition(8).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
-        print(f"{name}: {out.count()} rows -> {dst}/{name}.parquet")
+        # count from the written footers — re-counting `out` would execute
+        # the whole replica DAG (cross-join + regexp rewrite) a second time
+        n_rows = spark.read.parquet(f"{dst}/{name}.parquet").count()
+        print(f"{name}: {n_rows} rows -> {dst}/{name}.parquet")
     spark.stop()
 
 

@@ -360,3 +360,111 @@ def late_dup_ticks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("is_late").cast("int")).cast("long").alias("late_dropped"),
         F.sum((not_late & (F.col("rn") > 1)).cast("int")).cast("long").alias("dup_dropped"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Time-series profile similarity: top-k users whose daily-activity vector is
+# most cosine-similar to the lowest-id probe user. The vector is the
+# zero-filled per-day sum of event values over the corpus's observed day
+# range — alignment is explicit (ordered day grid), so both engines build
+# bit-identical vectors: daily sums are exact DECIMAL before the double
+# cast, and the dot product folds sequentially like the embedding queries.
+# At scale this is |users|·|days| grid rows (linear in users, days bounded)
+# and one groupBy per side — no pairwise join until the probe broadcast.
+# ---------------------------------------------------------------------------
+
+ACTIVITY_TOPK_ORACLE = """
+WITH bounds AS (
+  SELECT CAST(min(ts) AS DATE) AS d0, CAST(max(ts) AS DATE) AS d1 FROM events
+),
+days AS (SELECT unnest(generate_series(d0, d1, INTERVAL 1 DAY))::DATE AS day FROM bounds),
+daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS day,
+         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY 1, 2
+),
+grid AS (
+  SELECT u.user_id, d.day, COALESCE(daily.v, 0.0) AS v
+  FROM (SELECT DISTINCT user_id FROM events) u
+  CROSS JOIN days d
+  LEFT JOIN daily ON daily.user_id = u.user_id AND daily.day = d.day
+),
+vecs AS (
+  SELECT user_id, list(v ORDER BY day) AS vec,
+         sqrt(list_sum(list_transform(list(v ORDER BY day), x -> x * x))) AS nrm
+  FROM grid GROUP BY 1
+),
+probe AS (SELECT * FROM vecs WHERE user_id = (SELECT min(user_id) FROM events)),
+scored AS (
+  SELECT p.user_id AS probe_user, c.user_id,
+         CASE WHEN p.nrm > 0 AND c.nrm > 0
+              THEN list_sum(list_transform(list_zip(p.vec, c.vec),
+                     x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (p.nrm * c.nrm)
+              ELSE 0.0 END AS cosine
+  FROM probe p CROSS JOIN vecs c
+  WHERE c.user_id <> p.user_id
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (ORDER BY cosine DESC, user_id) AS INTEGER) AS rank
+  FROM scored
+)
+SELECT probe_user, user_id, cosine, rank FROM ranked WHERE rank <= 5
+"""
+
+
+@query("user_activity_topk", survey="ts-similarity,ann-cosine,A1", oracle=ACTIVITY_TOPK_ORACLE)
+def user_activity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 users by cosine similarity of daily-activity profiles."""
+    ev = _t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.col("ts").cast("date").alias("day")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("v"))
+    bounds = ev.agg(
+        F.min(F.col("ts").cast("date")).alias("d0"),
+        F.max(F.col("ts").cast("date")).alias("d1"),
+        F.min("user_id").alias("probe_id"),
+    )
+    days = bounds.select(
+        F.explode(F.sequence("d0", "d1")).alias("day"), "probe_id"
+    )
+    users = ev.select("user_id").distinct()
+    grid = users.crossJoin(F.broadcast(days)).join(
+        daily, ["user_id", "day"], "left"
+    ).select(
+        "user_id", "day", "probe_id", F.coalesce("v", F.lit(0.0)).alias("v")
+    )
+    vecs = grid.groupBy("user_id", "probe_id").agg(
+        F.transform(
+            F.sort_array(F.collect_list(F.struct("day", "v"))), lambda x: x["v"]
+        ).alias("vec")
+    )
+    vecs = vecs.withColumn(
+        "nrm",
+        F.sqrt(
+            F.aggregate(
+                "vec", F.lit(0.0), lambda acc, x: acc + x * x
+            )
+        ),
+    )
+    probe = vecs.filter(F.col("user_id") == F.col("probe_id")).select(
+        F.col("user_id").alias("probe_user"),
+        F.col("vec").alias("pvec"),
+        F.col("nrm").alias("pnrm"),
+    )
+    pairs = F.broadcast(probe).crossJoin(vecs.drop("probe_id")).filter(
+        F.col("user_id") != F.col("probe_user")
+    )
+    dot = F.aggregate(
+        F.zip_with("pvec", "vec", lambda a, b: a * b), F.lit(0.0), lambda acc, x: acc + x
+    )
+    cos = F.when(
+        (F.col("pnrm") > 0) & (F.col("nrm") > 0), dot / (F.col("pnrm") * F.col("nrm"))
+    ).otherwise(F.lit(0.0))
+    from pyspark.sql import Window as W
+
+    w = W.orderBy(F.desc("cosine"), F.asc("user_id"))
+    return (
+        pairs.select("probe_user", "user_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 5)
+    )

@@ -58,6 +58,10 @@ def test_window_covers_all_survey_ops():
         "skew",
         "A1(rollup)",
         "llm-hard-negatives",
+        # time-series profile similarity: beyond-reference extension whose
+        # execution shape (aligned-vector cosine top-k) is in-window via
+        # ann-cosine; fully DuckDB-oracled in the tail.
+        "ts-similarity",
     }
     real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
     real = {n: lost for n, lost in real.items() if lost}

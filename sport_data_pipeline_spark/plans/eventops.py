@@ -460,11 +460,13 @@ def user_activity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = F.when(
         (F.col("pnrm") > 0) & (F.col("nrm") > 0), dot / (F.col("pnrm") * F.col("nrm"))
     ).otherwise(F.lit(0.0))
-    from pyspark.sql import Window as W
-
-    w = W.orderBy(F.desc("cosine"), F.asc("user_id"))
-    return (
+    # orderBy+limit → TakeOrderedAndProject (per-partition top-5 then merge),
+    # never a global row_number window, which would single-partition every
+    # user's score at scale; the rank window then runs over 5 rows only.
+    top = (
         pairs.select("probe_user", "user_id", cos.alias("cosine"))
-        .withColumn("rank", F.row_number().over(w))
-        .filter(F.col("rank") <= 5)
+        .orderBy(F.desc("cosine"), F.asc("user_id"))
+        .limit(5)
     )
+    w = Window.orderBy(F.desc("cosine"), F.asc("user_id"))
+    return top.withColumn("rank", F.row_number().over(w))

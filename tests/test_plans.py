@@ -232,3 +232,10 @@ def test_hard_negative_mining_broadcasts_probe_set(spark):
     plan = physical_plan(SPECS["hard_negative_mining"].fn(spark, SF_DIR))
     assert "BroadcastExchange" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_user_activity_topk_take_ordered(spark):
+    # global top-5 must be TakeOrderedAndProject (per-partition top-k +
+    # merge), never a single-partition row_number window over all users.
+    plan = physical_plan(SPECS["user_activity_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan

@@ -81,15 +81,20 @@ def scd2_intervals(
     valid_from: str = "valid_from",
     valid_to: str = "valid_to",
     is_current: str = "is_current",
+    tiebreak: Sequence[str] = (),
 ) -> DataFrame:
     """Build SCD2 validity intervals from a change stream (reference:
     club_name_history / venue_name_history, database/schema.sql:182-191,
     237-244 — valid_from/valid_to with generated is_current).
 
     Each change row opens an interval at its timestamp and closes at the
-    next change for the same key (NULL = still current).
+    next change for the same key (NULL = still current). ``tiebreak``
+    columns order same-timestamp changes deterministically: earlier ones
+    collapse to zero-length intervals [t, t) that no fact can match, so
+    the last change at a timestamp wins — the same latest-wins rule as
+    ``merge_latest``.
     """
-    w = Window.partitionBy(*key).orderBy(F.col(ts_col))
+    w = Window.partitionBy(*key).orderBy(F.col(ts_col), *[F.col(c) for c in tiebreak])
     return (
         df.withColumn(valid_from, F.col(ts_col))
         .withColumn(valid_to, F.lead(ts_col).over(w))

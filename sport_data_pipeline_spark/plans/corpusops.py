@@ -619,3 +619,123 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             "score",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end training shards: the full corpus→tokenizer-input path as ONE
+# lazy plan — quality gate → exact dedup → MinHash near-dup removal (the
+# clean_corpus operator) → deterministic hash split → 64/48 token chunking
+# → 512-token bin packing per (split, lang) shard. Composes the already-
+# oracled stages, so the DuckDB twin re-states each stage exactly (near-dup
+# as exact all-pairs trigram Jaccard, which MinHash-LSH matches at recall
+# 1.0 on these corpora). Chunk token counts are closed-form from the doc
+# token count (min(CHUNK, n_tok - i*STRIDE)), so no chunk text ever
+# materializes — the whole post-clean tail is arithmetic on (doc_id,
+# n_tok): a map-side explode plus ONE exchange, because the packing
+# window's hash(split, lang) partitioning already satisfies the final
+# groupBy's clustering.
+# ---------------------------------------------------------------------------
+
+from .textops import CLEAN_SURVIVORS_CTES as _CLEAN_CTES
+
+CORPUS_SHARDS_ORACLE = f"""
+WITH {_CLEAN_CTES},
+b AS (
+  SELECT doc_id, lang, n_tokens AS n_tok,
+         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+  FROM survivors
+),
+sp AS (
+  SELECT doc_id, lang, n_tok,
+         CASE WHEN bucket < 80 THEN 'train'
+              WHEN bucket < 90 THEN 'validation'
+              ELSE 'test' END AS split
+  FROM b
+),
+ch AS (
+  SELECT split, lang, doc_id, i AS chunk_idx,
+         least({_CHUNK}, n_tok - i * {_STRIDE}) AS n_chunk_tokens
+  FROM (SELECT *, unnest(generate_series(0, nc - 1)) AS i
+        FROM (SELECT *,
+                     CAST(1 + floor((greatest(n_tok - {_CHUNK}, 0) + {_STRIDE - 1})
+                                    / {_STRIDE}.0) AS INT) AS nc
+              FROM sp))
+),
+binned AS (
+  SELECT split, lang, n_chunk_tokens,
+         CAST(floor(COALESCE(SUM(n_chunk_tokens) OVER (
+             PARTITION BY split, lang ORDER BY doc_id, chunk_idx
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {_BIN_TOKENS}.0) AS BIGINT) AS bin_id
+  FROM ch
+)
+SELECT split, lang, bin_id,
+       CAST(COUNT(*) AS BIGINT) AS n_chunks,
+       CAST(SUM(n_chunk_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(n_chunk_tokens) AS DOUBLE) / {_BIN_TOKENS} AS fill_frac
+FROM binned
+GROUP BY 1, 2, 3
+"""
+
+
+@query(
+    "corpus_train_shards",
+    survey="llm-pipeline-e2e,llm-split,llm-chunking,llm-packing",
+    oracle=CORPUS_SHARDS_ORACLE,
+)
+def corpus_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Clean corpus → hash split → token chunks → packed 512-token bins,
+    reported per (split, lang, bin). The single plan a training pipeline
+    runs nightly: every upstream stage keeps its own scale shape (blocked
+    near-dup, content-independent split), and the shard tail adds exactly
+    one exchange on (split, lang)."""
+    from ..operators.corpus import clean_corpus
+
+    d = _t(spark, sf_dir, "documents")
+    clean = clean_corpus(d).select("doc_id", "lang", F.col("n_tokens").alias("n_tok"))
+    bucket = (
+        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    split = (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+    sp = clean.select("doc_id", "lang", "n_tok", split.alias("split"))
+    extra = F.greatest(F.col("n_tok") - _CHUNK, F.lit(0))
+    nc = (F.lit(1) + F.floor((extra + (_STRIDE - 1)) / F.lit(float(_STRIDE)))).cast("int")
+    ch = sp.select(
+        "split",
+        "lang",
+        "doc_id",
+        "n_tok",
+        F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_idx"),
+    ).select(
+        "split",
+        "lang",
+        "doc_id",
+        "chunk_idx",
+        F.least(F.lit(_CHUNK), F.col("n_tok") - F.col("chunk_idx") * _STRIDE)
+        .cast("long")
+        .alias("n_chunk_tokens"),
+    )
+    w = (
+        Window.partitionBy("split", "lang")
+        .orderBy("doc_id", "chunk_idx")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = ch.select(
+        "split",
+        "lang",
+        "n_chunk_tokens",
+        F.floor(F.coalesce(F.sum("n_chunk_tokens").over(w), F.lit(0)) / float(_BIN_TOKENS))
+        .cast("long")
+        .alias("bin_id"),
+    )
+    return binned.groupBy("split", "lang", "bin_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
+        (F.sum("n_chunk_tokens").cast("double") / _BIN_TOKENS).alias("fill_frac"),
+    )

@@ -470,3 +470,67 @@ def user_activity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.orderBy(F.desc("cosine"), F.asc("user_id"))
     return top.withColumn("rank", F.row_number().over(w))
+
+
+# ---------------------------------------------------------------------------
+# SCD2 dimension build + point-in-time range join (J10): every 10th event is
+# treated as a profile-change record for its user; scd2_intervals turns that
+# change stream into validity windows (latest-wins on timestamp ties via the
+# event_id tiebreak), and point_in_time_join attaches the profile in effect
+# at each remaining event's timestamp. Catalyst plans the equi-key
+# (user_id) as the shuffle key with the range predicate as a post-filter —
+# one exchange per side, AQE-skew-eligible, no interval explosion. The
+# left join preserves facts that precede their user's first change
+# (n_matched < n_events), which pins the boundary semantics
+# (valid_from <= ts < valid_to, NULL valid_to = current) cross-engine.
+# ---------------------------------------------------------------------------
+
+SCD2_PIT_ORACLE = """
+WITH iv AS (
+  SELECT user_id, value AS profile, ts AS valid_from,
+         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+  FROM events WHERE event_id % 10 = 0
+),
+fx AS (
+  SELECT event_id, user_id, event_type, ts FROM events WHERE event_id % 10 <> 0
+),
+j AS (
+  SELECT f.event_type, iv.profile
+  FROM fx f LEFT JOIN iv
+    ON f.user_id = iv.user_id
+   AND iv.valid_from <= f.ts
+   AND (iv.valid_to IS NULL OR f.ts < iv.valid_to)
+)
+SELECT event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_events,
+       CAST(COUNT(profile) AS BIGINT) AS n_matched,
+       CAST(SUM(CAST(profile AS DECIMAL(18,2))) AS DOUBLE) AS profile_total
+FROM j
+GROUP BY 1
+"""
+
+
+@query("scd2_point_in_time", survey="J10,W7,S10", oracle=SCD2_PIT_ORACLE)
+def scd2_point_in_time(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build an SCD2 dimension from a change stream, then range-join facts
+    to the interval covering their timestamp (the slowly-changing-dimension
+    half of J10; asof_clicks covers the as-of half)."""
+    from ..operators.joins import point_in_time_join
+    from ..operators.merge import scd2_intervals
+
+    ev = _t(spark, sf_dir, "events")
+    changes = ev.filter(F.col("event_id") % 10 == 0).select(
+        "user_id", "event_id", "ts", "value"
+    )
+    dim = scd2_intervals(changes, key=["user_id"], ts_col="ts", tiebreak=["event_id"]).select(
+        "user_id", F.col("value").alias("profile"), "valid_from", "valid_to"
+    )
+    facts = ev.filter(F.col("event_id") % 10 != 0).select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    joined = point_in_time_join(facts, dim, on=["user_id"], fact_ts="ts")
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.count("profile").cast("long").alias("n_matched"),
+        F.sum(F.col("profile").cast("decimal(18,2)")).cast("double").alias("profile_total"),
+    )

@@ -451,3 +451,45 @@ def field_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         cov(F.col("source").isNotNull()).alias("source_coverage"),
         cov(F.col("n_chars") > 0).alias("nonempty_share"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CUBE over (status, priority): all four grouping sets in one pass.
+# Spark plans CUBE as a single Expand + one partial-agg-friendly exchange —
+# at 100 TB that is 4× the input rows through ONE shuffle, versus four
+# separate scans+shuffles for the UNION-of-groupbys formulation. The
+# grouping id distinguishes the rollup rows from any genuine 'ALL' value.
+# (rollup_pricing covers the linear ROLLUP variant; this is the full
+# grouping-sets lattice.)
+# ---------------------------------------------------------------------------
+
+CUBE_ORACLE = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+       CAST(COUNT(*) AS BIGINT) AS n_orders,
+       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
+FROM orders
+GROUP BY CUBE (o_orderstatus, o_orderpriority)
+"""
+
+
+@query("cube_order_stats", survey="A1(cube),A5", oracle=CUBE_ORACLE)
+def cube_order_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order counts and exact-decimal totals over the full
+    (status, priority) grouping-sets lattice, with a grouping id."""
+    o = _t(spark, sf_dir, "orders")
+    g = o.cube("o_orderstatus", "o_orderpriority").agg(
+        (F.grouping("o_orderstatus") * 2 + F.grouping("o_orderpriority"))
+        .cast("int")
+        .alias("gid"),
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        dsum("o_totalprice").alias("total_price"),
+    )
+    return g.select(
+        F.coalesce("o_orderstatus", F.lit("ALL")).alias("status"),
+        F.coalesce("o_orderpriority", F.lit("ALL")).alias("priority"),
+        "gid",
+        "n_orders",
+        "total_price",
+    )

@@ -290,8 +290,12 @@ def _lang_struct_sql(lang: str, markers: tuple[str, ...]) -> str:
     return f"{{score: len(list_intersect(dt, {lst})), lang: '{lang}'}}"
 
 
-CLEAN_CORPUS_ORACLE = f"""
-WITH feat AS (
+#: CTE block shared by the e2e cleaning oracles: quality gate → exact dedup
+#: → exact all-pairs trigram-Jaccard near-dup removal, ending in a
+#: ``survivors`` relation (doc_id, lang, source, text, toks, n_tokens,
+#: unique_ratio, stopword_ratio, sh). plans/corpusops.py composes further
+#: stages (split / chunk / pack) on top of the same block.
+CLEAN_SURVIVORS_CTES = f"""feat AS (
   SELECT doc_id, lang, source, text,
          regexp_split_to_array(trim(text), '\\s+') AS toks
   FROM documents
@@ -326,7 +330,16 @@ losers AS (
   WHERE len(list_distinct(a.sh || b.sh)) > 0
     AND CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
         / len(list_distinct(a.sh || b.sh)) >= 0.7
-)
+),
+survivors AS (
+  SELECT d.* FROM dedup d
+  LEFT JOIN losers l ON d.doc_id = l.doc_id
+  WHERE l.doc_id IS NULL
+)""".replace("{norm}", _NORM_SQL.format(col="text"))
+
+
+CLEAN_CORPUS_ORACLE = f"""
+WITH {CLEAN_SURVIVORS_CTES}
 SELECT d.doc_id, d.lang, d.source, d.n_tokens, d.unique_ratio, d.stopword_ratio,
        d.n_tokens AS word_tokens,
        struct_extract(list_aggregate([
@@ -335,10 +348,8 @@ SELECT d.doc_id, d.lang, d.source, d.n_tokens, d.unique_ratio, d.stopword_ratio,
          {_lang_struct_sql("es", DEFAULT_LANG_MARKERS["es"])},
          {_lang_struct_sql("fr", DEFAULT_LANG_MARKERS["fr"])}
        ], 'max'), 'lang') AS lang_guess
-FROM (SELECT *, list_distinct(toks) AS dt FROM dedup) d
-LEFT JOIN losers l ON d.doc_id = l.doc_id
-WHERE l.doc_id IS NULL
-""".replace("{norm}", _NORM_SQL.format(col="text"))
+FROM (SELECT *, list_distinct(toks) AS dt FROM survivors) d
+"""
 
 
 @query("clean_corpus_docs", survey="llm-pipeline-e2e", oracle=CLEAN_CORPUS_ORACLE)

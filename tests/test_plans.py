@@ -239,3 +239,36 @@ def test_user_activity_topk_take_ordered(spark):
     # merge), never a single-partition row_number window over all users.
     plan = physical_plan(SPECS["user_activity_topk"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in plan
+
+
+def test_scd2_point_in_time_equi_joins_on_user(spark):
+    # Both join sides derive from the same events scan; the plan must keep
+    # user_id as a REAL equi-key (distinct attribute ids) with the validity
+    # range as a post-filter — a trivially-true key would silently turn
+    # this into a time-only cross match.
+    import re
+
+    plan = physical_plan(SPECS["scd2_point_in_time"].fn(spark, SF_DIR))
+    m = re.search(r"(BroadcastHash|SortMerge|ShuffledHash)Join \[user_id#(\d+)L?\], \[user_id#(\d+)L?\], LeftOuter", plan)
+    assert m, plan[:2000]
+    assert m.group(2) != m.group(3)
+    assert "valid_from" in plan and "valid_to" in plan
+
+
+def test_cube_single_pass_expand(spark):
+    # CUBE must plan as ONE Expand feeding one aggregation pair — not a
+    # union of four scans (4 scans × 1 shuffle each at 100 TB).
+    plan = physical_plan(SPECS["cube_order_stats"].fn(spark, SF_DIR))
+    assert plan.count("Expand") == 1
+    assert "Union" not in plan
+    assert plan.count("Scan parquet") == 1
+
+
+def test_corpus_train_shards_tail_reuses_partitioning(spark):
+    # After the cleaning stages, the shard tail (chunk explode → packing
+    # window → per-bin groupBy) must add exactly ONE exchange: the window's
+    # hash(split, lang) clustering already satisfies the final groupBy.
+    plan = physical_plan(SPECS["corpus_train_shards"].fn(spark, SF_DIR))
+    clean_plan = physical_plan(SPECS["clean_corpus_docs"].fn(spark, SF_DIR))
+    extra = plan.count("Exchange") - clean_plan.count("Exchange")
+    assert extra <= 1, f"shard tail added {extra} exchanges"

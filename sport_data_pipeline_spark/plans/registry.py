@@ -64,8 +64,10 @@ def query(
 #: pipeline operator family appears in the first 50 via at least one query.
 #: Queries after the cut are ones whose operator ids are already exercised by
 #: an earlier query (e.g. frequency_count ⊂ lang_stats's A5, open_close ⊂
-#: asof_clicks's W5/J11, doc_fingerprint ⊂ exact_dedup_docs) — they remain
-#: fully DuckDB-oracled by tests/test_queries_oracle.py.
+#: asof_clicks's W5/J11, doc_fingerprint ⊂ exact_dedup_docs,
+#: term_doc_frequency ⊂ tfidf_top_terms' llm-index, field_coverage's A11 ⊂
+#: retention_cohorts + doc_quality) — they remain fully DuckDB-oracled by
+#: tests/test_queries_oracle.py.
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
@@ -73,7 +75,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "multi_join_daterange",
     "projection_case",
     "freshness_stats",
-    "field_coverage",
     # windows / temporal
     "last_n_form",
     "h2h_symmetric",
@@ -89,11 +90,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "string_normalize_slug",
     "parse_functions",
     "lang_stats",
+    "doc_quality",
     "exact_dedup_docs",
     "clean_corpus_docs",
     "doc_winnow_fingerprint",
     # similarity / dedup / ANN
     "fuzzy_entity_match",
+    "fuzzy_entity_match_blocked",
     "ngram_jaccard_neardup",
     "minhash_neardup",
     "simhash_neardup",
@@ -114,7 +117,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "hash_split_mixture",
     "doc_chunks",
     "pii_redaction",
-    "term_doc_frequency",
     "corpus_mixture_sample",
     "sequence_packing",
     "contamination_overlap",

@@ -43,20 +43,18 @@ def test_window_covers_all_survey_ops():
     # Known, accepted exceptions — all still checked by the local DuckDB
     # oracle suite: A6 histogram buckets and U2 two-column distinct union
     # gave up their window slots to families with no other coverage;
-    # A11(text)/F4(text) are text variants of in-window base ops; X6 is
-    # plan-asserted over every registered query (tests/test_plans.py) and
-    # the skew-safe join path is equivalence-unit-tested.
-    # A1(rollup) is the grouping-sets variant of in-window A1;
+    # F4(text) is the text variant of in-window F4; X6 is plan-asserted
+    # over every registered query (tests/test_plans.py).
+    # A1(rollup)/A1(cube) are the grouping-sets variants of in-window A1;
     # llm-hard-negatives shares its execution shape (and window slot
     # rationale) with in-window ann-cosine.
     accepted = {
         "A6",
         "U2",
-        "A11(text)",
         "F4(text)",
         "X6",
-        "skew",
         "A1(rollup)",
+        "A1(cube)",
         "llm-hard-negatives",
         # time-series profile similarity: beyond-reference extension whose
         # execution shape (aligned-vector cosine top-k) is in-window via

@@ -616,3 +616,172 @@ def hard_negative_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ): the memory-side ANN index. IVF prunes WHICH
+# vectors a query reads; PQ shrinks WHAT is read per vector — m sub-space
+# codebooks of `codes` centroids each turn a dim-float vector into m small
+# ints (64 floats -> 8 bytes here, 32x), so the ADC scan streams the codes
+# table instead of the raw vectors. All vectors are L2-normalized first, so
+# squared-L2 ADC distance ranks exactly like cosine and the recall contract
+# can compare against the exact-cosine baseline.
+# ---------------------------------------------------------------------------
+
+
+def _unit(vec: Column, dim: int) -> Column:
+    """L2-normalized copy of an array column (zero vector stays zero)."""
+    nrm = _norm(vec, dim)
+    return F.when(
+        nrm > 0, F.transform(vec, lambda x: x.cast("double") / nrm)
+    ).otherwise(F.array(*[F.lit(0.0)] * dim))
+
+
+def train_pq(
+    corpus: DataFrame,
+    corpus_id: str,
+    vec_col: str = "embedding",
+    m: int = 8,
+    codes: int = 16,
+    dim: int = 64,
+    seed: int = 42,
+) -> list[list[list[float]]]:
+    """Fit per-subspace k-means codebooks (write time — never in a query
+    path, same discipline as ``build_ivf_index``). Returns ``m`` codebooks
+    of ``codes`` centroids of ``dim//m`` floats — ~m·codes·dim/m doubles,
+    i.e. kilobytes of index metadata regardless of corpus size.
+
+    Training data is L2-normalized, so codebooks quantize directions; the
+    hash-partitioned-by-id layout plus fixed seeds makes refits on the same
+    data reproduce the same codebooks.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    sub = dim // m
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    unit = (
+        corpus.repartition(n_parts, F.col(corpus_id))
+        .select(_unit(F.col(vec_col), dim).alias("__u"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    books: list[list[list[float]]] = []
+    for j in range(m):
+        feat = unit.select(
+            array_to_vector(F.slice(F.col("__u"), j * sub + 1, sub)).alias("__feat")
+        )
+        km = KMeans(k=codes, seed=seed + j, featuresCol="__feat", predictionCol="__c")
+        books.append([[float(v) for v in c] for c in km.fit(feat).clusterCenters()])
+    unit.unpersist()
+    return books
+
+
+def pq_encode(
+    corpus: DataFrame,
+    corpus_id: str,
+    codebooks: list[list[list[float]]],
+    vec_col: str = "embedding",
+    dim: int = 64,
+) -> DataFrame:
+    """Assign each vector its nearest centroid per subspace → (id, codes).
+
+    Pure expression tree (no UDF): per subspace the argmin over ``codes``
+    centroids uses the -2·x·c + |c|² identity (the |x|² term is constant
+    under argmin), with the centroid index as a struct tie-break so equal
+    distances pick the lowest code deterministically. Map-only — at 100 TB
+    this is a projection over one scan, written next to the data.
+    """
+    sub = dim // len(codebooks)
+    u = _unit(F.col(vec_col), dim)
+    df = corpus.select(F.col(corpus_id).alias(corpus_id), u.alias("__u"))
+    code_cols = []
+    for j, book in enumerate(codebooks):
+        cands = []
+        for ci, cent in enumerate(book):
+            s: Column = F.lit(float(sum(v * v for v in cent)))
+            for i, v in enumerate(cent):
+                if v != 0.0:
+                    s = s - 2.0 * float(v) * F.element_at(F.col("__u"), j * sub + i + 1)
+            cands.append(F.struct(s.alias("d"), F.lit(ci).alias("i")))
+        code_cols.append(F.array_min(F.array(*cands)).getField("i"))
+    return df.select(
+        corpus_id, F.array(*code_cols).cast("array<int>").alias("codes")
+    )
+
+
+def pq_topk(
+    queries: DataFrame,
+    code_table: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    codebooks: list[list[list[float]]],
+    query_vec: str = "embedding",
+    corpus_vec: str = "embedding",
+    k: int = 5,
+    shortlist: int = 50,
+    dim: int = 64,
+) -> DataFrame:
+    """PQ-ADC top-k with exact re-rank: score every corpus CODE row against
+    the broadcast query set via the asymmetric distance (query subvector to
+    the centroid its code names — centroids are plan literals, so the scan
+    reads only (id, codes)), keep a per-query ``shortlist`` by ADC, then
+    re-rank the shortlist with exact cosine against the raw vectors.
+
+    The scan side touches m small ints per corpus row instead of dim
+    floats — the 100 TB full-sweep path when even IVF's pruned lists are
+    too much IO. Returns (query_id, neighbor_id, cosine, rank).
+    """
+    m = len(codebooks)
+    sub = dim // m
+    q = queries.select(
+        F.col(query_id).alias("query_id"),
+        _unit(F.col(query_vec), dim).alias("__qu"),
+    )
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    codes_df = code_table.repartition(n_parts, F.col(corpus_id)).select(
+        F.col(corpus_id).alias("neighbor_id"), "codes"
+    )
+    pairs = (
+        F.broadcast(q)
+        .crossJoin(codes_df)
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+    )
+    dist: Column = F.lit(0.0)
+    for j, book in enumerate(codebooks):
+        cent = F.array(*[F.array(*[F.lit(float(v)) for v in c]) for c in book])
+        cj = F.element_at(cent, F.element_at(F.col("codes"), j + 1) + 1)
+        for i in range(sub):
+            d = F.element_at(F.col("__qu"), j * sub + i + 1) - F.element_at(cj, i + 1)
+            dist = dist + d * d
+    w_short = Window.partitionBy("query_id").orderBy(F.asc("__adc"), F.asc("neighbor_id"))
+    short = (
+        pairs.select("query_id", "neighbor_id", dist.alias("__adc"))
+        .withColumn("__r", F.row_number().over(w_short))
+        .filter(F.col("__r") <= shortlist)
+        .select("query_id", "neighbor_id")
+    )
+    # exact re-rank: shortlist is queries×shortlist rows — broadcast it
+    # against the corpus so the raw vectors are read once, for the
+    # shortlist only.
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(corpus_vec).alias("__cv"),
+        _norm(F.col(corpus_vec), dim).alias("__cn"),
+    )
+    qv = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(query_vec).alias("__qv"),
+        _norm(F.col(query_vec), dim).alias("__qn"),
+    )
+    re = c.join(F.broadcast(short), "neighbor_id").join(F.broadcast(qv), "query_id")
+    cos = F.when(
+        (F.col("__qn") > 0) & (F.col("__cn") > 0),
+        _dot(F.col("__qv"), F.col("__cv"), dim) / (F.col("__qn") * F.col("__cn")),
+    ).otherwise(F.lit(0.0))
+    w = Window.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
+    return (
+        re.select("query_id", "neighbor_id", cos.alias("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )

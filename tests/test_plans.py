@@ -272,3 +272,19 @@ def test_corpus_train_shards_tail_reuses_partitioning(spark):
     clean_plan = physical_plan(SPECS["clean_corpus_docs"].fn(spark, SF_DIR))
     extra = plan.count("Exchange") - clean_plan.count("Exchange")
     assert extra <= 1, f"shard tail added {extra} exchanges"
+
+
+def test_pq_adc_scan_reads_codes_not_vectors(spark):
+    # The ADC stage must stream the (vec_id, codes) table — the scan of the
+    # codes parquet may not request the raw embedding column (the 32x IO
+    # reduction IS the operator; reading vectors there would defeat it).
+    plan = physical_plan(SPECS["pq_topk_recall"].fn(spark, SF_DIR))
+    # the Location path is elided in plan.toString(), so match the cache
+    # dir, not the codes.parquet basename
+    code_scans = [
+        seg for seg in plan.split("FileScan parquet")[1:] if ".pq_cache" in seg[:2000]
+    ]
+    assert code_scans, plan[:2000]
+    for seg in code_scans:
+        cols = seg.split("]", 1)[0]  # leading "[vec_id#7L,codes#8" column list
+        assert "codes" in cols and "embedding" not in cols

@@ -56,6 +56,9 @@ def test_window_covers_all_survey_ops():
         "A1(rollup)",
         "A1(cube)",
         "llm-hard-negatives",
+        # PQ-ADC ANN: approximate variant of in-window ann-cosine (same
+        # recall-contract pattern as in-window ann-cosine-ivf).
+        "ann-cosine-pq",
         # time-series profile similarity: beyond-reference extension whose
         # execution shape (aligned-vector cosine top-k) is in-window via
         # ann-cosine; fully DuckDB-oracled in the tail.

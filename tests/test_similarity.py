@@ -154,3 +154,39 @@ def test_ivf_indexed_probe_matches_inline(emb, spark, tmp_path):
         for r in ivf_topk(q, idx, "vec_id", "vec_id", k=3, n_lists=8, n_probe=4).collect()
     }
     assert indexed == inline
+
+
+def test_pq_encode_codes_in_range_and_deterministic(emb):
+    from sport_data_pipeline_spark.operators.similarity import pq_encode, train_pq
+
+    books = train_pq(emb, "vec_id", m=8, codes=16, dim=64)
+    assert len(books) == 8 and all(len(b) == 16 for b in books)
+    assert all(len(c) == 8 for b in books for c in b)  # dim/m subvector
+    codes1 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, "vec_id", books, dim=64).collect()}
+    codes2 = {r["vec_id"]: list(r["codes"]) for r in pq_encode(emb, "vec_id", books, dim=64).collect()}
+    assert codes1 == codes2  # same codebooks -> same assignment
+    assert all(0 <= c < 16 for cs in codes1.values() for c in cs)
+    assert all(len(cs) == 8 for cs in codes1.values())
+
+
+def test_pq_topk_recall_vs_exact(emb):
+    from sport_data_pipeline_spark.operators.similarity import pq_encode, pq_topk, train_pq
+
+    q = emb.filter(F.col("vec_id") < 5)
+    books = train_pq(emb, "vec_id", m=16, codes=16, dim=64)
+    code_table = pq_encode(emb, "vec_id", books, dim=64)
+    exact = {
+        (r["query_id"], r["neighbor_id"])
+        for r in cosine_topk(q, emb, "vec_id", "vec_id", k=5).collect()
+    }
+    rows = pq_topk(q, code_table, emb, "vec_id", "vec_id", books, k=5, shortlist=100, dim=64).collect()
+    approx = {(r["query_id"], r["neighbor_id"]) for r in rows}
+    assert len(approx & exact) >= len(exact) * 0.6
+    # re-ranked cosines are EXACT: every reported pair's cosine must match
+    # the brute-force value for that pair
+    exact_all = {
+        (r["query_id"], r["neighbor_id"]): r["cosine"]
+        for r in cosine_topk(q, emb, "vec_id", "vec_id", k=10**6).collect()
+    }
+    for r in rows:
+        assert r["cosine"] == exact_all[(r["query_id"], r["neighbor_id"])]

@@ -671,7 +671,16 @@ def train_pq(
             array_to_vector(F.slice(F.col("__u"), j * sub + 1, sub)).alias("__feat")
         )
         km = KMeans(k=codes, seed=seed + j, featuresCol="__feat", predictionCol="__c")
-        books.append([[float(v) for v in c] for c in km.fit(feat).clusterCenters()])
+        centers = [[float(v) for v in c] for c in km.fit(feat).clusterCenters()]
+        if len(centers) != codes:
+            # Degenerate corpus (< codes distinct subvectors): fail loudly —
+            # a short codebook would otherwise surface later as a confusing
+            # None in pq_topk's literal arrays.
+            raise ValueError(
+                f"PQ subspace {j}: kmeans returned {len(centers)} centers, "
+                f"expected {codes}; corpus too small/degenerate for this codebook size"
+            )
+        books.append(centers)
     unit.unpersist()
     return books
 

@@ -16,7 +16,7 @@ duplicate tokens and fraction of characters in the most frequent n-gram.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
 from ..functions.text import tokens, word_shingles
@@ -117,17 +117,44 @@ def repetition_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Deterministic hash split: md5(doc_id) → bucket 0..99 → train/val/test.
 # Pure map + tiny aggregation — the split assignment never shuffles and is
 # reproducible across engines, runs, and cluster sizes (no RNG state).
+# The split/chunk expressions below are shared by hash_split_mixture,
+# doc_chunks, and corpus_train_shards — one definition per engine, so the
+# Spark and DuckDB twins cannot drift apart per query.
 # ---------------------------------------------------------------------------
 
-HASH_SPLIT_ORACLE = """
+#: SQL twin of _split_col: 15 hex digits of md5 fit a signed 64-bit int.
+SPLIT_SQL = """CASE WHEN ('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 15))::BIGINT % 100 < 80 THEN 'train'
+              WHEN ('0x' || substr(md5(CAST({id} AS VARCHAR)), 1, 15))::BIGINT % 100 < 90 THEN 'validation'
+              ELSE 'test' END"""
+
+
+def _split_col(id_col: str) -> Column:
+    """80/10/10 content-independent split from md5 of the id."""
+    bucket = (
+        F.conv(F.substring(F.md5(F.col(id_col).cast("string").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        % 100
+    )
+    return (
+        F.when(bucket < 80, F.lit("train"))
+        .when(bucket < 90, F.lit("validation"))
+        .otherwise(F.lit("test"))
+    )
+
+
+def _chunk_count(n_tok: Column) -> Column:
+    """Closed-form 64/48 chunk count: 1 + ceil(max(n_tok - CHUNK, 0) / STRIDE)."""
+    extra = F.greatest(n_tok - _CHUNK, F.lit(0))
+    return (F.lit(1) + F.floor((extra + (_STRIDE - 1)) / F.lit(float(_STRIDE)))).cast("int")
+
+
+HASH_SPLIT_ORACLE = f"""
 WITH b AS (
   SELECT lang, text,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
+         {SPLIT_SQL.format(id="doc_id")} AS split
   FROM documents
 )
-SELECT CASE WHEN bucket < 80 THEN 'train'
-            WHEN bucket < 90 THEN 'validation'
-            ELSE 'test' END AS split,
+SELECT split,
        lang,
        CAST(COUNT(*) AS BIGINT) AS n_docs,
        CAST(SUM(len(regexp_extract_all(text, '[a-z0-9]+'))) AS BIGINT) AS total_word_tokens
@@ -143,19 +170,9 @@ def hash_split_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
     a training pipeline needs (content-independent, so dedup upstream of
     the split cannot move a document between splits)."""
     d = _t(spark, sf_dir, "documents")
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("validation"))
-        .otherwise(F.lit("test"))
-    )
     return (
         d.select(
-            split.alias("split"),
+            _split_col("doc_id").alias("split"),
             "lang",
             F.regexp_count(F.col("text"), F.lit("[a-z0-9]+")).cast("long").alias("wt"),
         )
@@ -207,9 +224,7 @@ def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _t(spark, sf_dir, "documents")
     toks = tokens(F.col("text"))
     base = d.select("doc_id", toks.alias("toks"))
-    n = F.size(F.col("toks"))
-    extra = F.greatest(n - _CHUNK, F.lit(0))
-    nc = (F.lit(1) + F.floor((extra + (_STRIDE - 1)) / F.lit(float(_STRIDE)))).cast("int")
+    nc = _chunk_count(F.size(F.col("toks")))
     with_idx = base.select(
         "doc_id", "toks", F.explode(F.sequence(F.lit(0), nc - 1)).alias("chunk_idx")
     )
@@ -640,17 +655,10 @@ from .textops import CLEAN_SURVIVORS_CTES as _CLEAN_CTES
 
 CORPUS_SHARDS_ORACLE = f"""
 WITH {_CLEAN_CTES},
-b AS (
-  SELECT doc_id, lang, n_tokens AS n_tok,
-         ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT % 100 AS bucket
-  FROM survivors
-),
 sp AS (
-  SELECT doc_id, lang, n_tok,
-         CASE WHEN bucket < 80 THEN 'train'
-              WHEN bucket < 90 THEN 'validation'
-              ELSE 'test' END AS split
-  FROM b
+  SELECT doc_id, lang, n_tokens AS n_tok,
+         {SPLIT_SQL.format(id="doc_id")} AS split
+  FROM survivors
 ),
 ch AS (
   SELECT split, lang, doc_id, i AS chunk_idx,
@@ -693,19 +701,8 @@ def corpus_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     clean = clean_corpus(d).select("doc_id", "lang", F.col("n_tokens").alias("n_tok"))
-    bucket = (
-        F.conv(F.substring(F.md5(F.col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
-        .cast("long")
-        % 100
-    )
-    split = (
-        F.when(bucket < 80, F.lit("train"))
-        .when(bucket < 90, F.lit("validation"))
-        .otherwise(F.lit("test"))
-    )
-    sp = clean.select("doc_id", "lang", "n_tok", split.alias("split"))
-    extra = F.greatest(F.col("n_tok") - _CHUNK, F.lit(0))
-    nc = (F.lit(1) + F.floor((extra + (_STRIDE - 1)) / F.lit(float(_STRIDE)))).cast("int")
+    sp = clean.select("doc_id", "lang", "n_tok", _split_col("doc_id").alias("split"))
+    nc = _chunk_count(F.col("n_tok"))
     ch = sp.select(
         "split",
         "lang",

@@ -689,6 +689,12 @@ def _pq_load_codebooks(spark: SparkSession, path: str, m: int, codes: int) -> li
     books = [[None] * codes for _ in range(m)]
     for r in rows:
         books[r["j"]][r["c"]] = [float(v) for v in r["centroid"]]
+    missing = [(j, c) for j in range(m) for c in range(codes) if books[j][c] is None]
+    if missing:  # truncated/foreign index artifact — rebuildable, so say so
+        raise ValueError(
+            f"PQ codebook file at {path} is incomplete (missing {missing[:4]}...); "
+            "delete the cache dir to force a rebuild"
+        )
     return books
 
 

@@ -54,7 +54,10 @@ def main() -> None:
     for name in names:
         fn = specs[name].fn
         times: dict[str, list[float]] = {"base": [], "scaled": []}
-        fn(spark, base_dir).count()  # warm footers/JIT once per query
+        # warm BOTH sides once (footers, file listing, JIT) so the first
+        # timed run of either scale carries no one-time costs
+        fn(spark, base_dir).count()
+        fn(spark, scale_dir).count()
         for _ in range(runs):
             for tag, d in (("base", base_dir), ("scaled", scale_dir)):
                 spark.catalog.clearCache()

@@ -116,3 +116,20 @@ def test_parsers_never_crash_on_junk(junk):
     for parser in (parse_image_header, parse_wav_header, parse_mp4_header):
         out = parser(junk)
         assert out is None or isinstance(out, tuple)
+
+
+@given(n_tok=st.integers(min_value=1, max_value=10_000))
+def test_chunk_count_formula_covers_all_tokens(n_tok):
+    # The closed-form 64/48 chunk count used by doc_chunks /
+    # corpus_train_shards (and restated in their SQL oracles) must tile the
+    # token range: chunks cover every token, the last chunk is non-empty,
+    # and one fewer chunk would leave tokens uncovered.
+    CHUNK, STRIDE = 64, 48
+    import math
+
+    nc = 1 + math.ceil(max(n_tok - CHUNK, 0) / STRIDE)
+    last_start = (nc - 1) * STRIDE  # 0-based
+    assert last_start < n_tok  # last chunk non-empty
+    assert last_start + CHUNK >= n_tok  # full coverage
+    if nc > 1:  # minimality: nc-1 chunks would stop short
+        assert (nc - 2) * STRIDE + CHUNK < n_tok

@@ -28,6 +28,7 @@ EXTRA_PROBES = (
     "cube_order_stats",
     "corpus_train_shards",
     "user_activity_topk",
+    "pq_topk_recall",
 )
 
 

@@ -736,3 +736,58 @@ def corpus_train_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chunk_tokens").cast("long").alias("n_tokens"),
         (F.sum("n_chunk_tokens").cast("double") / _BIN_TOKENS).alias("fill_frac"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Misra-Gries heavy hitters: the frequent-items member of the sketch family
+# (HLL++ distinct / GK quantiles live in sketch_profile). Raw estimates are
+# partition-layout-dependent (like any MG summary), but the MG guarantee
+#   true - N/(k+1) <= est <= true
+# holds under ANY partitioning, so the contract — checked over the exact
+# top-10 tokens — is a constant verdict row the driver can hash-compare.
+# The (true-est)*(k+1) <= N form keeps the bound check in exact integers.
+# ---------------------------------------------------------------------------
+
+_HH_K = 64
+
+HEAVY_HITTERS_ORACLE = f"""
+SELECT CAST(10 AS BIGINT) AS n_checked,
+       {_HH_K} AS k,
+       TRUE AS never_overcounts,
+       TRUE AS within_bound
+"""
+
+
+@query("heavy_hitters_sketch", survey="sketch-heavy-hitters,A5", oracle=HEAVY_HITTERS_ORACLE)
+def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-bound contract for the Misra-Gries token heavy-hitter sketch
+    (k=64 counters/partition; ≤ k rows per partition shuffle instead of
+    the full term relation — the 100 TB path when even (term, count) is
+    too large to shuffle)."""
+    from ..operators.heavyhitters import heavy_hitters
+
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    toks = d.select(tokens(F.col("text")).alias("toks"))
+    sketch = heavy_hitters(toks, "toks", k=_HH_K)
+    exact = (
+        toks.select(F.explode("toks").alias("item"))
+        .groupBy("item")
+        .agg(F.count(F.lit(1)).cast("long").alias("true_cnt"))
+    )
+    total = exact.agg(F.sum("true_cnt").cast("long").alias("n_total"))
+    top10 = exact.orderBy(F.desc("true_cnt"), F.asc("item")).limit(10)
+    joined = (
+        top10.join(sketch, "item", "left")
+        .withColumn("est", F.coalesce(F.col("est"), F.lit(0)))
+        .crossJoin(F.broadcast(total))
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("long").alias("n_checked"),
+        F.lit(_HH_K).alias("k"),
+        F.every(F.col("est") <= F.col("true_cnt")).alias("never_overcounts"),
+        F.every(
+            (F.col("true_cnt") - F.col("est")) * (_HH_K + 1) <= F.col("n_total")
+        ).alias("within_bound"),
+    )

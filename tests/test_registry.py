@@ -59,6 +59,9 @@ def test_window_covers_all_survey_ops():
         # PQ-ADC ANN: approximate variant of in-window ann-cosine (same
         # recall-contract pattern as in-window ann-cosine-ivf).
         "ann-cosine-pq",
+        # Misra-Gries frequent items: sketch-family sibling of in-window
+        # `sketch_profile` (HLL++/GK), same error-bound-contract pattern.
+        "sketch-heavy-hitters",
         # time-series profile similarity: beyond-reference extension whose
         # execution shape (aligned-vector cosine top-k) is in-window via
         # ann-cosine; fully DuckDB-oracled in the tail.

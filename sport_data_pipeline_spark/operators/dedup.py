@@ -517,6 +517,84 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str, out_col: str = "
     return df.select(F.col(id_col), sig.alias(out_col))
 
 
+def duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """Maximal cross-document duplicated token spans (exact-substring dedup).
+
+    The span-level counterpart of document-level dedup, after Lee et al.
+    2022 ("Deduplicating Training Data Makes Language Models Better"):
+    instead of dropping whole near-duplicate documents, find every maximal
+    run of tokens that also appears verbatim in at least one OTHER
+    document — the spans a training pipeline would cut out of otherwise
+    unique pages (boilerplate, quoted passages, licence blocks).
+
+    Distributed shape (the suffix-array of the paper is a single-machine
+    structure; the k-gram formulation is its shuffle-friendly equivalent —
+    a token position lies in a duplicated run of length ≥ k iff some
+    k-gram covering it is duplicated):
+
+      1. posexplode k-token shingles → (id, pos, md5(shingle)); one
+         map-side pass, persisted (feeds the dup-set agg AND the join-back).
+      2. duplicated shingles via ``min(id) <> max(id)`` — an ordinary
+         partial-aggregatable min/max, NOT countDistinct, so no Expand and
+         full map-side combine on the shingle-hash shuffle.
+      3. left-semi join positions against the duplicated set (equi-join on
+         the hash; both sides already hash-partitioned by it).
+      4. gaps-and-islands per document: starts ≤ k apart overlap or touch
+         (a start at p covers tokens [p, p+k-1]), so a new span begins when
+         ``pos - lag(pos) > k``; one window exchange on ``id_col``.
+
+    md5 (128-bit) rather than xxhash64: the dup-set membership decides the
+    output, so collision probability must be negligible at corpus scale,
+    and md5 keeps the grouping key portable to external SQL engines.
+
+    Returns (id, span_start, span_end, span_tokens) — token positions are
+    0-based and inclusive; every span is ≥ k tokens by construction.
+    """
+    from pyspark.sql import Window
+
+    from ..functions.text import word_shingles
+
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    sh = (
+        df.repartition(n_parts, F.col(id_col))
+        .select(F.col(id_col), F.posexplode(word_shingles(text_col, k)).alias("pos", "__s"))
+        .select(id_col, "pos", F.md5(F.col("__s").cast("binary")).alias("__h"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    dup = (
+        sh.groupBy("__h")
+        .agg(F.min(id_col).alias("__mn"), F.max(id_col).alias("__mx"))
+        .where(F.col("__mn") != F.col("__mx"))
+        .select("__h")
+    )
+    hits = sh.join(dup, "__h", "left_semi")
+    w = Window.partitionBy(id_col).orderBy("pos")
+    new_span = (
+        F.col("pos") - F.lag("pos", 1).over(w) > k
+    )  # NULL lag (first row) → NULL → otherwise-branch starts island 1
+    islands = hits.withColumn(
+        "__isl", F.sum(F.when(new_span, 1).otherwise(F.lit(0))).over(w)
+    )
+    return (
+        islands.groupBy(id_col, "__isl")
+        .agg(
+            F.min("pos").cast("long").alias("span_start"),
+            (F.max("pos") + (k - 1)).cast("long").alias("span_end"),
+        )
+        .select(
+            id_col,
+            "span_start",
+            "span_end",
+            (F.col("span_end") - F.col("span_start") + 1).alias("span_tokens"),
+        )
+    )
+
+
 def simhash_near_dup_portable(
     df: DataFrame,
     id_col: str,

@@ -791,3 +791,65 @@ def heavy_hitters_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("true_cnt") - F.col("est")) * (_HH_K + 1) <= F.col("n_total")
         ).alias("within_bound"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact duplicated-substring spans (Lee et al. 2022 "Deduplicating Training
+# Data" — ExactSubstr, k-gram formulation): every maximal token run that
+# also appears verbatim in at least one other document.
+# ---------------------------------------------------------------------------
+
+_SPAN_K = 8
+
+DUP_SPAN_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {_SPAN_K - 1})) AS i
+  FROM t WHERE len(toks) >= {_SPAN_K}
+),
+sh AS (
+  SELECT doc_id, i - 1 AS p,
+         md5(array_to_string(toks[i:i + {_SPAN_K - 1}], ' ')) AS h
+  FROM pos
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev IS NULL OR p - prev > {_SPAN_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM hits)
+)
+SELECT doc_id,
+       CAST(MIN(p) AS BIGINT) AS span_start,
+       CAST(MAX(p) + {_SPAN_K - 1} AS BIGINT) AS span_end,
+       CAST(MAX(p) + {_SPAN_K - 1} - MIN(p) + 1 AS BIGINT) AS span_tokens
+FROM isl
+GROUP BY doc_id, island
+ORDER BY doc_id, span_start
+"""
+
+
+@query("dup_span_profile", survey="dedup-substring,W1,U3", oracle=DUP_SPAN_ORACLE, headline=True)
+def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal cross-doc duplicated token spans over the documents table.
+
+    Span-level exact-substring dedup (the cut-the-span alternative to
+    dropping whole near-duplicate docs). The distributed shape is one
+    shingle-hash shuffle with full map-side combine (min/max, not
+    countDistinct — no Expand), a semi-join back on the same key, and one
+    per-document window: see operators/dedup.duplicated_spans."""
+    from ..operators.dedup import duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    spans = duplicated_spans(d, "doc_id", "text", k=_SPAN_K)
+    return spans.select(
+        "doc_id",
+        "span_start",
+        "span_end",
+        F.col("span_tokens").cast("long").alias("span_tokens"),
+    ).orderBy("doc_id", "span_start")

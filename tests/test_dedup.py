@@ -121,3 +121,58 @@ def test_jaccard_length_filter_is_lossless(spark, threshold):
     )
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# duplicated_spans: planted shared passages → exact maximal spans
+# ---------------------------------------------------------------------------
+
+def _words(prefix: str, n: int) -> str:
+    return " ".join(f"{prefix}{i}" for i in range(n))
+
+
+def test_duplicated_spans_exact_boundaries(spark):
+    from sport_data_pipeline_spark.operators.dedup import duplicated_spans
+
+    shared = _words("s", 10)          # 10-token passage planted in docs 0 and 1
+    docs = spark.createDataFrame(
+        [
+            (0, _words("a", 5) + " " + shared + " " + _words("b", 5)),
+            (1, _words("c", 3) + " " + shared),
+            (2, _words("d", 20)),     # unique — no spans
+            (3, _words("e", 4)),      # shorter than k — no shingles at all
+        ],
+        "doc_id long, text string",
+    )
+    rows = {
+        (r.doc_id, r.span_start, r.span_end, r.span_tokens)
+        for r in duplicated_spans(docs, "doc_id", "text", k=8).collect()
+    }
+    # doc 0: shared occupies tokens [5, 14]; duplicated 8-gram starts are
+    # exactly {5, 6, 7} (an 8-gram starting later mixes in b-tokens), so the
+    # maximal span is [5, 14] = 10 tokens. doc 1: tokens [3, 12].
+    assert rows == {(0, 5, 14, 10), (1, 3, 12, 10)}
+
+
+def test_duplicated_spans_merges_adjacent_and_splits_distant(spark):
+    from sport_data_pipeline_spark.operators.dedup import duplicated_spans
+
+    p1, p2 = _words("x", 8), _words("y", 8)
+    gap_small = _words("g", 3)   # spans [0,7] and [11,18]: starts 0 and 11,
+    gap_big = _words("h", 20)    # 11 - 0 > 8 → separate; but each stays maximal
+    docs = spark.createDataFrame(
+        [
+            (0, p1 + " " + gap_small + " " + p2),
+            (1, p1 + " " + gap_big + " " + p2),
+            (2, p1),
+            (3, p2),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_id, r.span_start, r.span_end)
+        for r in duplicated_spans(docs, "doc_id", "text", k=8).collect()
+    }
+    assert (0, 0, 7) in got and (0, 11, 18) in got      # split across the gap
+    assert (1, 0, 7) in got and (1, 28, 35) in got
+    assert (2, 0, 7) in got and (3, 0, 7) in got

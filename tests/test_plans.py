@@ -288,3 +288,13 @@ def test_pq_adc_scan_reads_codes_not_vectors(spark):
     for seg in code_scans:
         cols = seg.split("]", 1)[0]  # leading "[vec_id#7L,codes#8" column list
         assert "codes" in cols and "embedding" not in cols
+
+
+def test_dup_span_profile_no_expand_semi_join(spark):
+    # duplicated-shingle set is min(id)<>max(id) — partial-aggregatable,
+    # so no Expand node (countDistinct would add one); positions filter
+    # back through a semi-join, never a nested loop.
+    plan = physical_plan(SPECS["dup_span_profile"].fn(spark, SF_DIR))
+    assert "Expand" not in plan
+    assert "LeftSemi" in plan
+    assert "BroadcastNestedLoopJoin" not in plan

@@ -517,6 +517,99 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str, out_col: str = "
     return df.select(F.col(id_col), sig.alias(out_col))
 
 
+def incremental_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Dedup a NEW batch against an EXISTING corpus (incremental ingestion).
+
+    The steady-state shape of a production pipeline: the corpus is already
+    deduplicated, and each incoming crawl batch must be checked against it
+    without re-running dedup over everything. Two gates, both one-sided
+    (batch × corpus, never corpus × corpus):
+
+      1. exact — fingerprint equi-join; a batch doc whose normalized text
+         already exists is ``dup_exact`` (re-crawls hit this constantly).
+      2. near  — blocked (batch × corpus) join with the lossless Jaccard
+         length filter, then exact set Jaccard ≥ ``threshold`` →
+         ``near_dup``.
+
+    Everything else is ``kept``. ``match_id`` is the smallest matching
+    corpus id (exact match wins over near match), NULL for kept docs.
+
+    Scale: the batch is typically orders of magnitude smaller than the
+    corpus, so both joins are skewed in the cheap direction — the corpus
+    streams through exactly twice (fingerprint scan + shingle scan), no
+    corpus self-join ever forms, and the only quadratic-ish work is
+    batch-block × corpus-block pruned by the size-window predicate before
+    any set op runs. At full corpus scale the candidate stage swaps to the
+    banded-MinHash generator (``minhash_near_dup``) with this exact-Jaccard
+    check as the verify step — same contract, same output schema.
+
+    Returns one row per batch doc: (id, status, match_id).
+    """
+    block_exprs = [F.col(c) for c in block_cols]
+    n_parts = batch.sparkSession.sparkContext.defaultParallelism
+
+    bfp = batch.select(F.col(id_col), content_fingerprint(text_col).alias("__fp"))
+    cfp = corpus.select(F.col(id_col).alias("__cid"), content_fingerprint(text_col).alias("__fp"))
+    exact = bfp.join(cfp, "__fp").groupBy(id_col).agg(F.min("__cid").alias("__exact"))
+
+    def shingled(df: DataFrame, idc: Column, tag: str) -> DataFrame:
+        sets = (
+            _shingle_hashes(text_col, shingle_n)
+            if shingle_n > 1
+            else F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
+        )
+        out = df.repartition(n_parts, *block_exprs).select(
+            *[F.col(c).alias(f"__{tag}_{c}") for c in block_cols],
+            idc,
+            sets.alias(f"__set_{tag}"),
+        )
+        return out.withColumn(f"__n_{tag}", F.size(f"__set_{tag}"))
+
+    a = shingled(batch, F.col(id_col), "a")
+    b = shingled(corpus, F.col(id_col).alias("__cid"), "b")
+    cond = F.lit(True)
+    for c in block_cols:
+        cond = cond & (F.col(f"__a_{c}") == F.col(f"__b_{c}"))
+    # Same lossless size-window predicate as jaccard_pairs (division form —
+    # see the rounding note there): prunes before any per-pair set op.
+    cond = cond & (
+        F.least("__n_a", "__n_b").cast("double") / F.greatest("__n_a", "__n_b")
+        >= F.lit(threshold)
+    )
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    union = F.col("__n_a") + F.col("__n_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    near = (
+        a.join(b, cond)
+        .select(F.col(id_col), F.col("__cid"), jac.alias("__j"))
+        .filter(F.col("__j") >= threshold)
+        .groupBy(id_col)
+        .agg(F.min("__cid").alias("__near"))
+    )
+
+    return (
+        batch.select(id_col)
+        .join(exact, id_col, "left")
+        .join(near, id_col, "left")
+        .select(
+            id_col,
+            F.when(F.col("__exact").isNotNull(), F.lit("dup_exact"))
+            .when(F.col("__near").isNotNull(), F.lit("near_dup"))
+            .otherwise(F.lit("kept"))
+            .alias("status"),
+            F.coalesce("__exact", "__near").alias("match_id"),
+        )
+    )
+
+
 def duplicated_spans(
     df: DataFrame,
     id_col: str,

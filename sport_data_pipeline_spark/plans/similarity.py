@@ -743,3 +743,67 @@ def pq_topk_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("__hits").cast("double") >= F.lit(bound) * F.col("n_queries") * F.lit(5)
         ).alias("recall_ok"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch-vs-corpus dedup: the steady-state ingestion shape (new
+# crawl batch checked against the already-deduplicated corpus; no corpus
+# self-join). Batch/corpus split is a deterministic id rule: century blocks
+# alternate sides (the generator plants near-dup pairs 100 ids apart, so
+# they land on opposite sides), and every 17th doc appears on BOTH sides —
+# the re-crawl case the exact gate exists for.
+# ---------------------------------------------------------------------------
+
+_INCR_BATCH = "(doc_id // 100) % 2 = 1"
+_INCR_CORPUS = "(doc_id // 100) % 2 = 0 OR doc_id % 17 = 0"
+
+INCR_DEDUP_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source,
+         list_distinct([ concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+                         for i in range(1, greatest(len(toks) - 2, 0) + 1) ]) AS sh,
+         md5({_NORM_SQL.format(col="text")}) AS fp
+  FROM (SELECT doc_id, lang, source, text,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+),
+b AS (SELECT * FROM t WHERE {_INCR_BATCH}),
+c AS (SELECT * FROM t WHERE {_INCR_CORPUS}),
+ex AS (
+  SELECT b.doc_id AS doc_id, MIN(c.doc_id) AS em
+  FROM b JOIN c ON b.fp = c.fp GROUP BY 1
+),
+near AS (
+  SELECT b.doc_id AS doc_id, MIN(c.doc_id) AS nm
+  FROM b JOIN c ON b.lang = c.lang AND b.source = c.source
+  WHERE len(list_distinct(b.sh || c.sh)) > 0
+    AND CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        / len(list_distinct(b.sh || c.sh)) >= 0.5
+  GROUP BY 1
+)
+SELECT b.doc_id,
+       CASE WHEN ex.em IS NOT NULL THEN 'dup_exact'
+            WHEN near.nm IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       COALESCE(ex.em, near.nm) AS match_id
+FROM b
+LEFT JOIN ex ON b.doc_id = ex.doc_id
+LEFT JOIN near ON b.doc_id = near.doc_id
+ORDER BY b.doc_id
+"""
+
+
+@query("incremental_dedup_docs", survey="dedup-incremental,U3", oracle=INCR_DEDUP_ORACLE, headline=True)
+def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route every batch doc: dup_exact / near_dup / kept, with the
+    smallest matching corpus id. See operators/dedup.incremental_dedup for
+    the two one-sided gates and the 100 TB candidate-generator swap."""
+    from ..operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.expr(_INCR_BATCH.replace("//", "div")))
+    corpus = d.filter(F.expr(_INCR_CORPUS.replace("//", "div")))
+    return incremental_dedup(
+        batch, corpus, "doc_id", "text",
+        block_cols=["lang", "source"], threshold=0.5, shingle_n=3,
+    ).orderBy("doc_id")

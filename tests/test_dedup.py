@@ -176,3 +176,32 @@ def test_duplicated_spans_merges_adjacent_and_splits_distant(spark):
     assert (0, 0, 7) in got and (0, 11, 18) in got      # split across the gap
     assert (1, 0, 7) in got and (1, 28, 35) in got
     assert (2, 0, 7) in got and (3, 0, 7) in got
+
+
+def test_incremental_dedup_routes_batch_docs(spark):
+    from sport_data_pipeline_spark.operators.dedup import incremental_dedup
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "b", "the quick brown fox jumps over the lazy dog"),
+            (2, "b", "completely different words about spark engines"),
+        ],
+        "doc_id long, blk string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "b", "the quick brown fox jumps over the lazy dog"),   # exact dup of 0
+            (11, "b", "the quick brown fox jumps over the lazy cat"),   # near-dup of 0
+            (12, "b", "entirely novel content never seen before today again"),
+        ],
+        "doc_id long, blk string, text string",
+    )
+    got = {
+        r.doc_id: (r.status, r.match_id)
+        for r in incremental_dedup(
+            batch, corpus, "doc_id", "text", ["blk"], threshold=0.3, shingle_n=3
+        ).collect()
+    }
+    assert got[10] == ("dup_exact", 0)
+    assert got[11] == ("near_dup", 0)
+    assert got[12] == ("kept", None)

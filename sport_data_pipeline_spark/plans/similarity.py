@@ -807,3 +807,72 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         batch, corpus, "doc_id", "text",
         block_cols=["lang", "source"], threshold=0.5, shingle_n=3,
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
+# web-scale through semantic deduplication"): keep ONE document per
+# semantic-duplicate cluster in embedding space. Composes the two tested
+# stages — exact block-grid cosine pairs and min-label connected
+# components — into the routing artifact a pipeline actually consumes:
+# every vector mapped to its cluster keeper. The keeper IS the component
+# label (min member id), so no extra shuffle beyond the closure itself.
+# ---------------------------------------------------------------------------
+
+SEMANTIC_DEDUP_ORACLE = """
+WITH RECURSIVE
+v AS (
+  SELECT vec_id, embedding,
+         sqrt(list_sum(list_transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm
+  FROM embeddings
+),
+pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM v a JOIN v b ON a.vec_id < b.vec_id
+  WHERE a.nrm > 0 AND b.nrm > 0
+    AND list_sum(list_transform(list_zip(a.embedding, b.embedding),
+          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (a.nrm * b.nrm) >= 0.4
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS root FROM edges
+  UNION
+  SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+),
+comp AS (SELECT id, MIN(root) AS root FROM reach GROUP BY id)
+SELECT e.vec_id,
+       CAST(COALESCE(c.root, e.vec_id) AS BIGINT) AS keep_id,
+       COALESCE(c.root, e.vec_id) = e.vec_id AS kept
+FROM embeddings e
+LEFT JOIN comp c ON e.vec_id = c.id
+ORDER BY e.vec_id
+"""
+
+
+@query("semantic_dedup", survey="dedup-semantic,iterative,U3", oracle=SEMANTIC_DEDUP_ORACLE)
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route every vector to its semantic-cluster keeper (SemDeDup).
+
+    kept=false rows are the ones a training pipeline drops; keep_id is the
+    surviving representative (min member id of the cosine-similarity
+    component, so the label and the keeper are the same value — the
+    closure's output needs no second pass)."""
+    from ..operators.graph import connected_components
+
+    emb = _t(spark, sf_dir, "embeddings")
+    pairs = embedding_near_dup(emb, "vec_id", threshold=0.4, dim=64)
+    cc = connected_components(pairs, "id_a", "id_b")
+    return (
+        emb.select("vec_id")
+        .join(cc, emb["vec_id"] == cc["id"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("component", F.col("vec_id")).cast("long").alias("keep_id"),
+            (F.coalesce("component", F.col("vec_id")) == F.col("vec_id")).alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -367,6 +367,138 @@ def minhash_near_dup(
     )
 
 
+def minhash_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    threshold: float = 0.5,
+    shingle_n: int = 3,
+    num_hashes: int = 32,
+    bands: int = 16,
+    max_bucket_size: int = 200,
+) -> DataFrame:
+    """Scale-safe composite near-dup: MinHash-LSH candidates feeding the
+    exact-Jaccard verifier.
+
+    Same contract as ``jaccard_pairs`` — (id_a, id_b, jaccard) with
+    id_a < id_b, both docs in the same block, jaccard >= ``threshold`` —
+    but the candidate set comes from banded LSH buckets instead of the
+    blocked all-pairs self-join. ``jaccard_pairs`` stays linear only while
+    blocks stay small (its within-block candidates are quadratic: measured
+    14.5× work at 10× data, SCALE.md §8); here candidate volume is driven
+    by LSH bucket sizes, which the ``max_bucket_size`` cap bounds, so the
+    composite is the shape that survives 100×. The verify stage is the
+    exact same size-window-pruned set-Jaccard as ``jaccard_pairs``, so the
+    output contract (and its exact-SQL oracle) is unchanged.
+
+    Banding r = num_hashes/bands puts the candidate S-curve knee at
+    (1/bands)^(1/r); the default 32 hashes × 16 bands (r=2) lands the knee
+    at 0.25 — loose enough that a true pair at the 0.5 threshold banded
+    into a candidate bucket with probability 1−(1−0.5²)^16 ≈ 0.99 per the
+    standard LSH analysis, and deterministic given xxhash64 (measured
+    recall 1.0 vs the exact all-pairs oracle at sf0.001/0.01/0.1). Block
+    keys ride inside the bucket key, so candidates never cross blocks.
+
+    The intermediate signature table is persisted (banding + both verify
+    sides read it); its lifetime is caller-owned — materialize the result,
+    then ``spark.catalog.clearCache()`` if the session runs more jobs.
+    """
+    rows = num_hashes // bands
+    n_parts = df.sparkSession.sparkContext.defaultParallelism
+    block_exprs = [F.col(c) for c in block_cols]
+    shingle_set = (
+        _shingle_hashes(text_col, shingle_n)
+        if shingle_n > 1
+        else F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
+    )
+    base = (
+        df.repartition(n_parts, *block_exprs, F.col(id_col))
+        .select(*block_cols, F.col(id_col), shingle_set.alias("__set"))
+        .filter(F.size("__set") > 0)
+    )
+    sig = base.select(
+        *block_cols,
+        F.col(id_col),
+        "__set",
+        F.size("__set").alias("__n"),
+        *_minhash_signature(F.col("__set"), num_hashes),
+    ).persist(StorageLevel.MEMORY_AND_DISK)
+
+    banded = sig.select(
+        *block_cols,
+        F.col(id_col),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band"),
+                        F.xxhash64(
+                            *[F.col(f"__mh_{bi * rows + r}") for r in range(rows)]
+                        ).alias("sig"),
+                    )
+                    for bi in range(bands)
+                ]
+            )
+        ).alias("__band"),
+    ).select(*block_cols, id_col, "__band.band", "__band.sig")
+
+    # Mega-bucket cap via a window count — one exchange that also leaves
+    # rows partitioned on the self-join key (same rationale as
+    # minhash_near_dup). A bucket larger than the cap is non-discriminative
+    # boilerplate and would go quadratic.
+    from pyspark.sql import Window
+
+    bucket_w = Window.partitionBy(*block_cols, "band", "sig")
+    banded = (
+        banded.withColumn("__bn", F.count(F.lit(1)).over(bucket_w))
+        .filter(F.col("__bn") <= max_bucket_size)
+        .drop("__bn")
+    )
+
+    bucket_key = [*block_cols, "band", "sig"]
+    a = banded.select(*bucket_key, F.col(id_col).alias("id_a"))
+    b = banded.select(*bucket_key, F.col(id_col).alias("id_b"))
+    candidates = (
+        a.join(b, bucket_key)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+
+    sets = sig.select(F.col(id_col), F.col("__set"), F.col("__n"))
+    verified = (
+        candidates.join(
+            sets.select(
+                F.col(id_col).alias("id_a"),
+                F.col("__set").alias("__set_a"),
+                F.col("__n").alias("__n_a"),
+            ),
+            "id_a",
+        )
+        .join(
+            sets.select(
+                F.col(id_col).alias("id_b"),
+                F.col("__set").alias("__set_b"),
+                F.col("__n").alias("__n_b"),
+            ),
+            "id_b",
+        )
+        # Lossless size-window prune before any set op (division form —
+        # see the rounding note in jaccard_pairs).
+        .filter(
+            F.least("__n_a", "__n_b").cast("double") / F.greatest("__n_a", "__n_b")
+            >= F.lit(threshold)
+        )
+    )
+    inter = F.size(F.array_intersect("__set_a", "__set_b"))
+    union = F.col("__n_a") + F.col("__n_b") - inter
+    jac = F.when(union > 0, inter.cast("double") / union).otherwise(F.lit(0.0))
+    return verified.select("id_a", "id_b", jac.alias("jaccard")).filter(
+        F.col("jaccard") >= threshold
+    )
+
+
 def simhash(df: DataFrame, id_col: str, text_col: str, out_col: str = "simhash") -> DataFrame:
     """64-bit SimHash per document, entirely in Spark expressions.
 
@@ -566,7 +698,11 @@ def incremental_dedup(
             if shingle_n > 1
             else F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
         )
-        out = df.repartition(n_parts, *block_exprs).select(
+        # id_col joins the partition keys so a skewed block (one dominant
+        # lang/source) spreads across tasks instead of collapsing into one
+        # — the join key is still the block columns, so correctness is
+        # unchanged (same rationale as jaccard_pairs).
+        out = df.repartition(n_parts, *block_exprs, F.col(id_col)).select(
             *[F.col(c).alias(f"__{tag}_{c}") for c in block_cols],
             idc,
             sets.alias(f"__set_{tag}"),
@@ -644,6 +780,12 @@ def duplicated_spans(
     md5 (128-bit) rather than xxhash64: the dup-set membership decides the
     output, so collision probability must be negligible at corpus scale,
     and md5 keeps the grouping key portable to external SQL engines.
+
+    The shingle-position frame is persisted (it feeds the dup-set agg AND
+    the join-back); as with ``jaccard_pairs``/``minhash_near_dup``, its
+    lifetime is caller-owned — materialize the result, then
+    ``spark.catalog.clearCache()`` (or unpersist) if the session keeps
+    running more jobs, as bench.py does between queries.
 
     Returns (id, span_start, span_end, span_tokens) — token positions are
     0-based and inclusive; every span is ≥ k tokens by construction.

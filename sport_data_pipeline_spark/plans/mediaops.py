@@ -1,0 +1,193 @@
+"""Multimodal metadata query: the driver-checkable row for the media
+operators (operators/multimodal.py).
+
+The image/audio/video payloads are synthesized IN-QUERY as deterministic
+container bytes (real PNG/GIF/JPEG/WAV/MP4 layouts, parameterized per
+media_id), so the REAL header decoders — ``parse_image_header`` /
+``parse_wav_header`` / ``parse_mp4_header`` via their Arrow-batched
+``mapInPandas`` wrappers — run distributed over executors, and the oracle
+can independently restate the expected metadata from the generation
+formulas (the same verdict-row pattern as ``ivf_topk_recall`` /
+``stream_batch_equivalence``: the SQL derives what the decode must
+produce, so any regression in the byte-level parsers or the mapInPandas
+plumbing breaks the hash-match).
+
+Pixel-level decode stays stubbed behind the documented codec seam
+(SURVEY-scoped: codec libraries are outside this container); everything
+checked here — container walking, dimension/rate/duration extraction,
+frame-sampling arithmetic, Arrow batch shapes, null propagation — is the
+real distributed path.
+"""
+
+from __future__ import annotations
+
+import struct
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from ..operators.multimodal import (
+    MEDIA_SCHEMA,
+    extract_audio_meta,
+    extract_media_dimensions,
+    sample_frames,
+)
+from .registry import query
+
+_N_PER_KIND = 8
+
+
+def _png(w: int, h: int) -> bytes:
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + b"\x00\x00\x00\x0d"
+        + b"IHDR"
+        + struct.pack(">II", w, h)
+        + b"\x08\x02\x00\x00\x00"
+        + b"\x00\x00\x00\x00"  # CRC (unchecked by header parse)
+    )
+
+
+def _gif(w: int, h: int) -> bytes:
+    return b"GIF89a" + struct.pack("<HH", w, h) + b"\x00\x00\x00"
+
+
+def _jpeg(w: int, h: int, progressive: bool) -> bytes:
+    app0 = b"\xff\xe0" + struct.pack(">H", 16) + b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00"
+    sof_marker = b"\xff\xc2" if progressive else b"\xff\xc0"
+    sof = sof_marker + struct.pack(">H", 11) + b"\x08" + struct.pack(">HH", h, w) + b"\x01\x11\x00"
+    return b"\xff\xd8" + app0 + sof
+
+
+def _wav(channels: int, rate: int, bits: int, data_bytes: int) -> bytes:
+    """Canonical RIFF/WAVE with a declared-size data chunk (the parser
+    reads sizes, not samples, so the payload stays tiny)."""
+    fmt = (
+        b"fmt "
+        + struct.pack("<I", 16)
+        + struct.pack(
+            "<HHIIHH", 1, channels, rate, rate * channels * (bits // 8), channels * (bits // 8), bits
+        )
+    )
+    data = b"data" + struct.pack("<I", data_bytes)
+    body = b"WAVE" + fmt + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def _mp4(timescale: int, duration: int) -> bytes:
+    ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
+    mvhd_payload = (
+        b"\x00" + b"\x00\x00\x00"  # version 0 + flags
+        + struct.pack(">II", 0, 0)  # ctime, mtime
+        + struct.pack(">II", timescale, duration)
+        + b"\x00\x00\x00\x00"  # pad so payload+24 is in-bounds
+    )
+    mvhd = struct.pack(">I", 8 + len(mvhd_payload)) + b"mvhd" + mvhd_payload
+    moov = struct.pack(">I", 8 + len(mvhd)) + b"moov" + mvhd
+    return ftyp + moov
+
+
+def _synthesize_media_rows() -> list[tuple]:
+    """Deterministic corpus: 8 media per kind; every parameter is a closed
+    formula of the index so the oracle restates it in SQL."""
+    rows: list[tuple] = []
+
+    def add(media_id: int, payload: bytes, mime: str) -> None:
+        rows.append((media_id, payload, mime, len(payload), None))
+
+    for i in range(_N_PER_KIND):
+        add(i, _png(16 + 3 * i, 9 + 2 * i), "image/png")
+        add(100 + i, _jpeg(320 + 10 * i, 200 + 5 * i, progressive=i % 2 == 1), "image/jpeg")
+        add(200 + i, _gif(64 + i, 32 + i), "image/gif")
+        ch, rate = 1 + (i % 2), 8000 + 1000 * (i % 3)
+        dur_ms = 1500 + 250 * i
+        add(300 + i, _wav(ch, rate, 16, rate * ch * 2 * dur_ms // 1000), "audio/wav")
+        add(400 + i, _mp4(1000, 1500 + 250 * i), "video/mp4")
+    return rows
+
+
+# The oracle derives every expected value from the same index formulas the
+# generator uses — wholly independent of the byte-level parsing under test.
+# n_frames: duration_sec = 1.5 + 0.25*i, fps = 2 → int(duration*fps) + 1
+# = 4 + i//2 (cap 32 never binds at these durations).
+MULTIMODAL_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i)
+SELECT * FROM (
+  SELECT CAST(i AS BIGINT) AS media_id, 'png' AS kind, 'png' AS format,
+         CAST(16 + 3*i AS INTEGER) AS width, CAST(9 + 2*i AS INTEGER) AS height,
+         CAST(NULL AS INTEGER) AS channels, CAST(NULL AS INTEGER) AS sample_rate,
+         CAST(NULL AS BIGINT) AS duration_ms, CAST(NULL AS INTEGER) AS n_frames
+  FROM idx
+  UNION ALL
+  SELECT CAST(100 + i AS BIGINT), 'jpeg', 'jpeg',
+         CAST(320 + 10*i AS INTEGER), CAST(200 + 5*i AS INTEGER),
+         NULL, NULL, NULL, NULL
+  FROM idx
+  UNION ALL
+  SELECT CAST(200 + i AS BIGINT), 'gif', 'gif',
+         CAST(64 + i AS INTEGER), CAST(32 + i AS INTEGER),
+         NULL, NULL, NULL, NULL
+  FROM idx
+  UNION ALL
+  SELECT CAST(300 + i AS BIGINT), 'wav', NULL, NULL, NULL,
+         CAST(1 + (i % 2) AS INTEGER), CAST(8000 + 1000*(i % 3) AS INTEGER),
+         CAST(1500 + 250*i AS BIGINT), NULL
+  FROM idx
+  UNION ALL
+  SELECT CAST(400 + i AS BIGINT), 'mp4', NULL, NULL, NULL,
+         NULL, NULL, NULL, CAST(4 + i // 2 AS INTEGER)
+  FROM idx
+)
+ORDER BY media_id
+"""
+
+
+@query("multimodal_meta", survey="llm-multimodal,X6", oracle=MULTIMODAL_ORACLE)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unified media-metadata extraction over all five container kinds.
+
+    One row per synthesized medium: images report (format, width, height)
+    from the header decode, WAVs report (channels, sample_rate,
+    duration_ms) from the RIFF walk, MP4s report the sampled frame count
+    (fps=2 over the mvhd duration). All three extraction paths are
+    Arrow-batched mapInPandas over the shared MEDIA_SCHEMA.
+    """
+    media = spark.createDataFrame(_synthesize_media_rows(), MEDIA_SCHEMA).repartition(
+        4, "media_id"
+    )
+
+    dims = extract_media_dimensions(media).select("media_id", "format", "width", "height")
+    audio = extract_audio_meta(media).select(
+        "media_id",
+        "channels",
+        "sample_rate",
+        F.round(F.col("duration_sec").cast("double") * 1000, 0).cast("long").alias("duration_ms"),
+    )
+    frames = (
+        sample_frames(media, fps=2.0, max_frames=32)
+        .groupBy("media_id")
+        .agg(F.count(F.lit(1)).cast("int").alias("n_frames"))
+    )
+
+    kind = (
+        F.when(F.col("media_id") < 100, "png")
+        .when(F.col("media_id") < 200, "jpeg")
+        .when(F.col("media_id") < 300, "gif")
+        .when(F.col("media_id") < 400, "wav")
+        .otherwise("mp4")
+    )
+    return (
+        dims.join(audio, "media_id")
+        .join(frames, "media_id", "left")
+        .select(
+            "media_id",
+            kind.alias("kind"),
+            "format",
+            "width",
+            "height",
+            "channels",
+            "sample_rate",
+            "duration_ms",
+            "n_frames",
+        )
+        .orderBy("media_id")
+    )

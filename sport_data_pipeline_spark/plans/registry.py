@@ -68,6 +68,18 @@ def query(
 #: term_doc_frequency ⊂ tfidf_top_terms' llm-index, field_coverage's A11 ⊂
 #: retention_cohorts + doc_quality) — they remain fully DuckDB-oracled by
 #: tests/test_queries_oracle.py.
+#:
+#: The window ROTATES between rounds (COVERAGE.md "Driver-window rotation")
+#: so tail queries earn an external driver row without growing the window:
+#: r5 rotated in scd2_point_in_time, corpus_train_shards, incremental_
+#: dedup_docs, semantic_dedup, dup_span_profile, minhash_jaccard_neardup,
+#: stream_batch_equivalence, multimodal_meta; out went redundant-coverage
+#: slots whose ops stay represented (fuzzy_entity_match → _blocked;
+#: ngram_jaccard_neardup + minhash_neardup → the composite;
+#: embedding_topk_arrow → embedding_topk; clean_corpus_docs +
+#: hash_split_mixture + sequence_packing → corpus_train_shards;
+#: rolling_active_users → repetition_profile/funnel_steps). All rotated-out
+#: queries keep their green history and stay DuckDB-oracled locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
@@ -85,6 +97,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "asof_clicks",
     "time_bucket_rollup",
     "trend_forecast",
+    "scd2_point_in_time",
     # text / parsing
     "json_extract_stats",
     "string_normalize_slug",
@@ -92,17 +105,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "lang_stats",
     "doc_quality",
     "exact_dedup_docs",
-    "clean_corpus_docs",
     "doc_winnow_fingerprint",
     # similarity / dedup / ANN
-    "fuzzy_entity_match",
     "fuzzy_entity_match_blocked",
-    "ngram_jaccard_neardup",
-    "minhash_neardup",
+    "minhash_jaccard_neardup",
     "simhash_neardup",
+    "incremental_dedup_docs",
+    "semantic_dedup",
+    "dup_span_profile",
     "embedding_topk",
     "embedding_cosine_neardup",
-    "embedding_topk_arrow",
     "neardup_clusters",
     "embedding_quantize_error",
     "ivf_topk_recall",
@@ -114,24 +126,33 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "sketch_profile",
     # LLM corpus prep
     "repetition_profile",
-    "hash_split_mixture",
     "doc_chunks",
     "pii_redaction",
     "corpus_mixture_sample",
-    "sequence_packing",
     "contamination_overlap",
     "tfidf_top_terms",
-    # event analytics + streaming batch twin
+    "corpus_train_shards",
+    # event analytics + streaming + multimodal verdict rows
     "funnel_steps",
     "retention_cohorts",
-    "rolling_active_users",
     "late_dup_ticks",
+    "stream_batch_equivalence",
+    "multimodal_meta",
 )
 
 
 def all_queries() -> dict[str, QuerySpec]:
     # Import side-effect populates REGISTRY exactly once.
-    from . import relational, windows, textops, similarity, domain, corpusops, eventops  # noqa: F401
+    from . import (  # noqa: F401
+        corpusops,
+        domain,
+        eventops,
+        mediaops,
+        relational,
+        similarity,
+        textops,
+        windows,
+    )
 
     missing = [n for n in DRIVER_WINDOW if n not in REGISTRY]
     if missing:  # loud: a renamed query must not silently shrink the window

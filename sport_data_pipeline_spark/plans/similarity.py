@@ -64,9 +64,15 @@ LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON c.c_custkey = b.c_custkey
 """
 
 
-@query("fuzzy_entity_match", survey="J8,J9,F2", oracle=FUZZY_ORACLE, headline=True)
+@query("fuzzy_entity_match", survey="J8,J9,F2", oracle=FUZZY_ORACLE)
 def fuzzy_entity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers fuzzily resolved against suppliers, blocked by nation."""
+    """Customers fuzzily resolved against suppliers, blocked by nation only.
+
+    Nation-only blocking (25 blocks) scores every in-block probe, which is
+    superlinear by construction (measured 18.1× at 10× data, SCALE.md §8)
+    — kept as the exact oracle twin; the headline/driver J8 representative
+    is ``fuzzy_entity_match_blocked`` (composite nation+name-tail blocks,
+    measured flat), the plan that survives 100×."""
     c = _t(spark, sf_dir, "customer")
     s = _t(spark, sf_dir, "supplier")
     return resolve_entities(
@@ -114,7 +120,9 @@ LEFT JOIN SELECTED b ON c.c_custkey = b.c_custkey
 """
 
 
-@query("fuzzy_entity_match_blocked", survey="J8,J9,skew", oracle=FUZZY_BLOCKED_ORACLE)
+@query(
+    "fuzzy_entity_match_blocked", survey="J8,J9,skew", oracle=FUZZY_BLOCKED_ORACLE, headline=True
+)
 def fuzzy_entity_match_blocked(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Composite-blocked fuzzy resolution (nation + name tail)."""
     c = _t(spark, sf_dir, "customer").withColumn("c_tail", F.substring("c_name", -2, 2))
@@ -159,11 +167,48 @@ SELECT id_a, id_b, jaccard FROM pairs WHERE jaccard >= 0.5
 """
 
 
-@query("ngram_jaccard_neardup", survey="dedup-jaccard", oracle=JACCARD_ORACLE, headline=True)
+@query("ngram_jaccard_neardup", survey="dedup-jaccard", oracle=JACCARD_ORACLE)
 def ngram_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact blocked all-pairs Jaccard (the VERIFY-stage shape).
+
+    Candidates here are ~quadratic within blocks (measured 14.5× at 10×
+    data, SCALE.md §8), so as a standalone it is the small-corpus / oracle
+    twin; the 100×-safe headline path is ``minhash_jaccard_neardup`` below,
+    which feeds this same verifier from LSH candidates."""
     d = _t(spark, sf_dir, "documents")
     return jaccard_pairs(
         d, "doc_id", "text", block_cols=["lang", "source"], threshold=0.5, shingle_n=3
+    )
+
+
+# Scale-safe composite: the SAME output contract (and thus the same exact
+# all-pairs DuckDB oracle) as ngram_jaccard_neardup, but candidates come
+# from banded MinHash-LSH buckets instead of the blocked all-pairs
+# self-join — the swap documented on operators/dedup.incremental_dedup,
+# now registered as the headline near-dup path. LSH recall vs the exact
+# oracle is 1.0 on this corpus at sf0.001/0.01/0.1 (deterministic given
+# xxhash64; banding knee 0.25 sits far below the true pairs), so any
+# banding/bucketing/verify regression breaks the hash-match.
+@query(
+    "minhash_jaccard_neardup",
+    survey="dedup-jaccard,dedup-minhash-lsh",
+    oracle=JACCARD_ORACLE,
+    headline=True,
+)
+def minhash_jaccard_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash-LSH candidate generation feeding the exact-Jaccard verifier."""
+    from ..operators.dedup import minhash_jaccard_pairs
+
+    d = _t(spark, sf_dir, "documents")
+    return minhash_jaccard_pairs(
+        d,
+        "doc_id",
+        "text",
+        block_cols=["lang", "source"],
+        threshold=0.5,
+        shingle_n=3,
+        num_hashes=32,
+        bands=16,
     )
 
 
@@ -810,13 +855,21 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# SemDeDup (Abbas et al. 2023, "SemDeDup: Data-efficient learning at
-# web-scale through semantic deduplication"): keep ONE document per
-# semantic-duplicate cluster in embedding space. Composes the two tested
-# stages — exact block-grid cosine pairs and min-label connected
-# components — into the routing artifact a pipeline actually consumes:
-# every vector mapped to its cluster keeper. The keeper IS the component
-# label (min member id), so no extra shuffle beyond the closure itself.
+# SemDeDup-STYLE semantic dedup (adaptation of Abbas et al. 2023,
+# "SemDeDup: Data-efficient learning at web-scale through semantic
+# deduplication"): keep ONE document per semantic-duplicate cluster in
+# embedding space. Deviations from the paper, deliberately: clusters are
+# the TRANSITIVE CLOSURE of cosine>=threshold pairs (threshold chaining
+# can merge A-B-C where cos(A,C) < threshold), not the paper's k-means
+# cells, and the keeper is the min member id, not the
+# farthest-from-centroid point. The closure variant is the one whose
+# routing is exactly verifiable by SQL (recursive CTE below); the k-means
+# cell partitioning half of the paper lives in build_ivf_index, which an
+# in-cell variant would compose with. Composes the two tested stages —
+# exact block-grid cosine pairs and min-label connected components — into
+# the routing artifact a pipeline actually consumes: every vector mapped
+# to its cluster keeper. The keeper IS the component label (min member
+# id), so no extra shuffle beyond the closure itself.
 # ---------------------------------------------------------------------------
 
 SEMANTIC_DEDUP_ORACLE = """
@@ -855,7 +908,9 @@ ORDER BY e.vec_id
 
 @query("semantic_dedup", survey="dedup-semantic,iterative,U3", oracle=SEMANTIC_DEDUP_ORACLE)
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Route every vector to its semantic-cluster keeper (SemDeDup).
+    """Route every vector to its semantic-cluster keeper (SemDeDup-style;
+    see the header comment for the closure/keeper deviations from the
+    paper).
 
     kept=false rows are the ones a training pipeline drops; keep_id is the
     surviving representative (min member id of the cosine-similarity

@@ -51,6 +51,38 @@ def test_minhash_agrees_with_exact_jaccard_on_dups(docs):
     assert got <= exact
 
 
+def test_minhash_jaccard_composite_agrees_with_exact(spark):
+    """The scale-safe composite (LSH candidates → exact-Jaccard verify)
+    must reproduce the blocked all-pairs result exactly: same pairs, same
+    jaccard values, blocks respected."""
+    from sport_data_pipeline_spark.operators.dedup import minhash_jaccard_pairs
+
+    rows = []
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lamda mu"
+    for i in range(30):
+        words = base.split()
+        words[i % len(words)] = f"tok{i}"  # 30 mutually-near docs in block x
+        rows.append((i, "x", " ".join(words)))
+    rows.append((100, "y", base))  # near-dup of block-x docs but in block y
+    rows.append((101, "y", "totally unrelated content about query planning"))
+    df = spark.createDataFrame(rows, "doc_id long, blk string, text string")
+
+    exact = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in jaccard_pairs(df, "doc_id", "text", ["blk"], 0.5, shingle_n=2).collect()
+    }
+    comp = {
+        (r["id_a"], r["id_b"]): r["jaccard"]
+        for r in minhash_jaccard_pairs(
+            df, "doc_id", "text", ["blk"], 0.5, shingle_n=2, num_hashes=32, bands=16
+        ).collect()
+    }
+    spark.catalog.clearCache()
+    assert comp == exact
+    assert exact  # non-vacuous: the planted near-dups were found
+    assert not any(100 in p for p in comp)  # blocking respected
+
+
 def test_simhash_identical_docs_distance_zero(docs):
     pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
              simhash_near_dup(docs, "doc_id", "text", max_hamming=64).collect()}

@@ -212,3 +212,23 @@ def test_fit_within_geometry():
     assert fit_within(100, 50, 640, 640) == (100, 50)  # never upscale
     assert fit_within(10000, 1, 64, 64) == (64, 1)
     assert fit_within(0, 0, 64, 64) == (1, 1)
+
+
+def test_mediaops_synthesized_payloads_roundtrip_parsers():
+    """The driver-checkable multimodal query synthesizes container bytes
+    from closed formulas; every builder must round-trip through the real
+    header parsers with exactly the parameters it was built from."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        parse_image_header,
+        parse_mp4_header,
+        parse_wav_header,
+    )
+    from sport_data_pipeline_spark.plans.mediaops import _gif, _jpeg, _mp4, _png, _wav
+
+    assert parse_image_header(_png(17, 33)) == ("png", 17, 33)
+    assert parse_image_header(_gif(64, 32)) == ("gif", 64, 32)
+    assert parse_image_header(_jpeg(320, 200, progressive=False)) == ("jpeg", 320, 200)
+    assert parse_image_header(_jpeg(330, 205, progressive=True)) == ("jpeg", 330, 205)
+    # 1 ch × 8000 Hz × 16 bit → byte_rate 16000; 28000 bytes = 1.75 s
+    assert parse_wav_header(_wav(1, 8000, 16, 28000)) == (1, 8000, 16, 1.75)
+    assert parse_mp4_header(_mp4(1000, 2250)) == ("isom", 2.25)

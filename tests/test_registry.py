@@ -66,6 +66,10 @@ def test_window_covers_all_survey_ops():
         # execution shape (aligned-vector cosine top-k) is in-window via
         # ann-cosine; fully DuckDB-oracled in the tail.
         "ts-similarity",
+        # Arrow/BLAS top-k: alternative physical path for the same rank
+        # projection as in-window ann-cosine (embedding_topk); rotated out
+        # in r5 to free a slot, agreement unit-tested + DuckDB-oracled.
+        "ann-cosine-arrow",
     }
     real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
     real = {n: lost for n, lost in real.items() if lost}

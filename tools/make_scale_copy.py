@@ -20,7 +20,14 @@ structure that the real corpus would not have:
 region/nation are fixed dimensions and stay as-is (as they would at any
 real SF).
 
-Usage: python tools/make_scale_copy.py SRC_DIR DST_DIR N
+With HOT_FRAC > 0 the replica additionally plants a deliberately hot key:
+that fraction of ``events`` rows (selected by a deterministic event_id
+modulus) gets ``user_id = -1``, emulating the single-dominant-entity skew
+(one viral user / one boilerplate source) that breaks sort-merge joins at
+cluster scale. Used by tools/skew_probe.py; leave at 0 for the plain
+scaling probe.
+
+Usage: python tools/make_scale_copy.py SRC_DIR DST_DIR N [HOT_FRAC]
 """
 
 from __future__ import annotations
@@ -30,6 +37,7 @@ import sys
 from pyspark.sql import DataFrame, functions as F
 
 OFFSET = 100_000_000  # > any id at the scales we replicate
+HOT_USER = -1  # planted hot key (no real user_id is negative)
 
 
 def _copies(df: DataFrame, n: int) -> DataFrame:
@@ -43,7 +51,7 @@ def _offset(col: str) -> F.Column:
     return (F.col(col) + F.col("__c").cast("long") * F.lit(OFFSET)).alias(col)
 
 
-def replicate(src: str, dst: str, n: int) -> None:
+def replicate(src: str, dst: str, n: int, hot_frac: float = 0.0) -> None:
     from sport_data_pipeline_spark.catalog import TABLES, load_table
     from sport_data_pipeline_spark.session import get_session
 
@@ -96,6 +104,18 @@ def replicate(src: str, dst: str, n: int) -> None:
                     ),
                 )
             out = out.drop("__c")
+        if name == "events" and hot_frac > 0:
+            # Deterministic hot-key injection AFTER the id offset so the
+            # hot rows come uniformly from every copy.
+            mod = 1000  # coarse enough to be exact for frac ≥ 0.001, fine
+            # enough to spread hot rows through the whole id/time range
+            out = out.withColumn(
+                "user_id",
+                F.when(
+                    F.pmod(F.col("event_id"), F.lit(mod)) < F.lit(int(mod * hot_frac)),
+                    F.lit(HOT_USER).cast("long"),
+                ).otherwise(F.col("user_id")),
+            )
         out.repartition(8).write.mode("overwrite").parquet(f"{dst}/{name}.parquet")
         # count from the written footers — re-counting `out` would execute
         # the whole replica DAG (cross-join + regexp rewrite) a second time
@@ -106,4 +126,5 @@ def replicate(src: str, dst: str, n: int) -> None:
 
 if __name__ == "__main__":
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
-    replicate(src, dst, n)
+    hot_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
+    replicate(src, dst, n, hot_frac)

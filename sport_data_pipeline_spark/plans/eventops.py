@@ -642,3 +642,129 @@ def stream_batch_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_stream if match else -1, match, bool(n_batches >= 2))], verdict_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# T6 streaming evidence: session windows with MERGING state under a real
+# StreamingQuery. The batch twin (`sessionize_events`) proves the session
+# semantics; this proves the streaming machinery for them — session-window
+# state that merges across micro-batches, append-mode emission on
+# watermark eviction, and the final no-data flush batch. A sentinel tick
+# far beyond the data's time span advances the watermark past every real
+# session so append mode must emit all of them; the watermark delay (3650
+# days) exceeds the data span so no real tick is ever late no matter how
+# the file source batches the slices (late-policy correctness is
+# late_dup_ticks' job). Spark merges an event into a session iff
+# ts < session_end = prev_ts + gap, i.e. a new session starts when
+# ts - prev_ts >= gap — the oracle's gaps-and-islands restates exactly
+# that, so n_sessions is independently derivable.
+# ---------------------------------------------------------------------------
+
+SESSION_EQUIV_ORACLE = """
+WITH d AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+                   OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                      >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS brk
+  FROM events
+)
+SELECT CAST(SUM(brk) AS BIGINT) AS n_sessions,
+       TRUE AS streams_match,
+       TRUE AS multi_batch
+FROM d
+"""
+
+
+@query("stream_session_equivalence", survey="T6(stream),T1", oracle=SESSION_EQUIV_ORACLE)
+def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming session_window == batch session_window, as a verdict row.
+
+    The same ``session_window(ts, '30 minutes')`` aggregation runs in both
+    execution modes over the same events; the streaming side replays four
+    time-interleaved slices plus the sentinel through a file source
+    (1 file per micro-batch) into a foreachBatch parquet append, and the
+    full emitted session table must equal the batch result row-for-row.
+    """
+    import os
+    import shutil
+    import tempfile
+    import time as _time
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "ts")
+
+    tmp = tempfile.mkdtemp(prefix="sdp_sess_eq_")
+    try:
+        in_dir, out_dir, ckpt = f"{tmp}/in", f"{tmp}/out", f"{tmp}/ckpt"
+        for i in range(4):
+            ev.filter(F.col("event_id") % 4 == i).coalesce(1).write.mode("append").parquet(
+                in_dir
+            )
+        # Sentinel written LAST (strictly newer mtime → processed last by
+        # the file source): beyond span + delay, it closes every real
+        # session; its own still-open session stays in state and is
+        # excluded below.
+        _time.sleep(1.1)
+        sentinel = spark.createDataFrame(
+            [(10**12, -999, "2200-01-01 00:00:00")],
+            "event_id long, user_id long, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp"))
+        sentinel.coalesce(1).write.mode("append").parquet(in_dir)
+
+        schema = spark.read.parquet(in_dir).schema
+        sessions_of = lambda df: (  # noqa: E731 — same expr, both modes
+            df.groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .select(
+                "user_id",
+                F.col("sw.start").alias("s"),
+                F.col("sw.end").alias("e"),
+                "n_events",
+            )
+        )
+
+        stream = (
+            spark.readStream.schema(schema).option("maxFilesPerTrigger", "1").parquet(in_dir)
+        )
+        streamed_sessions = sessions_of(stream.withWatermark("ts", "3650 days"))
+
+        def sink(batch: DataFrame, _epoch: int) -> None:
+            batch.write.mode("append").parquet(out_dir)
+
+        q = (
+            streamed_sessions.writeStream.foreachBatch(sink)
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
+
+        streamed = (
+            spark.read.parquet(out_dir).filter(F.col("user_id") != -999)
+            if os.path.exists(out_dir)
+            else None
+        )
+        twin = sessions_of(ev)
+        if streamed is None:
+            n_stream, match = -1, False
+        else:
+            n_stream = streamed.count()
+            diff = streamed.exceptAll(twin).count() + twin.exceptAll(streamed).count()
+            match = bool(n_stream == twin.count() and diff == 0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    verdict_schema = StructType(
+        [
+            StructField("n_sessions", LongType(), False),
+            StructField("streams_match", BooleanType(), False),
+            StructField("multi_batch", BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n_stream if match else -1, match, bool(n_batches >= 2))], verdict_schema
+    )

@@ -70,6 +70,12 @@ def test_window_covers_all_survey_ops():
         # projection as in-window ann-cosine (embedding_topk); rotated out
         # in r5 to free a slot, agreement unit-tested + DuckDB-oracled.
         "ann-cosine-arrow",
+        # streaming session windows: the streaming-machinery variant of
+        # in-window T6 (sessionize_events batch twin) — same session
+        # semantics, proven stream-equals-batch by its own verdict query
+        # (stream_session_equivalence, DuckDB-oracled); r6 rotation
+        # candidate per COVERAGE.md.
+        "T6(stream)",
     }
     real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
     real = {n: lost for n, lost in real.items() if lost}

@@ -794,3 +794,139 @@ def pq_topk(
         .withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= k)
     )
+
+
+def semantic_dedup_cells(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.7,
+    n_cells: int = 16,
+    seed: int = 42,
+) -> DataFrame:
+    """Paper-faithful SemDeDup (Abbas et al. 2023): k-means cells, per-cell
+    pairwise cosine, centroid-distance keeper — the 100 TB semantic-dedup
+    scale path.
+
+    ``plans/similarity.semantic_dedup`` (the closure variant) generates
+    EXACT global pairs, which is quadratic when the threshold sits below
+    the LSH-prunable regime — correct as a verify-stage shape, measured
+    superlinear at 10× (SCALE.md §8). This operator is the paper's answer:
+
+      1. coarse-quantize vectors into ``n_cells`` k-means cells (write-time
+         in production — same machinery as ``build_ivf_index``; fitted
+         inline here with a fixed seed for determinism),
+      2. within each cell, compute the pairwise cosine matrix in one
+         Arrow-batched numpy pass (``applyInPandas`` per cell — the
+         paper's own per-cluster computation, vectorized),
+      3. connected components of the ≥``threshold`` graph WITHIN the cell
+         (union-find over the boolean adjacency — cells are disjoint, so
+         no cross-cell closure exists by construction),
+      4. keeper per component = the member with the LOWEST cosine to the
+         cell centroid (the paper's keep-outliers rule: retain the least
+         redundant representative), ties broken by min id.
+
+    Scale contract: per-cell work is |cell|² — ``n_cells`` must grow with
+    the corpus so cells stay task-sized (the paper runs 25k clusters for
+    100M+ docs; here k is a parameter). The shuffle moves each vector
+    exactly once (one exchange on the cell id); centroids are a k×dim
+    literal (kilobytes, broadcast like the PQ codebooks).
+
+    Zero-norm vectors can never clear a positive threshold: routed
+    straight to kept. Returns (id, keep_id, kept) — one row per input
+    vector; ``kept=false`` rows are the drops, ``keep_id`` the surviving
+    representative in the same cell.
+    """
+    import numpy as np
+    import pandas as pd
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = df.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+    v = df.select(F.col(id_col), F.col(vec_col).alias("__v")).withColumn(
+        "__n", _norm(F.col("__v"))
+    )
+    zero = v.filter(F.col("__n") <= 0).select(
+        F.col(id_col),
+        F.col(id_col).alias("keep_id"),
+        F.lit(True).alias("kept"),
+    )
+    live = v.filter(F.col("__n") > 0)
+
+    feat = live.repartition(n_parts, F.col(id_col)).withColumn(
+        "__feat", array_to_vector(F.col("__v").cast("array<double>"))
+    )
+    if n_cells < 2:
+        # degenerate single-cell mode (KMeans requires k >= 2): the cell
+        # graph IS the global graph — exact, but one task does all pairs.
+        # Test/verify mode only; never the scale path.
+        assigned = feat.drop("__feat").withColumn("__cell", F.lit(0))
+        dim_n = len(feat.select("__v").first()["__v"])
+        means = live.agg(
+            *[F.avg(F.element_at("__v", i + 1)).alias(f"m{i}") for i in range(dim_n)]
+        ).first()
+        centers = [(0, [float(means[i]) for i in range(dim_n)])]
+    else:
+        model = KMeans(
+            k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell"
+        ).fit(feat)
+        assigned = model.transform(feat).drop("__feat")
+        centers = [
+            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+        ]
+    cent = F.broadcast(
+        spark.createDataFrame(centers, "__cell int, __centroid array<double>")
+    )
+    # cosine-to-centroid computed JVM-side so the pandas stage only sees
+    # (id, vector, cell, ccos) — no centroid array per row in the shuffle
+    ccos = _dot(F.col("__v"), F.col("__centroid")) / (
+        F.col("__n") * _norm(F.col("__centroid"))
+    )
+    staged = assigned.join(cent, "__cell").select(
+        F.col("__cell"), F.col(id_col), F.col("__v"), ccos.alias("__ccos")
+    )
+
+    out_schema = f"{id_col} long, keep_id long, kept boolean"
+
+    def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
+        order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
+        ids = pdf[id_col].to_numpy()[order]
+        ccs = pdf["__ccos"].to_numpy()[order]
+        mat = np.asarray([np.asarray(x, dtype=np.float64) for x in pdf["__v"]])[order]
+        norms = np.linalg.norm(mat, axis=1)
+        unit = mat / norms[:, None]
+        adj = (unit @ unit.T) >= threshold
+        n = len(ids)
+        parent = np.arange(n)
+
+        def find(i: int) -> int:
+            while parent[i] != i:
+                parent[i] = parent[parent[i]]
+                i = parent[i]
+            return i
+
+        rows_i, cols_j = np.nonzero(np.triu(adj, k=1))
+        for i, j in zip(rows_i.tolist(), cols_j.tolist()):
+            ri, rj = find(i), find(j)
+            if ri != rj:
+                parent[max(ri, rj)] = min(ri, rj)
+        roots = np.array([find(i) for i in range(n)])
+        keep_of: dict[int, int] = {}
+        for r in np.unique(roots):
+            members = np.nonzero(roots == r)[0]
+            # paper's rule: keep the member least similar to the centroid
+            # (lowest ccos); ids are pre-sorted so argmin ties → min id
+            keep_of[int(r)] = int(members[np.argmin(ccs[members])])
+        keep_idx = np.array([keep_of[int(r)] for r in roots])
+        return pd.DataFrame(
+            {
+                id_col: ids,
+                "keep_id": ids[keep_idx],
+                "kept": keep_idx == np.arange(n),
+            }
+        )
+
+    deduped = staged.groupBy("__cell").applyInPandas(dedup_cell, schema=out_schema)
+    return deduped.unionByName(zero)

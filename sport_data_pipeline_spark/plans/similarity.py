@@ -931,3 +931,99 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Paper-faithful SemDeDup: k-means cells + per-cell pairwise cosine +
+# centroid-distance keeper (operators/similarity.semantic_dedup_cells) —
+# the 100 TB semantic-dedup path (the closure variant above generates
+# exact GLOBAL pairs, measured superlinear at 10×, SCALE.md §8). The cell
+# assignment is a seeded k-means, which no SQL engine restates, so the
+# oracle is a verdict-row contract (the ivf_topk_recall pattern): the SQL
+# derives the row count independently, and the in-Spark checks assert the
+# operator's structural invariants over the corpus AUGMENTED with eight
+# planted exact clones (vec_id + 1e6 of vec_id < 8 — identical vectors
+# land in the same cell and the keeper rule's min-id tie-break can never
+# choose the clone, so drops are guaranteed at every SF):
+#   keepers_kept:        every keep_id is itself a kept row,
+#   routing_consistent:  keep_id == vec_id exactly for kept rows,
+#   drops_sound:         every dropped vector has ≥1 global neighbor at
+#                        the threshold (verified against the exact
+#                        block-grid pair op — nothing dropped for nothing),
+#   planted_dropped:     all eight planted clones were dropped.
+# ---------------------------------------------------------------------------
+
+SEMANTIC_CELLS_ORACLE = """
+SELECT CAST(COUNT(*) + 8 AS BIGINT) AS n_vectors,
+       TRUE AS keepers_kept,
+       TRUE AS routing_consistent,
+       TRUE AS drops_sound,
+       TRUE AS planted_dropped
+FROM embeddings
+"""
+
+_PLANT_BASE = 1_000_000
+
+
+@query("semantic_dedup_cells", survey="dedup-semantic", oracle=SEMANTIC_CELLS_ORACLE)
+def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup cells routing, checked via its structural invariants."""
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    from ..operators.similarity import semantic_dedup_cells
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    planted = emb.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + _PLANT_BASE).alias("vec_id"), "embedding"
+    )
+    corpus = emb.unionByName(planted)
+    routed = semantic_dedup_cells(
+        corpus, "vec_id", threshold=0.7, n_cells=16
+    ).localCheckpoint(eager=True)  # 3 rows/vec of lineage reuse below
+
+    n_vectors = routed.count()
+    kept_ids = routed.filter(F.col("kept")).select(F.col("vec_id").alias("keep_id"))
+    keepers_kept = (
+        routed.select("keep_id").distinct().join(kept_ids, "keep_id", "left_anti").count()
+        == 0
+    )
+    routing_consistent = (
+        routed.filter(
+            (F.col("keep_id") == F.col("vec_id")) != F.col("kept")
+        ).count()
+        == 0
+    )
+    dropped = routed.filter(~F.col("kept")).select("vec_id")
+    pairs = embedding_near_dup(corpus, "vec_id", threshold=0.7, dim=64)
+    with_neighbor = (
+        pairs.select(F.col("id_a").alias("vec_id"))
+        .unionByName(pairs.select(F.col("id_b").alias("vec_id")))
+        .distinct()
+    )
+    drops_sound = dropped.join(with_neighbor, "vec_id", "left_anti").count() == 0
+    planted_dropped = (
+        routed.filter((F.col("vec_id") >= _PLANT_BASE) & F.col("kept")).count() == 0
+        and routed.filter(F.col("vec_id") >= _PLANT_BASE).count() == 8
+    )
+
+    verdict_schema = StructType(
+        [
+            StructField("n_vectors", LongType(), False),
+            StructField("keepers_kept", BooleanType(), False),
+            StructField("routing_consistent", BooleanType(), False),
+            StructField("drops_sound", BooleanType(), False),
+            StructField("planted_dropped", BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_vectors,
+                bool(keepers_kept),
+                bool(routing_consistent),
+                bool(drops_sound),
+                bool(planted_dropped),
+            )
+        ],
+        verdict_schema,
+    )

@@ -298,3 +298,22 @@ def test_dup_span_profile_no_expand_semi_join(spark):
     assert "Expand" not in plan
     assert "LeftSemi" in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_minhash_jaccard_composite_no_nested_loop(spark):
+    # the composite's pair join must form via the banded-LSH bucket
+    # equi-join (ids only; shingle sets rejoin after candidate dedup) —
+    # never a nested loop or cartesian expansion
+    plan = physical_plan(SPECS["minhash_jaccard_neardup"].fn(spark, SF_DIR))
+    spark.catalog.clearCache()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "Generate explode" in plan  # band signatures explode into buckets
+
+
+def test_multimodal_meta_arrow_batched(spark):
+    # all three extraction paths (image dims, audio meta, frame sampling)
+    # must run as Arrow-batched mapInPandas, not row-at-a-time Python
+    plan = physical_plan(SPECS["multimodal_meta"].fn(spark, SF_DIR))
+    assert plan.count("MapInPandas") >= 3
+    assert "BatchEvalPython" not in plan

@@ -190,3 +190,66 @@ def test_pq_topk_recall_vs_exact(emb):
     }
     for r in rows:
         assert r["cosine"] == exact_all[(r["query_id"], r["neighbor_id"])]
+
+
+def test_semantic_dedup_cells_components_and_keepers(spark):
+    """Per-cell SemDeDup invariants on planted clusters, checked against a
+    brute-force component computation: exactly one keeper per component,
+    drops route to a keeper inside their own component, identical-vector
+    ties keep the min id, zero-norm vectors pass through kept."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.similarity import semantic_dedup_cells
+
+    rng = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),          # exact clone of 0 → tie, min id keeps
+        (2, [0.98, 0.199, 0.0, 0.0]),        # near 0/1 (cos ≈ 0.98)
+        (10, [0.0, 1.0, 0.0, 0.0]),
+        (11, [0.0, 0.995, 0.0999, 0.0]),     # near 10
+        (20, [0.0, 0.0, 1.0, 0.0]),          # singleton
+        (30, [0.0, 0.0, 0.0, 0.0]),          # zero-norm → kept
+    ]
+    df = spark.createDataFrame(rng, "vec_id long, embedding array<float>")
+    routed = {
+        r["vec_id"]: (r["keep_id"], r["kept"])
+        for r in semantic_dedup_cells(
+            df, "vec_id", threshold=0.9, n_cells=1, seed=7
+        ).collect()
+    }
+    assert len(routed) == 7  # row count preserved
+
+    # brute-force expected components at threshold 0.9 (n_cells=1 → the
+    # cell graph IS the global graph)
+    ids = [i for i, v in rng if np.linalg.norm(v) > 0]
+    vecs = {i: np.array(v) for i, v in rng if np.linalg.norm(v) > 0}
+    comp = {i: i for i in ids}
+
+    def root(i):
+        while comp[i] != i:
+            i = comp[i]
+        return i
+
+    for a in ids:
+        for b in ids:
+            if a < b:
+                ca = vecs[a] / np.linalg.norm(vecs[a])
+                cb = vecs[b] / np.linalg.norm(vecs[b])
+                if float(ca @ cb) >= 0.9:
+                    ra, rb = root(a), root(b)
+                    if ra != rb:
+                        comp[max(ra, rb)] = min(ra, rb)
+    groups: dict[int, set[int]] = {}
+    for i in ids:
+        groups.setdefault(root(i), set()).add(i)
+
+    for members in groups.values():
+        keepers = {i for i in members if routed[i][1]}
+        assert len(keepers) == 1  # exactly one keeper per component
+        (k,) = keepers
+        for i in members:
+            assert routed[i][0] == k  # everyone routes to the keeper
+    # clone tie: 0 and 1 identical → keeper of their component is not 1
+    assert routed[1][1] is False
+    # zero-norm passthrough
+    assert routed[30] == (30, True)

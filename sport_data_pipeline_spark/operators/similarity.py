@@ -930,3 +930,99 @@ def semantic_dedup_cells(
 
     deduped = staged.groupBy("__cell").applyInPandas(dedup_cell, schema=out_schema)
     return deduped.unionByName(zero)
+
+
+def embedding_near_dup_arrow(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.4,
+    n_blocks: int = 8,
+) -> DataFrame:
+    """Arrow-vectorized twin of ``embedding_near_dup``: same block-grid
+    self-join topology, same EXACT result bit-for-bit, but each grid
+    cell's cross-cosine matrix is computed in one numpy pass instead of
+    per-pair expression evaluation (measured ~23 µs/pair interpreted →
+    the vectorized pass amortizes to well under 1 µs/pair).
+
+    Bit-exactness: the dot product accumulates in a Python loop over the
+    dimension — ``acc = acc + a[k]*b[k]`` with float64 adds in the same
+    left-to-right order as the expression fold (and DuckDB's list_sum), so
+    cosines are IDENTICAL to the expression path, not merely close; numpy
+    vectorizes across the pair matrix, not across the reduction order.
+    (A BLAS matmul would reorder the reduction and drift in the last ulp —
+    exactly what the bit-exact oracle exists to catch.)
+
+    Cell topology, memory bound (2·n/n_blocks vectors per task), and the
+    id normalization are identical to ``embedding_near_dup`` — see its
+    docstring for the grid construction and the LSH guidance at high
+    thresholds. Returns (id_a, id_b, cosine).
+    """
+    import numpy as np
+    import pandas as pd
+
+    b = n_blocks
+    v = df.select(
+        F.col(id_col).alias("__id"),
+        F.col(vec_col).alias("__v"),
+        _norm(F.col(vec_col)).alias("__n"),
+    ).filter(F.col("__n") > 0)
+    g = F.pmod(F.xxhash64(F.col("__id")), F.lit(b))
+    a_side = v.withColumn("__g", g).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.col("__g"), F.lit(b - 1)), lambda j: F.col("__g") * b + j
+            )
+        ).alias("__cell"),
+        F.lit(0).alias("__side"),
+        F.col("__id"),
+        F.col("__v"),
+        F.col("__n"),
+    )
+    b_side = v.withColumn("__g", g).select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(0), F.col("__g")), lambda i: i * b + F.col("__g")
+            )
+        ).alias("__cell"),
+        F.lit(1).alias("__side"),
+        F.col("__id"),
+        F.col("__v"),
+        F.col("__n"),
+    )
+    staged = a_side.unionByName(b_side)
+
+    out_schema = "id_a long, id_b long, cosine double"
+
+    def cell_pairs(key: tuple, pdf: pd.DataFrame) -> pd.DataFrame:
+        (cell,) = key
+        diag = (cell % b) == (cell // b)
+        av = pdf[pdf["__side"] == 0]
+        bv = pdf[pdf["__side"] == 1]
+        if not len(av) or not len(bv):
+            return pd.DataFrame({"id_a": [], "id_b": [], "cosine": []}).astype(
+                {"id_a": "int64", "id_b": "int64", "cosine": "float64"}
+            )
+        A = np.asarray([np.asarray(x, dtype=np.float64) for x in av["__v"]])
+        B = np.asarray([np.asarray(x, dtype=np.float64) for x in bv["__v"]])
+        na = av["__n"].to_numpy(dtype=np.float64)
+        nb = bv["__n"].to_numpy(dtype=np.float64)
+        ia = av["__id"].to_numpy()
+        ib = bv["__id"].to_numpy()
+        # fold-order-preserving accumulation: one vectorized FMA per
+        # dimension, reduction order identical to the expression fold
+        dot = np.zeros((len(A), len(B)), dtype=np.float64)
+        for k in range(A.shape[1]):
+            dot = dot + A[:, k, None] * B[None, :, k]
+        cos = dot / (na[:, None] * nb[None, :])
+        mask = cos >= threshold
+        if diag:
+            mask &= ia[:, None] < ib[None, :]
+        r, c = np.nonzero(mask)
+        id_a = ia[r]
+        id_b = ib[c]
+        lo = np.minimum(id_a, id_b)
+        hi = np.maximum(id_a, id_b)
+        return pd.DataFrame({"id_a": lo, "id_b": hi, "cosine": cos[r, c]})
+
+    return staged.groupBy("__cell").applyInPandas(cell_pairs, schema=out_schema)

@@ -253,3 +253,23 @@ def test_semantic_dedup_cells_components_and_keepers(spark):
     assert routed[1][1] is False
     # zero-norm passthrough
     assert routed[30] == (30, True)
+
+
+def test_embedding_near_dup_arrow_bit_identical_to_expr(emb):
+    """The vectorized grid pass must reproduce the expression path
+    BIT-exactly (fold-order-preserving accumulation), not merely closely."""
+    from sport_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup,
+        embedding_near_dup_arrow,
+    )
+
+    e = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup(emb, "vec_id", threshold=0.4, dim=64).collect()
+    )
+    a = sorted(
+        (r["id_a"], r["id_b"], r["cosine"])
+        for r in embedding_near_dup_arrow(emb, "vec_id", threshold=0.4).collect()
+    )
+    assert e == a
+    assert e  # non-vacuous

@@ -1036,3 +1036,155 @@ def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
         verdict_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming ingest-dedup with EVOLVING corpus state — the true production
+# shape of dedup-at-ingest: micro-batch k routes against corpus ∪ kept
+# docs of batches < k (cross-batch state carried through the foreachBatch
+# target), so a doc kept in batch 1 deduplicates its re-crawl in batch 3.
+# The oracle restates the same 4-stage fold in SQL — batch boundaries are
+# deterministic (doc_id arithmetic, like late_dup_ticks' arrival//256) and
+# each stage is the proven one-sided routing of INCR_DEDUP_ORACLE — so the
+# FULL routing table (not just a verdict) is hash-compared bit-exactly.
+# Within-batch docs do not dedup against each other in either engine (the
+# operator is one-sided by design; same-crawl dups are the batch-mode
+# operators' job).
+# ---------------------------------------------------------------------------
+
+_SID_CORPUS = "doc_id % 5 = 0"
+
+
+def _stream_ingest_oracle(n_batches: int = 4) -> str:
+    shingle = """
+  SELECT doc_id, lang, source,
+         list_distinct([ concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+                         for i in range(1, greatest(len(toks) - 2, 0) + 1) ]) AS sh,
+         md5({norm}) AS fp
+  FROM (SELECT doc_id, lang, source, text,
+               regexp_split_to_array(trim(text), '\\s+') AS toks
+        FROM documents)
+""".format(norm=_NORM_SQL.format(col="text"))
+    parts = [f"WITH t AS ({shingle}),", f"c0 AS (SELECT * FROM t WHERE {_SID_CORPUS})"]
+    for k in range(n_batches):
+        parts.append(
+            f""",
+b{k} AS (SELECT * FROM t WHERE NOT ({_SID_CORPUS}) AND doc_id % {n_batches} = {k}),
+ex{k} AS (
+  SELECT b.doc_id AS doc_id, MIN(c.doc_id) AS em
+  FROM b{k} b JOIN c{k} c ON b.fp = c.fp GROUP BY 1
+),
+nr{k} AS (
+  SELECT b.doc_id AS doc_id, MIN(c.doc_id) AS nm
+  FROM b{k} b JOIN c{k} c ON b.lang = c.lang AND b.source = c.source
+  WHERE len(list_distinct(b.sh || c.sh)) > 0
+    AND CAST(len(list_intersect(b.sh, c.sh)) AS DOUBLE)
+        / len(list_distinct(b.sh || c.sh)) >= 0.5
+  GROUP BY 1
+),
+r{k} AS (
+  SELECT b.doc_id,
+         CASE WHEN ex{k}.em IS NOT NULL THEN 'dup_exact'
+              WHEN nr{k}.nm IS NOT NULL THEN 'near_dup'
+              ELSE 'kept' END AS status,
+         COALESCE(ex{k}.em, nr{k}.nm) AS match_id
+  FROM b{k} b
+  LEFT JOIN ex{k} ON b.doc_id = ex{k}.doc_id
+  LEFT JOIN nr{k} ON b.doc_id = nr{k}.doc_id
+),
+c{k + 1} AS (
+  SELECT * FROM c{k}
+  UNION ALL
+  SELECT t.* FROM t JOIN r{k} ON t.doc_id = r{k}.doc_id WHERE r{k}.status = 'kept'
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM r{k}" for k in range(n_batches))
+    parts.append(f"\n{union}\nORDER BY doc_id")
+    return "".join(parts)
+
+
+STREAM_INGEST_DEDUP_ORACLE = _stream_ingest_oracle(4)
+
+
+@query(
+    "stream_ingest_dedup",
+    survey="dedup-incremental,T1,X3",
+    oracle=STREAM_INGEST_DEDUP_ORACLE,
+)
+def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 4 streamed crawl batches against an evolving corpus.
+
+    Real StreamingQuery: file source (1 file per micro-batch, arrival
+    order pinned by mtime), foreachBatch runs the one-sided
+    ``incremental_dedup`` against the current corpus state, appends the
+    routing, and folds the batch's kept docs back into the state parquet —
+    the reference's poll→upsert loop shape applied to corpus hygiene.
+    Returns the full (doc_id, status, match_id) routing table.
+    """
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..operators.dedup import incremental_dedup
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    corpus0 = docs.filter(F.expr(_SID_CORPUS))
+    streamed_docs = docs.filter(~F.expr(_SID_CORPUS))
+
+    tmp = tempfile.mkdtemp(prefix="sdp_ingest_dedup_")
+    try:
+        in_dir, state_dir, routed_dir, ckpt = (
+            f"{tmp}/in",
+            f"{tmp}/state",
+            f"{tmp}/routed",
+            f"{tmp}/ckpt",
+        )
+        corpus0.write.parquet(state_dir)
+        for k in range(4):
+            if k:
+                _time.sleep(1.1)  # strictly increasing mtime → batch order
+            streamed_docs.filter(F.col("doc_id") % 4 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+
+        schema = spark.read.parquet(in_dir).schema
+
+        def route_batch(batch: DataFrame, _epoch: int) -> None:
+            state = spark.read.parquet(state_dir)
+            routed = incremental_dedup(
+                batch,
+                state,
+                "doc_id",
+                "text",
+                block_cols=["lang", "source"],
+                threshold=0.5,
+                shingle_n=3,
+            ).localCheckpoint(eager=True)  # cut lineage before state rewrite
+            routed.write.mode("append").parquet(routed_dir)
+            kept = batch.join(
+                routed.filter(F.col("status") == "kept"), "doc_id", "left_semi"
+            )
+            new_state = state.unionByName(kept).localCheckpoint(eager=True)
+            new_state.write.mode("overwrite").parquet(state_dir)
+            spark.catalog.clearCache()  # per-batch shingle persists
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(route_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.parquet(routed_dir)
+            .select("doc_id", "status", "match_id")
+            .orderBy("doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(rows, "doc_id long, status string, match_id long")

@@ -1166,7 +1166,11 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             new_state = state.unionByName(kept).localCheckpoint(eager=True)
             new_state.write.mode("overwrite").parquet(state_dir)
-            spark.catalog.clearCache()  # per-batch shingle persists
+            # NOTE: incremental_dedup persists per-batch shingle frames;
+            # they are NOT globally cleared here because a harness may
+            # hold its own unmaterialized persist markers (see
+            # __spark_entry__). At driver SF the residue is megabytes;
+            # bench.py clears between queries where timing matters.
 
         q = (
             spark.readStream.schema(schema)

@@ -121,6 +121,70 @@ def point_in_time_join(
     return facts.join(dim, cond, "left")
 
 
+def interval_point_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    point_ts: str,
+    start_col: str,
+    end_col: str,
+    bucket_seconds: int,
+    on: Sequence[str] = (),
+    how: str = "inner",
+) -> DataFrame:
+    """Join point rows into the closed-open intervals ``[start, end)``
+    that contain them — WITHOUT an equi-key (or with only a weak one).
+
+    Catalyst plans a bare range predicate (no equi-conjunct) as a
+    broadcast-nested-loop or cartesian join — quadratic and
+    memory-unbounded at scale. The scalable rewrite is temporal
+    bucketization: pick a bucket width ``bucket_seconds``, explode each
+    interval over every bucket it overlaps, map each point to its single
+    bucket, and equi-join on the bucket id (+ any ``on`` keys) with the
+    range predicate as a residual filter. Each point lands in exactly one
+    bucket, so every qualifying (point, interval) pair meets exactly once
+    — no post-join dedup.
+
+    Cost model: an interval of length L replicates over
+    ``ceil(L / bucket)`` ≈ 1-2 buckets when ``bucket_seconds`` is chosen
+    at or above the typical interval length, so the exploded interval side
+    stays O(|intervals|) and the join is an ordinary shuffled equi-join —
+    AQE-skew-eligible, partial-agg friendly downstream. (This is the same
+    bucketize-then-equi-join trick engines with native range joins run
+    under the hood, e.g. the published bin-based range-join optimization
+    in Databricks' runtime; Spark OSS has no such rule, hence the explicit
+    operator.)
+
+    ``how`` supports "inner" and "left" (left keeps points that fall in no
+    interval, with NULL interval columns). Output: all point columns plus
+    all interval columns.
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"interval_point_join supports inner/left, got {how!r}")
+    w_us = int(bucket_seconds) * 1_000_000
+    keys = list(on)
+    # Closed-open [start, end): the last covered bucket is the one holding
+    # end - 1 microsecond, so zero-length intervals explode to zero rows.
+    ivl = intervals.withColumn(
+        "__bucket",
+        F.explode(
+            F.sequence(
+                F.floor(F.unix_micros(F.col(start_col)) / w_us),
+                F.floor((F.unix_micros(F.col(end_col)) - 1) / w_us),
+            )
+        ),
+    )
+    pts = points.withColumn("__bucket", F.floor(F.unix_micros(F.col(point_ts)) / w_us))
+    cond = pts["__bucket"] == ivl["__bucket"]
+    for k in keys:
+        cond = cond & (pts[k] == ivl[k])
+    cond = cond & (ivl[start_col] <= pts[point_ts]) & (pts[point_ts] < ivl[end_col])
+    joined = pts.join(ivl, cond, how)
+    return joined.select(
+        *[pts[c] for c in points.columns],
+        *[ivl[c] for c in intervals.columns if c not in keys],
+    )
+
+
 def salted_join(
     left: DataFrame,
     right: DataFrame,

@@ -853,3 +853,83 @@ def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         "span_end",
         F.col("span_tokens").cast("long").alias("span_tokens"),
     ).orderBy("doc_id", "span_start")
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model quality scoring (CCNet-style, Wenzek et al. 2020:
+# LM-based quality filtering of crawled corpora). Add-one-smoothed bigram
+# conditional probabilities, quantized to exact parts-per-million
+# integers: per-token ``(1e6 * (c12+1)) div (c1+V)`` is pure int64
+# arithmetic, so per-doc sums are order-independent and the single final
+# IEEE division is bit-identical across engines — the same
+# no-logs-in-the-score discipline as the rational TF-IDF above (log's last
+# bit varies across libm builds; a 1e-6-resolution fixed-point probability
+# is indistinguishable for filtering and exactly portable). Count tables
+# are corpus-derived here (self-scoring); in production they are trained
+# once on a reference corpus and written like any other write-time index.
+# ---------------------------------------------------------------------------
+
+LM_SCALE = 1_000_000
+
+LM_QUALITY_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+bi AS (
+  SELECT doc_id, unnest([toks[i] || ' ' || toks[i+1] FOR i IN generate_series(1, len(toks)-1)]) AS bg
+  FROM t WHERE len(toks) > 1
+),
+c12 AS (SELECT bg, COUNT(*) AS c12 FROM bi GROUP BY 1),
+c1 AS (SELECT split_part(bg, ' ', 1) AS ctx, COUNT(*) AS c1 FROM bi GROUP BY 1),
+v AS (SELECT COUNT(DISTINCT tok) AS n_v FROM (SELECT unnest(toks) AS tok FROM t)),
+q AS (
+  SELECT bi.doc_id, ({LM_SCALE} * (c12.c12 + 1)) // (c1.c1 + v.n_v) AS q
+  FROM bi JOIN c12 USING (bg)
+  JOIN c1 ON split_part(bi.bg, ' ', 1) = c1.ctx
+  CROSS JOIN v
+)
+SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+       CAST(SUM(q) AS DOUBLE) / (COUNT(*) * {LM_SCALE}.0) AS lm_score
+FROM q GROUP BY doc_id
+"""
+
+
+@query("lm_quality_score", survey="llm-quality,A1,J1,F12", oracle=LM_QUALITY_ORACLE)
+def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document mean smoothed bigram probability (LM quality filter).
+
+    Wordcount-shaped throughout: bigram instances shuffle once to build
+    the c12 table, once (projected to the context token) for the c1
+    table; both count tables then join back on their natural keys —
+    vocabulary-sized sides against the instance relation, ordinary
+    shuffled equi-joins with full map-side partial aggregation upstream.
+    The vocabulary size V is one exact-distinct scalar broadcast to every
+    task. Only docs with ≥1 bigram appear (a 0/1-token doc has no
+    conditional probabilities to average).
+    """
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    bi = d.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
+    c12 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    ctx_of = F.substring_index(F.col("bg"), " ", 1)
+    c1 = bi.select(ctx_of.alias("ctx")).groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
+    n_v = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
+        F.count_distinct("tok").alias("n_v")
+    )
+    q = (
+        bi.join(c12, "bg")
+        .withColumn("ctx", ctx_of)
+        .join(c1, "ctx")
+        .crossJoin(F.broadcast(n_v))
+        .select(
+            "doc_id",
+            F.expr(f"({LM_SCALE}L * (c12 + 1)) div (c1 + n_v)").alias("q"),
+        )
+    )
+    return q.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(LM_SCALE))).alias(
+            "lm_score"
+        ),
+    )

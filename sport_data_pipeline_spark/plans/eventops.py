@@ -768,3 +768,103 @@ def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_stream if match else -1, match, bool(n_batches >= 2))], verdict_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# Incident-window attribution: a keyless temporal range join, made scalable
+# by bucket expansion (operators/joins.interval_point_join). The interval
+# side is derived by aggregating error events to the MINUTE grain first, so
+# the one global gaps-and-islands window runs over a frame whose
+# cardinality is bounded by elapsed wall-clock minutes — a property of the
+# time range, not the data volume (a year is ~526k rows regardless of SF).
+# ---------------------------------------------------------------------------
+
+INCIDENT_ATTR_ORACLE = """
+WITH em AS (
+  SELECT DISTINCT date_trunc('minute', ts) AS m FROM events WHERE event_type = 'error'
+),
+brk AS (
+  SELECT m, CASE WHEN m - lag(m) OVER (ORDER BY m) > INTERVAL 10 MINUTE
+                 THEN 1 ELSE 0 END AS b
+  FROM em
+),
+isl AS (
+  SELECT m, SUM(b) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM brk
+),
+win AS (
+  SELECT g, MIN(m) AS w_start, MAX(m) + INTERVAL 10 MINUTE AS w_end,
+         COUNT(*) AS n_error_minutes
+  FROM isl GROUP BY g
+),
+p AS (SELECT ts, user_id FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT w.w_start, w.w_end, w.n_error_minutes, p.user_id
+  FROM win w JOIN p ON p.ts >= w.w_start AND p.ts < w.w_end
+),
+per_user AS (
+  SELECT w_start, w_end, n_error_minutes, user_id, COUNT(*) AS c
+  FROM j GROUP BY 1, 2, 3, 4
+)
+SELECT w_start, w_end, CAST(n_error_minutes AS BIGINT) AS n_error_minutes,
+       CAST(SUM(c) AS BIGINT) AS n_purchases, CAST(COUNT(*) AS BIGINT) AS n_buyers
+FROM per_user GROUP BY 1, 2, 3
+"""
+
+
+@query("incident_window_attribution", survey="range-join,W3,A5,T6", oracle=INCIDENT_ATTR_ORACLE)
+def incident_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Purchases landing inside error-burst windows: keyless range join.
+
+    Pipeline: (1) error events aggregate to distinct minutes (map-side
+    combinable); (2) gaps-and-islands merges minutes ≤10 min apart into
+    incident windows ``[first_minute, last_minute + 10 min)`` — the single
+    global window is safe because the minute frame's size is bounded by
+    the observation period, not event volume; (3) purchases join into the
+    windows WITHOUT any equi-key via ``interval_point_join`` — bucketized
+    to an hourly grid so the plan is a shuffled equi-join on the bucket id
+    (NO BroadcastNestedLoopJoin — asserted in tests/test_plans.py);
+    (4) a two-level aggregation yields per-window purchase and buyer
+    counts without a distinct-Expand.
+    """
+    from ..operators.joins import interval_point_join
+
+    ev = _t(spark, sf_dir, "events")
+    minutes = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.date_trunc("minute", F.col("ts")).alias("m"))
+        .distinct()
+    )
+    w = Window.orderBy("m")
+    run = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 10 * 60 * 1_000_000
+    brk = F.when(
+        F.unix_micros(F.col("m")) - F.lag(F.unix_micros(F.col("m"))).over(w) > gap_us, 1
+    ).otherwise(0)
+    windows = (
+        minutes.withColumn("g", F.sum(brk).over(run))
+        .groupBy("g")
+        .agg(
+            F.min("m").alias("w_start"),
+            (F.max("m") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+            F.count(F.lit(1)).alias("n_error_minutes"),
+        )
+        .drop("g")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select("ts", "user_id")
+    hits = interval_point_join(
+        purchases, windows, "ts", "w_start", "w_end", bucket_seconds=3600
+    )
+    per_user = hits.groupBy("w_start", "w_end", "n_error_minutes", "user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return per_user.groupBy("w_start", "w_end", "n_error_minutes").agg(
+        F.sum("c").cast("long").alias("n_purchases"),
+        F.count(F.lit(1)).cast("long").alias("n_buyers"),
+    ).select(
+        "w_start",
+        "w_end",
+        F.col("n_error_minutes").cast("long").alias("n_error_minutes"),
+        "n_purchases",
+        "n_buyers",
+    )

@@ -209,3 +209,51 @@ def test_composite_blocking_prunes_candidate_pairs(spark):
         & (F.col("n.birth_year") == F.col("e.birth_year")),
     ).count()
     assert composite < coarse
+
+
+def test_interval_point_join_matches_naive_range_join(spark):
+    from sport_data_pipeline_spark.operators.joins import interval_point_join
+
+    pts = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00"), "a"),
+            (1, ts("2024-01-01T11:30"), "b"),
+            (2, ts("2024-01-01T10:30"), "c"),
+            (1, ts("2024-01-02T00:00"), "d"),  # in no interval
+        ],
+        "k long, t timestamp, tag string",
+    )
+    ivl = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T09:00"), ts("2024-01-01T10:30"), "w1"),
+            (1, ts("2024-01-01T11:00"), ts("2024-01-01T12:00"), "w2"),
+            (2, ts("2024-01-01T10:30"), ts("2024-01-01T10:31"), "w3"),
+            # spans many buckets: still matches exactly once per point
+            (1, ts("2024-01-01T00:00"), ts("2024-01-01T23:00"), "wide"),
+        ],
+        "k long, s timestamp, e timestamp, w string",
+    )
+
+    def pairs(df):
+        # None sorts as "" so left-join rows (NULL interval) are orderable
+        return sorted((r["tag"], r["w"] or "") for r in df.collect())
+
+    def naive(how):
+        cond = (pts["t"] >= ivl["s"]) & (pts["t"] < ivl["e"])
+        return pairs(pts.join(ivl.drop("k"), cond, how))
+
+    # keyless: every (point, qualifying interval) pair, exactly once —
+    # including the closed-open boundaries (10:30 ∉ w1, 10:30 ∈ w3)
+    got = interval_point_join(pts, ivl.drop("k"), "t", "s", "e", bucket_seconds=900)
+    assert pairs(got) == naive("inner")
+    # left join keeps unmatched points with NULL interval columns
+    left = interval_point_join(
+        pts, ivl.drop("k"), "t", "s", "e", bucket_seconds=900, how="left"
+    )
+    assert pairs(left) == naive("left")
+    # with an equi-key, cross-key interval hits disappear
+    keyed = interval_point_join(pts, ivl, "t", "s", "e", bucket_seconds=900, on=["k"])
+    naive_keyed = pts.join(
+        ivl, (pts["k"] == ivl["k"]) & (pts["t"] >= ivl["s"]) & (pts["t"] < ivl["e"])
+    )
+    assert pairs(keyed) == pairs(naive_keyed)

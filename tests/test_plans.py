@@ -317,3 +317,23 @@ def test_multimodal_meta_arrow_batched(spark):
     plan = physical_plan(SPECS["multimodal_meta"].fn(spark, SF_DIR))
     assert plan.count("MapInPandas") >= 3
     assert "BatchEvalPython" not in plan
+
+
+def test_incident_attribution_bucketized_range_join(spark):
+    # the keyless point-in-interval join must form via the bucket-id
+    # equi-join (interval_point_join), never a nested loop / cartesian —
+    # Catalyst's default plan for a bare range predicate.
+    plan = physical_plan(SPECS["incident_window_attribution"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__bucket" in plan  # the temporal-grid equi-key
+
+
+def test_lm_quality_no_expand_partial_agg(spark):
+    # wordcount-shaped: count tables build with map-side partial
+    # aggregation, the single exact-distinct vocabulary scalar compiles to
+    # two-phase hash aggregation — no Expand anywhere, no nested loops.
+    plan = physical_plan(SPECS["lm_quality_score"].fn(spark, SF_DIR))
+    assert "Expand" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "partial_count" in plan

@@ -162,6 +162,9 @@ def interval_point_join(
         raise ValueError(f"interval_point_join supports inner/left, got {how!r}")
     w_us = int(bucket_seconds) * 1_000_000
     keys = list(on)
+    # Alias scopes disambiguate columns even when both inputs derive from
+    # the same source DataFrame (a common shape: points and intervals both
+    # carved out of one event table).
     # Closed-open [start, end): the last covered bucket is the one holding
     # end - 1 microsecond, so zero-length intervals explode to zero rows.
     ivl = intervals.withColumn(
@@ -172,16 +175,88 @@ def interval_point_join(
                 F.floor((F.unix_micros(F.col(end_col)) - 1) / w_us),
             )
         ),
-    )
-    pts = points.withColumn("__bucket", F.floor(F.unix_micros(F.col(point_ts)) / w_us))
-    cond = pts["__bucket"] == ivl["__bucket"]
+    ).alias("__ivl")
+    pts = points.withColumn(
+        "__bucket", F.floor(F.unix_micros(F.col(point_ts)) / w_us)
+    ).alias("__pts")
+
+    def P(c: str) -> Column:
+        return F.col(f"__pts.{c}")
+
+    def I(c: str) -> Column:
+        return F.col(f"__ivl.{c}")
+
+    cond = P("__bucket") == I("__bucket")
     for k in keys:
-        cond = cond & (pts[k] == ivl[k])
-    cond = cond & (ivl[start_col] <= pts[point_ts]) & (pts[point_ts] < ivl[end_col])
+        cond = cond & (P(k) == I(k))
+    cond = cond & (I(start_col) <= P(point_ts)) & (P(point_ts) < I(end_col))
     joined = pts.join(ivl, cond, how)
     return joined.select(
-        *[pts[c] for c in points.columns],
-        *[ivl[c] for c in intervals.columns if c not in keys],
+        *[P(c) for c in points.columns],
+        *[I(c) for c in intervals.columns if c not in keys],
+    )
+
+
+def interval_overlap_join(
+    left: DataFrame,
+    right: DataFrame,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_seconds: int,
+    on: Sequence[str] = (),
+) -> DataFrame:
+    """Inner-join interval rows whose closed-open spans overlap —
+    ``max(starts) < min(ends)`` — without a nested-loop plan.
+
+    Both sides explode over the temporal buckets they cover, equi-join on
+    the bucket id (+ ``on`` keys), and the overlap predicate filters
+    residually. An overlapping pair co-occurs in EVERY bucket their spans
+    share, so the join would emit it once per shared bucket; the
+    first-shared-bucket rule — keep the match only where ``bucket ==
+    floor(max(starts) / W)`` — picks exactly one representative bucket per
+    pair (the bucket holding the overlap's left edge, which both sides
+    necessarily cover). Dedup is therefore a filter, not a shuffle.
+
+    Same cost model as ``interval_point_join``: with ``bucket_seconds``
+    near the typical span length each side replicates O(1)×, and the plan
+    is an ordinary AQE-eligible shuffled equi-join at any scale.
+    """
+    w_us = int(bucket_seconds) * 1_000_000
+
+    def exploded(df: DataFrame, start: str, end: str) -> DataFrame:
+        return df.withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(start)) / w_us),
+                    F.floor((F.unix_micros(F.col(end)) - 1) / w_us),
+                )
+            ),
+        )
+
+    keys = list(on)
+    # Alias scopes: both sides may derive from the same source DataFrame.
+    l = exploded(left, left_start, left_end).alias("__ovl_l")
+    r = exploded(right, right_start, right_end).alias("__ovl_r")
+
+    def L(c: str) -> Column:
+        return F.col(f"__ovl_l.{c}")
+
+    def R(c: str) -> Column:
+        return F.col(f"__ovl_r.{c}")
+
+    cond = L("__bucket") == R("__bucket")
+    for k in keys:
+        cond = cond & (L(k) == R(k))
+    overlap_start = F.greatest(L(left_start), R(right_start))
+    cond = cond & (overlap_start < F.least(L(left_end), R(right_end)))
+    cond = cond & (L("__bucket") == F.floor(F.unix_micros(overlap_start) / w_us))
+    joined = l.join(r, cond)
+    return joined.select(
+        *[L(c) for c in left.columns],
+        *[R(c) for c in right.columns if c not in keys],
     )
 
 

@@ -868,3 +868,110 @@ def incident_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_purchases",
         "n_buyers",
     )
+
+
+# ---------------------------------------------------------------------------
+# Interval × interval overlap: user sessions disrupted by incident windows.
+# Same bucket-expansion machinery as the point variant, with the
+# first-shared-bucket rule making pair dedup a filter instead of a shuffle
+# (operators/joins.interval_overlap_join).
+# ---------------------------------------------------------------------------
+
+INCIDENT_SESSION_ORACLE = """
+WITH em AS (
+  SELECT DISTINCT date_trunc('minute', ts) AS m FROM events WHERE event_type = 'error'
+),
+brk AS (
+  SELECT m, CASE WHEN m - lag(m) OVER (ORDER BY m) > INTERVAL 10 MINUTE
+                 THEN 1 ELSE 0 END AS b
+  FROM em
+),
+isl AS (
+  SELECT m, SUM(b) OVER (ORDER BY m ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS g
+  FROM brk
+),
+win AS (
+  SELECT g, MIN(m) AS w_start, MAX(m) + INTERVAL 10 MINUTE AS w_end FROM isl GROUP BY g
+),
+sb AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS b
+  FROM events
+),
+si AS (
+  SELECT user_id, ts,
+         SUM(b) OVER (PARTITION BY user_id ORDER BY ts
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s
+  FROM sb
+),
+sess AS (
+  SELECT user_id, s, MIN(ts) AS s_start, MAX(ts) + INTERVAL 1 SECOND AS s_end
+  FROM si GROUP BY 1, 2
+),
+j AS (
+  SELECT w.w_start, w.w_end, sess.user_id
+  FROM win w JOIN sess
+    ON greatest(w.w_start, sess.s_start) < least(w.w_end, sess.s_end)
+),
+pu AS (SELECT w_start, w_end, user_id, COUNT(*) AS c FROM j GROUP BY 1, 2, 3)
+SELECT w_start, w_end, CAST(SUM(c) AS BIGINT) AS n_sessions,
+       CAST(COUNT(*) AS BIGINT) AS n_users
+FROM pu GROUP BY 1, 2
+"""
+
+
+@query("incident_session_overlap", survey="range-join,T6,A5,W1", oracle=INCIDENT_SESSION_ORACLE)
+def incident_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessions overlapping incident windows: interval × interval join.
+
+    Sessions come from the standard gap sessionizer (one shuffle on
+    user_id); incident windows from the minute-grain gaps-and-islands of
+    ``incident_window_attribution``. The overlap pairs form via
+    ``interval_overlap_join`` — both sides explode onto the hourly bucket
+    grid, pairs meet on a bucket equi-key, and the first-shared-bucket
+    rule emits each overlapping pair exactly once with no dedup shuffle.
+    Session end is padded by 1 s (closed-open spans: a single-event
+    session still has nonzero width). Per-window counts finish with a
+    two-level aggregation — no distinct-Expand.
+    """
+    from ..operators.joins import interval_overlap_join
+    from ..operators.sessionize import sessionize
+
+    ev = _t(spark, sf_dir, "events")
+    minutes = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.date_trunc("minute", F.col("ts")).alias("m"))
+        .distinct()
+    )
+    w = Window.orderBy("m")
+    run = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 10 * 60 * 1_000_000
+    brk = F.when(
+        F.unix_micros(F.col("m")) - F.lag(F.unix_micros(F.col("m"))).over(w) > gap_us, 1
+    ).otherwise(0)
+    windows = (
+        minutes.withColumn("g", F.sum(brk).over(run))
+        .groupBy("g")
+        .agg(
+            F.min("m").alias("w_start"),
+            (F.max("m") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+        )
+        .drop("g")
+    )
+    sessions = (
+        sessionize(ev.select("user_id", "ts"), ["user_id"], "ts", gap_seconds=1800)
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min("ts").alias("s_start"),
+            (F.max("ts") + F.expr("INTERVAL 1 SECONDS")).alias("s_end"),
+        )
+    )
+    hits = interval_overlap_join(
+        windows, sessions, "w_start", "w_end", "s_start", "s_end", bucket_seconds=3600
+    )
+    pu = hits.groupBy("w_start", "w_end", "user_id").agg(F.count(F.lit(1)).alias("c"))
+    return pu.groupBy("w_start", "w_end").agg(
+        F.sum("c").cast("long").alias("n_sessions"),
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+    )

@@ -257,3 +257,46 @@ def test_interval_point_join_matches_naive_range_join(spark):
         ivl, (pts["k"] == ivl["k"]) & (pts["t"] >= ivl["s"]) & (pts["t"] < ivl["e"])
     )
     assert pairs(keyed) == pairs(naive_keyed)
+
+
+def test_interval_overlap_join_matches_naive(spark):
+    from sport_data_pipeline_spark.operators.joins import interval_overlap_join
+
+    left = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T10:00"), ts("2024-01-01T12:00"), "L1"),
+            (1, ts("2024-01-01T13:00"), ts("2024-01-01T13:30"), "L2"),
+            # spans many buckets: overlapping pairs still emit exactly once
+            (2, ts("2024-01-01T00:00"), ts("2024-01-02T00:00"), "Lwide"),
+        ],
+        "k long, s timestamp, e timestamp, l string",
+    )
+    right = spark.createDataFrame(
+        [
+            (1, ts("2024-01-01T11:00"), ts("2024-01-01T14:00"), "R1"),
+            (1, ts("2024-01-01T12:00"), ts("2024-01-01T12:30"), "R2"),  # touches L1 end: no overlap
+            (2, ts("2024-01-01T23:00"), ts("2024-01-02T01:00"), "R3"),
+            (2, ts("2024-01-02T00:00"), ts("2024-01-02T02:00"), "R4"),  # starts at Lwide end
+        ],
+        "k long, s timestamp, e timestamp, r string",
+    )
+
+    def pairs(df):
+        return sorted((row["l"], row["r"]) for row in df.collect())
+
+    got = interval_overlap_join(left, right.drop("k"), "s", "e", "s", "e", bucket_seconds=900)
+    lcols, rcols = left.alias("a"), right.alias("b")
+    naive = lcols.join(
+        rcols,
+        (F.greatest(F.col("a.s"), F.col("b.s")) < F.least(F.col("a.e"), F.col("b.e"))),
+    ).select(F.col("a.l").alias("l"), F.col("b.r").alias("r"))
+    assert pairs(got) == pairs(naive)
+    assert ("L1", "R2") not in pairs(got)  # closed-open: max(starts)==min(ends) → no overlap
+    # keyed variant restricts matches to equal keys
+    keyed = interval_overlap_join(left, right, "s", "e", "s", "e", bucket_seconds=900, on=["k"])
+    naive_keyed = lcols.join(
+        rcols,
+        (F.col("a.k") == F.col("b.k"))
+        & (F.greatest(F.col("a.s"), F.col("b.s")) < F.least(F.col("a.e"), F.col("b.e"))),
+    ).select(F.col("a.l").alias("l"), F.col("b.r").alias("r"))
+    assert pairs(keyed) == pairs(naive_keyed)

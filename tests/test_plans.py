@@ -337,3 +337,12 @@ def test_lm_quality_no_expand_partial_agg(spark):
     assert "Expand" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
     assert "partial_count" in plan
+
+
+def test_incident_session_overlap_bucketized_no_nested_loop(spark):
+    # interval × interval overlap must also form via the bucket equi-join;
+    # pair dedup is the first-shared-bucket FILTER, not a shuffle.
+    plan = physical_plan(SPECS["incident_session_overlap"].fn(spark, SF_DIR))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert "__bucket" in plan

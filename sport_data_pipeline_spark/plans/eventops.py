@@ -975,3 +975,122 @@ def incident_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("c").cast("long").alias("n_sessions"),
         F.count(F.lit(1)).cast("long").alias("n_users"),
     )
+
+
+# ---------------------------------------------------------------------------
+# T-family streaming evidence #3: a real stream-stream interval join.
+# stream_batch_equivalence proves the watermark-dedup + foreachBatch sink;
+# stream_session_equivalence proves merging session-window state; this one
+# proves two-sided join state — each side buffers rows until the OTHER
+# side's watermark passes the join window, the canonical Structured
+# Streaming join-state-cleanup contract. The verdict row's n_pairs is
+# independently derivable by SQL (a plain range join), so the oracle is a
+# hard count, not just TRUE/TRUE.
+# ---------------------------------------------------------------------------
+
+STREAM_JOIN_ORACLE = """
+SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+       TRUE AS streams_match,
+       TRUE AS multi_batch
+FROM events c JOIN events p
+  ON c.event_type = 'click' AND p.event_type = 'purchase'
+ AND p.user_id = c.user_id
+ AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+"""
+
+
+@query("stream_join_equivalence", survey="T1,T5(stream),J10(stream)", oracle=STREAM_JOIN_ORACLE)
+def stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming click→purchase attribution == the batch range join.
+
+    Clicks and purchases replay as two independent file-source streams
+    (2 files each, 1 file per micro-batch, so the join necessarily matches
+    rows ACROSS micro-batches out of buffered state); the stream-stream
+    inner join attributes each purchase to every click of the same user in
+    the preceding 30 minutes. The parquet append sink's final contents
+    must equal the one-pass batch join of the same inputs (exceptAll both
+    ways). The watermark delay exceeds the data span, so no pair is ever
+    state-evicted before its partner arrives — state-eviction policy under
+    tight watermarks is late_dup_ticks' concern, not this verdict's.
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.live import join_streams_within, read_tick_stream
+
+    ev = _t(spark, sf_dir, "events")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        F.col("user_id").alias("p_user_id"),
+        F.col("ts").alias("purchase_ts"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sdp_stream_join_")
+    try:
+        c_dir, p_dir, out_dir, ckpt = (
+            f"{tmp}/clicks", f"{tmp}/purchases", f"{tmp}/out", f"{tmp}/ckpt",
+        )
+        for i in range(2):
+            clicks.filter(F.col("click_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(c_dir)
+            purchases.filter(F.col("purchase_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(p_dir)
+
+        cs = read_tick_stream(
+            spark, c_dir, spark.read.parquet(c_dir).schema, max_files_per_trigger=1
+        )
+        ps = read_tick_stream(
+            spark, p_dir, spark.read.parquet(p_dir).schema, max_files_per_trigger=1
+        )
+        joined = join_streams_within(
+            cs,
+            ps.withColumnRenamed("p_user_id", "user_id"),
+            key="user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            window="30 minutes",
+            watermark="3650 days",
+        ).select("click_id", "purchase_id", F.col("__sl.user_id").alias("user_id"))
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
+
+        streamed = spark.read.parquet(out_dir)
+        twin = clicks.join(
+            purchases,
+            (clicks["user_id"] == purchases["p_user_id"])
+            & (purchases["purchase_ts"] >= clicks["click_ts"])
+            & (
+                purchases["purchase_ts"]
+                < clicks["click_ts"] + F.expr("INTERVAL 30 MINUTES")
+            ),
+        ).select("click_id", "purchase_id", "user_id")
+        n_stream = streamed.count()
+        diff = streamed.exceptAll(twin).count() + twin.exceptAll(streamed).count()
+        match = bool(n_stream == twin.count() and diff == 0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    verdict_schema = StructType(
+        [
+            StructField("n_pairs", LongType(), False),
+            StructField("streams_match", BooleanType(), False),
+            StructField("multi_batch", BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [(n_stream if match else -1, match, bool(n_batches >= 2))], verdict_schema
+    )

@@ -124,3 +124,36 @@ def session_window_stats(
             F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("session_value"),
         )
     )
+
+
+def join_streams_within(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    left_ts: str,
+    right_ts: str,
+    window: str,
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    """Stream-stream inner join: right events landing within
+    ``[left_ts, left_ts + window)`` for the same ``key`` — the streaming
+    twin of ``operators.joins.interval_point_join`` with per-left-row
+    windows (e.g. attribute purchases to the click that preceded them).
+
+    Both sides are watermarked and the join carries the explicit
+    time-range conjunct Structured Streaming needs to bound its state:
+    a buffered left row can be evicted once the right watermark passes
+    ``left_ts + window``, so state is O(watermark × rate), not unbounded.
+    Output columns: all left columns, then all right columns.
+    """
+    l = left.withWatermark(left_ts, watermark).alias("__sl")
+    r = right.withWatermark(right_ts, watermark).alias("__sr")
+    cond = (
+        (F.col(f"__sl.{key}") == F.col(f"__sr.{key}"))
+        & (F.col(f"__sr.{right_ts}") >= F.col(f"__sl.{left_ts}"))
+        & (
+            F.col(f"__sr.{right_ts}")
+            < F.col(f"__sl.{left_ts}") + F.expr(f"INTERVAL {window}")
+        )
+    )
+    return l.join(r, cond)

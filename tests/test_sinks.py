@@ -59,3 +59,37 @@ def test_bucketed_join_has_no_exchange(spark, tmp_path):
     finally:
         spark.sql("DROP TABLE IF EXISTS t_sink_left")
         spark.sql("DROP TABLE IF EXISTS t_sink_right")
+
+
+def test_zordered_write_localizes_both_dimensions(spark, tmp_path):
+    from sport_data_pipeline_spark.sources.sinks import write_zordered
+
+    # 64×64 grid visited in x-major order: a plain sort by x gives perfect
+    # x-locality and worst-case y-locality per file.
+    df = spark.range(64 * 64).select(
+        (F.col("id") % 64).alias("x"), (F.col("id") / 64).cast("long").alias("y")
+    )
+
+    def per_file_avg_range(path, col):
+        got = spark.read.parquet(path)
+        agg = (
+            got.groupBy(F.input_file_name().alias("f"))
+            .agg((F.max(col) - F.min(col)).alias("r"))
+            .agg(F.avg("r").alias("avg_r"))
+            .collect()[0]
+        )
+        return agg["avg_r"]
+
+    zpath, xpath = str(tmp_path / "zord"), str(tmp_path / "xsort")
+    write_zordered(df, zpath, ("x", "y"), num_files=16)
+    df.repartitionByRange(16, "x").sortWithinPartitions("x").write.parquet(xpath)
+
+    assert spark.read.parquet(zpath).count() == 64 * 64  # data unchanged
+
+    # x-sorted layout: each file spans ~4 x-values but ALL 64 y-values.
+    assert per_file_avg_range(xpath, "y") > 48
+    # Z-order: BOTH dimensions localized — each of the 16 files covers a
+    # quadrant-ish rectangle, so avg per-file range ≤ ~half the domain on
+    # both axes (16 files ⇒ 4×4 cells of side ~16 in the ideal tiling).
+    assert per_file_avg_range(zpath, "x") < 32
+    assert per_file_avg_range(zpath, "y") < 32

@@ -300,3 +300,66 @@ def test_interval_overlap_join_matches_naive(spark):
         & (F.greatest(F.col("a.s"), F.col("b.s")) < F.least(F.col("a.e"), F.col("b.e"))),
     ).select(F.col("a.l").alias("l"), F.col("b.r").alias("r"))
     assert pairs(keyed) == pairs(naive_keyed)
+
+
+def test_interval_joins_random_fuzz_vs_naive(spark):
+    """Seeded randomized sweep: 300 points × 120 intervals (zero-length,
+    sub-bucket, and multi-bucket spans; boundary-aligned timestamps) must
+    match the naive range join exactly for both bucket-expansion joins."""
+    import random
+
+    from sport_data_pipeline_spark.operators.joins import (
+        interval_overlap_join,
+        interval_point_join,
+    )
+
+    rnd = random.Random(42)
+    base = int(ts("2024-03-01T00:00").timestamp())
+    span = 3 * 24 * 3600
+    W = 3600
+
+    def rts(sec):
+        return dt.datetime.fromtimestamp(base + sec, dt.timezone.utc).replace(tzinfo=None)
+
+    pts_rows = []
+    for i in range(300):
+        # half the points land exactly on bucket/interval boundaries
+        sec = rnd.randrange(span) if i % 2 else rnd.randrange(span // W) * W
+        pts_rows.append((i, rts(sec)))
+    ivl_rows = []
+    for j in range(120):
+        s = rnd.randrange(span)
+        length = rnd.choice([0, 1, 59, 3600, 7200, 8 * 3600, rnd.randrange(span // 3)])
+        ivl_rows.append((j, rts(s), rts(s + length)))
+
+    pts = spark.createDataFrame(pts_rows, "pid long, t timestamp")
+    ivl = spark.createDataFrame(ivl_rows, "iid long, s timestamp, e timestamp")
+
+    got_pt = {
+        (r["pid"], r["iid"])
+        for r in interval_point_join(pts, ivl, "t", "s", "e", bucket_seconds=W).collect()
+    }
+    want_pt = {
+        (r["pid"], r["iid"])
+        for r in pts.join(ivl, (pts["t"] >= ivl["s"]) & (pts["t"] < ivl["e"])).collect()
+    }
+    assert got_pt == want_pt
+
+    ivl2 = ivl.select(
+        F.col("iid").alias("jid"), F.col("s").alias("s2"), F.col("e").alias("e2")
+    )
+    got_ov = [
+        (r["iid"], r["jid"])
+        for r in interval_overlap_join(
+            ivl, ivl2, "s", "e", "s2", "e2", bucket_seconds=W
+        ).collect()
+    ]
+    want_ov = [
+        (r["iid"], r["jid"])
+        for r in ivl.join(
+            ivl2,
+            F.greatest(F.col("s"), F.col("s2")) < F.least(F.col("e"), F.col("e2")),
+        ).collect()
+    ]
+    # sets equal AND no duplicate emissions (each overlapping pair exactly once)
+    assert sorted(got_ov) == sorted(want_ov)

@@ -73,13 +73,18 @@ def query(
 #: so tail queries earn an external driver row without growing the window:
 #: r5 rotated in scd2_point_in_time, corpus_train_shards, incremental_
 #: dedup_docs, semantic_dedup, dup_span_profile, minhash_jaccard_neardup,
-#: stream_batch_equivalence, multimodal_meta; out went redundant-coverage
-#: slots whose ops stay represented (fuzzy_entity_match → _blocked;
-#: ngram_jaccard_neardup + minhash_neardup → the composite;
-#: embedding_topk_arrow → embedding_topk; clean_corpus_docs +
-#: hash_split_mixture + sequence_packing → corpus_train_shards;
-#: rolling_active_users → repetition_profile/funnel_steps). All rotated-out
-#: queries keep their green history and stay DuckDB-oracled locally.
+#: stream_batch_equivalence, multimodal_meta, and (late-round)
+#: incident_window_attribution — the new bucket-expansion range-join
+#: family needs an in-window representative for the `range-join` tag; out
+#: went redundant-coverage slots whose ops stay represented
+#: (fuzzy_entity_match → _blocked; ngram_jaccard_neardup +
+#: minhash_neardup → the composite; embedding_topk_arrow →
+#: embedding_topk; clean_corpus_docs + hash_split_mixture +
+#: sequence_packing → corpus_train_shards; rolling_active_users →
+#: repetition_profile/funnel_steps; funnel_steps — every tag (A2, A8, W1)
+#: doubly covered in-window, 3 rounds of green history — → the range
+#: join). All rotated-out queries keep their green history and stay
+#: DuckDB-oracled locally.
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
@@ -133,7 +138,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "tfidf_top_terms",
     "corpus_train_shards",
     # event analytics + streaming + multimodal verdict rows
-    "funnel_steps",
+    "incident_window_attribution",
     "retention_cohorts",
     "late_dup_ticks",
     "stream_batch_equivalence",

@@ -76,6 +76,12 @@ def test_window_covers_all_survey_ops():
         # (stream_session_equivalence, DuckDB-oracled); r6 rotation
         # candidate per COVERAGE.md.
         "T6(stream)",
+        # stream-stream interval join: the streaming-machinery variant of
+        # in-window J10 (asof_clicks / scd2_point_in_time range
+        # semantics) — proven stream-equals-batch by its own verdict query
+        # (stream_join_equivalence, range-join count DuckDB-oracled); r6
+        # rotation candidate per COVERAGE.md.
+        "J10(stream)",
     }
     real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
     real = {n: lost for n, lost in real.items() if lost}

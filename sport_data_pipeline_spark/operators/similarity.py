@@ -801,8 +801,9 @@ def semantic_dedup_cells(
     id_col: str,
     vec_col: str = "embedding",
     threshold: float = 0.7,
-    n_cells: int = 16,
+    n_cells: int | None = None,
     seed: int = 42,
+    target_cell_size: int = 512,
 ) -> DataFrame:
     """Paper-faithful SemDeDup (Abbas et al. 2023): k-means cells, per-cell
     pairwise cosine, centroid-distance keeper — the 100 TB semantic-dedup
@@ -828,9 +829,16 @@ def semantic_dedup_cells(
 
     Scale contract: per-cell work is |cell|² — ``n_cells`` must grow with
     the corpus so cells stay task-sized (the paper runs 25k clusters for
-    100M+ docs; here k is a parameter). The shuffle moves each vector
-    exactly once (one exchange on the cell id); centroids are a k×dim
-    literal (kilobytes, broadcast like the PQ codebooks).
+    100M+ docs). The default therefore AUTO-SCALES:
+    ``n_cells = ⌈n_vectors / target_cell_size⌉`` (one count() action —
+    this is a write-time operator in production, where one extra scan is
+    the normal cost of fitting the quantizer; a fixed-k run at 10× data
+    measured 5.5× work vs 1.4× with k scaled, SCALE.md §8a/8b — the knob
+    is the exponent). Pass ``n_cells`` explicitly to pin determinism of
+    the cell assignment across corpora (the verdict-row oracle does). The
+    shuffle moves each vector exactly once (one exchange on the cell id);
+    centroids are a k×dim literal (kilobytes, broadcast like the PQ
+    codebooks).
 
     Zero-norm vectors can never clear a positive threshold: routed
     straight to kept. Returns (id, keep_id, kept) — one row per input
@@ -858,6 +866,9 @@ def semantic_dedup_cells(
     feat = live.repartition(n_parts, F.col(id_col)).withColumn(
         "__feat", array_to_vector(F.col("__v").cast("array<double>"))
     )
+    if n_cells is None:
+        n_live = live.count()
+        n_cells = max(2, -(-n_live // target_cell_size))
     if n_cells < 2:
         # degenerate single-cell mode (KMeans requires k >= 2): the cell
         # graph IS the global graph — exact, but one task does all pairs.

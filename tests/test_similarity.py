@@ -273,3 +273,22 @@ def test_embedding_near_dup_arrow_bit_identical_to_expr(emb):
     )
     assert e == a
     assert e  # non-vacuous
+
+
+def test_semantic_dedup_cells_auto_k_scales_with_corpus(spark):
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.similarity import semantic_dedup_cells
+
+    rng = np.random.RandomState(3)
+    rows = [(i, (rng.randn(4) + 5).tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # auto default: n_cells = ceil(40 / target_cell_size) = 8 — the run
+    # must still satisfy the routing invariants with multi-cell k-means
+    routed = semantic_dedup_cells(
+        df, "vec_id", threshold=0.99, target_cell_size=5, seed=7
+    ).collect()
+    assert len(routed) == 40
+    kept = {r["vec_id"] for r in routed if r["kept"]}
+    assert all(r["keep_id"] in kept for r in routed)  # keepers are kept rows
+    assert all((r["keep_id"] == r["vec_id"]) == r["kept"] for r in routed)

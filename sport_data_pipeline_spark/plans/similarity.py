@@ -860,6 +860,31 @@ def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "incremental_dedup_minhash",
+    survey="dedup-incremental,dedup-minhash-lsh,U3",
+    oracle=INCR_DEDUP_ORACLE,
+)
+def incremental_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full-corpus-scale variant of ``incremental_dedup_docs``: the
+    near gate's candidates come from a one-sided banded-MinHash bucket
+    join (batch bands x corpus bands) instead of the blocked batch x
+    corpus cross — the swap the base operator documents for 100x. The
+    oracle is the SAME exact all-pairs SQL: the routing (including the
+    minimum matching corpus id) must be identical, i.e. measured LSH
+    recall 1.0 on this corpus family."""
+    from ..operators.dedup import incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.expr(_INCR_BATCH.replace("//", "div")))
+    corpus = d.filter(F.expr(_INCR_CORPUS.replace("//", "div")))
+    return incremental_dedup(
+        batch, corpus, "doc_id", "text",
+        block_cols=["lang", "source"], threshold=0.5, shingle_n=3,
+        minhash_candidates=(32, 16),
+    ).orderBy("doc_id")
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-STYLE semantic dedup (adaptation of Abbas et al. 2023,
 # "SemDeDup: Data-efficient learning at web-scale through semantic

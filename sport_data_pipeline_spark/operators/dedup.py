@@ -658,6 +658,7 @@ def incremental_dedup(
     threshold: float = 0.5,
     shingle_n: int = 3,
     minhash_candidates: tuple[int, int] | None = None,
+    max_bucket_size: int = 200,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus (incremental ingestion).
 
@@ -740,12 +741,21 @@ def incremental_dedup(
         # One-sided banded LSH: batch bands × corpus bands meet on
         # (block, band, band-signature); ids-only candidates, sets rejoin
         # for the exact verify. Both shingle frames persist — each feeds
-        # its banding AND the verify join-back (caller-owned lifetime, as
-        # with minhash_jaccard_pairs).
+        # its banding AND the verify join-back. As with
+        # minhash_jaccard_pairs, the persists' lifetime is session-owned:
+        # materialize the result, then ``spark.catalog.clearCache()`` (or
+        # re-create the session) if the caller keeps running jobs — do NOT
+        # call this path inside a long-lived loop that can't clear cache
+        # (streaming foreachBatch uses the plain blocked branch).
         num_hashes, bands = minhash_candidates
         rows = num_hashes // bands
-        a = a.persist(StorageLevel.MEMORY_AND_DISK)
-        b = b.persist(StorageLevel.MEMORY_AND_DISK)
+        # Empty shingle sets can never near-match (the size window is NULL
+        # for them) but every one of them would carry the identical
+        # all-NULL band signature — one degenerate mega-bucket joining all
+        # short docs quadratically. Exclude them BEFORE banding, exactly
+        # like the sibling operators' size>0 filters.
+        a = a.filter(F.col("__n_a") > 0).persist(StorageLevel.MEMORY_AND_DISK)
+        b = b.filter(F.col("__n_b") > 0).persist(StorageLevel.MEMORY_AND_DISK)
 
         def banded(df_: DataFrame, tag: str, idc: str) -> DataFrame:
             sigs = df_.select(
@@ -776,14 +786,31 @@ def incremental_dedup(
                 f"__bs.__sig_{tag}",
             )
 
+        # Mega-bucket cap, per side (window count — one exchange that also
+        # leaves rows partitioned on the join key, same rationale as
+        # minhash_near_dup): a bucket bigger than the cap is
+        # non-discriminative boilerplate and would make the batch-bucket ×
+        # corpus-bucket join quadratic in bucket size.
+        from pyspark.sql import Window
+
+        def capped(df_: DataFrame, tag: str) -> DataFrame:
+            w = Window.partitionBy(
+                *[f"__{tag}_{c}" for c in block_cols], f"__band_{tag}", f"__sig_{tag}"
+            )
+            return (
+                df_.withColumn("__bn", F.count(F.lit(1)).over(w))
+                .filter(F.col("__bn") <= max_bucket_size)
+                .drop("__bn")
+            )
+
         bcond = (F.col("__band_a") == F.col("__band_b")) & (
             F.col("__sig_a") == F.col("__sig_b")
         )
         for c in block_cols:
             bcond = bcond & (F.col(f"__a_{c}") == F.col(f"__b_{c}"))
         cand = (
-            banded(a, "a", id_col)
-            .join(banded(b, "b", "__cid"), bcond)
+            capped(banded(a, "a", id_col), "a")
+            .join(capped(banded(b, "b", "__cid"), "b"), bcond)
             .select(id_col, "__cid")
             .dropDuplicates([id_col, "__cid"])
         )

@@ -162,20 +162,34 @@ def interval_point_join(
         raise ValueError(f"interval_point_join supports inner/left, got {how!r}")
     w_us = int(bucket_seconds) * 1_000_000
     keys = list(on)
+    clash = (set(points.columns) & set(intervals.columns)) - set(keys)
+    if clash:
+        # The output carries both sides' columns; a silent duplicate name
+        # would make every downstream F.col() reference ambiguous.
+        raise ValueError(f"rename colliding non-key columns before joining: {sorted(clash)}")
     # Alias scopes disambiguate columns even when both inputs derive from
     # the same source DataFrame (a common shape: points and intervals both
     # carved out of one event table).
-    # Closed-open [start, end): the last covered bucket is the one holding
-    # end - 1 microsecond, so zero-length intervals explode to zero rows.
-    ivl = intervals.withColumn(
-        "__bucket",
-        F.explode(
-            F.sequence(
-                F.floor(F.unix_micros(F.col(start_col)) / w_us),
-                F.floor((F.unix_micros(F.col(end_col)) - 1) / w_us),
-            )
-        ),
-    ).alias("__ivl")
+    # Closed-open [start, end): zero-length and inverted intervals can
+    # match nothing, and MUST be filtered before the explode — Spark's
+    # sequence(a, b) switches to step -1 when a > b, so an unfiltered
+    # inverted interval would explode DOWNWARD across every bucket back to
+    # its end (unbounded cost on dirty data, though the residual filter
+    # would still drop the rows). With end > start the last covered bucket
+    # is the one holding end - 1 microsecond.
+    ivl = (
+        intervals.filter(F.col(end_col) > F.col(start_col))
+        .withColumn(
+            "__bucket",
+            F.explode(
+                F.sequence(
+                    F.floor(F.unix_micros(F.col(start_col)) / w_us),
+                    F.floor((F.unix_micros(F.col(end_col)) - 1) / w_us),
+                )
+            ),
+        )
+        .alias("__ivl")
+    )
     pts = points.withColumn(
         "__bucket", F.floor(F.unix_micros(F.col(point_ts)) / w_us)
     ).alias("__pts")
@@ -224,9 +238,15 @@ def interval_overlap_join(
     is an ordinary AQE-eligible shuffled equi-join at any scale.
     """
     w_us = int(bucket_seconds) * 1_000_000
+    clash = (set(left.columns) & set(right.columns)) - set(on)
+    if clash:
+        raise ValueError(f"rename colliding non-key columns before joining: {sorted(clash)}")
 
     def exploded(df: DataFrame, start: str, end: str) -> DataFrame:
-        return df.withColumn(
+        # end > start filter BEFORE the explode: sequence(a, b) descends
+        # when a > b (see interval_point_join), and empty/inverted spans
+        # can overlap nothing under the closed-open rule anyway.
+        return df.filter(F.col(end) > F.col(start)).withColumn(
             "__bucket",
             F.explode(
                 F.sequence(

@@ -779,6 +779,37 @@ def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # time range, not the data volume (a year is ~526k rows regardless of SF).
 # ---------------------------------------------------------------------------
 
+def _incident_windows(ev: DataFrame) -> DataFrame:
+    """Error-burst windows at minute grain: distinct error minutes merged
+    when ≤10 min apart, padded 10 min past the last error minute. ONE
+    definition feeds both incident queries (attribution + session
+    overlap), so their window semantics cannot drift apart. The single
+    global gaps-and-islands window is safe because the minute frame's
+    cardinality is bounded by elapsed wall-clock time, not event volume.
+    Returns (w_start, w_end, n_error_minutes)."""
+    minutes = (
+        ev.filter(F.col("event_type") == "error")
+        .select(F.date_trunc("minute", F.col("ts")).alias("m"))
+        .distinct()
+    )
+    w = Window.orderBy("m")
+    run = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = 10 * 60 * 1_000_000
+    brk = F.when(
+        F.unix_micros(F.col("m")) - F.lag(F.unix_micros(F.col("m"))).over(w) > gap_us, 1
+    ).otherwise(0)
+    return (
+        minutes.withColumn("g", F.sum(brk).over(run))
+        .groupBy("g")
+        .agg(
+            F.min("m").alias("w_start"),
+            (F.max("m") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+            F.count(F.lit(1)).alias("n_error_minutes"),
+        )
+        .drop("g")
+    )
+
+
 INCIDENT_ATTR_ORACLE = """
 WITH em AS (
   SELECT DISTINCT date_trunc('minute', ts) AS m FROM events WHERE event_type = 'error'
@@ -830,27 +861,7 @@ def incident_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.joins import interval_point_join
 
     ev = _t(spark, sf_dir, "events")
-    minutes = (
-        ev.filter(F.col("event_type") == "error")
-        .select(F.date_trunc("minute", F.col("ts")).alias("m"))
-        .distinct()
-    )
-    w = Window.orderBy("m")
-    run = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = 10 * 60 * 1_000_000
-    brk = F.when(
-        F.unix_micros(F.col("m")) - F.lag(F.unix_micros(F.col("m"))).over(w) > gap_us, 1
-    ).otherwise(0)
-    windows = (
-        minutes.withColumn("g", F.sum(brk).over(run))
-        .groupBy("g")
-        .agg(
-            F.min("m").alias("w_start"),
-            (F.max("m") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
-            F.count(F.lit(1)).alias("n_error_minutes"),
-        )
-        .drop("g")
-    )
+    windows = _incident_windows(ev)
     purchases = ev.filter(F.col("event_type") == "purchase").select("ts", "user_id")
     hits = interval_point_join(
         purchases, windows, "ts", "w_start", "w_end", bucket_seconds=3600
@@ -939,26 +950,7 @@ def incident_session_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.sessionize import sessionize
 
     ev = _t(spark, sf_dir, "events")
-    minutes = (
-        ev.filter(F.col("event_type") == "error")
-        .select(F.date_trunc("minute", F.col("ts")).alias("m"))
-        .distinct()
-    )
-    w = Window.orderBy("m")
-    run = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = 10 * 60 * 1_000_000
-    brk = F.when(
-        F.unix_micros(F.col("m")) - F.lag(F.unix_micros(F.col("m"))).over(w) > gap_us, 1
-    ).otherwise(0)
-    windows = (
-        minutes.withColumn("g", F.sum(brk).over(run))
-        .groupBy("g")
-        .agg(
-            F.min("m").alias("w_start"),
-            (F.max("m") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
-        )
-        .drop("g")
-    )
+    windows = _incident_windows(ev).drop("n_error_minutes")
     sessions = (
         sessionize(ev.select("user_id", "ts"), ["user_id"], "ts", gap_seconds=1800)
         .groupBy("user_id", "session_id")

@@ -278,28 +278,26 @@ def test_interval_overlap_join_matches_naive(spark):
             (2, ts("2024-01-01T23:00"), ts("2024-01-02T01:00"), "R3"),
             (2, ts("2024-01-02T00:00"), ts("2024-01-02T02:00"), "R4"),  # starts at Lwide end
         ],
-        "k long, s timestamp, e timestamp, r string",
+        "k long, s2 timestamp, e2 timestamp, r string",
     )
 
     def pairs(df):
         return sorted((row["l"], row["r"]) for row in df.collect())
 
-    got = interval_overlap_join(left, right.drop("k"), "s", "e", "s", "e", bucket_seconds=900)
-    lcols, rcols = left.alias("a"), right.alias("b")
-    naive = lcols.join(
-        rcols,
-        (F.greatest(F.col("a.s"), F.col("b.s")) < F.least(F.col("a.e"), F.col("b.e"))),
-    ).select(F.col("a.l").alias("l"), F.col("b.r").alias("r"))
+    naive_cond = F.greatest(F.col("s"), F.col("s2")) < F.least(F.col("e"), F.col("e2"))
+    got = interval_overlap_join(left, right.drop("k"), "s", "e", "s2", "e2", bucket_seconds=900)
+    naive = left.join(right.drop("k"), naive_cond).select("l", "r")
     assert pairs(got) == pairs(naive)
     assert ("L1", "R2") not in pairs(got)  # closed-open: max(starts)==min(ends) → no overlap
     # keyed variant restricts matches to equal keys
-    keyed = interval_overlap_join(left, right, "s", "e", "s", "e", bucket_seconds=900, on=["k"])
-    naive_keyed = lcols.join(
-        rcols,
-        (F.col("a.k") == F.col("b.k"))
-        & (F.greatest(F.col("a.s"), F.col("b.s")) < F.least(F.col("a.e"), F.col("b.e"))),
-    ).select(F.col("a.l").alias("l"), F.col("b.r").alias("r"))
+    keyed = interval_overlap_join(left, right, "s", "e", "s2", "e2", bucket_seconds=900, on=["k"])
+    naive_keyed = left.join(right, ["k"]).filter(naive_cond).select("l", "r")
     assert pairs(keyed) == pairs(naive_keyed)
+    # colliding non-key column names must fail loudly, not emit ambiguous output
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="colliding"):
+        interval_overlap_join(left, left.drop("k"), "s", "e", "s", "e", bucket_seconds=900)
 
 
 def test_interval_joins_random_fuzz_vs_naive(spark):

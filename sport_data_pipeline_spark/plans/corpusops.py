@@ -894,7 +894,7 @@ FROM q GROUP BY doc_id
 """
 
 
-@query("lm_quality_score", survey="llm-quality,A1,J1,F12", oracle=LM_QUALITY_ORACLE)
+@query("lm_quality_score", survey="llm-quality,A1,J1,F12", oracle=LM_QUALITY_ORACLE, headline=True)
 def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document mean smoothed bigram probability (LM quality filter).
 

@@ -843,7 +843,7 @@ FROM per_user GROUP BY 1, 2, 3
 """
 
 
-@query("incident_window_attribution", survey="range-join,W3,A5,T6", oracle=INCIDENT_ATTR_ORACLE)
+@query("incident_window_attribution", survey="range-join,W3,A5,T6", oracle=INCIDENT_ATTR_ORACLE, headline=True)
 def incident_window_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Purchases landing inside error-burst windows: keyless range join.
 

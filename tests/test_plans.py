@@ -60,9 +60,14 @@ def test_whole_stage_codegen_active(spark):
 def test_no_python_row_udfs_anywhere(name, spark):
     """Every registered query stays JVM-side: no BatchEvalPython (row UDF)
     nodes. (ArrowEvalPython would mark a pandas UDF — also absent from the
-    query pack; the only pandas UDF in the library is the media decoder.)"""
+    query pack; the only pandas UDF in the library is the media decoder.)
+    Also a global plan lint: no CartesianProduct in ANY registered query —
+    broadcast single-row scalars compile to BroadcastNestedLoopJoin (fine,
+    build side is one row), but an unkeyed shuffle cartesian is always a
+    plan bug at scale."""
     plan = physical_plan(SPECS[name].fn(spark, SF_DIR))
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_latest_per_key_single_shuffle(spark):

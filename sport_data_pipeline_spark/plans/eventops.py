@@ -1086,3 +1086,154 @@ def stream_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         [(n_stream if match else -1, match, bool(n_batches >= 2))], verdict_schema
     )
+
+
+# ---------------------------------------------------------------------------
+# T-family streaming evidence #4: stream-stream LEFT OUTER interval join.
+# The inner join above proves two-sided buffering; the outer join proves
+# the harder half — NULL-padded left rows may only emit once the RIGHT
+# watermark passes click_ts + window (before that, a matching purchase
+# could still arrive), so correct results REQUIRE state eviction to run,
+# including the final no-data flush batch. A far-future sentinel tick on
+# BOTH streams pushes the global watermark (min across inputs) past every
+# real click's join horizon; sentinels are filtered from the comparison.
+# ---------------------------------------------------------------------------
+
+STREAM_OUTER_JOIN_ORACLE = """
+WITH c AS (SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'),
+p AS (SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'),
+j AS (
+  SELECT c.click_id, p.purchase_id
+  FROM c LEFT JOIN p
+    ON p.user_id = c.user_id AND p.ts >= c.ts AND p.ts < c.ts + INTERVAL 30 MINUTE
+)
+SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(CASE WHEN purchase_id IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_unmatched,
+       TRUE AS streams_match,
+       TRUE AS multi_batch
+FROM j
+"""
+
+
+@query(
+    "stream_outer_join_equivalence",
+    survey="T1,T5(stream),J10(stream)",
+    oracle=STREAM_OUTER_JOIN_ORACLE,
+)
+def stream_outer_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming LEFT OUTER click→purchase join == the batch left join.
+
+    Unmatched clicks can only be NULL-emitted after the watermark passes
+    their 30-minute join horizon, so this verdict exercises real join
+    state EVICTION, not just buffering: a sentinel tick at max(ts) + 400
+    days on both streams advances the global watermark (delay 360 days)
+    ~40 days past every real horizon, and the no-data flush batch must
+    then emit every surviving unmatched click. Files are split by event-id
+    parity, so matches still form across micro-batches out of buffered
+    state; no real row is ever late (the watermark stays below all real
+    timestamps until the sentinel arrives last).
+    """
+    import shutil
+    import tempfile
+
+    from ..streaming.live import join_streams_within, read_tick_stream
+
+    ev = _t(spark, sf_dir, "events")
+    max_ts = ev.agg(F.max("ts").alias("m"))
+    sentinel_ts = F.expr("m + INTERVAL 400 DAYS")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), "user_id", F.col("ts").alias("click_ts")
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("purchase_ts")
+    )
+    c_sent = max_ts.select(
+        F.lit(-999).cast("long").alias("click_id"),
+        F.lit(-999).cast("long").alias("user_id"),
+        sentinel_ts.alias("click_ts"),
+    )
+    p_sent = max_ts.select(
+        F.lit(-999).cast("long").alias("purchase_id"),
+        F.lit(-999).cast("long").alias("user_id"),
+        sentinel_ts.alias("purchase_ts"),
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sdp_stream_oj_")
+    try:
+        c_dir, p_dir, out_dir, ckpt = (
+            f"{tmp}/clicks", f"{tmp}/purchases", f"{tmp}/out", f"{tmp}/ckpt",
+        )
+        for i in range(2):
+            clicks.filter(F.col("click_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(c_dir)
+            purchases.filter(F.col("purchase_id") % 2 == i).coalesce(1).write.mode(
+                "append"
+            ).parquet(p_dir)
+        # sentinels LAST: each is its own micro-batch, and only after both
+        # arrive does the global watermark jump past the data
+        c_sent.coalesce(1).write.mode("append").parquet(c_dir)
+        p_sent.coalesce(1).write.mode("append").parquet(p_dir)
+
+        cs = read_tick_stream(
+            spark, c_dir, spark.read.parquet(c_dir).schema, max_files_per_trigger=1
+        )
+        ps = read_tick_stream(
+            spark, p_dir, spark.read.parquet(p_dir).schema, max_files_per_trigger=1
+        )
+        joined = join_streams_within(
+            cs,
+            ps,
+            key="user_id",
+            left_ts="click_ts",
+            right_ts="purchase_ts",
+            window="30 minutes",
+            watermark="360 days",
+            how="left_outer",
+        ).select("click_id", "purchase_id")
+        q = (
+            joined.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        n_batches = sum(1 for pr in q.recentProgress if pr["numInputRows"] > 0)
+
+        streamed = spark.read.parquet(out_dir).filter(F.col("click_id") != -999)
+        twin = clicks.join(
+            purchases.withColumnRenamed("user_id", "p_user_id"),
+            (clicks["user_id"] == F.col("p_user_id"))
+            & (F.col("purchase_ts") >= clicks["click_ts"])
+            & (F.col("purchase_ts") < clicks["click_ts"] + F.expr("INTERVAL 30 MINUTES")),
+            "left",
+        ).select("click_id", "purchase_id")
+        n_rows = streamed.count()
+        n_unmatched = streamed.filter(F.col("purchase_id").isNull()).count()
+        diff = streamed.exceptAll(twin).count() + twin.exceptAll(streamed).count()
+        match = bool(n_rows == twin.count() and diff == 0)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    from pyspark.sql.types import BooleanType, LongType, StructField, StructType
+
+    verdict_schema = StructType(
+        [
+            StructField("n_rows", LongType(), False),
+            StructField("n_unmatched", LongType(), False),
+            StructField("streams_match", BooleanType(), False),
+            StructField("multi_batch", BooleanType(), False),
+        ]
+    )
+    return spark.createDataFrame(
+        [
+            (
+                n_rows if match else -1,
+                n_unmatched if match else -1,
+                match,
+                bool(n_batches >= 2),
+            )
+        ],
+        verdict_schema,
+    )

@@ -134,6 +134,7 @@ def join_streams_within(
     right_ts: str,
     window: str,
     watermark: str = "10 minutes",
+    how: str = "inner",
 ) -> DataFrame:
     """Stream-stream inner join: right events landing within
     ``[left_ts, left_ts + window)`` for the same ``key`` — the streaming
@@ -144,6 +145,10 @@ def join_streams_within(
     time-range conjunct Structured Streaming needs to bound its state:
     a buffered left row can be evicted once the right watermark passes
     ``left_ts + window``, so state is O(watermark × rate), not unbounded.
+    ``how`` additionally supports the outer variants ("left_outer",
+    "right_outer", "full_outer"): NULL-padded rows emit only at that
+    eviction point — before it, a matching row could still arrive — which
+    is exactly why the time-range conjunct is mandatory for outer joins.
     Output columns: all left columns, then all right columns.
     """
     l = left.withWatermark(left_ts, watermark).alias("__sl")
@@ -156,4 +161,4 @@ def join_streams_within(
             < F.col(f"__sl.{left_ts}") + F.expr(f"INTERVAL {window}")
         )
     )
-    return l.join(r, cond)
+    return l.join(r, cond, how)

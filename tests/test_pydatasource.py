@@ -1,0 +1,81 @@
+"""Spark 4 Python DataSource: the snapshot layout as a pluggable source
+(batch with per-file partitions + file-level filter pushdown, and the
+poll-loop-as-stream reader with offset recovery)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import functions as F
+
+SCHEMA = "home string, away string, score long, snapshot string"
+
+
+def _write(dir_, name, rows):
+    os.makedirs(dir_, exist_ok=True)
+    with open(os.path.join(dir_, f"{name}.json"), "w") as fh:
+        for r in rows:
+            fh.write(json.dumps(r) + "\n")
+
+
+def _register(spark):
+    from sport_data_pipeline_spark.sources.pydatasource import SnapshotDataSource
+
+    spark.dataSource.register(SnapshotDataSource)
+
+
+def test_batch_read_one_partition_per_file(spark, tmp_path):
+    d = str(tmp_path / "snaps")
+    _write(d, "scrape_a", [{"home": "X", "away": "Y", "score": 3}])
+    _write(d, "scrape_b", [{"home": "P", "away": "Q", "score": 1},
+                           {"home": "R", "away": "S", "score": 2}])
+    _register(spark)
+    df = spark.read.format("bronze_snapshot").schema(SCHEMA).option("path", d).load()
+    assert df.rdd.getNumPartitions() == 2  # one task per snapshot file
+    got = {(r["home"], r["score"], r["snapshot"]) for r in df.collect()}
+    assert got == {("X", 3, "scrape_a"), ("P", 1, "scrape_b"), ("R", 2, "scrape_b")}
+
+
+def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
+    d = str(tmp_path / "snaps")
+    _write(d, "good", [{"home": "X", "away": "Y", "score": 3}])
+    # poison file: JSON-invalid — it can only pass if pruned UNOPENED
+    os.makedirs(d, exist_ok=True)
+    with open(os.path.join(d, "broken.json"), "w") as fh:
+        fh.write("{this is not json\n")
+    _register(spark)
+    df = (
+        spark.read.format("bronze_snapshot").schema(SCHEMA).option("path", d).load()
+        .filter(F.col("snapshot") == "good")
+    )
+    assert [r["home"] for r in df.collect()] == ["X"]  # broken.json never opened
+
+
+def test_stream_picks_up_new_snapshots_across_runs(spark, tmp_path):
+    d, out, ckpt = str(tmp_path / "snaps"), str(tmp_path / "out"), str(tmp_path / "ckpt")
+    _write(d, "poll_1", [{"home": "A", "away": "B", "score": 1}])
+    _register(spark)
+
+    def run_once():
+        q = (
+            spark.readStream.format("bronze_snapshot")
+            .schema(SCHEMA)
+            .option("path", d)
+            .load()
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()
+    assert spark.read.parquet(out).count() == 1
+    # the next poll drops a new snapshot; a later run reads ONLY the new file
+    _write(d, "poll_2", [{"home": "C", "away": "D", "score": 2},
+                         {"home": "E", "away": "F", "score": 3}])
+    run_once()
+    got = {(r["snapshot"], r["home"]) for r in spark.read.parquet(out).collect()}
+    assert got == {("poll_1", "A"), ("poll_2", "C"), ("poll_2", "E")}

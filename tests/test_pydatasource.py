@@ -79,3 +79,43 @@ def test_stream_picks_up_new_snapshots_across_runs(spark, tmp_path):
     run_once()
     got = {(r["snapshot"], r["home"]) for r in spark.read.parquet(out).collect()}
     assert got == {("poll_1", "A"), ("poll_2", "C"), ("poll_2", "E")}
+
+
+def test_snapshot_poll_to_silver_merge_e2e(spark, tmp_path):
+    """The reference's full ingest loop, Spark-native end to end:
+    write_snapshot (S9 layout) → bronze_snapshot streaming source (X1) →
+    foreachBatch latest-wins upsert (T2/S10). Two polls of the same match
+    land as ONE silver row carrying the later score."""
+    from sport_data_pipeline_spark.sources.sinks import write_snapshot
+    from sport_data_pipeline_spark.streaming.live import start_upsert_sink
+
+    d, out, ckpt = str(tmp_path / "snaps"), str(tmp_path / "silver"), str(tmp_path / "ck")
+    _register(spark)
+    schema = "match_id long, score long, poll long, snapshot string"
+
+    def poll(n, rows):
+        df = spark.createDataFrame(rows, "match_id long, score long, poll long")
+        # write_snapshot's timestamped-name convention, one dir per poll
+        write_snapshot(df.coalesce(1), d, "live", fmt="json",
+                       timestamp=__import__("datetime").datetime(2024, 1, 1, 12, 0, n))
+
+    poll(1, [(100, 0, 1), (200, 1, 1)])
+    poll(2, [(100, 2, 2)])  # match 100 re-polled with a later score
+
+    stream = (
+        spark.readStream.format("bronze_snapshot")
+        .schema(schema)
+        .option("path", d)
+        .option("suffix", ".json")
+        .load()
+        # the _latest alias duplicates the newest snapshot — drop it at
+        # the stream edge so each poll is ingested exactly once
+        .filter(~F.col("snapshot").endswith("_latest"))
+    )
+    q = start_upsert_sink(
+        stream, target_path=out, keys=["match_id"], order_by=["poll"],
+        checkpoint=ckpt, available_now=True,
+    )
+    q.awaitTermination()
+    got = {r["match_id"]: (r["score"], r["poll"]) for r in spark.read.parquet(out).collect()}
+    assert got == {100: (2, 2), 200: (1, 1)}

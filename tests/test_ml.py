@@ -73,3 +73,53 @@ def test_match_outcome_model(spark, tables):
     preds = model.transform(df)
     assert preds.select("prediction").distinct().count() <= 3
     assert preds.count() == n
+
+
+def test_quality_classifier_separates_planted_docs(spark, tmp_path):
+    """Train on weak labels over the corpus + planted extremes; the scored
+    probabilities must rank clean prose above junk, and the model must
+    round-trip through save/load (S16)."""
+    from sport_data_pipeline_spark.catalog import load_table
+    from sport_data_pipeline_spark.ml.quality import (
+        quality_pipeline,
+        score_documents,
+        weak_label_frame,
+    )
+
+    from pyspark.sql import functions as F
+
+    from conftest import SF_DIR
+
+    docs = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
+    clean = (
+        "the match was a fine display of passing and movement with the home side "
+        "taking the lead before half time and the visitors equalising late on "
+        "after sustained pressure from both teams in a balanced game"
+    )
+    junk = "3141592653 5897932384 6264338327 9502884197 1693993751 0582097494"
+    planted = spark.createDataFrame(
+        [(900001, clean), (900002, junk), (900003, "ok"), (900004, junk + " 99 77")],
+        "doc_id long, text string",
+    )
+    corpus = docs.unionByName(planted)
+
+    train = weak_label_frame(corpus)
+    # the weak rules must label both planted extremes (sanity of the rules)
+    got_labels = {r["doc_id"]: r["label"] for r in train.filter(F.col("doc_id") > 900000).collect()}
+    assert got_labels[900001] == 1.0 and got_labels[900002] == 0.0
+
+    model = quality_pipeline().fit(train)
+    path = str(tmp_path / "quality_model")
+    model.save(path)
+    from pyspark.ml import PipelineModel
+
+    reloaded = PipelineModel.load(path)
+    scored = {
+        r["doc_id"]: r["quality_prob"]
+        for r in score_documents(reloaded, planted).collect()
+    }
+    assert scored[900001] > 0.5 > scored[900002]
+    assert scored[900004] < scored[900001]
+    # scoring is map-only: no exchange in the plan
+    plan = score_documents(reloaded, planted)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan

@@ -100,3 +100,40 @@ def scd2_intervals(
         .withColumn(valid_to, F.lead(ts_col).over(w))
         .withColumn(is_current, F.col(valid_to).isNull())
     )
+
+
+def table_diff(
+    old: DataFrame,
+    new: DataFrame,
+    keys: Sequence[str],
+    compare: Sequence[str] | None = None,
+) -> DataFrame:
+    """Change-data-capture diff between two versions of a keyed table.
+
+    Returns one row per key present in either version, tagged
+    ``change ∈ {inserted, deleted, updated, unchanged}`` with both sides'
+    compared values as structs (``old_row`` / ``new_row``, NULL on the
+    missing side). ``compare`` defaults to all non-key columns shared by
+    both frames.
+
+    This is the audit/debug companion to ``upsert``: applied after a merge
+    it answers "what did this batch actually change" — the reference logs
+    this per-row from its ON CONFLICT sinks; here it is one declarative
+    full-outer equi-join on the key (single shuffle per side, AQE-skew
+    eligible), with the value comparison as a null-safe struct equality —
+    no row-by-row Python, no second pass.
+    """
+    keys = list(keys)
+    if compare is None:
+        shared = [c for c in old.columns if c in set(new.columns)]
+        compare = [c for c in shared if c not in keys]
+    o = old.select(*keys, F.struct(*[F.col(c) for c in compare]).alias("old_row"))
+    n = new.select(*keys, F.struct(*[F.col(c) for c in compare]).alias("new_row"))
+    j = o.join(n, keys, "full_outer")
+    change = (
+        F.when(F.col("old_row").isNull(), F.lit("inserted"))
+        .when(F.col("new_row").isNull(), F.lit("deleted"))
+        .when(F.col("old_row").eqNullSafe(F.col("new_row")), F.lit("unchanged"))
+        .otherwise(F.lit("updated"))
+    )
+    return j.select(*keys, change.alias("change"), "old_row", "new_row")

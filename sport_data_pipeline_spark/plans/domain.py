@@ -306,3 +306,61 @@ def sketch_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         _q_ok(1).alias("p95_within_eps"),
         _q_ok(2).alias("p99_within_eps"),
     )
+
+
+# ---------------------------------------------------------------------------
+# CDC snapshot diff (operators/merge.table_diff): what changed between two
+# versions of a keyed table — the audit companion of the upsert sinks
+# (S10: the reference's ON CONFLICT logging, done as ONE full-outer
+# equi-join instead of per-row sink callbacks). Versions are derived
+# deterministically from the customer table: the "old" snapshot is
+# missing every 11th-ish key (→ inserted), the "new" one drops every 7th
+# (→ deleted) and bumps every 5th balance (→ updated); everything else is
+# unchanged.
+# ---------------------------------------------------------------------------
+
+TABLE_DIFF_ORACLE = """
+WITH old AS (
+  SELECT c_custkey, c_acctbal FROM customer WHERE c_custkey % 11 <> 3
+),
+new AS (
+  SELECT c_custkey,
+         c_acctbal + CASE WHEN c_custkey % 5 = 0 THEN 10.0 ELSE 0.0 END AS c_acctbal
+  FROM customer WHERE c_custkey % 7 <> 0
+)
+SELECT COALESCE(old.c_custkey, new.c_custkey) AS c_custkey,
+       CASE WHEN old.c_custkey IS NULL THEN 'inserted'
+            WHEN new.c_custkey IS NULL THEN 'deleted'
+            WHEN old.c_acctbal = new.c_acctbal THEN 'unchanged'
+            ELSE 'updated' END AS change,
+       old.c_acctbal AS old_bal,
+       new.c_acctbal AS new_bal
+FROM old FULL OUTER JOIN new ON old.c_custkey = new.c_custkey
+"""
+
+
+@query("snapshot_table_diff", survey="cdc-diff,S10,U1,J1", oracle=TABLE_DIFF_ORACLE)
+def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keyed diff of two table versions: inserted/deleted/updated/unchanged.
+
+    One full-outer shuffle join on the business key; the value comparison
+    is a null-safe struct equality, so adding compared columns never adds
+    plan stages. At 100 TB both sides shuffle once and AQE handles skew —
+    there is no per-row logging pass.
+    """
+    from ..operators.merge import table_diff
+
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_acctbal")
+    old = c.filter(F.col("c_custkey") % 11 != 3)
+    new = c.filter(F.col("c_custkey") % 7 != 0).withColumn(
+        "c_acctbal",
+        F.col("c_acctbal")
+        + F.when(F.col("c_custkey") % 5 == 0, F.lit(10.0)).otherwise(F.lit(0.0)),
+    )
+    d = table_diff(old, new, ["c_custkey"], compare=["c_acctbal"])
+    return d.select(
+        "c_custkey",
+        "change",
+        F.col("old_row.c_acctbal").alias("old_bal"),
+        F.col("new_row.c_acctbal").alias("new_bal"),
+    )

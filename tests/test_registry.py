@@ -82,6 +82,11 @@ def test_window_covers_all_survey_ops():
         # (stream_join_equivalence, range-join count DuckDB-oracled); r6
         # rotation candidate per COVERAGE.md.
         "J10(stream)",
+        # CDC snapshot diff: audit companion of in-window S10 upsert
+        # routing (latest_per_key/record_unification cover the merge
+        # itself); exact full-outer-join oracle in the tail
+        # (snapshot_table_diff); r6 rotation candidate per COVERAGE.md.
+        "cdc-diff",
     }
     real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
     real = {n: lost for n, lost in real.items() if lost}

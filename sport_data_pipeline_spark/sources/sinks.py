@@ -6,6 +6,7 @@
 from __future__ import annotations
 
 import datetime as dt
+import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.errors import AnalysisException
@@ -162,3 +163,66 @@ def write_zordered(
         .write.mode(mode)
         .parquet(path)
     )
+
+
+def enforce_retention(
+    spark: SparkSession,
+    path: str,
+    partition_col: str,
+    cutoff: str,
+) -> list[str]:
+    """Drop partitions of a `write_partitioned` table older than ``cutoff``.
+
+    Retention is a PARTITION operation, never a row filter: removing
+    `<col>=<value>` directories costs O(partitions dropped) and rewrites
+    nothing, while the row-filter formulation rewrites the whole table.
+    Values compare as strings, so ISO dates (`day=2024-01-31`) and
+    zero-padded numerics order correctly. Returns the dropped partition
+    values. (On a transactional format this is `ALTER TABLE DROP
+    PARTITION` / a lifecycle policy; the directory layout here is the
+    plain-parquet equivalent.)
+    """
+    import shutil
+
+    prefix = f"{partition_col}="
+    dropped = []
+    if not os.path.isdir(path):
+        return dropped
+    for d in sorted(os.listdir(path)):
+        if d.startswith(prefix) and d[len(prefix):] < cutoff:
+            shutil.rmtree(os.path.join(path, d))
+            dropped.append(d[len(prefix):])
+    return dropped
+
+
+def compact_parquet(
+    spark: SparkSession,
+    path: str,
+    target_mb: int = 128,
+) -> int:
+    """Rewrite a parquet directory into ~``target_mb``-sized files.
+
+    Streaming upserts and partitioned appends accumulate small files, and
+    at scan time each file is at least one task — a million 100 KB files
+    is a scheduler problem before it is an IO problem. Compaction sizes
+    the file count from the actual on-disk bytes, rewrites once, and
+    swaps atomically-ish (write to a sibling tmp dir, then rename) so a
+    concurrent reader sees either the old or the new layout, never a
+    partial one. Returns the new file count.
+    """
+    import shutil
+
+    size = sum(
+        os.path.getsize(os.path.join(dp, f))
+        for dp, _, fs in os.walk(path)
+        for f in fs
+        if not f.startswith((".", "_"))
+    )
+    n_files = max(1, -(-size // (target_mb * 1024 * 1024)))
+    tmp, bak = f"{path}.__compact_tmp", f"{path}.__compact_bak"
+    shutil.rmtree(tmp, ignore_errors=True)
+    spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    os.rename(path, bak)
+    os.rename(tmp, path)
+    shutil.rmtree(bak)
+    return n_files

@@ -93,3 +93,43 @@ def test_zordered_write_localizes_both_dimensions(spark, tmp_path):
     # both axes (16 files ⇒ 4×4 cells of side ~16 in the ideal tiling).
     assert per_file_avg_range(zpath, "x") < 32
     assert per_file_avg_range(zpath, "y") < 32
+
+
+def test_retention_drops_old_partitions_only(spark, tmp_path):
+    from sport_data_pipeline_spark.sources.sinks import enforce_retention, write_partitioned
+
+    p = str(tmp_path / "events_by_day")
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 3, 4) for i in range(d)],
+        "v long, day string",
+    )
+    write_partitioned(df, p, ["day"])
+    dropped = enforce_retention(spark, p, "day", cutoff="2024-01-03")
+    assert dropped == ["2024-01-01", "2024-01-02"]
+    left = spark.read.parquet(p)
+    # partition values type-infer to dates on read; compare as ISO strings
+    assert sorted(str(r["day"]) for r in left.select("day").distinct().collect()) == [
+        "2024-01-03", "2024-01-04",
+    ]
+    assert left.count() == 3 + 4  # surviving partitions untouched
+
+
+def test_compaction_preserves_rows_and_shrinks_file_count(spark, tmp_path):
+    from sport_data_pipeline_spark.sources.sinks import compact_parquet
+
+    p = str(tmp_path / "small_files")
+    df = spark.range(1000).withColumn("v", F.col("id") * 2)
+    df.repartition(20).write.parquet(p)  # 20 tiny files
+
+    def n_parts(path):
+        import os
+        return sum(
+            1 for f in os.listdir(path) if f.startswith("part-") and f.endswith(".parquet")
+        )
+
+    assert n_parts(p) == 20
+    new_n = compact_parquet(spark, p, target_mb=64)
+    assert new_n == 1 and n_parts(p) == 1
+    got = spark.read.parquet(p)
+    assert got.count() == 1000
+    assert got.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(1000))

@@ -23,6 +23,11 @@ what ``write_snapshot`` produces). The user supplies the value schema as a
 DDL string via the ``schema`` option (snapshots are schemaless on disk);
 the source appends a ``snapshot`` string column carrying the originating
 file stem so downstream dedup/latest-wins merges can order arrivals.
+
+``write_snapshot`` always re-emits a ``<name>_latest`` alias of the newest
+snapshot, so reading the raw listing would double-count it; the source
+skips ``*_latest`` stems by default (``exclude_latest`` option, set
+``"false"`` to read the alias — e.g. for a latest-only batch lookup).
 """
 
 from __future__ import annotations
@@ -44,18 +49,24 @@ from pyspark.sql.datasource import (
 from pyspark.sql.types import StructType
 
 
-def _snapshot_files(path: str, suffix: str) -> list[str]:
+def _snapshot_files(path: str, suffix: str, exclude_latest: bool = True) -> list[str]:
     if not os.path.isdir(path):
         return []
     out = []
     for f in sorted(os.listdir(path)):
         full = os.path.join(path, f)
-        if f.endswith(suffix) and os.path.isdir(full):
+        if not f.endswith(suffix):
+            continue
+        if exclude_latest and _stem(full).endswith("_latest"):
+            continue  # alias of the newest snapshot — already in the listing
+        if os.path.isdir(full) or os.path.isfile(full):
             # Spark's json writer emits a DIRECTORY of part files
             out.append(full)
-        elif f.endswith(suffix) and os.path.isfile(full):
-            out.append(full)
     return out
+
+
+def _truthy(options: dict, key: str, default: bool) -> bool:
+    return options.get(key, str(default)).strip().lower() not in ("false", "0", "no")
 
 
 def _stem(path: str) -> str:
@@ -81,7 +92,7 @@ def _iter_json_rows(path: str) -> Iterator[dict]:
 
 @dataclass
 class _SnapshotPartition(InputPartition):
-    path: str
+    path: str | None  # None = empty sentinel (all files pruned)
 
 
 class SnapshotBatchReader(DataSourceReader):
@@ -91,43 +102,78 @@ class SnapshotBatchReader(DataSourceReader):
     def __init__(self, options: dict, schema: StructType) -> None:
         self.path = options["path"]
         self.suffix = options.get("suffix", ".json")
+        self.exclude_latest = _truthy(options, "exclude_latest", True)
         self.fields = [f.name for f in schema.fields if f.name != "snapshot"]
         self.keep: set[str] | None = None  # None = no pruning
 
     def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:  # noqa: N802
         for f in filters:
             # file-name pruning: snapshot = 'x' / snapshot IN (...) prune
-            # at the LISTING, before any file opens
+            # at the LISTING, before any file opens. The filter list is an
+            # AND conjunction and accepted filters are not re-applied by
+            # Spark, so multiple snapshot predicates must INTERSECT — an
+            # assignment would silently drop all but the last one.
             if isinstance(f, EqualTo) and f.attribute == ("snapshot",):
-                self.keep = {f.value}
+                new = {f.value}
             elif isinstance(f, In) and f.attribute == ("snapshot",):
-                self.keep = set(f.values)
+                new = set(f.value)  # In.value is the tuple of candidates
             else:
                 yield f  # everything else stays Spark-side
+                continue
+            self.keep = new if self.keep is None else (self.keep & new)
 
     def partitions(self) -> Sequence[InputPartition]:
-        files = _snapshot_files(self.path, self.suffix)
+        files = _snapshot_files(self.path, self.suffix, self.exclude_latest)
         if self.keep is not None:
             files = [p for p in files if _stem(p) in self.keep]
+        if not files:
+            # the API requires >=1 partition even when pruning removed all
+            # files; an empty sentinel keeps the scan a valid zero-row plan
+            return [_SnapshotPartition(path=None)]
         return [_SnapshotPartition(p) for p in files]
 
     def read(self, partition: _SnapshotPartition) -> Iterator[tuple]:
+        if partition is None or partition.path is None:
+            return  # empty sentinel: every file pruned
         stem = _stem(partition.path)
         for rec in _iter_json_rows(partition.path):
             yield tuple(rec.get(k) for k in self.fields) + (stem,)
 
 
+def _offset_seen(offset: dict, stem: str) -> bool:
+    """True if ``stem`` is covered by ``offset``. Offsets are a compacted
+    seen-set: every stem ``<= floor`` is implicitly seen (the contiguous
+    prefix of the sorted listing), plus an explicit ``recent`` residue for
+    out-of-order stems above the floor. Legacy ``{"seen": [...]}`` offsets
+    from older checkpoints are honored too."""
+    return (
+        stem <= offset.get("floor", "")
+        or stem in offset.get("recent", ())
+        or stem in offset.get("seen", ())
+    )
+
+
 class SnapshotStreamReader(SimpleDataSourceStreamReader):
-    """Poll-loop-as-stream: offset = high-water mark over the sorted file
-    list; each micro-batch reads exactly the files that arrived since."""
+    """Poll-loop-as-stream: each micro-batch reads exactly the files that
+    arrived since the last offset.
+
+    The offset written to the checkpoint every micro-batch is O(1), not
+    O(total snapshots ever seen): because snapshot stems are timestamped
+    (monotonically increasing — ``write_snapshot``'s naming convention),
+    the seen-set compacts to a high-water mark ``floor`` plus the (normally
+    empty) list of out-of-order stems above it. A file whose stem sorts
+    BELOW the floor after the floor has passed it is assumed immutable and
+    is not picked up — the documented contract of timestamped snapshot
+    naming."""
 
     def __init__(self, options: dict, schema: StructType) -> None:
         self.path = options["path"]
         self.suffix = options.get("suffix", ".json")
+        self.exclude_latest = _truthy(options, "exclude_latest", True)
         self.fields = [f.name for f in schema.fields if f.name != "snapshot"]
 
     def initialOffset(self) -> dict:  # noqa: N802
-        return {"seen": []}
+        return {"floor": "", "recent": []}
 
     def _rows(self, files: list[str]) -> Iterator[tuple]:
         for path in files:
@@ -136,18 +182,39 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
                 yield tuple(rec.get(k) for k in self.fields) + (stem,)
 
     def read(self, start: dict) -> tuple[list[tuple], dict]:
-        seen = set(start.get("seen", []))
-        files = _snapshot_files(self.path, self.suffix)
-        new = [p for p in files if _stem(p) not in seen]
-        end = {"seen": sorted(seen | {_stem(p) for p in new})}
+        files = _snapshot_files(self.path, self.suffix, self.exclude_latest)
+        new = [p for p in files if not _offset_seen(start, _stem(p))]
+        # compact: advance the floor over the longest fully-seen prefix of
+        # the sorted listing, keep only seen stems above it explicitly
+        seen_above = (
+            set(start.get("recent", ()))
+            | set(start.get("seen", ()))
+            | {_stem(p) for p in new}
+        )
+        floor = start.get("floor", "")
+        for stem in (_stem(p) for p in files):
+            if stem <= floor:
+                continue
+            if stem in seen_above:
+                floor = stem
+            else:
+                break
+        end = {"floor": floor, "recent": sorted(s for s in seen_above if s > floor)}
         # a LIST, not a generator: the prefetching runner pickles the rows
         return list(self._rows(new)), end
 
     def readBetweenOffsets(self, start: dict, end: dict) -> list[tuple]:
         # deterministic replay for recovery: exactly the files in end\start
-        seen, upto = set(start.get("seen", [])), set(end.get("seen", []))
-        files = _snapshot_files(self.path, self.suffix)
-        return list(self._rows([p for p in files if _stem(p) in (upto - seen)]))
+        files = _snapshot_files(self.path, self.suffix, self.exclude_latest)
+        return list(
+            self._rows(
+                [
+                    p
+                    for p in files
+                    if _offset_seen(end, _stem(p)) and not _offset_seen(start, _stem(p))
+                ]
+            )
+        )
 
 
 class SnapshotDataSource(DataSource):

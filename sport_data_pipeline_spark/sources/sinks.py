@@ -205,13 +205,21 @@ def compact_parquet(
     Streaming upserts and partitioned appends accumulate small files, and
     at scan time each file is at least one task — a million 100 KB files
     is a scheduler problem before it is an IO problem. Compaction sizes
-    the file count from the actual on-disk bytes, rewrites once, and
-    swaps atomically-ish (write to a sibling tmp dir, then rename) so a
-    concurrent reader sees either the old or the new layout, never a
-    partial one. Returns the new file count.
+    the file count from the actual on-disk bytes, rewrites once into a
+    sibling tmp dir, then swaps via two renames. The swap is NOT atomic:
+    between the renames the table path briefly does not exist, so readers
+    must not run concurrently with compaction (on a transactional table
+    format the same rewrite commits as an atomic snapshot — this is the
+    plain-parquet approximation). A crash between the renames leaves the
+    full table intact in ``<path>.__compact_bak``; rerunning compaction
+    is safe because the stale bak dir is cleared first. Returns the new
+    file count.
     """
     import shutil
 
+    tmp, bak = f"{path}.__compact_tmp", f"{path}.__compact_bak"
+    if not os.path.isdir(path) and os.path.isdir(bak):
+        os.rename(bak, path)  # recover a mid-swap crash: bak holds the table
     size = sum(
         os.path.getsize(os.path.join(dp, f))
         for dp, _, fs in os.walk(path)
@@ -219,9 +227,9 @@ def compact_parquet(
         if not f.startswith((".", "_"))
     )
     n_files = max(1, -(-size // (target_mb * 1024 * 1024)))
-    tmp, bak = f"{path}.__compact_tmp", f"{path}.__compact_bak"
     shutil.rmtree(tmp, ignore_errors=True)
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
+    shutil.rmtree(bak, ignore_errors=True)  # leftover bak from a prior crash
     os.rename(path, bak)
     os.rename(tmp, path)
     shutil.rmtree(bak)

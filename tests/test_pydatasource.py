@@ -52,6 +52,69 @@ def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
     assert [r["home"] for r in df.collect()] == ["X"]  # broken.json never opened
 
 
+def test_batch_conjunctive_filters_intersect(spark, tmp_path):
+    # .filter(a).filter(isin(b, c)) is an AND conjunction; accepted filters
+    # are not re-applied by Spark, so the pushdown must INTERSECT the
+    # snapshot sets — assignment semantics would return b's rows too.
+    d = str(tmp_path / "snaps")
+    _write(d, "a", [{"home": "A", "away": "x", "score": 1}])
+    _write(d, "b", [{"home": "B", "away": "x", "score": 2}])
+    _write(d, "c", [{"home": "C", "away": "x", "score": 3}])
+    _register(spark)
+    base = spark.read.format("bronze_snapshot").schema(SCHEMA).option("path", d).load()
+    got = (
+        base.filter(F.col("snapshot") == "a")
+        .filter(F.col("snapshot").isin("b", "c"))
+        .collect()
+    )
+    assert got == []  # a ∩ {b,c} = ∅
+    got2 = (
+        base.filter(F.col("snapshot").isin("a", "b"))
+        .filter(F.col("snapshot").isin("b", "c"))
+        .collect()
+    )
+    assert [r["home"] for r in got2] == ["B"]  # {a,b} ∩ {b,c} = {b}
+
+
+def test_latest_alias_excluded_by_default(spark, tmp_path):
+    d = str(tmp_path / "snaps")
+    _write(d, "m_20240101", [{"home": "X", "away": "Y", "score": 1}])
+    _write(d, "m_latest", [{"home": "X", "away": "Y", "score": 1}])  # alias dup
+    _register(spark)
+    base = spark.read.format("bronze_snapshot").schema(SCHEMA).option("path", d)
+    assert base.load().count() == 1  # alias skipped: no double-count
+    # escape hatch: exclude_latest=false reads the alias (latest-only lookup)
+    both = base.option("exclude_latest", "false").load()
+    assert {r["snapshot"] for r in both.collect()} == {"m_20240101", "m_latest"}
+
+
+def test_stream_offset_stays_bounded(tmp_path):
+    # the offset persisted per micro-batch must be O(1) in the number of
+    # snapshots ever seen (a poll loop runs forever), not a full file list
+    from sport_data_pipeline_spark.sources.pydatasource import SnapshotStreamReader
+
+    from pyspark.sql.types import StructType
+
+    d = str(tmp_path / "snaps")
+    schema = StructType.fromDDL(SCHEMA)
+    reader = SnapshotStreamReader({"path": d}, schema)
+    off = reader.initialOffset()
+    for i in range(25):
+        _write(d, f"poll_{i:04d}", [{"home": "H", "away": "A", "score": i}])
+        rows, off = reader.read(off)
+        assert len(rows) == 1 and rows[0][2] == i
+        assert off["recent"] == []  # monotonic stems compact fully
+    assert off["floor"] == "poll_0024"
+    # legacy seen-list offsets from an old checkpoint still resolve, and
+    # the next offset written is the compacted form
+    legacy = {"seen": [f"poll_{i:04d}" for i in range(25)]}
+    rows, off2 = reader.read(legacy)
+    assert rows == [] and off2 == {"floor": "poll_0024", "recent": []}
+    # replay between compacted offsets is exact
+    replay = reader.readBetweenOffsets({"floor": "poll_0019"}, {"floor": "poll_0021"})
+    assert sorted(r[2] for r in replay) == [20, 21]
+
+
 def test_stream_picks_up_new_snapshots_across_runs(spark, tmp_path):
     d, out, ckpt = str(tmp_path / "snaps"), str(tmp_path / "out"), str(tmp_path / "ckpt")
     _write(d, "poll_1", [{"home": "A", "away": "B", "score": 1}])
@@ -108,9 +171,8 @@ def test_snapshot_poll_to_silver_merge_e2e(spark, tmp_path):
         .option("path", d)
         .option("suffix", ".json")
         .load()
-        # the _latest alias duplicates the newest snapshot — drop it at
-        # the stream edge so each poll is ingested exactly once
-        .filter(~F.col("snapshot").endswith("_latest"))
+        # the _latest alias write_snapshot emits is excluded by the source
+        # by default, so each poll is ingested exactly once
     )
     q = start_upsert_sink(
         stream, target_path=out, keys=["match_id"], order_by=["poll"],

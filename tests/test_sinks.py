@@ -133,3 +133,21 @@ def test_compaction_preserves_rows_and_shrinks_file_count(spark, tmp_path):
     got = spark.read.parquet(p)
     assert got.count() == 1000
     assert got.agg(F.sum("v")).collect()[0][0] == 2 * sum(range(1000))
+
+
+def test_compaction_recovers_from_mid_swap_crash(spark, tmp_path):
+    # a crash between the two swap renames leaves the table only in
+    # <path>.__compact_bak; rerunning compaction must restore and proceed
+    import os
+    import shutil
+
+    from sport_data_pipeline_spark.sources.sinks import compact_parquet
+
+    p = str(tmp_path / "crashy")
+    spark.range(100).withColumn("v", F.col("id") + 1).repartition(5).write.parquet(p)
+    # simulate: first rename done (path -> bak), second never happened
+    os.rename(p, f"{p}.__compact_bak")
+    assert not os.path.isdir(p)
+    n = compact_parquet(spark, p, target_mb=64)
+    assert n == 1 and os.path.isdir(p) and not os.path.isdir(f"{p}.__compact_bak")
+    assert spark.read.parquet(p).count() == 100

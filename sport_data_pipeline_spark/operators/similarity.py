@@ -796,6 +796,16 @@ def pq_topk(
     )
 
 
+def auto_n_cells(n_live: int, target_cell_size: int = 512) -> int:
+    """SemDeDup's operating rule: cells must GROW with the corpus so
+    per-cell |cell|² work stays task-sized (the paper runs 25k clusters
+    for 100M+ docs). k = ⌈n/target⌉ keeps expected cell size constant,
+    so total pairwise work is O(n · target) — linear in the corpus. A
+    fixed k is the superlinear knob: 10× data at k=16 measured 5.5× vs
+    1.4× with k scaled (SCALE.md §8a/8b)."""
+    return max(2, -(-n_live // target_cell_size))
+
+
 def semantic_dedup_cells(
     df: DataFrame,
     id_col: str,
@@ -867,8 +877,7 @@ def semantic_dedup_cells(
         "__feat", array_to_vector(F.col("__v").cast("array<double>"))
     )
     if n_cells is None:
-        n_live = live.count()
-        n_cells = max(2, -(-n_live // target_cell_size))
+        n_cells = auto_n_cells(live.count(), target_cell_size)
     if n_cells < 2:
         # degenerate single-cell mode (KMeans requires k >= 2): the cell
         # graph IS the global graph — exact, but one task does all pairs.

@@ -1013,8 +1013,12 @@ def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("vec_id") + _PLANT_BASE).alias("vec_id"), "embedding"
     )
     corpus = emb.unionByName(planted)
+    # n_cells=None → the auto-scale rule (k = ⌈n/target⌉, the paper's
+    # operating point): the registered query runs the SAME configuration
+    # you would run at 100×, where a pinned k is the superlinear knob.
+    # Determinism survives because k is a function of the corpus count.
     routed = semantic_dedup_cells(
-        corpus, "vec_id", threshold=0.7, n_cells=16
+        corpus, "vec_id", threshold=0.7
     ).localCheckpoint(eager=True)  # 3 rows/vec of lineage reuse below
 
     n_vectors = routed.count()

@@ -292,3 +292,21 @@ def test_semantic_dedup_cells_auto_k_scales_with_corpus(spark):
     kept = {r["vec_id"] for r in routed if r["kept"]}
     assert all(r["keep_id"] in kept for r in routed)  # keepers are kept rows
     assert all((r["keep_id"] == r["vec_id"]) == r["kept"] for r in routed)
+
+
+def test_auto_n_cells_scales_with_corpus():
+    # the SemDeDup operating rule: k grows linearly with the corpus so
+    # per-cell quadratic work stays constant — a pinned k measured 5.5x
+    # at 10x data vs 1.4x with this rule (SCALE.md §8a/8b)
+    from sport_data_pipeline_spark.operators.similarity import auto_n_cells
+
+    assert auto_n_cells(0) == 2          # degenerate floor: KMeans needs k>=2
+    assert auto_n_cells(512) == 2
+    assert auto_n_cells(513) == 2
+    assert auto_n_cells(5120) == 10
+    assert auto_n_cells(51200) == 100    # 10x data -> 10x cells, same cell size
+    assert auto_n_cells(1000, target_cell_size=100) == 10
+    # expected cell size never exceeds the target by construction
+    for n in (100, 1000, 10_000, 123_457):
+        k = auto_n_cells(n)
+        assert n / k <= 512 or k == 2

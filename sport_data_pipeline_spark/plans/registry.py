@@ -70,39 +70,46 @@ def query(
 #: tests/test_queries_oracle.py.
 #:
 #: The window ROTATES between rounds (COVERAGE.md "Driver-window rotation")
-#: so tail queries earn an external driver row without growing the window:
-#: r5 rotated in scd2_point_in_time, corpus_train_shards, incremental_
-#: dedup_docs, semantic_dedup, dup_span_profile, minhash_jaccard_neardup,
-#: stream_batch_equivalence, multimodal_meta, and (late-round)
-#: incident_window_attribution — the new bucket-expansion range-join
-#: family needs an in-window representative for the `range-join` tag; out
-#: went redundant-coverage slots whose ops stay represented
-#: (fuzzy_entity_match → _blocked; ngram_jaccard_neardup +
-#: minhash_neardup → the composite; embedding_topk_arrow →
-#: embedding_topk; clean_corpus_docs + hash_split_mixture +
-#: sequence_packing → corpus_train_shards; rolling_active_users →
-#: repetition_profile/funnel_steps; funnel_steps — every tag (A2, A8, W1)
-#: doubly covered in-window, 3 rounds of green history — → the range
-#: join). All rotated-out queries keep their green history and stay
-#: DuckDB-oracled locally.
+#: so tail queries earn an external driver row without growing the window.
+#: r6 rotation (12 swaps — the r5 verdict's queue): IN came the eight
+#: r5-new families that only had local-oracle evidence —
+#: semantic_dedup_cells (replacing the residually-quadratic closure
+#: variant as the SemDeDup representative), stream_session_equivalence,
+#: stream_ingest_dedup, lm_quality_score, stream_outer_join_equivalence,
+#: incremental_dedup_minhash, snapshot_table_diff,
+#: incident_session_overlap — plus four tail queries earning first rows:
+#: pq_topk_recall, heavy_hitters_sketch, rolling_active_users (back),
+#: time_bucket_cascade. OUT went slots whose ops stay represented:
+#: semantic_dedup → cells (iterative ← neardup_clusters);
+#: sessionize_events → incident_session_overlap/_attribution (T6);
+#: incremental_dedup_docs → incremental_dedup_minhash +
+#: stream_ingest_dedup; repetition_profile → lm_quality_score
+#: (llm-quality) + rolling_active_users (A7); scd2_point_in_time →
+#: asof_clicks (J10) + latest_per_key (W7/S10); season_trend →
+#: incident_window_attribution (W3); time_bucket_rollup →
+#: time_bucket_cascade (hypertable-rollup); ivf_topk_recall →
+#: pq_topk_recall (recall-contract pattern; ann-cosine-ivf now an
+#: accepted exception with 2 rounds of green rows); sketch_profile →
+#: heavy_hitters_sketch (sketch family; A2/A7(approx) accepted);
+#: retention_cohorts → rolling_active_users (A5/W4 kept; A11 accepted);
+#: projection_case (F1/F6 accepted, 5 rounds green) and late_dup_ticks
+#: (T5 batch twin of in-window T5(stream), 4 rounds green). All
+#: rotated-out queries keep their green history and stay DuckDB-oracled
+#: locally (tests/test_queries_oracle.py).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
     "pricing_summary",
     "multi_join_daterange",
-    "projection_case",
     "freshness_stats",
     # windows / temporal
     "last_n_form",
     "h2h_symmetric",
-    "season_trend",
     "latest_per_key",
     "standings",
-    "sessionize_events",
     "asof_clicks",
-    "time_bucket_rollup",
+    "time_bucket_cascade",
     "trend_forecast",
-    "scd2_point_in_time",
     # text / parsing
     "json_extract_stats",
     "string_normalize_slug",
@@ -115,22 +122,22 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "fuzzy_entity_match_blocked",
     "minhash_jaccard_neardup",
     "simhash_neardup",
-    "incremental_dedup_docs",
-    "semantic_dedup",
+    "incremental_dedup_minhash",
+    "semantic_dedup_cells",
     "dup_span_profile",
     "embedding_topk",
     "embedding_cosine_neardup",
     "neardup_clusters",
     "embedding_quantize_error",
-    "ivf_topk_recall",
+    "pq_topk_recall",
     # domain composites
     "term_mapping",
     "record_unification",
     "pivot_status_matrix",
     "external_id_lookup",
-    "sketch_profile",
+    "heavy_hitters_sketch",
     # LLM corpus prep
-    "repetition_profile",
+    "lm_quality_score",
     "doc_chunks",
     "pii_redaction",
     "corpus_mixture_sample",
@@ -139,9 +146,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "corpus_train_shards",
     # event analytics + streaming + multimodal verdict rows
     "incident_window_attribution",
-    "retention_cohorts",
-    "late_dup_ticks",
+    "incident_session_overlap",
+    "rolling_active_users",
+    "snapshot_table_diff",
     "stream_batch_equivalence",
+    "stream_session_equivalence",
+    "stream_ingest_dedup",
+    "stream_outer_join_equivalence",
     "multimodal_meta",
 )
 

@@ -933,3 +933,145 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lm_score"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end "production day" pipeline: bronze snapshot files → registered
+# Python DataSource read → latest-wins refine (re-crawled docs collapse to
+# the newest poll) → quality gate → one-sided incremental dedup against the
+# existing silver corpus. This is the integration seam none of the
+# per-operator oracles exercises: the reference runs this loop as
+# scraper → staging JSON → upsert → analytics (main.py pipeline
+# orchestration); here it is one declarative pass over real snapshot files
+# written and read through the engine's own S9 sink and X1 source. The
+# DuckDB twin restates the final routing semantics closed-form (the polls
+# and the merge are deterministic id rules), so the FULL per-doc routing
+# table is hash-compared — quality_fail / dup_exact / near_dup / kept.
+# ---------------------------------------------------------------------------
+
+from .textops import _NORM_SQL as _E2E_NORM  # noqa: E402
+
+_E2E_MIN_TOK = 5
+
+E2E_PIPELINE_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id, lang, source, text,
+         regexp_split_to_array(trim(text), '\\s+') AS toks,
+         md5({_E2E_NORM.format(col="text")}) AS fp
+  FROM documents
+),
+sh AS (
+  SELECT *, list_distinct([ concat(toks[i], ' ', toks[i+1], ' ', toks[i+2])
+                            for i in range(1, greatest(len(toks) - 2, 0) + 1) ]) AS s3
+  FROM t
+),
+c AS (SELECT * FROM sh WHERE doc_id % 5 = 0),
+crawled AS (  -- poll 1 = ids %5 in (1,2); poll 2 re-crawls %5=2, adds %5=3;
+              -- latest-wins on the timestamped snapshot stem keeps one row
+              -- per doc (re-crawls carry identical content)
+  SELECT *, len(toks) >= {_E2E_MIN_TOK} AS q_pass
+  FROM sh WHERE doc_id % 5 IN (1, 2, 3)
+),
+b AS (SELECT * FROM crawled WHERE q_pass),
+ex AS (
+  SELECT b.doc_id AS doc_id, MIN(c.doc_id) AS em
+  FROM b JOIN c ON b.fp = c.fp GROUP BY 1
+),
+near AS (
+  SELECT b.doc_id AS doc_id, MIN(c.doc_id) AS nm
+  FROM b JOIN c ON b.lang = c.lang AND b.source = c.source
+  WHERE len(list_distinct(b.s3 || c.s3)) > 0
+    AND CAST(len(list_intersect(b.s3, c.s3)) AS DOUBLE)
+        / len(list_distinct(b.s3 || c.s3)) >= 0.5
+  GROUP BY 1
+)
+SELECT g.doc_id,
+       CASE WHEN NOT g.q_pass THEN 'quality_fail'
+            WHEN ex.em IS NOT NULL THEN 'dup_exact'
+            WHEN near.nm IS NOT NULL THEN 'near_dup'
+            ELSE 'kept' END AS status,
+       CASE WHEN g.q_pass THEN COALESCE(ex.em, near.nm) END AS match_id,
+       CAST(len(g.toks) AS BIGINT) AS n_tok
+FROM crawled g
+LEFT JOIN ex ON g.doc_id = ex.doc_id
+LEFT JOIN near ON g.doc_id = near.doc_id
+ORDER BY g.doc_id
+"""
+
+
+@query(
+    "e2e_daily_pipeline",
+    survey="llm-pipeline-e2e,S9,X1,S10,W7,dedup-incremental",
+    oracle=E2E_PIPELINE_ORACLE,
+)
+def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One production day, end to end through the engine's own edges.
+
+    Two crawl polls land as timestamped JSON snapshots via the S9 sink
+    (``write_snapshot``), are read back through the REGISTERED Python
+    DataSource (``bronze_snapshot`` — one input partition per snapshot
+    file, ``*_latest`` alias excluded at the source), collapse to one row
+    per doc with the latest-wins merge (W7/S10: poll 2's re-crawl of the
+    %5=2 docs supersedes poll 1 by snapshot-stem order), pass a token-count
+    quality gate, and route against the existing silver corpus with the
+    one-sided incremental dedup. Returns the full per-doc routing table.
+    """
+    import datetime as _dt
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import incremental_dedup
+    from ..operators.merge import merge_latest
+    from ..sources.pydatasource import SnapshotDataSource
+    from ..sources.sinks import write_snapshot
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
+    corpus = docs.filter(F.col("doc_id") % 5 == 0)
+
+    tmp = tempfile.mkdtemp(prefix="sdp_e2e_")
+    try:
+        spark.dataSource.register(SnapshotDataSource)  # idempotent re-register
+        poll1 = docs.filter((F.col("doc_id") % 5).isin(1, 2))
+        poll2 = docs.filter((F.col("doc_id") % 5).isin(2, 3))
+        write_snapshot(
+            poll1.coalesce(1), tmp, "crawl", fmt="json",
+            timestamp=_dt.datetime(2024, 1, 1, 8, 0, 0),
+        )
+        write_snapshot(
+            poll2.coalesce(1), tmp, "crawl", fmt="json",
+            timestamp=_dt.datetime(2024, 1, 1, 20, 0, 0),
+        )
+        bronze = (
+            spark.read.format("bronze_snapshot")
+            .schema("doc_id long, text string, lang string, source string, snapshot string")
+            .option("path", tmp)
+            .load()
+        )
+        latest = merge_latest(bronze, ["doc_id"], ["snapshot"]).drop("snapshot")
+        gated = latest.withColumn(
+            "n_tok", F.size(F.split(F.trim("text"), r"\s+")).cast("long")
+        )
+        routed = incremental_dedup(
+            gated.filter(F.col("n_tok") >= _E2E_MIN_TOK),
+            corpus,
+            "doc_id",
+            "text",
+            block_cols=["lang", "source"],
+            threshold=0.5,
+            shingle_n=3,
+        )
+        rows = (
+            gated.select("doc_id", "n_tok")
+            .join(routed, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("status", F.lit("quality_fail")).alias("status"),
+                "match_id",
+                "n_tok",
+            )
+            .orderBy("doc_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, status string, match_id long, n_tok long")

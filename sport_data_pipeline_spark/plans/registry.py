@@ -133,9 +133,10 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # domain composites
     "term_mapping",
     "record_unification",
-    "pivot_status_matrix",
     "external_id_lookup",
     "heavy_hitters_sketch",
+    # e2e: bronze snapshots → DataSource read → refine → gate → dedup
+    "e2e_daily_pipeline",
     # LLM corpus prep
     "lm_quality_score",
     "doc_chunks",

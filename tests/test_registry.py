@@ -86,6 +86,11 @@ def test_window_covers_all_survey_ops():
         # green r1–r5, rotated out in r6, still DuckDB-oracled.
         "F1",
         "F6",
+        # pivot matrix: the PIVOT presentation of in-window A5 grouped
+        # counts (lang_stats); pivot_status_matrix carried the tag green
+        # r1–r5, rotated out in r6 for the e2e pipeline row, still
+        # DuckDB-oracled.
+        "A5(pivot)",
         # late/duplicate tick policy, batch twin: the deterministic batch
         # restatement of in-window T5(stream) (stream_batch_equivalence's
         # watermarked stateful dedup); late_dup_ticks carried the tag

@@ -58,7 +58,7 @@ def main() -> None:
         for label, sf_dir in (("base", base_dir), ("scaled", scale_dir)):
             ev = (
                 load_table(spark, sf_dir, "events")
-                .withColumn("day", F.to_date("event_time"))
+                .withColumn("day", F.to_date("ts"))
                 .filter(F.col("day").isNotNull())
             )
             days = sorted(

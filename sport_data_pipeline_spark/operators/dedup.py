@@ -649,6 +649,45 @@ def simhash_portable(df: DataFrame, id_col: str, text_col: str, out_col: str = "
     return df.select(F.col(id_col), sig.alias(out_col))
 
 
+def _shingle_sets(text_col: str, shingle_n: int) -> Column:
+    """The shared shingle-hash-set expression for incremental dedup and
+    its write-time index — MUST stay identical on both paths so an
+    indexed corpus routes bit-identically to a raw one (unit-pinned)."""
+    return (
+        _shingle_hashes(text_col, shingle_n)
+        if shingle_n > 1
+        else F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
+    )
+
+
+def build_dedup_index(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    block_cols: Sequence[str],
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Write-time signature index for ``incremental_dedup``: one compact
+    row per corpus doc — content fingerprint, block keys, shingle-hash set
+    and its size. Persist this next to the corpus and pass it (instead of
+    the raw corpus) to ``incremental_dedup``: the per-batch fold then
+    never re-reads or re-shingles corpus TEXT — the only per-batch
+    O(corpus) cost left is scanning this index, which is a fraction of the
+    text bytes and needs no tokenization. This is the same write-time-
+    index pattern as the IVF/PQ ANN tables, applied to the dedup gates;
+    it is what keeps an unbounded ingest loop's per-batch cost flat at
+    full corpus scale (SCALE.md §10). After a batch routes, append
+    ``build_dedup_index(kept_docs, ...)`` rows — the index folds forward
+    exactly like the corpus does."""
+    return df.select(
+        F.col(id_col),
+        content_fingerprint(text_col).alias("__fp"),
+        *[F.col(c) for c in block_cols],
+        _shingle_sets(text_col, shingle_n).alias("__set"),
+        F.size(_shingle_sets(text_col, shingle_n)).alias("__n"),
+    )
+
+
 def incremental_dedup(
     batch: DataFrame,
     corpus: DataFrame,
@@ -693,21 +732,26 @@ def incremental_dedup(
     oracle is 1.0 at sf0.001/0.01/0.1 (same bet, same parameters as
     ``minhash_jaccard_pairs``).
 
+    ``corpus`` may be either the raw corpus (with ``text_col``) or a
+    write-time signature index from ``build_dedup_index`` (detected by its
+    ``__fp``/``__set`` columns) — the indexed path routes bit-identically
+    (unit-pinned) while never touching corpus text at batch time.
+
     Returns one row per batch doc: (id, status, match_id).
     """
     block_exprs = [F.col(c) for c in block_cols]
     n_parts = batch.sparkSession.sparkContext.defaultParallelism
 
+    if "__fp" in corpus.columns and "__set" in corpus.columns:
+        cindex = corpus
+    else:
+        cindex = build_dedup_index(corpus, id_col, text_col, block_cols, shingle_n)
+
     bfp = batch.select(F.col(id_col), content_fingerprint(text_col).alias("__fp"))
-    cfp = corpus.select(F.col(id_col).alias("__cid"), content_fingerprint(text_col).alias("__fp"))
+    cfp = cindex.select(F.col(id_col).alias("__cid"), "__fp")
     exact = bfp.join(cfp, "__fp").groupBy(id_col).agg(F.min("__cid").alias("__exact"))
 
     def shingled(df: DataFrame, idc: Column, tag: str) -> DataFrame:
-        sets = (
-            _shingle_hashes(text_col, shingle_n)
-            if shingle_n > 1
-            else F.array_distinct(F.transform(tokens(text_col), lambda t: F.xxhash64(t)))
-        )
         # id_col joins the partition keys so a skewed block (one dominant
         # lang/source) spreads across tasks instead of collapsing into one
         # — the join key is still the block columns, so correctness is
@@ -715,12 +759,17 @@ def incremental_dedup(
         out = df.repartition(n_parts, *block_exprs, F.col(id_col)).select(
             *[F.col(c).alias(f"__{tag}_{c}") for c in block_cols],
             idc,
-            sets.alias(f"__set_{tag}"),
+            _shingle_sets(text_col, shingle_n).alias(f"__set_{tag}"),
         )
         return out.withColumn(f"__n_{tag}", F.size(f"__set_{tag}"))
 
     a = shingled(batch, F.col(id_col), "a")
-    b = shingled(corpus, F.col(id_col).alias("__cid"), "b")
+    b = cindex.repartition(n_parts, *block_exprs, F.col(id_col)).select(
+        *[F.col(c).alias(f"__b_{c}") for c in block_cols],
+        F.col(id_col).alias("__cid"),
+        F.col("__set").alias("__set_b"),
+        F.col("__n").alias("__n_b"),
+    )
 
     # Same lossless size-window predicate as jaccard_pairs (division form —
     # see the rounding note there): prunes before any per-pair set op.

@@ -237,3 +237,78 @@ def test_incremental_dedup_routes_batch_docs(spark):
     assert got[10] == ("dup_exact", 0)
     assert got[11] == ("near_dup", 0)
     assert got[12] == ("kept", None)
+
+
+def test_incremental_dedup_index_routes_identically(spark):
+    # the write-time signature index must route BIT-identically to the raw
+    # corpus, on both the blocked and the banded-LSH candidate paths, and
+    # keep doing so after the index folds forward with a batch's kept docs
+    from sport_data_pipeline_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "b", "the quick brown fox jumps over the lazy dog"),
+            (2, "b", "completely different words about spark engines"),
+            (4, "c", "another block entirely with its own phrasing here"),
+        ],
+        "doc_id long, blk string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "b", "the quick brown fox jumps over the lazy dog"),
+            (11, "b", "the quick brown fox jumps over the lazy cat"),
+            (12, "b", "entirely novel content never seen before today again"),
+            (13, "c", "another block entirely with its own phrasing here"),
+        ],
+        "doc_id long, blk string, text string",
+    )
+
+    def routes(c, **kw):
+        return sorted(
+            tuple(r)
+            for r in incremental_dedup(
+                batch, c, "doc_id", "text", ["blk"], threshold=0.3, shingle_n=3, **kw
+            ).collect()
+        )
+
+    index = build_dedup_index(corpus, "doc_id", "text", ["blk"], shingle_n=3)
+    assert routes(index) == routes(corpus)
+    assert routes(index, minhash_candidates=(32, 16)) == routes(
+        corpus, minhash_candidates=(32, 16)
+    )
+    spark.catalog.clearCache()  # the minhash path persists shingle frames
+
+    # fold forward: kept docs append to BOTH representations; a second
+    # batch (re-crawling a doc kept in batch 1) must route identically
+    kept = batch.join(
+        incremental_dedup(batch, corpus, "doc_id", "text", ["blk"], 0.3, 3)
+        .filter("status = 'kept'"),
+        "doc_id",
+        "left_semi",
+    )
+    corpus2 = corpus.unionByName(kept)
+    index2 = index.unionByName(
+        build_dedup_index(kept, "doc_id", "text", ["blk"], shingle_n=3)
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (20, "b", "entirely novel content never seen before today again"),  # re-crawl of 12
+            (21, "c", "fresh unrelated material for the second batch run"),
+        ],
+        "doc_id long, blk string, text string",
+    )
+
+    def routes2(c):
+        return sorted(
+            tuple(r)
+            for r in incremental_dedup(
+                batch2, c, "doc_id", "text", ["blk"], threshold=0.3, shingle_n=3
+            ).collect()
+        )
+
+    got = routes2(index2)
+    assert got == routes2(corpus2)
+    assert ("dup_exact") in {r[1] for r in got}  # 20 hits the folded-in 12

@@ -23,9 +23,13 @@ folding doesn't degrade the scan — the integration the maintenance ops
 exist for.
 
 Usage:
-  PYTHONPATH=. python tools/stream_longrun_probe.py [SF_DIR] [N_BATCHES] [COMPACT_EVERY]
+  PYTHONPATH=. python tools/stream_longrun_probe.py [SF_DIR] [N_BATCHES] [COMPACT_EVERY] [USE_INDEX]
 
-Defaults: SF_DIR=/root/testdata/sf0.1, N_BATCHES=100, COMPACT_EVERY=25.
+Defaults: SF_DIR=/root/testdata/sf0.1, N_BATCHES=100, COMPACT_EVERY=25,
+USE_INDEX=0. With USE_INDEX=1 the fold routes against the WRITE-TIME
+SIGNATURE INDEX (``build_dedup_index``) instead of re-shingling corpus
+text every batch, and folds the index forward by appending the kept
+docs' index rows — the full-corpus-scale configuration.
 Prints ONE JSON line: per-decile mean batch seconds, a least-squares
 slope of seconds vs batch index (flat ≈ 0), state bytes/files trend, and
 final routing counts.
@@ -55,13 +59,17 @@ def main() -> None:
     from pyspark.sql import functions as F
 
     from sport_data_pipeline_spark.catalog import load_table
-    from sport_data_pipeline_spark.operators.dedup import incremental_dedup
+    from sport_data_pipeline_spark.operators.dedup import (
+        build_dedup_index,
+        incremental_dedup,
+    )
     from sport_data_pipeline_spark.session import get_session
     from sport_data_pipeline_spark.sources.sinks import compact_parquet
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 100
     compact_every = int(sys.argv[3]) if len(sys.argv) > 3 else 25
+    use_index = len(sys.argv) > 4 and sys.argv[4] not in ("0", "false")
 
     spark = get_session("longrun_probe")
     docs = load_table(spark, sf_dir, "documents").select(
@@ -77,10 +85,15 @@ def main() -> None:
         f"{tmp}/routed",
         f"{tmp}/ckpt",
     )
+    index_dir = f"{tmp}/index"
     batch_sec: list[float] = []
     state_trend: list[tuple[int, int]] = []  # (files, bytes) per batch
     try:
         corpus0.write.parquet(state_dir)
+        if use_index:
+            build_dedup_index(
+                corpus0, "doc_id", "text", ["lang", "source"], shingle_n=3
+            ).write.parquet(index_dir)
 
         # pre-write one parquet file per micro-batch with strictly
         # increasing mtimes (the file source triggers oldest-first); much
@@ -114,10 +127,10 @@ def main() -> None:
 
         def route_batch(batch, _epoch: int) -> None:
             t = time.perf_counter()
-            state = spark.read.parquet(state_dir)
+            corpus_side = spark.read.parquet(index_dir if use_index else state_dir)
             routed = incremental_dedup(
                 batch,
-                state,
+                corpus_side,
                 "doc_id",
                 "text",
                 block_cols=["lang", "source"],
@@ -126,15 +139,22 @@ def main() -> None:
                 minhash_candidates=(32, 16),  # the full-corpus-scale gate
             ).localCheckpoint(eager=True)
             routed.write.mode("append").parquet(routed_dir)
-            batch.join(
+            kept = batch.join(
                 routed.filter(F.col("status") == "kept"), "doc_id", "left_semi"
-            ).write.mode("append").parquet(state_dir)
+            )
+            kept.write.mode("append").parquet(state_dir)
+            if use_index:  # fold the index forward like the corpus
+                build_dedup_index(
+                    kept, "doc_id", "text", ["lang", "source"], shingle_n=3
+                ).write.mode("append").parquet(index_dir)
             spark.catalog.clearCache()  # drop per-batch persisted signatures
             batch_sec.append(round(time.perf_counter() - t, 3))
             state_trend.append(dir_stats(state_dir))
             if compact_every and len(batch_sec) % compact_every == 0:
                 tc = time.perf_counter()
                 compact_parquet(spark, state_dir, target_mb=128)
+                if use_index:
+                    compact_parquet(spark, index_dir, target_mb=128)
                 print(
                     f"# compacted state after batch {len(batch_sec)}: "
                     f"{dir_stats(state_dir)[0]} files, "
@@ -185,6 +205,7 @@ def main() -> None:
                 "state_mb_final": round(state_trend[-1][1] / 1e6, 2),
                 "routing_counts": counts,
                 "compact_every": compact_every,
+                "use_index": use_index,
             }
         )
     )

@@ -1192,13 +1192,16 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 block_cols=["lang", "source"],
                 threshold=0.5,
                 shingle_n=3,
-            ).localCheckpoint(eager=True)  # cut lineage before state rewrite
+            ).localCheckpoint(eager=True)  # cut lineage before state append
             routed.write.mode("append").parquet(routed_dir)
-            kept = batch.join(
+            # fold kept docs into the corpus state APPEND-ONLY: the state
+            # grows by exactly the kept rows and is never rewritten, so
+            # per-batch write cost is O(batch), not O(corpus) — the shape
+            # that stays flat over an unbounded poll loop (small-file
+            # accumulation is the maintenance job: compact_parquet).
+            batch.join(
                 routed.filter(F.col("status") == "kept"), "doc_id", "left_semi"
-            )
-            new_state = state.unionByName(kept).localCheckpoint(eager=True)
-            new_state.write.mode("overwrite").parquet(state_dir)
+            ).write.mode("append").parquet(state_dir)
             # NOTE: incremental_dedup persists per-batch shingle frames;
             # they are NOT globally cleared here because a harness may
             # hold its own unmaterialized persist markers (see

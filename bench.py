@@ -55,6 +55,30 @@ def data_fingerprint(sf_dir: str) -> dict[str, object]:
     return fp
 
 
+def aggregate(
+    samples: dict[str, list[float]],
+    run_totals: list[float],
+    gate: float,
+) -> tuple[dict[str, float], list[int]]:
+    """Noise-gated aggregation: keep runs whose TOTAL is within ``gate``×
+    of the best run (contention inflates every query near-uniformly, so
+    run-total is the contention detector), then per-query median over the
+    surviving runs. Returns (per-query timings, kept run indexes). The
+    best run always survives, so ``clean`` is never empty."""
+
+    def median(xs: list[float]) -> float:
+        ys = sorted(xs)
+        m = len(ys) // 2
+        return ys[m] if len(ys) % 2 else (ys[m - 1] + ys[m]) / 2
+
+    min_total = min(run_totals)
+    clean = [i for i, t in enumerate(run_totals) if t <= gate * min_total]
+    timings = {
+        name: round(median([xs[i] for i in clean]), 4) for name, xs in samples.items()
+    }
+    return timings, clean
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -88,22 +112,13 @@ def main() -> None:
             run_total += dt
         run_totals.append(round(run_total, 4))
 
-    def median(xs: list[float]) -> float:
-        ys = sorted(xs)
-        m = len(ys) // 2
-        return ys[m] if len(ys) % 2 else (ys[m - 1] + ys[m]) / 2
-
-    # Noise gate: keep runs whose TOTAL is within `gate`× of the best run.
-    # A contended run inflates every query near-uniformly (r5 evidence:
-    # 1.4–2.5× across the board with zero code change), so run-total is the
-    # right contention detector; per-query medians over the surviving runs
-    # then measure the code, not the co-tenant.
+    # Noise gate: see aggregate() — a contended run inflates every query
+    # near-uniformly (r5 evidence: 1.4–2.5× across the board with zero
+    # code change), so per-query medians over the gated runs measure the
+    # code, not the co-tenant.
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_GATE", "1.5"))
+    timings, clean = aggregate(samples, run_totals, gate)
     min_total = min(run_totals)
-    clean = [i for i, t in enumerate(run_totals) if t <= gate * min_total]
-    timings = {
-        name: round(median([xs[i] for i in clean]), 4) for name, xs in samples.items()
-    }
     total = round(sum(timings.values()), 4)
     print(
         json.dumps(

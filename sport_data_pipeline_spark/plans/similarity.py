@@ -889,6 +889,47 @@ def incremental_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@query(
+    "incremental_dedup_indexed",
+    survey="dedup-incremental,U3",
+    oracle=INCR_DEDUP_ORACLE,
+)
+def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The WRITE-TIME-INDEX variant of ``incremental_dedup_docs``: the
+    corpus signature index (``build_dedup_index`` — fingerprint + shingle
+    sets, persisted parquet) is built once and the batch routes against
+    it, so corpus TEXT is never read or re-shingled at batch time — the
+    configuration an unbounded ingest loop runs at full corpus scale
+    (SCALE.md §10a). The oracle is the SAME exact all-pairs SQL: routing
+    through the persisted index must be bit-identical to routing against
+    the raw corpus."""
+    import shutil
+    import tempfile
+
+    from ..operators.dedup import build_dedup_index, incremental_dedup
+
+    d = _t(spark, sf_dir, "documents")
+    batch = d.filter(F.expr(_INCR_BATCH.replace("//", "div")))
+    corpus = d.filter(F.expr(_INCR_CORPUS.replace("//", "div")))
+    tmp = tempfile.mkdtemp(prefix="sdp_dedup_idx_")
+    try:
+        build_dedup_index(
+            corpus, "doc_id", "text", ["lang", "source"], shingle_n=3
+        ).write.parquet(f"{tmp}/index")
+        index = spark.read.parquet(f"{tmp}/index")
+        rows = (
+            incremental_dedup(
+                batch, index, "doc_id", "text",
+                block_cols=["lang", "source"], threshold=0.5, shingle_n=3,
+            )
+            .orderBy("doc_id")
+            .collect()  # materialize before the index files vanish
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+    return spark.createDataFrame(rows, "doc_id long, status string, match_id long")
+
+
 # ---------------------------------------------------------------------------
 # SemDeDup-STYLE semantic dedup (adaptation of Abbas et al. 2023,
 # "SemDeDup: Data-efficient learning at web-scale through semantic

@@ -118,6 +118,11 @@ def main() -> None:
     # code, not the co-tenant.
     gate = float(os.environ.get("SPARK_GRAFT_BENCH_NOISE_GATE", "1.5"))
     timings, clean = aggregate(samples, run_totals, gate)
+    # the PLAIN (ungated) estimator published alongside: run-total gating
+    # cannot distinguish co-tenant contention from genuine intermittent
+    # pathology (GC/spill/skew), so drift between the two estimators
+    # across rounds is the tell that the gate is hiding something real.
+    ungated, _ = aggregate(samples, run_totals, float("inf"))
     min_total = min(run_totals)
     total = round(sum(timings.values()), 4)
     print(
@@ -129,6 +134,7 @@ def main() -> None:
                 "queries": timings,
                 "runs": run_totals,
                 "min_run_total": round(min_total, 4),
+                "ungated_median_total": round(sum(ungated.values()), 4),
                 "aggregation": (
                     f"per-query median over runs with total <= {gate}x the best "
                     f"run ({len(clean)}/{len(run_totals)} runs kept)"

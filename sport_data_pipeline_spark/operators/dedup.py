@@ -679,13 +679,16 @@ def build_dedup_index(
     full corpus scale (SCALE.md §10). After a batch routes, append
     ``build_dedup_index(kept_docs, ...)`` rows — the index folds forward
     exactly like the corpus does."""
+    # two selects: Catalyst does not guarantee common-subexpression
+    # elimination across higher-order-function chains, so computing __set
+    # once and deriving __n from the materialized column guarantees the
+    # corpus text is tokenized/shingled exactly once per scan
     return df.select(
         F.col(id_col),
         content_fingerprint(text_col).alias("__fp"),
         *[F.col(c) for c in block_cols],
         _shingle_sets(text_col, shingle_n).alias("__set"),
-        F.size(_shingle_sets(text_col, shingle_n)).alias("__n"),
-    )
+    ).withColumn("__n", F.size(F.col("__set")))
 
 
 def incremental_dedup(

@@ -1022,7 +1022,7 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators.dedup import incremental_dedup
     from ..operators.merge import merge_latest
-    from ..sources.pydatasource import SnapshotDataSource
+    from ..sources.pydatasource import load_snapshots
     from ..sources.sinks import write_snapshot
 
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text", "lang", "source")
@@ -1030,7 +1030,6 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="sdp_e2e_")
     try:
-        spark.dataSource.register(SnapshotDataSource)  # idempotent re-register
         poll1 = docs.filter((F.col("doc_id") % 5).isin(1, 2))
         poll2 = docs.filter((F.col("doc_id") % 5).isin(2, 3))
         write_snapshot(
@@ -1041,11 +1040,13 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             poll2.coalesce(1), tmp, "crawl", fmt="json",
             timestamp=_dt.datetime(2024, 1, 1, 20, 0, 0),
         )
-        bronze = (
-            spark.read.format("bronze_snapshot")
-            .schema("doc_id long, text string, lang string, source string, snapshot string")
-            .option("path", tmp)
-            .load()
+        # conf-aware read: an external harness's vanilla session leaves
+        # spark.sql.python.filterPushdown.enabled off, which makes a
+        # pushFilters-implementing reader fail at init — load_snapshots
+        # selects the plain reader there (r6 driver regression).
+        bronze = load_snapshots(
+            spark, tmp,
+            "doc_id long, text string, lang string, source string, snapshot string",
         )
         latest = merge_latest(bronze, ["doc_id"], ["snapshot"]).drop("snapshot")
         gated = latest.withColumn(

@@ -71,7 +71,8 @@ def query(
 #:
 #: The window ROTATES between rounds (COVERAGE.md "Driver-window rotation")
 #: so tail queries earn an external driver row without growing the window.
-#: r6 rotation (12 swaps — the r5 verdict's queue): IN came the eight
+#: r6 rotation (13 swaps — the r5 verdict's queue, plus e2e_daily_pipeline
+#: entering as the 13th in/out pair with pivot_status_matrix): IN came the eight
 #: r5-new families that only had local-oracle evidence —
 #: semantic_dedup_cells (replacing the residually-quadratic closure
 #: variant as the SemDeDup representative), stream_session_equivalence,

@@ -75,6 +75,12 @@ def configure_runtime(spark: SparkSession) -> SparkSession:
     # read as long and convert (catalog.load_table does the conversion).
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    # Spark 4.1 refuses to initialize a pushFilters-implementing Python
+    # data source reader while this is off (its default) — required for
+    # the bronze_snapshot source's file-level pruning; runtime-settable.
+    # load_snapshots() additionally degrades to the no-pushdown reader
+    # for sessions that never pass through here.
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     # Externally built sessions default to 200 shuffle partitions — pure
     # scheduling overhead at harness scale (see get_session); runtime-
     # settable, results are partition-layout-invariant by construction.

@@ -34,6 +34,7 @@ from __future__ import annotations
 
 import json
 import os
+import warnings
 from collections.abc import Iterator, Sequence
 from dataclasses import dataclass
 
@@ -96,8 +97,17 @@ class _SnapshotPartition(InputPartition):
 
 
 class SnapshotBatchReader(DataSourceReader):
-    """One partition per snapshot file; file-level filter pushdown on the
-    ``snapshot`` column (EqualTo / In)."""
+    """One partition per snapshot file.
+
+    This base reader deliberately does NOT implement ``pushFilters``:
+    Spark refuses to even initialize a pushFilters-implementing reader
+    when the session leaves ``spark.sql.python.filterPushdown.enabled``
+    unset/false (DATA_SOURCE_PUSHDOWN_DISABLED — the check is on the
+    method override, not on whether filters exist). File-level pruning
+    lives in the :class:`SnapshotPushdownReader` subclass, selected by
+    the ``pushdown`` option; :func:`load_snapshots` picks automatically
+    from the session conf. Filters always remain correct either way —
+    without pushdown Spark just applies them post-scan."""
 
     def __init__(self, options: dict, schema: StructType) -> None:
         self.path = options["path"]
@@ -105,22 +115,6 @@ class SnapshotBatchReader(DataSourceReader):
         self.exclude_latest = _truthy(options, "exclude_latest", True)
         self.fields = [f.name for f in schema.fields if f.name != "snapshot"]
         self.keep: set[str] | None = None  # None = no pruning
-
-    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:  # noqa: N802
-        for f in filters:
-            # file-name pruning: snapshot = 'x' / snapshot IN (...) prune
-            # at the LISTING, before any file opens. The filter list is an
-            # AND conjunction and accepted filters are not re-applied by
-            # Spark, so multiple snapshot predicates must INTERSECT — an
-            # assignment would silently drop all but the last one.
-            if isinstance(f, EqualTo) and f.attribute == ("snapshot",):
-                new = {f.value}
-            elif isinstance(f, In) and f.attribute == ("snapshot",):
-                new = set(f.value)  # In.value is the tuple of candidates
-            else:
-                yield f  # everything else stays Spark-side
-                continue
-            self.keep = new if self.keep is None else (self.keep & new)
 
     def partitions(self) -> Sequence[InputPartition]:
         files = _snapshot_files(self.path, self.suffix, self.exclude_latest)
@@ -138,6 +132,28 @@ class SnapshotBatchReader(DataSourceReader):
         stem = _stem(partition.path)
         for rec in _iter_json_rows(partition.path):
             yield tuple(rec.get(k) for k in self.fields) + (stem,)
+
+
+class SnapshotPushdownReader(SnapshotBatchReader):
+    """Adds file-level ``EqualTo``/``In`` pushdown on the ``snapshot``
+    column (pruned files are never opened). Requires the session conf
+    ``spark.sql.python.filterPushdown.enabled=true``."""
+
+    def pushFilters(self, filters: list[Filter]) -> Iterator[Filter]:  # noqa: N802
+        for f in filters:
+            # file-name pruning: snapshot = 'x' / snapshot IN (...) prune
+            # at the LISTING, before any file opens. The filter list is an
+            # AND conjunction and accepted filters are not re-applied by
+            # Spark, so multiple snapshot predicates must INTERSECT — an
+            # assignment would silently drop all but the last one.
+            if isinstance(f, EqualTo) and f.attribute == ("snapshot",):
+                new = {f.value}
+            elif isinstance(f, In) and f.attribute == ("snapshot",):
+                new = set(f.value)  # In.value is the tuple of candidates
+            else:
+                yield f  # everything else stays Spark-side
+                continue
+            self.keep = new if self.keep is None else (self.keep & new)
 
 
 def _offset_seen(offset: dict, stem: str) -> bool:
@@ -183,6 +199,25 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
 
     def read(self, start: dict) -> tuple[list[tuple], dict]:
         files = _snapshot_files(self.path, self.suffix, self.exclude_latest)
+        # Observability for the timestamped-naming contract: the offset
+        # carries the count of listed files at-or-below the floor, so a
+        # gap file that lands AFTER the floor passed its stem (slow
+        # writer / clock skew) is detected as a count increase and warned
+        # about instead of being silently skipped forever. Retention
+        # deleting old files only ever DECREASES the count, so it cannot
+        # raise a false alarm (a simultaneous delete+late-arrival can
+        # mask one warning — acceptable for a warning path).
+        floor0 = start.get("floor", "")
+        below = sum(1 for p in files if _stem(p) <= floor0)
+        expected = start.get("n_below")
+        if expected is not None and below > expected:
+            warnings.warn(
+                f"bronze_snapshot stream at {self.path!r}: {below - expected} "
+                f"file(s) appeared below the offset floor {floor0!r} after it "
+                "advanced; they violate the timestamped-naming contract and "
+                "will NOT be ingested",
+                stacklevel=2,
+            )
         new = [p for p in files if not _offset_seen(start, _stem(p))]
         # compact: advance the floor over the longest fully-seen prefix of
         # the sorted listing, keep only seen stems above it explicitly
@@ -199,7 +234,11 @@ class SnapshotStreamReader(SimpleDataSourceStreamReader):
                 floor = stem
             else:
                 break
-        end = {"floor": floor, "recent": sorted(s for s in seen_above if s > floor)}
+        end = {
+            "floor": floor,
+            "recent": sorted(s for s in seen_above if s > floor),
+            "n_below": sum(1 for p in files if _stem(p) <= floor),
+        }
         # a LIST, not a generator: the prefetching runner pickles the rows
         return list(self._rows(new)), end
 
@@ -235,7 +274,37 @@ class SnapshotDataSource(DataSource):
         )
 
     def reader(self, schema: StructType) -> SnapshotBatchReader:
+        # the pushdown reader crashes outright in sessions that leave
+        # spark.sql.python.filterPushdown.enabled off; the `pushdown`
+        # option (set by load_snapshots from the session conf) selects
+        # the plain reader there instead of failing the whole scan.
+        if _truthy(self.options, "pushdown", True):
+            return SnapshotPushdownReader(self.options, schema)
         return SnapshotBatchReader(self.options, schema)
 
     def simpleStreamReader(self, schema: StructType) -> SnapshotStreamReader:  # noqa: N802
         return SnapshotStreamReader(self.options, schema)
+
+
+def load_snapshots(spark, path: str, schema: str | StructType, **options) -> "object":
+    """Read a snapshot directory through the registered ``bronze_snapshot``
+    source, working in ANY session regardless of its pushdown conf.
+
+    Registers the source (idempotent) and checks
+    ``spark.sql.python.filterPushdown.enabled``: when the session enables
+    it, the pushdown reader prunes snapshot files at the listing; when it
+    is unset/false (Spark's default — and what an external harness's
+    vanilla session has), the plain reader is selected via the
+    ``pushdown`` option so the scan still runs, with snapshot filters
+    applied Spark-side instead of at the listing. Extra keyword options
+    (``suffix``, ``exclude_latest``) pass through to the source."""
+    spark.dataSource.register(SnapshotDataSource)
+    enabled = str(
+        spark.conf.get("spark.sql.python.filterPushdown.enabled", "false") or "false"
+    ).lower() == "true"
+    reader = spark.read.format("bronze_snapshot").schema(schema).option("path", path)
+    if not enabled:
+        reader = reader.option("pushdown", "false")
+    for key, value in options.items():
+        reader = reader.option(key, str(value))
+    return reader.load()

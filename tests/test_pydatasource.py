@@ -88,16 +88,29 @@ def test_latest_alias_excluded_by_default(spark, tmp_path):
     assert {r["snapshot"] for r in both.collect()} == {"m_20240101", "m_latest"}
 
 
+def _schema_struct():
+    # built programmatically, NOT StructType.fromDDL: fromDDL needs an
+    # active SparkContext, which would make sessionless reader tests
+    # order-dependent on whichever test created the session first
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    return StructType(
+        [
+            StructField("home", StringType()),
+            StructField("away", StringType()),
+            StructField("score", LongType()),
+            StructField("snapshot", StringType()),
+        ]
+    )
+
+
 def test_stream_offset_stays_bounded(tmp_path):
     # the offset persisted per micro-batch must be O(1) in the number of
     # snapshots ever seen (a poll loop runs forever), not a full file list
     from sport_data_pipeline_spark.sources.pydatasource import SnapshotStreamReader
 
-    from pyspark.sql.types import StructType
-
     d = str(tmp_path / "snaps")
-    schema = StructType.fromDDL(SCHEMA)
-    reader = SnapshotStreamReader({"path": d}, schema)
+    reader = SnapshotStreamReader({"path": d}, _schema_struct())
     off = reader.initialOffset()
     for i in range(25):
         _write(d, f"poll_{i:04d}", [{"home": "H", "away": "A", "score": i}])
@@ -109,7 +122,8 @@ def test_stream_offset_stays_bounded(tmp_path):
     # the next offset written is the compacted form
     legacy = {"seen": [f"poll_{i:04d}" for i in range(25)]}
     rows, off2 = reader.read(legacy)
-    assert rows == [] and off2 == {"floor": "poll_0024", "recent": []}
+    assert rows == []
+    assert off2 == {"floor": "poll_0024", "recent": [], "n_below": 25}
     # replay between compacted offsets is exact
     replay = reader.readBetweenOffsets({"floor": "poll_0019"}, {"floor": "poll_0021"})
     assert sorted(r[2] for r in replay) == [20, 21]
@@ -181,3 +195,65 @@ def test_snapshot_poll_to_silver_merge_e2e(spark, tmp_path):
     q.awaitTermination()
     got = {r["match_id"]: (r["score"], r["poll"]) for r in spark.read.parquet(out).collect()}
     assert got == {100: (2, 2), 200: (1, 1)}
+
+
+def test_load_snapshots_survives_pushdown_disabled_session(spark, tmp_path):
+    # An external harness's vanilla session leaves
+    # spark.sql.python.filterPushdown.enabled off, and Spark then refuses
+    # to even initialize a pushFilters-implementing reader (the r6 driver
+    # regression). load_snapshots must pick the plain reader there and
+    # still return correct rows (filters apply Spark-side).
+    import pytest
+
+    from sport_data_pipeline_spark.sources.pydatasource import load_snapshots
+
+    d = str(tmp_path / "snaps")
+    _write(d, "a", [{"home": "A", "away": "x", "score": 1}])
+    _write(d, "b", [{"home": "B", "away": "y", "score": 2}])
+    _register(spark)
+    conf_key = "spark.sql.python.filterPushdown.enabled"
+    before = spark.conf.get(conf_key)
+    spark.conf.set(conf_key, "false")
+    try:
+        # the raw pushdown-default read is what broke in the driver: pin it
+        raw = spark.read.format("bronze_snapshot").schema(SCHEMA).option("path", d).load()
+        with pytest.raises(Exception, match="PUSHDOWN_DISABLED"):
+            raw.collect()
+        df = load_snapshots(spark, d, SCHEMA).filter(F.col("snapshot") == "a")
+        assert [(r["home"], r["score"]) for r in df.collect()] == [("A", 1)]
+    finally:
+        spark.conf.set(conf_key, before)
+    # and with the conf back on, the helper routes to the pruning reader
+    df = load_snapshots(spark, d, SCHEMA).filter(F.col("snapshot") == "b")
+    assert [(r["home"], r["score"]) for r in df.collect()] == [("B", 2)]
+
+
+def test_stream_warns_on_below_floor_arrival(tmp_path):
+    # A gap file that lands after the floor passed its stem (slow writer /
+    # clock skew) violates the timestamped-naming contract; it is skipped,
+    # but the skip must be OBSERVABLE, not silent: the offset's n_below
+    # count detects the late landing and warns.
+    import pytest
+
+    from sport_data_pipeline_spark.sources.pydatasource import SnapshotStreamReader
+
+    d = str(tmp_path / "snaps")
+    reader = SnapshotStreamReader({"path": d}, _schema_struct())
+    _write(d, "poll_0001", [{"home": "A", "away": "B", "score": 1}])
+    _write(d, "poll_0003", [{"home": "C", "away": "D", "score": 3}])
+    rows, off = reader.read(reader.initialOffset())
+    assert len(rows) == 2 and off == {"floor": "poll_0003", "recent": [], "n_below": 2}
+
+    _write(d, "poll_0002", [{"home": "E", "away": "F", "score": 2}])  # late gap file
+    with pytest.warns(UserWarning, match="below the offset floor"):
+        rows, off2 = reader.read(off)
+    assert rows == []  # contract: below-floor files are not ingested
+    assert off2 == {"floor": "poll_0003", "recent": [], "n_below": 3}
+
+    # steady state: the updated count means no repeat warning
+    import warnings as _w
+
+    with _w.catch_warnings():
+        _w.simplefilter("error")
+        rows, off3 = reader.read(off2)
+    assert rows == [] and off3 == off2

@@ -63,46 +63,49 @@ def query(
 #: curated to maximize distinct-operator coverage: every SURVEY §2 / LLM-
 #: pipeline operator family appears in the first 50 via at least one query.
 #: Queries after the cut are ones whose operator ids are already exercised by
-#: an earlier query (e.g. frequency_count ⊂ lang_stats's A5, open_close ⊂
-#: asof_clicks's W5/J11, doc_fingerprint ⊂ exact_dedup_docs,
-#: term_doc_frequency ⊂ tfidf_top_terms' llm-index, field_coverage's A11 ⊂
-#: retention_cohorts + doc_quality) — they remain fully DuckDB-oracled by
+#: an earlier query (e.g. frequency_count ⊂ A5 via term_doc_frequency,
+#: open_close ⊂ asof_clicks's W5/J11, exact_dedup_docs ⊂ doc_fingerprint's
+#: dedup-exact) — they remain fully DuckDB-oracled by
 #: tests/test_queries_oracle.py.
 #:
 #: The window ROTATES between rounds (COVERAGE.md "Driver-window rotation")
 #: so tail queries earn an external driver row without growing the window.
-#: r6 rotation (13 swaps — the r5 verdict's queue, plus e2e_daily_pipeline
-#: entering as the 13th in/out pair with pivot_status_matrix): IN came the eight
-#: r5-new families that only had local-oracle evidence —
-#: semantic_dedup_cells (replacing the residually-quadratic closure
-#: variant as the SemDeDup representative), stream_session_equivalence,
-#: stream_ingest_dedup, lm_quality_score, stream_outer_join_equivalence,
-#: incremental_dedup_minhash, snapshot_table_diff,
-#: incident_session_overlap — plus four tail queries earning first rows:
-#: pq_topk_recall, heavy_hitters_sketch, rolling_active_users (back),
-#: time_bucket_cascade. OUT went slots whose ops stay represented:
-#: semantic_dedup → cells (iterative ← neardup_clusters);
-#: sessionize_events → incident_session_overlap/_attribution (T6);
-#: incremental_dedup_docs → incremental_dedup_minhash +
-#: stream_ingest_dedup; repetition_profile → lm_quality_score
-#: (llm-quality) + rolling_active_users (A7); scd2_point_in_time →
-#: asof_clicks (J10) + latest_per_key (W7/S10); season_trend →
-#: incident_window_attribution (W3); time_bucket_rollup →
-#: time_bucket_cascade (hypertable-rollup); ivf_topk_recall →
-#: pq_topk_recall (recall-contract pattern; ann-cosine-ivf now an
-#: accepted exception with 2 rounds of green rows); sketch_profile →
-#: heavy_hitters_sketch (sketch family; A2/A7(approx) accepted);
-#: retention_cohorts → rolling_active_users (A5/W4 kept; A11 accepted);
-#: projection_case (F1/F6 accepted, 5 rounds green) and late_dup_ticks
-#: (T5 batch twin of in-window T5(stream), 4 rounds green). All
-#: rotated-out queries keep their green history and stay DuckDB-oracled
-#: locally (tests/test_queries_oracle.py).
+#: History: r5 rotated 8 slots, r6 rotated 13 (details in COVERAGE.md).
+#: r7 rotation (12 swaps): IN came twelve first-time rows —
+#: stream_join_equivalence (inner sibling of the r6-green left-outer
+#: stream join, J10(stream)/T5(stream) continuity),
+#: incremental_dedup_indexed (the write-time-signature-index routing
+#: path), hard_negative_mining + percentile_peer + term_doc_frequency +
+#: doc_fingerprint + segment_stats + global_aggregates + ratio_of_sums
+#: (taking over ann-cosine / W2 / llm-index+O1 / dedup-exact / A7 / A2 /
+#: A3 from their rotated-out green holders), and histogram_bucket (A6) +
+#: union_distinct_keys (U2) + token_counts (F4(text)), which return
+#: previously accepted-exception tags to the window. OUT went twelve
+#: slots with green rows (r6 or earlier) whose tags stay represented:
+#: pricing_summary → global_aggregates/ratio_of_sums (A2/A3);
+#: exact_dedup_docs → doc_fingerprint (dedup-exact);
+#: embedding_topk → hard_negative_mining (ann-cosine);
+#: tfidf_top_terms → term_doc_frequency (llm-index/O1) +
+#: percentile_peer (W2); rolling_active_users → segment_stats (A7);
+#: incremental_dedup_minhash + stream_ingest_dedup →
+#: incremental_dedup_indexed + e2e_daily_pipeline (dedup-incremental);
+#: stream_outer_join_equivalence → stream_join_equivalence
+#: (J10(stream)); incident_session_overlap →
+#: incident_window_attribution (range-join/T6); freshness_stats (A10
+#: accepted, 6 rounds green), lang_stats (A7(text) accepted, 6 rounds
+#: green), doc_chunks (UDTF accepted — generator-explode shape stays
+#: in-window via dup_span_profile's posexplode and corpus_train_shards'
+#: chunk explode). All rotated-out queries keep their green history and
+#: stay DuckDB-oracled locally (tests/test_queries_oracle.py).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
-    "pricing_summary",
     "multi_join_daterange",
-    "freshness_stats",
+    "global_aggregates",
+    "ratio_of_sums",
+    "histogram_bucket",
+    "segment_stats",
+    "union_distinct_keys",
     # windows / temporal
     "last_n_form",
     "h2h_symmetric",
@@ -111,50 +114,47 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "asof_clicks",
     "time_bucket_cascade",
     "trend_forecast",
+    "percentile_peer",
     # text / parsing
     "json_extract_stats",
     "string_normalize_slug",
     "parse_functions",
-    "lang_stats",
+    "token_counts",
     "doc_quality",
-    "exact_dedup_docs",
+    "doc_fingerprint",
     "doc_winnow_fingerprint",
     # similarity / dedup / ANN
     "fuzzy_entity_match_blocked",
     "minhash_jaccard_neardup",
     "simhash_neardup",
-    "incremental_dedup_minhash",
+    "incremental_dedup_indexed",
     "semantic_dedup_cells",
     "dup_span_profile",
-    "embedding_topk",
     "embedding_cosine_neardup",
     "neardup_clusters",
     "embedding_quantize_error",
     "pq_topk_recall",
+    "hard_negative_mining",
     # domain composites
     "term_mapping",
     "record_unification",
     "external_id_lookup",
     "heavy_hitters_sketch",
-    # e2e: bronze snapshots → DataSource read → refine → gate → dedup
+    # e2e: bronze snapshots -> DataSource read -> refine -> gate -> dedup
     "e2e_daily_pipeline",
     # LLM corpus prep
     "lm_quality_score",
-    "doc_chunks",
     "pii_redaction",
     "corpus_mixture_sample",
     "contamination_overlap",
-    "tfidf_top_terms",
+    "term_doc_frequency",
     "corpus_train_shards",
     # event analytics + streaming + multimodal verdict rows
     "incident_window_attribution",
-    "incident_session_overlap",
-    "rolling_active_users",
     "snapshot_table_diff",
     "stream_batch_equivalence",
     "stream_session_equivalence",
-    "stream_ingest_dedup",
-    "stream_outer_join_equivalence",
+    "stream_join_equivalence",
     "multimodal_meta",
 )
 

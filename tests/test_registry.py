@@ -41,21 +41,13 @@ def test_window_covers_all_survey_ops():
         if n not in DRIVER_WINDOW and not ops(s) <= window_ops
     }
     # Known, accepted exceptions — all still checked by the local DuckDB
-    # oracle suite: A6 histogram buckets and U2 two-column distinct union
-    # gave up their window slots to families with no other coverage;
-    # F4(text) is the text variant of in-window F4; X6 is plan-asserted
-    # over every registered query (tests/test_plans.py).
-    # A1(rollup)/A1(cube) are the grouping-sets variants of in-window A1;
-    # llm-hard-negatives shares its execution shape (and window slot
-    # rationale) with in-window ann-cosine.
+    # oracle suite. A1(rollup)/A1(cube) are the grouping-sets variants of
+    # in-window A1. (r7 returned A6, U2, F4(text), X6 and
+    # llm-hard-negatives to the window via histogram_bucket,
+    # union_distinct_keys, token_counts and hard_negative_mining.)
     accepted = {
-        "A6",
-        "U2",
-        "F4(text)",
-        "X6",
         "A1(rollup)",
         "A1(cube)",
-        "llm-hard-negatives",
         # time-series profile similarity: beyond-reference extension whose
         # execution shape (aligned-vector cosine top-k) is in-window via
         # ann-cosine; fully DuckDB-oracled in the tail.
@@ -96,6 +88,20 @@ def test_window_covers_all_survey_ops():
         # watermarked stateful dedup); late_dup_ticks carried the tag
         # green r2–r5, rotated out in r6, still DuckDB-oracled.
         "T5",
+        # freshness union-stats: freshness_stats carried A10 green r1–r6,
+        # rotated out in r7 to free a slot; U1 stays in-window via
+        # union_distinct_keys + snapshot_table_diff; still DuckDB-oracled.
+        "A10",
+        # per-language text aggregate: the text variant of in-window A7
+        # (segment_stats); lang_stats carried it green r1–r6, rotated out
+        # in r7, still DuckDB-oracled.
+        "A7(text)",
+        # generator-function tag: the explode/posexplode shape stays
+        # in-window via dup_span_profile (posexplode) and
+        # corpus_train_shards (chunk explode); doc_chunks carried the tag
+        # green r1–r6, rotated out in r7, still DuckDB-oracled + bench
+        # headline.
+        "UDTF",
     }
     real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
     real = {n: lost for n, lost in real.items() if lost}

@@ -36,28 +36,57 @@ def asof_join(
     right_values: Sequence[str],
     prefix: str = "asof_",
     right_tiebreak: Sequence[str] = (),
+    direction: str = "backward",
+    tolerance: float | None = None,
 ) -> DataFrame:
-    """For each left row, attach the latest right row with
-    ``right_ts <= left_ts`` within the same ``on`` key.
+    """As-of join with pandas ``merge_asof`` / kdb ``aj`` semantics, one
+    shuffle, no theta-join blowup.
+
+    For each left row, attach ONE right row within the same ``on`` key:
+
+    - ``direction="backward"`` (default): the latest right row with
+      ``right_ts <= left_ts``.
+    - ``direction="forward"``: the earliest right row with
+      ``right_ts >= left_ts``.
+    - ``direction="nearest"``: whichever of those two candidates is
+      closer in time; exact-tie distance prefers the backward one.
+    - ``tolerance``: maximum allowed ``|left_ts - right_ts|`` — in
+      SECONDS when the ts columns are timestamps, in the column's own
+      units when numeric. Out-of-tolerance candidates become NULL (left
+      rows are always kept, as in ``merge_asof``).
 
     Implementation: tag and union both sides, window per key ordered by
-    (ts, side) with right rows sorting before left rows at equal
-    timestamps, then carry right values forward. Returns all left columns
-    plus ``prefix+value`` columns (NULL when no prior right row).
+    (ts, side) with right rows sorting adjacent to equal-timestamp left
+    rows on the qualifying side, then carry the right payload across.
+    ``nearest`` evaluates a second window in the OPPOSITE sort order —
+    still a single hash exchange on ``on`` (two Sort+Window passes over
+    the same partitioning). Ties at equal ``right_ts`` pick the greatest
+    ``right_tiebreak`` tuple in every direction. Distances compare in
+    integer MICROSECONDS for timestamps (``unix_micros`` both sides), so
+    tolerance/nearest decisions carry no float rounding.
 
-    Scale: one shuffle on ``on``; skewed keys are handled by AQE. This is
-    the pattern for point-in-time feature joins (odds-at-kickoff, latest
-    market value before a transfer, SURVEY §2 J10/J11/W4/W5).
+    Returns all left columns plus ``prefix+value`` columns (NULL when no
+    qualifying right row). Scale: one shuffle on ``on``; skewed keys are
+    handled by AQE. This is the pattern for point-in-time feature joins
+    (odds-at-kickoff, latest market value before a transfer, SURVEY §2
+    J10/J11/W4/W5).
     """
+    if direction not in ("backward", "forward", "nearest"):
+        raise ValueError(f"direction must be backward|forward|nearest: {direction!r}")
     on = list(on)
     lcols = left.columns
     # All right-side payload travels as ONE struct so the carried values
     # always come from the same right row — per-column last(ignorenulls)
     # would mix rows whenever right values contain NULLs. Tiebreak columns
-    # ride in the struct too (they may not be requested as outputs).
+    # ride in the struct too (they may not be requested as outputs), plus
+    # the right timestamp under a reserved name for tolerance/nearest.
     rdt = dict(right.dtypes)
     struct_fields = list(right_values) + [c for c in right_tiebreak if c not in right_values]
-    struct_ddl = "struct<" + ",".join(f"`{f}`:{rdt[f]}" for f in struct_fields) + ">"
+    struct_ddl = (
+        "struct<"
+        + ",".join(f"`{f}`:{rdt[f]}" for f in struct_fields)
+        + f",`__rts`:{rdt[right_ts]}>"
+    )
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
@@ -70,30 +99,74 @@ def asof_join(
         F.col(right_ts).alias("__ts"),
         F.lit(0).alias("__side"),
         *[F.lit(None).cast(dict(left.dtypes)[c]).alias(f"__l_{c}") for c in lcols if c not in on],
-        F.struct(*[F.col(f).alias(f) for f in struct_fields]).alias("__r"),
+        F.struct(
+            *[F.col(f).alias(f) for f in struct_fields],
+            F.col(right_ts).alias("__rts"),
+        ).alias("__r"),
     )
     unioned = tagged_left.unionByName(tagged_right)
-    # Right rows sort before left rows at equal timestamps (<= semantics);
-    # right_tiebreak fields make the pick deterministic when several right
-    # rows share a timestamp (the struct is NULL on left rows, which have
-    # already been separated by __side).
-    order = [F.col("__ts"), F.col("__side")] + [
-        F.col("__r").getField(c) for c in right_tiebreak
-    ]
-    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    tiebreaks = [F.col("__r").getField(c) for c in right_tiebreak]
+    # Backward: ascending ts; right rows (side 0) sort before left rows at
+    # equal timestamps (<= semantics), and last() therefore carries the
+    # greatest-tiebreak right row at or before each left row.
+    w_back = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
+    # Forward: DESCENDING ts, so the earliest qualifying right row is the
+    # last one seen; side 0 still sorts first at equal ts (>= includes
+    # equality) and ascending tiebreaks make last() pick the greatest.
+    w_fwd = (
+        Window.partitionBy(*on)
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc(), *tiebreaks)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carry_cols = []
+    if direction in ("backward", "nearest"):
+        carry_cols.append(F.last("__r", ignorenulls=True).over(w_back).alias("__rb"))
+    if direction in ("forward", "nearest"):
+        carry_cols.append(F.last("__r", ignorenulls=True).over(w_fwd).alias("__rf"))
     carried = unioned.select(
         *on,
         "__ts",
         "__side",
         *[F.col(f"__l_{c}") for c in lcols if c not in on],
-        F.last("__r", ignorenulls=True).over(w).alias("__rlast"),
-    )
-    return carried.filter(F.col("__side") == 1).select(
+        *carry_cols,
+    ).filter(F.col("__side") == 1)
+
+    # integer-microsecond distance for timestamps (bit-exact tie/tolerance
+    # decisions); numeric ts columns compare in their own units
+    is_ts = "timestamp" in dict(left.dtypes)[left_ts]
+
+    def _num(col):
+        return F.unix_micros(col) if is_ts else col.cast("double")
+
+    def _dist(rcol):
+        return F.abs(_num(F.col("__ts")) - _num(rcol.getField("__rts")))
+
+    def _gate(rcol):
+        if tolerance is None:
+            return rcol
+        tol = F.lit(int(tolerance * 1_000_000)) if is_ts else F.lit(tolerance)
+        return F.when(rcol.isNotNull() & (_dist(rcol) <= tol), rcol)
+
+    if direction == "backward":
+        chosen = _gate(F.col("__rb"))
+    elif direction == "forward":
+        chosen = _gate(F.col("__rf"))
+    else:
+        rb, rf = _gate(F.col("__rb")), _gate(F.col("__rf"))
+        chosen = (
+            F.when(rb.isNull(), rf)
+            .when(rf.isNull(), rb)
+            .when(_dist(rb) <= _dist(rf), rb)  # exact tie prefers backward
+            .otherwise(rf)
+        )
+    return carried.withColumn("__chosen", chosen).select(
         *on,
         *[F.col(f"__l_{c}").alias(c) for c in lcols if c not in on],
-        *[F.col("__rlast").getField(v).alias(f"{prefix}{v}") for v in right_values],
+        *[F.col("__chosen").getField(v).alias(f"{prefix}{v}") for v in right_values],
     )
 
 

@@ -407,6 +407,78 @@ def asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+ASOF_NEAREST_ORACLE = """
+WITH p AS (SELECT event_id AS purchase_id, user_id, ts,
+                  value AS purchase_value
+           FROM events WHERE event_type = 'purchase'),
+c AS (SELECT user_id, ts, value, event_id FROM events
+      WHERE event_type = 'click'),
+cand AS (
+  SELECT p.purchase_id, c.ts AS click_ts, c.value AS click_value,
+         c.event_id AS click_id,
+         abs(epoch_us(p.ts) - epoch_us(c.ts)) AS dist,
+         CASE WHEN c.ts <= p.ts THEN 0 ELSE 1 END AS is_fwd
+  FROM p JOIN c ON c.user_id = p.user_id
+  WHERE abs(epoch_us(p.ts) - epoch_us(c.ts)) <= CAST(3600 AS BIGINT) * 1000000
+),
+pick AS (
+  SELECT purchase_id, click_ts, click_value, click_id,
+         row_number() OVER (PARTITION BY purchase_id
+                            ORDER BY dist ASC, is_fwd ASC, click_id DESC)
+           AS rn
+  FROM cand
+)
+SELECT p.purchase_id, p.user_id, p.ts AS purchase_ts, p.purchase_value,
+       k.click_ts AS near_ts, k.click_value AS near_value,
+       k.click_id AS near_click
+FROM p LEFT JOIN pick k ON k.purchase_id = p.purchase_id AND k.rn = 1
+"""
+
+
+@query("asof_nearest_clicks", survey="J10,J11,W5", oracle=ASOF_NEAREST_ORACLE)
+def asof_nearest_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``merge_asof``-parity as-of join: NEAREST direction with a 1-hour
+    tolerance (new in r7 — backward/forward/nearest + tolerance cover the
+    full pandas/kdb as-of surface). Each purchase attaches the closest
+    click within ±1 h, equal distance preferring the prior click, equal
+    timestamps the greatest click id. Still one hash exchange on user_id
+    (two Sort+Window passes, plan-asserted); the oracle's quadratic
+    per-key LEFT JOIN is the exact twin, with integer-microsecond
+    distances on both engines so tie decisions are bit-portable.
+    """
+    e = _t(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts"),
+        F.col("value").alias("purchase_value"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id", "ts", "value", "event_id"
+    )
+    joined = asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_values=["ts", "value", "event_id"],
+        right_tiebreak=["event_id"],
+        direction="nearest",
+        tolerance=3600,
+        prefix="near_",
+    )
+    return joined.select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "purchase_value",
+        F.col("near_ts"),
+        F.col("near_value"),
+        F.col("near_event_id").alias("near_click"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Hypertable-style time-bucket rollups (TimescaleDB continuous-aggregate
 # pattern): epoch-aligned tumbling buckets, and a coarser granularity that

@@ -102,6 +102,57 @@ def test_asof_join_picks_latest_prior(spark):
     assert row["asof_price"] == 2.0  # 13:00 tick is in the future → excluded
 
 
+def test_asof_join_directions_and_tolerance(spark):
+    # merge_asof parity: backward/forward/nearest + tolerance, with ties
+    # at equal ts resolved by greatest tiebreak and equal-distance nearest
+    # preferring the backward candidate.
+    t = lambda s: ts(f"2024-01-01T12:{s:02d}")  # noqa: E731
+    left = spark.createDataFrame(
+        [(1, t(10), "p10"), (1, t(30), "p30"), (1, t(55), "p55"), (2, t(5), "q5")],
+        "k long, t timestamp, name string",
+    )
+    right = spark.createDataFrame(
+        [(1, t(8), 80, 1), (1, t(10), 100, 2), (1, t(10), 101, 3), (1, t(40), 400, 4),
+         (3, t(1), 9, 5)],
+        "k long, t timestamp, v long, rid long",
+    )
+
+    def run(**kw):
+        df = asof_join(
+            left, right, on=["k"], left_ts="t", right_ts="t",
+            right_values=["v"], right_tiebreak=["rid"], **kw,
+        )
+        return {r["name"]: r["asof_v"] for r in df.collect()}
+
+    assert run() == {"p10": 101, "p30": 101, "p55": 400, "q5": None}
+    assert run(direction="forward") == {"p10": 101, "p30": 400, "p55": None, "q5": None}
+    # p30: backward dist 20 min vs forward dist 10 min → forward wins
+    assert run(direction="nearest") == {"p10": 101, "p30": 400, "p55": 400, "q5": None}
+    # tolerance in seconds gates each candidate independently
+    assert run(direction="nearest", tolerance=12 * 60) == {
+        "p10": 101, "p30": 400, "p55": None, "q5": None,
+    }
+    assert run(tolerance=60) == {"p10": 101, "p30": None, "p55": None, "q5": None}
+
+
+def test_asof_join_nearest_tie_prefers_backward_and_numeric_ts(spark):
+    left = spark.createDataFrame([(1, 100, "L")], "k long, pos long, name string")
+    right = spark.createDataFrame(
+        [(1, 90, 9), (1, 110, 11)], "k long, pos long, v long"
+    )
+    got = asof_join(
+        left, right, on=["k"], left_ts="pos", right_ts="pos",
+        right_values=["v"], direction="nearest",
+    ).collect()[0]
+    assert got["asof_v"] == 9  # |100-90| == |110-100| → backward wins
+    # numeric tolerance uses the column's own units
+    got = asof_join(
+        left, right, on=["k"], left_ts="pos", right_ts="pos",
+        right_values=["v"], direction="forward", tolerance=5,
+    ).collect()[0]
+    assert got["asof_v"] is None  # 110 is 10 units away > 5
+
+
 def test_last_n_and_first_last(spark):
     df = spark.createDataFrame(
         [(1, i, float(i)) for i in range(10)], "key long, seq long, v double"

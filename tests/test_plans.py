@@ -77,6 +77,16 @@ def test_latest_per_key_single_shuffle(spark):
     assert plan.count("Exchange hashpartitioning") == 1
 
 
+def test_asof_nearest_single_exchange_two_windows(spark):
+    # nearest-direction as-of join: the forward candidate is a SECOND
+    # Sort+Window pass over the SAME hash partitioning — one exchange on
+    # the join key total, never a self-join or re-partition.
+    plan = physical_plan(SPECS["asof_nearest_clicks"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Window") == 2
+    assert "SortMergeJoin" not in plan and "CartesianProduct" not in plan
+
+
 def test_time_bucket_rollup_partial_agg(spark):
     plan = physical_plan(SPECS["time_bucket_rollup"].fn(spark, SF_DIR))
     assert plan.count("HashAggregate") >= 2  # map-side combine

@@ -978,6 +978,66 @@ def duplicated_spans(
     )
 
 
+def remove_duplicated_spans(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 8,
+) -> DataFrame:
+    """The REMOVAL half of exact-substring dedup (Lee et al. 2022): cut
+    every maximal cross-document duplicated span found by
+    :func:`duplicated_spans` out of each document and reassemble the
+    surviving tokens in order — the cleaned corpus a training pipeline
+    actually feeds the tokenizer, not just the span report.
+
+    Distributed shape, all equi-joins (no range join): span intervals
+    explode to their covered token POSITIONS (cost ∝ tokens removed,
+    output-bound by construction), tokens anti-join the removal set on
+    ``(id, pos)``, and each document reassembles with one
+    ``array_sort(collect_list(struct(pos, tok)))`` — position is unique
+    per document, so the rebuild is deterministic. Documents with no
+    duplicated span pass through verbatim; a document that is ENTIRELY
+    duplicated spans survives as an empty string (`n_tok_kept` 0), never
+    a dropped row.
+
+    Returns ``(id, n_tok, n_tok_kept, text_clean)`` where ``n_tok`` is
+    the pre-removal token count.
+    """
+    spans = duplicated_spans(df, id_col, text_col, k=k)
+    removal = spans.select(
+        F.col(id_col),
+        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    )
+    toks = df.select(
+        F.col(id_col),
+        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    )
+    kept = (
+        toks.join(removal, [id_col, "pos"], "left_anti")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_tok_kept"),
+            F.concat_ws(
+                " ",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
+                    lambda s: s.getField("tok"),
+                ),
+            ).alias("text_clean"),
+        )
+    )
+    totals = df.select(
+        F.col(id_col),
+        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tok"),
+    )
+    return totals.join(kept, id_col, "left").select(
+        id_col,
+        "n_tok",
+        F.coalesce(F.col("n_tok_kept"), F.lit(0)).cast("long").alias("n_tok_kept"),
+        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+    )
+
+
 def simhash_near_dup_portable(
     df: DataFrame,
     id_col: str,

@@ -855,6 +855,81 @@ def dup_span_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "span_start")
 
 
+DEDUP_SPAN_REWRITE_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
+),
+pos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {_SPAN_K - 1})) AS i
+  FROM t WHERE len(toks) >= {_SPAN_K}
+),
+sh AS (
+  SELECT doc_id, i - 1 AS p,
+         md5(array_to_string(toks[i:i + {_SPAN_K - 1}], ' ')) AS h
+  FROM pos
+),
+dup AS (SELECT h FROM sh GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+hits AS (SELECT doc_id, p FROM sh JOIN dup USING (h)),
+isl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev IS NULL OR p - prev > {_SPAN_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM hits)
+),
+spans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + {_SPAN_K - 1} AS e
+  FROM isl GROUP BY doc_id, island
+),
+rm AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM spans),
+tokpos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM t
+),
+tok AS (SELECT doc_id, i - 1 AS p, toks[i] AS tok FROM tokpos),
+keep AS (
+  SELECT tok.doc_id, tok.p, tok.tok
+  FROM tok LEFT JOIN rm ON rm.doc_id = tok.doc_id AND rm.p = tok.p
+  WHERE rm.p IS NULL
+),
+agg AS (
+  SELECT doc_id, COUNT(*) AS n_tok_kept,
+         string_agg(tok, ' ' ORDER BY p) AS text_clean
+  FROM keep GROUP BY doc_id
+)
+SELECT t.doc_id,
+       CAST(len(t.toks) AS BIGINT) AS n_tok,
+       CAST(COALESCE(a.n_tok_kept, 0) AS BIGINT) AS n_tok_kept,
+       md5(COALESCE(a.text_clean, '')) AS clean_fp
+FROM t LEFT JOIN agg a USING (doc_id)
+"""
+
+
+@query(
+    "dedup_spans_rewrite",
+    survey="dedup-substring,U3",
+    oracle=DEDUP_SPAN_REWRITE_ORACLE,
+)
+def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022, new r7):
+    cut every maximal duplicated span out of each document and reassemble
+    the cleaned text — `dup_span_profile` reports the spans, this query
+    produces the corpus a pipeline actually trains on. All equi-joins
+    (span intervals explode to covered positions, anti-join on (doc, pos))
+    and one deterministic per-doc rebuild; the oracle restates the whole
+    path in SQL and compares md5 of every reassembled document."""
+    from ..operators.dedup import remove_duplicated_spans
+
+    d = _t(spark, sf_dir, "documents")
+    out = remove_duplicated_spans(d, "doc_id", "text", k=_SPAN_K)
+    return out.select(
+        "doc_id",
+        "n_tok",
+        "n_tok_kept",
+        F.md5(F.col("text_clean").cast("binary")).alias("clean_fp"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Bigram language-model quality scoring (CCNet-style, Wenzek et al. 2020:
 # LM-based quality filtering of crawled corpora). Add-one-smoothed bigram

@@ -210,6 +210,31 @@ def test_duplicated_spans_merges_adjacent_and_splits_distant(spark):
     assert (2, 0, 7) in got and (3, 0, 7) in got
 
 
+def test_remove_duplicated_spans_rewrites_clean_text(spark):
+    from sport_data_pipeline_spark.operators.dedup import remove_duplicated_spans
+
+    shared = _words("s", 10)
+    docs = spark.createDataFrame(
+        [
+            (0, _words("a", 5) + " " + shared + " " + _words("b", 5)),
+            (1, _words("c", 3) + " " + shared),
+            (2, shared),                  # ENTIRELY a duplicated span
+            (3, _words("d", 20)),         # unique — passes through verbatim
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_tok, r.n_tok_kept, r.text_clean)
+        for r in remove_duplicated_spans(docs, "doc_id", "text", k=8).collect()
+    }
+    # the shared passage is cut from EVERY occurrence (Lee et al. remove
+    # all copies of a duplicated substring); surviving tokens keep order
+    assert got[0] == (20, 10, _words("a", 5) + " " + _words("b", 5))
+    assert got[1] == (13, 3, _words("c", 3))
+    assert got[2] == (10, 0, "")          # fully-duplicated doc → empty, not dropped
+    assert got[3] == (20, 20, _words("d", 20))
+
+
 def test_incremental_dedup_routes_batch_docs(spark):
     from sport_data_pipeline_spark.operators.dedup import incremental_dedup
 

@@ -426,6 +426,50 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SOURCE_CAP = 5
+
+SOURCE_CAP_ORACLE = rf"""
+WITH scored AS (
+  SELECT source, lang, doc_id,
+         CAST(len(regexp_split_to_array(trim(text), '\s+')) AS BIGINT) AS n_tok
+  FROM documents
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY source, lang
+                               ORDER BY n_tok DESC, doc_id ASC) AS rk
+  FROM scored
+)
+SELECT source, lang, doc_id, n_tok, CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= {_SOURCE_CAP}
+"""
+
+
+@query("source_cap_sample", survey="llm-mixture,W1", oracle=SOURCE_CAP_ORACLE)
+def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source quota capping (new r7) — the RefinedWeb/C4 per-domain
+    cap: keep at most N documents per (source, lang), preferring the
+    longest documents with doc_id as the deterministic tie-break. The
+    quality-priority rank is ONE window over the (source, lang) hash
+    partitioning — no global sort, no join; at 100 TB the cap is the
+    standard guard against a single crawler domain dominating the
+    mixture. Output is cap-bounded (≤ N rows per group), so the result
+    stays constant-size as the corpus grows."""
+    d = _t(spark, sf_dir, "documents")
+    w = Window.partitionBy("source", "lang").orderBy(
+        F.col("n_tok").desc(), F.col("doc_id").asc()
+    )
+    return (
+        d.select(
+            "source",
+            "lang",
+            "doc_id",
+            F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+        )
+        .withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= _SOURCE_CAP)
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence-packing statistics: greedy shard-local packing of documents into
 # fixed 512-token training bins (cumulative token count over a deterministic

@@ -629,6 +629,73 @@ def hard_negative_topk(
 # ---------------------------------------------------------------------------
 
 
+
+def incremental_semantic_dedup(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    dim: int | None = None,
+) -> DataFrame:
+    """One-sided SEMANTIC dedup of an incoming batch against the existing
+    corpus: a batch vector is a semantic duplicate iff some CORPUS vector
+    has cosine >= ``threshold``; ``match_id`` is the smallest such corpus
+    id. Completes the incremental-dedup family (exact fingerprint /
+    MinHash-LSH / signature-index gates in ``operators/dedup``) for the
+    embedding representation — the SemDeDup criterion applied the way an
+    ingest loop needs it, batch-vs-corpus with no corpus self-join.
+
+    Execution shape: the (bounded) batch broadcasts, the corpus STREAMS —
+    each corpus partition scores its vectors against every batch vector
+    with the JVM-side fold cosine, keeps only threshold hits, and the
+    per-batch-id ``min(corpus id)`` aggregates with full map-side combine
+    (≤ |batch| rows leave each partition). One corpus scan, no shuffle of
+    corpus vectors, cost exactly |batch| x |corpus| multiply-adds spread
+    across the cluster — the same broadcast-probe shape as
+    :func:`cosine_topk` / :func:`hard_negative_topk`. For batches too
+    large to broadcast, pre-route both sides with the IVF cells
+    (:func:`build_ivf_index`) and apply this per cell.
+
+    Zero-norm vectors define cosine 0 and so never match. Returns
+    ``(id, status['semantic_dup'|'kept'], match_id)`` with one row per
+    batch vector.
+    """
+    b = batch.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        _norm(F.col(vec_col), dim).alias("__bn"),
+    )
+    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
+    c = corpus.repartition(n_parts).select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col), dim).alias("__cn"),
+    )
+    cos = F.when(
+        (F.col("__bn") > 0) & (F.col("__cn") > 0),
+        _dot(F.col("__bv"), F.col("__cv"), dim) / (F.col("__bn") * F.col("__cn")),
+    ).otherwise(F.lit(0.0))
+    matches = (
+        F.broadcast(b)
+        .crossJoin(c)
+        .filter(cos >= F.lit(threshold))
+        .groupBy("__bid")
+        .agg(F.min("__cid").alias("match_id"))
+    )
+    return (
+        b.select("__bid")
+        .join(matches, "__bid", "left")
+        .select(
+            F.col("__bid").alias(id_col),
+            F.when(F.col("match_id").isNull(), F.lit("kept"))
+            .otherwise(F.lit("semantic_dup"))
+            .alias("status"),
+            "match_id",
+        )
+    )
+
+
 def _unit(vec: Column, dim: int) -> Column:
     """L2-normalized copy of an array column (zero vector stays zero)."""
     nrm = _norm(vec, dim)

@@ -982,6 +982,57 @@ ORDER BY e.vec_id
 """
 
 
+INCR_SEMANTIC_ORACLE = """
+WITH b AS (
+  SELECT vec_id, embedding AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+  FROM embeddings WHERE vec_id % 5 = 1
+),
+c AS (
+  SELECT vec_id, embedding AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+  FROM embeddings WHERE vec_id % 5 <> 1
+),
+m AS (
+  SELECT b.vec_id, MIN(c.vec_id) AS match_id
+  FROM b JOIN c
+    ON b.n > 0 AND c.n > 0
+   AND list_sum(list_transform(list_zip(b.v, c.v),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (b.n * c.n)
+       >= 0.4
+  GROUP BY b.vec_id
+)
+SELECT b.vec_id,
+       CASE WHEN m.match_id IS NULL THEN 'kept' ELSE 'semantic_dup' END AS status,
+       m.match_id
+FROM b LEFT JOIN m ON m.vec_id = b.vec_id
+"""
+
+
+@query(
+    "incremental_semantic_dedup",
+    survey="dedup-semantic,dedup-incremental,U3",
+    oracle=INCR_SEMANTIC_ORACLE,
+)
+def incremental_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-sided SEMANTIC dedup of an incoming batch vs the corpus (new
+    r7): each batch vector routes to `semantic_dup` (with the smallest
+    corpus id at cosine >= 0.4) or `kept` — the SemDeDup criterion in the
+    shape an ingest loop needs, completing the incremental family's
+    exact / MinHash / signature-index gates for embeddings. Broadcast
+    batch, streaming corpus, map-side-combined min aggregation (see
+    operators/similarity.incremental_semantic_dedup); the oracle is the
+    exact one-sided all-pairs SQL with the same fold cosine."""
+    from ..operators.similarity import incremental_semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 1)
+    corpus = emb.filter(F.col("vec_id") % 5 != 1)
+    return incremental_semantic_dedup(batch, corpus, "vec_id", "embedding", threshold=0.4)
+
+
 @query("semantic_dedup", survey="dedup-semantic,iterative,U3", oracle=SEMANTIC_DEDUP_ORACLE)
 def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Route every vector to its semantic-cluster keeper (SemDeDup-style;

@@ -310,3 +310,39 @@ def test_auto_n_cells_scales_with_corpus():
     for n in (100, 1000, 10_000, 123_457):
         k = auto_n_cells(n)
         assert n / k <= 512 or k == 2
+
+
+def test_incremental_semantic_dedup_routes_batch(spark):
+    from sport_data_pipeline_spark.operators.similarity import (
+        incremental_semantic_dedup,
+    )
+
+    corpus = spark.createDataFrame(
+        [
+            (0, [1.0, 0.0, 0.0]),
+            (2, [1.0, 0.0, 0.0]),      # second copy: match_id must be the MIN (0)
+            (4, [0.0, 1.0, 0.0]),
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, [2.0, 0.0, 0.0]),     # same direction as corpus 0/2 → dup of 0
+            (11, [0.0, 0.0, 3.0]),     # orthogonal to everything → kept
+            (12, [0.0, 0.0, 0.0]),     # zero-norm: cosine defined 0 → kept
+            (13, [0.0, 5.0, 0.1]),     # nearly parallel to corpus 4 → dup of 4
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    got = {
+        r.vec_id: (r.status, r.match_id)
+        for r in incremental_semantic_dedup(
+            batch, corpus, "vec_id", threshold=0.9
+        ).collect()
+    }
+    assert got == {
+        10: ("semantic_dup", 0),
+        11: ("kept", None),
+        12: ("kept", None),
+        13: ("semantic_dup", 4),
+    }

@@ -22,7 +22,12 @@ import datetime as dt
 from pyspark.sql import DataFrame, Window, functions as F
 
 from .operators.joins import symmetric_pair_key
-from .operators.windows import last_n_per_key, latest_per_key, rank_standings
+from .operators.windows import (
+    global_percent_rank,
+    last_n_per_key,
+    latest_per_key,
+    rank_standings,
+)
 from .plans._util import safe_div
 
 
@@ -161,17 +166,30 @@ class SportsAnalyticsEngine:
             F.round(F.stddev_pop("goals").over(w_player), 4).alias("consistency"),
         )
 
+        # Global percentile rank computed distributively (range-partition +
+        # broadcast offsets, operators/windows.py:global_percent_rank) — the
+        # naive percent_rank() OVER (ORDER BY ...) would single-partition
+        # the whole player table. Peer stats are a grouped aggregate
+        # broadcast-joined back (positions are low-cardinality), not a
+        # second full-table window pass.
         rate = safe_div(F.col("goals").cast("double"), F.col("matches_played"))
-        w_pct = Window.orderBy(rate, F.col("player_id"))
-        w_peer = Window.partitionBy("position")
-        comparisons = base.select(
+        ranked = global_percent_rank(
+            base.select("player_id", "position", "goals", rate.alias("goals_per_match")),
+            ["goals_per_match", "player_id"],
+            out_col="percentile_rank",
+        )
+        peers = base.groupBy("position").agg(
+            F.avg(F.col("goals")).alias("peer_avg_goals"),
+            F.count(F.lit(1)).alias("peer_group_size"),
+        )
+        comparisons = ranked.join(F.broadcast(peers), "position").select(
             "player_id",
             "position",
-            rate.alias("goals_per_match"),
-            F.percent_rank().over(w_pct).alias("percentile_rank"),
-            F.avg(F.col("goals")).over(w_peer).alias("peer_avg_goals"),
-            (F.col("goals") > F.avg(F.col("goals")).over(w_peer)).alias("above_average"),
-            F.count(F.lit(1)).over(w_peer).alias("peer_group_size"),
+            "goals_per_match",
+            "percentile_rank",
+            "peer_avg_goals",
+            (F.col("goals") > F.col("peer_avg_goals")).alias("above_average"),
+            "peer_group_size",
         )
 
         predictions = linear_trend_forecast(

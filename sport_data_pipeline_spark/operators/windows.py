@@ -113,3 +113,62 @@ def rank_standings(
     callers partition first (or accept the tiny global sort)."""
     w = Window.orderBy(*_order_cols(order_by, descending=False))
     return df.withColumn(position_col, F.row_number().over(w))
+
+
+def global_percent_rank(
+    df: DataFrame,
+    order_by: Sequence[str],
+    out_col: str = "pct_rank",
+) -> DataFrame:
+    """Distributed global ``percent_rank() OVER (ORDER BY ...)``.
+
+    The naive form — ``F.percent_rank().over(Window.orderBy(...))`` — is the
+    reference's percentile contract (src/analytics/reports.py:80-85), but in
+    Spark an unpartitioned window moves the ENTIRE table into one partition
+    (``WindowExec: No Partition Defined``): a scale-killer at 100 TB. This
+    computes the identical value with every partition bounded at ~n/P rows:
+
+      1. range-repartition on the order columns → contiguous sorted ranges;
+      2. count rows per range partition (≤ P rows, P = shuffle partitions);
+      3. cumulative offsets over those P rows — the only unpartitioned
+         window left, and it is bounded by CLUSTER CONFIG (partition
+         count), never by data volume;
+      4. broadcast the offsets back; global rank = range-partition offset
+         + row_number within the partition, and
+         percent_rank = (rank − 1) / (n − 1)  (0.0 when n == 1, matching
+         Spark/DuckDB).
+
+    ``order_by`` must be a TOTAL order (append a unique id last): with no
+    ties rank == row position, so percent_rank needs no tie handling. The
+    two consumers of the range exchange (the counts branch and the probe
+    branch) share one shuffle via ReusedExchange; the range-partitioner
+    sampling is seed-deterministic, so the branches agree even if
+    recomputed.
+    """
+    cols = [F.col(c) for c in order_by]
+    part = df.repartitionByRange(*cols).withColumn("__pid", F.spark_partition_id())
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    # ≤ P rows: the unpartitioned windows below are config-bounded, not
+    # data-bounded (the whole point of this operator).
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_tot).alias("__total"),
+    )
+    w_rn = Window.partitionBy("__pid").orderBy(*cols)
+    grank = F.col("__off") + F.row_number().over(w_rn) - F.lit(1)
+    return (
+        part.join(F.broadcast(offsets), "__pid")
+        .withColumn(
+            out_col,
+            F.when(
+                F.col("__total") > 1,
+                grank.cast("double") / (F.col("__total") - F.lit(1)),
+            ).otherwise(F.lit(0.0)),
+        )
+        .drop("__pid", "__off", "__total")
+    )

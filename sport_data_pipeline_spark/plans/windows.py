@@ -15,6 +15,7 @@ from ..operators.merge import merge_latest
 from ..operators.sessionize import sessionize
 from ..operators.windows import (
     first_last_value,
+    global_percent_rank,
     last_n_per_key,
     rank_standings,
     time_bucket_agg,
@@ -136,20 +137,33 @@ FROM base
 
 @query("percentile_peer", survey="W2", oracle=PERCENTILE_PEER_ORACLE)
 def percentile_peer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global percentile rank + peer-group average, with NO unpartitioned
+    window over the data: the rank is computed distributively by
+    ``global_percent_rank`` (range-partition + broadcast offsets — every
+    partition bounded at ~n/P), and the peer average is a grouped
+    aggregate broadcast-joined back (segments are low-cardinality) instead
+    of a full-table partitioned window pass. Bit-identical to
+    ``percent_rank() OVER (ORDER BY ...)``: the order includes the unique
+    key, so rank == row position and pct = (rank−1)/(n−1) exactly."""
     c = _t(spark, sf_dir, "customer")
-    w_rank = Window.orderBy("c_acctbal", "c_custkey")
-    w_peer = Window.partitionBy("c_mktsegment")
-    peer_avg = (
-        F.sum(F.col("c_acctbal").cast("decimal(18,2)")).over(w_peer).cast("double")
-        / F.count(F.lit(1)).over(w_peer)
+    ranked = global_percent_rank(
+        c.select("c_custkey", "c_mktsegment", "c_acctbal"),
+        ["c_acctbal", "c_custkey"],
+        out_col="balance_pct_rank",
     )
-    return c.select(
+    peers = c.groupBy("c_mktsegment").agg(
+        (
+            F.sum(F.col("c_acctbal").cast("decimal(18,2)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("peer_avg_balance")
+    )
+    return ranked.join(F.broadcast(peers), "c_mktsegment").select(
         F.col("c_custkey").alias("player_id"),
         F.col("c_mktsegment").alias("peer_group"),
         F.col("c_acctbal").alias("balance"),
-        F.percent_rank().over(w_rank).alias("balance_pct_rank"),
-        peer_avg.alias("peer_avg_balance"),
-        (F.col("c_acctbal") > peer_avg).alias("above_average"),
+        "balance_pct_rank",
+        "peer_avg_balance",
+        (F.col("c_acctbal") > F.col("peer_avg_balance")).alias("above_average"),
     )
 
 

@@ -230,3 +230,17 @@ def test_player_performance_full_report_contract(spark):
     assert abs(p1["predicted_goals_next_season"] - 10.0) < 1e-9
     assert abs(p1["confidence_lower"] - 10.0) < 1e-9  # SSE = 0 → zero width
     assert abs(p1["confidence_upper"] - 10.0) < 1e-9
+
+
+def test_comparisons_plan_distributed_rank(eng):
+    # same shape requirement as percentile_peer (VERDICT r7 #1): the
+    # engine's peer-comparison percentile must not use an unpartitioned
+    # percent_rank window over the player table.
+    plan = (
+        eng.analyze_player_performance()["comparisons"]
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "percent_rank" not in plan
+    assert "Exchange rangepartitioning" in plan

@@ -412,3 +412,32 @@ def test_interval_joins_random_fuzz_vs_naive(spark):
     ]
     # sets equal AND no duplicate emissions (each overlapping pair exactly once)
     assert sorted(got_ov) == sorted(want_ov)
+
+
+def test_global_percent_rank_matches_native(spark):
+    from pyspark.sql import Window
+
+    from sport_data_pipeline_spark.operators.windows import global_percent_rank
+
+    df = spark.createDataFrame(
+        [(i, float((i * 37) % 101)) for i in range(200)], "id int, v double"
+    ).repartition(7)
+    got = {
+        r["id"]: r["pct"]
+        for r in global_percent_rank(df, ["v", "id"], out_col="pct").collect()
+    }
+    want = {
+        r["id"]: r["pct"]
+        for r in df.select(
+            "id", F.percent_rank().over(Window.orderBy("v", "id")).alias("pct")
+        ).collect()
+    }
+    assert got == want  # bit-exact: (rank-1)/(n-1) in double both ways
+
+
+def test_global_percent_rank_single_row(spark):
+    from sport_data_pipeline_spark.operators.windows import global_percent_rank
+
+    df = spark.createDataFrame([(1, 5.0)], "id int, v double")
+    [row] = global_percent_rank(df, ["v", "id"], out_col="pct").collect()
+    assert row["pct"] == 0.0  # n == 1 → 0.0, matching percent_rank semantics

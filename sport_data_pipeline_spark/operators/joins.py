@@ -81,12 +81,23 @@ def asof_join(
     # ride in the struct too (they may not be requested as outputs), plus
     # the right timestamp under a reserved name for tolerance/nearest.
     rdt = dict(right.dtypes)
+    if not right_values:
+        raise ValueError("asof_join requires at least one right_values column")
+    # Both ts columns must agree on timestamp-vs-numeric BEFORE any plan is
+    # built — a mixed pair would otherwise fail deep in unionByName (or,
+    # worse, silently cast the timestamp side to double in the distance).
+    l_is_ts = "timestamp" in dict(left.dtypes)[left_ts]
+    r_is_ts = "timestamp" in rdt[right_ts]
+    if l_is_ts != r_is_ts:
+        raise ValueError(
+            f"asof_join ts dtypes disagree: {left_ts}={dict(left.dtypes)[left_ts]} "
+            f"vs {right_ts}={rdt[right_ts]} — both must be timestamps or both numeric"
+        )
     struct_fields = list(right_values) + [c for c in right_tiebreak if c not in right_values]
-    struct_ddl = (
-        "struct<"
-        + ",".join(f"`{f}`:{rdt[f]}" for f in struct_fields)
-        + f",`__rts`:{rdt[right_ts]}>"
-    )
+    # join fields + __rts uniformly so the DDL is well-formed for any
+    # non-empty field list (guarded above)
+    ddl_parts = [f"`{f}`:{rdt[f]}" for f in struct_fields] + [f"`__rts`:{rdt[right_ts]}"]
+    struct_ddl = "struct<" + ",".join(ddl_parts) + ">"
     tagged_left = left.select(
         *on,
         F.col(left_ts).alias("__ts"),
@@ -136,8 +147,9 @@ def asof_join(
     ).filter(F.col("__side") == 1)
 
     # integer-microsecond distance for timestamps (bit-exact tie/tolerance
-    # decisions); numeric ts columns compare in their own units
-    is_ts = "timestamp" in dict(left.dtypes)[left_ts]
+    # decisions); numeric ts columns compare in their own units (the
+    # dtype-agreement guard at the top makes is_ts well-defined)
+    is_ts = l_is_ts
 
     def _num(col):
         return F.unix_micros(col) if is_ts else col.cast("double")
@@ -148,7 +160,9 @@ def asof_join(
     def _gate(rcol):
         if tolerance is None:
             return rcol
-        tol = F.lit(int(tolerance * 1_000_000)) if is_ts else F.lit(tolerance)
+        # round (not truncate) seconds → integer microseconds, so a
+        # fractional-microsecond tolerance never silently tightens
+        tol = F.lit(round(tolerance * 1_000_000)) if is_ts else F.lit(tolerance)
         return F.when(rcol.isNotNull() & (_dist(rcol) <= tol), rcol)
 
     if direction == "backward":

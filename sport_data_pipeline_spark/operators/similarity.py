@@ -666,8 +666,12 @@ def incremental_semantic_dedup(
         F.col(vec_col).alias("__bv"),
         _norm(F.col(vec_col), dim).alias("__bn"),
     )
-    n_parts = corpus.sparkSession.sparkContext.defaultParallelism
-    c = corpus.repartition(n_parts).select(
+    # No repartition of the corpus: parallelism comes from the input
+    # splits (spark.sql.files.maxPartitionBytes) — a round-robin Exchange
+    # here would shuffle every corpus vector just to rebalance, breaking
+    # the one-scan/no-corpus-shuffle contract (plan-asserted in
+    # tests/test_plans.py::test_incremental_semantic_dedup_no_corpus_shuffle).
+    c = corpus.select(
         F.col(id_col).alias("__cid"),
         F.col(vec_col).alias("__cv"),
         _norm(F.col(vec_col), dim).alias("__cn"),

@@ -441,3 +441,20 @@ def test_global_percent_rank_single_row(spark):
     df = spark.createDataFrame([(1, 5.0)], "id int, v double")
     [row] = global_percent_rank(df, ["v", "id"], out_col="pct").collect()
     assert row["pct"] == 0.0  # n == 1 → 0.0, matching percent_rank semantics
+
+
+def test_asof_join_rejects_bad_inputs(spark):
+    import pytest as _pytest
+
+    from sport_data_pipeline_spark.operators.joins import asof_join
+
+    left = spark.createDataFrame([(1, 10)], "k int, t int")
+    right = spark.createDataFrame([(1, 9, 5.0)], "k int, t int, v double")
+    with _pytest.raises(ValueError, match="at least one right_values"):
+        asof_join(left, right, on=["k"], left_ts="t", right_ts="t", right_values=[])
+    # mixed numeric-left / timestamp-right must error clearly, not cast
+    right_ts = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1), 5.0)], "k int, t timestamp, v double"
+    )
+    with _pytest.raises(ValueError, match="dtypes disagree"):
+        asof_join(left, right_ts, on=["k"], left_ts="t", right_ts="t", right_values=["v"])

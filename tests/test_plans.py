@@ -381,3 +381,15 @@ def test_percentile_peer_distributed_rank_no_unpartitioned_data_window(spark):
         "data-side window must be partitioned by the range-partition id"
     )
     assert plan.count("Exchange SinglePartition") == 1
+
+
+def test_incremental_semantic_dedup_no_corpus_shuffle(spark):
+    # ADVICE r7: the corpus must STREAM from its input splits into the
+    # broadcast cross join — no round-robin Exchange rebalancing corpus
+    # vectors. The only exchanges allowed carry ≤|batch| rows (the
+    # post-filter min-id aggregate and the left-join back).
+    plan = physical_plan(SPECS["incremental_semantic_dedup"].fn(spark, SF_DIR))
+    assert "RoundRobinPartitioning" not in plan
+    assert "Exchange rangepartitioning" not in plan
+    assert "BroadcastNestedLoopJoin BuildLeft" in plan
+    assert plan.count("Exchange hashpartitioning") == 2

@@ -97,21 +97,45 @@ def query(
 #: in-window via dup_span_profile's posexplode and corpus_train_shards'
 #: chunk explode). All rotated-out queries keep their green history and
 #: stay DuckDB-oracled locally (tests/test_queries_oracle.py).
+#: r8 rotation (12 swaps) CLOSES THE BACKLOG: after it, every
+#: oracle-bearing query in the registry has held at least one external
+#: driver row. IN came the final twelve first-time rows — the eight
+#: COVERAGE.md r8 candidates (open_close, league_summary,
+#: user_activity_topk, field_coverage, frequency_count, rollup_pricing,
+#: cube_order_stats, segment_argmax — returning W5/J11 continuity,
+#: A12/A2, ts-similarity + ann-cosine + A1, A11, A5, A1(rollup),
+#: A1(cube), A7) plus the four r7-new operators (asof_nearest_clicks,
+#: dedup_spans_rewrite, source_cap_sample, incremental_semantic_dedup).
+#: OUT went twelve green-row holders whose tags stay represented:
+#: asof_clicks → asof_nearest_clicks (J10/J11/W5, the strict superset
+#: direction parity); global_aggregates → league_summary (A2);
+#: segment_stats → segment_argmax (A7); semantic_dedup_cells →
+#: incremental_semantic_dedup (dedup-semantic); dup_span_profile →
+#: dedup_spans_rewrite (dedup-substring/U3); incremental_dedup_indexed
+#: → e2e_daily_pipeline + incremental_semantic_dedup
+#: (dedup-incremental); and six whose residual tag moved to the
+#: accepted-exception list with an in-window sibling of the same shape
+#: (tests/test_registry.py): token_counts (F4(text)), histogram_bucket
+#: (A6), hard_negative_mining (llm-hard-negatives), union_distinct_keys
+#: (U2), doc_quality (A11(text)), ratio_of_sums (A3). percentile_peer
+#: deliberately KEEPS its slot so the r8 distributed-rank rewrite is
+#: re-verified externally.
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
     "multi_join_daterange",
-    "global_aggregates",
-    "ratio_of_sums",
-    "histogram_bucket",
-    "segment_stats",
-    "union_distinct_keys",
+    "league_summary",
+    "frequency_count",
+    "rollup_pricing",
+    "cube_order_stats",
+    "segment_argmax",
     # windows / temporal
     "last_n_form",
     "h2h_symmetric",
     "latest_per_key",
     "standings",
-    "asof_clicks",
+    "asof_nearest_clicks",
+    "open_close",
     "time_bucket_cascade",
     "trend_forecast",
     "percentile_peer",
@@ -119,27 +143,26 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "json_extract_stats",
     "string_normalize_slug",
     "parse_functions",
-    "token_counts",
-    "doc_quality",
+    "field_coverage",
     "doc_fingerprint",
     "doc_winnow_fingerprint",
     # similarity / dedup / ANN
     "fuzzy_entity_match_blocked",
     "minhash_jaccard_neardup",
     "simhash_neardup",
-    "incremental_dedup_indexed",
-    "semantic_dedup_cells",
-    "dup_span_profile",
+    "incremental_semantic_dedup",
+    "dedup_spans_rewrite",
     "embedding_cosine_neardup",
     "neardup_clusters",
     "embedding_quantize_error",
     "pq_topk_recall",
-    "hard_negative_mining",
+    "user_activity_topk",
     # domain composites
     "term_mapping",
     "record_unification",
     "external_id_lookup",
     "heavy_hitters_sketch",
+    "source_cap_sample",
     # e2e: bronze snapshots -> DataSource read -> refine -> gate -> dedup
     "e2e_daily_pipeline",
     # LLM corpus prep

@@ -41,17 +41,11 @@ def test_window_covers_all_survey_ops():
         if n not in DRIVER_WINDOW and not ops(s) <= window_ops
     }
     # Known, accepted exceptions — all still checked by the local DuckDB
-    # oracle suite. A1(rollup)/A1(cube) are the grouping-sets variants of
-    # in-window A1. (r7 returned A6, U2, F4(text), X6 and
-    # llm-hard-negatives to the window via histogram_bucket,
-    # union_distinct_keys, token_counts and hard_negative_mining.)
+    # oracle suite. (r8 returned A1(rollup), A1(cube), ts-similarity and
+    # A11 to the window via rollup_pricing, cube_order_stats,
+    # user_activity_topk and field_coverage — the rotation that closed
+    # the driver-row backlog.)
     accepted = {
-        "A1(rollup)",
-        "A1(cube)",
-        # time-series profile similarity: beyond-reference extension whose
-        # execution shape (aligned-vector cosine top-k) is in-window via
-        # ann-cosine; fully DuckDB-oracled in the tail.
-        "ts-similarity",
         # Arrow/BLAS top-k: alternative physical path for the same rank
         # projection as in-window ann-cosine (embedding_topk); rotated out
         # in r5 to free a slot, agreement unit-tested + DuckDB-oracled.
@@ -68,11 +62,6 @@ def test_window_covers_all_survey_ops():
         # oracled in the tail via in-query error-bound booleans.
         "A2(approx)",
         "A7(approx)",
-        # exact field-coverage stats: variant of in-window A11(text)
-        # (doc_quality); retention_cohorts carried the tag green r3–r5,
-        # rotated out for the streaming verdict rows; field_coverage stays
-        # DuckDB-oracled in the tail.
-        "A11",
         # scalar CASE/aliasing projection variants of in-window F12
         # (top_performers, lm_quality_score); projection_case carried them
         # green r1–r5, rotated out in r6, still DuckDB-oracled.
@@ -97,11 +86,37 @@ def test_window_covers_all_survey_ops():
         # in r7, still DuckDB-oracled.
         "A7(text)",
         # generator-function tag: the explode/posexplode shape stays
-        # in-window via dup_span_profile (posexplode) and
+        # in-window via dedup_spans_rewrite (span/position explode) and
         # corpus_train_shards (chunk explode); doc_chunks carried the tag
         # green r1–r6, rotated out in r7, still DuckDB-oracled + bench
         # headline.
         "UDTF",
+        # --- r8 rotation (driver-row-backlog close): each tag below left
+        # the window with a green row history and an in-window sibling of
+        # the same execution shape; all stay DuckDB-oracled locally. ---
+        # regex token split: the text variant of in-window F4
+        # (parse_functions); token_counts carried it green r7.
+        "F4(text)",
+        # width-bucket histogram: a map-side bucket-id expression feeding
+        # the in-window A5 grouped-count shape (frequency_count);
+        # histogram_bucket carried it green r5–r7.
+        "A6",
+        # hard-negative mining: the same broadcast-probe cosine top-k
+        # shape as in-window ann-cosine (user_activity_topk);
+        # hard_negative_mining carried it green r7.
+        "llm-hard-negatives",
+        # union-distinct: in-window U1 (snapshot_table_diff) plus the
+        # partial-distinct-before-exchange shape; union_distinct_keys
+        # carried it green r7.
+        "U2",
+        # text-side coverage stats: the documents-table variant of
+        # in-window A11 (field_coverage); doc_quality carried it green
+        # r6–r7.
+        "A11(text)",
+        # ratio of grouped decimal sums: in-window A1/A2 grouped
+        # aggregation with a derived division (league_summary);
+        # ratio_of_sums carried it green r7.
+        "A3",
     }
     real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
     real = {n: lost for n, lost in real.items() if lost}

@@ -212,7 +212,7 @@ FROM (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM n)
 """
 
 
-@query("doc_chunks", survey="llm-chunking,P1,UDTF", oracle=DOC_CHUNKS_ORACLE, headline=True)
+@query("doc_chunks", survey="llm-chunking,P1,UDTF", oracle=DOC_CHUNKS_ORACLE)
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunks (64-token windows, 48-token stride).
 
@@ -953,6 +953,7 @@ FROM t LEFT JOIN agg a USING (doc_id)
     "dedup_spans_rewrite",
     survey="dedup-substring,U3",
     oracle=DEDUP_SPAN_REWRITE_ORACLE,
+    headline=True,
 )
 def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The REMOVAL half of ExactSubstr dedup (Lee et al. 2022, new r7):

@@ -848,7 +848,7 @@ ORDER BY b.doc_id
 """
 
 
-@query("incremental_dedup_docs", survey="dedup-incremental,U3", oracle=INCR_DEDUP_ORACLE, headline=True)
+@query("incremental_dedup_docs", survey="dedup-incremental,U3", oracle=INCR_DEDUP_ORACLE)
 def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Route every batch doc: dup_exact / near_dup / kept, with the
     smallest matching corpus id. See operators/dedup.incremental_dedup for
@@ -1015,6 +1015,7 @@ FROM b LEFT JOIN m ON m.vec_id = b.vec_id
     "incremental_semantic_dedup",
     survey="dedup-semantic,dedup-incremental,U3",
     oracle=INCR_SEMANTIC_ORACLE,
+    headline=True,
 )
 def incremental_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One-sided SEMANTIC dedup of an incoming batch vs the corpus (new

@@ -387,7 +387,7 @@ FROM j WHERE rn = 1
 """
 
 
-@query("asof_clicks", survey="J10,J11,W5", oracle=ASOF_ORACLE, headline=True)
+@query("asof_clicks", survey="J10,J11,W5", oracle=ASOF_ORACLE)
 def asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union+window as-of join: one shuffle on user_id, no theta-join blowup
     (the oracle's LEFT JOIN .. ts<=ts is quadratic per key; this is linear).
@@ -449,7 +449,7 @@ FROM p LEFT JOIN pick k ON k.purchase_id = p.purchase_id AND k.rn = 1
 """
 
 
-@query("asof_nearest_clicks", survey="J10,J11,W5", oracle=ASOF_NEAREST_ORACLE)
+@query("asof_nearest_clicks", survey="J10,J11,W5", oracle=ASOF_NEAREST_ORACLE, headline=True)
 def asof_nearest_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """``merge_asof``-parity as-of join: NEAREST direction with a 1-hour
     tolerance (new in r7 — backward/forward/nearest + tolerance cover the

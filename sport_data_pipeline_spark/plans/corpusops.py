@@ -1104,18 +1104,73 @@ near AS (
     AND CAST(len(list_intersect(b.s3, c.s3)) AS DOUBLE)
         / len(list_distinct(b.s3 || c.s3)) >= 0.5
   GROUP BY 1
+),
+routed AS (
+  SELECT g.doc_id, g.toks,
+         CASE WHEN NOT g.q_pass THEN 'quality_fail'
+              WHEN ex.em IS NOT NULL THEN 'dup_exact'
+              WHEN near.nm IS NOT NULL THEN 'near_dup'
+              ELSE 'kept' END AS status,
+         CASE WHEN g.q_pass THEN COALESCE(ex.em, near.nm) END AS match_id,
+         CAST(len(g.toks) AS BIGINT) AS n_tok
+  FROM crawled g
+  LEFT JOIN ex ON g.doc_id = ex.doc_id
+  LEFT JOIN near ON g.doc_id = near.doc_id
+),
+-- ExactSubstr REMOVAL half over (kept batch docs) UNION (silver corpus):
+-- cut every token span that also appears verbatim in another doc of the
+-- post-routing corpus (batch ids %5 in 1..3 and corpus ids %5=0 are
+-- disjoint)
+ku AS (
+  SELECT r.doc_id, r.toks FROM routed r WHERE r.status = 'kept'
+  UNION ALL
+  SELECT doc_id, toks FROM c
+),
+spos AS (
+  SELECT doc_id, toks, unnest(generate_series(1, len(toks) - {_SPAN_K - 1})) AS i
+  FROM ku WHERE len(toks) >= {_SPAN_K}
+),
+ssh AS (
+  SELECT doc_id, i - 1 AS p,
+         md5(array_to_string(toks[i:i + {_SPAN_K - 1}], ' ')) AS h
+  FROM spos
+),
+sdup AS (SELECT h FROM ssh GROUP BY h HAVING min(doc_id) <> max(doc_id)),
+shits AS (SELECT doc_id, p FROM ssh JOIN sdup USING (h)),
+sisl AS (
+  SELECT doc_id, p,
+         SUM(CASE WHEN prev IS NULL OR p - prev > {_SPAN_K} THEN 1 ELSE 0 END)
+           OVER (PARTITION BY doc_id ORDER BY p) AS island
+  FROM (SELECT doc_id, p,
+               lag(p) OVER (PARTITION BY doc_id ORDER BY p) AS prev
+        FROM shits)
+),
+sspans AS (
+  SELECT doc_id, MIN(p) AS s, MAX(p) + {_SPAN_K - 1} AS e
+  FROM sisl GROUP BY doc_id, island
+),
+srm AS (SELECT doc_id, unnest(generate_series(s, e)) AS p FROM sspans),
+stok AS (
+  SELECT doc_id, i - 1 AS p, toks[i] AS tok
+  FROM (SELECT doc_id, toks, unnest(generate_series(1, len(toks))) AS i FROM ku)
+),
+skeep AS (
+  SELECT stok.doc_id, stok.p, stok.tok
+  FROM stok LEFT JOIN srm ON srm.doc_id = stok.doc_id AND srm.p = stok.p
+  WHERE srm.p IS NULL
+),
+sagg AS (
+  SELECT doc_id, COUNT(*) AS n_tok_clean,
+         string_agg(tok, ' ' ORDER BY p) AS text_clean
+  FROM skeep GROUP BY doc_id
 )
-SELECT g.doc_id,
-       CASE WHEN NOT g.q_pass THEN 'quality_fail'
-            WHEN ex.em IS NOT NULL THEN 'dup_exact'
-            WHEN near.nm IS NOT NULL THEN 'near_dup'
-            ELSE 'kept' END AS status,
-       CASE WHEN g.q_pass THEN COALESCE(ex.em, near.nm) END AS match_id,
-       CAST(len(g.toks) AS BIGINT) AS n_tok
-FROM crawled g
-LEFT JOIN ex ON g.doc_id = ex.doc_id
-LEFT JOIN near ON g.doc_id = near.doc_id
-ORDER BY g.doc_id
+SELECT r.doc_id, r.status, r.match_id, r.n_tok,
+       CASE WHEN r.status = 'kept'
+            THEN CAST(COALESCE(a.n_tok_clean, 0) AS BIGINT) END AS n_tok_clean,
+       CASE WHEN r.status = 'kept' THEN md5(COALESCE(a.text_clean, '')) END AS clean_fp
+FROM routed r
+LEFT JOIN sagg a ON r.doc_id = a.doc_id
+ORDER BY r.doc_id
 """
 
 
@@ -1134,13 +1189,18 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     per doc with the latest-wins merge (W7/S10: poll 2's re-crawl of the
     %5=2 docs supersedes poll 1 by snapshot-stem order), pass a token-count
     quality gate, and route against the existing silver corpus with the
-    one-sided incremental dedup. Returns the full per-doc routing table.
+    one-sided incremental dedup. Since r8 the pipeline also runs the
+    ExactSubstr REMOVAL half over the post-routing corpus (kept batch ∪
+    silver): every kept doc's cross-document duplicated token spans are
+    cut and the doc reassembled, yielding `n_tok_clean` and a cleaned-text
+    fingerprint — the full routing table now proves gate, route, AND
+    rewrite in one hash-compared artifact.
     """
     import datetime as _dt
     import shutil
     import tempfile
 
-    from ..operators.dedup import incremental_dedup
+    from ..operators.dedup import incremental_dedup, remove_duplicated_spans
     from ..operators.merge import merge_latest
     from ..sources.pydatasource import load_snapshots
     from ..sources.sinks import write_snapshot
@@ -1181,18 +1241,49 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.5,
             shingle_n=3,
         )
+        routing = gated.select("doc_id", "n_tok", "text").join(
+            routed, "doc_id", "left"
+        ).select(
+            "doc_id",
+            F.coalesce("status", F.lit("quality_fail")).alias("status"),
+            "match_id",
+            "n_tok",
+            "text",
+        )
+        # the REMOVAL half (r8): docs that survive routing still get every
+        # token span that appears verbatim elsewhere in the post-routing
+        # corpus (kept batch ∪ silver) cut out — span report → position
+        # explode → anti-join → deterministic reassembly, all equi-joins
+        # (operators/dedup.remove_duplicated_spans)
+        kept_union = routing.filter(F.col("status") == "kept").select(
+            "doc_id", "text"
+        ).unionByName(corpus.select("doc_id", "text"))
+        cleaned = remove_duplicated_spans(
+            kept_union, "doc_id", "text", k=_SPAN_K
+        ).select(
+            "doc_id",
+            F.col("n_tok_kept").alias("n_tok_clean"),
+            F.md5(F.col("text_clean").cast("binary")).alias("clean_fp"),
+        )
         rows = (
-            gated.select("doc_id", "n_tok")
-            .join(routed, "doc_id", "left")
+            routing.join(cleaned, "doc_id", "left")
             .select(
                 "doc_id",
-                F.coalesce("status", F.lit("quality_fail")).alias("status"),
+                "status",
                 "match_id",
                 "n_tok",
+                F.when(F.col("status") == "kept", F.col("n_tok_clean")).alias(
+                    "n_tok_clean"
+                ),
+                F.when(F.col("status") == "kept", F.col("clean_fp")).alias("clean_fp"),
             )
             .orderBy("doc_id")
             .collect()
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long, status string, match_id long, n_tok long")
+    return spark.createDataFrame(
+        rows,
+        "doc_id long, status string, match_id long, n_tok long,"
+        " n_tok_clean long, clean_fp string",
+    )

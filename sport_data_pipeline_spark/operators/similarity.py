@@ -700,6 +700,147 @@ def incremental_semantic_dedup(
     )
 
 
+#: FP slack on the IVF cell bound: the triangle-inequality prune is exact
+#: in real arithmetic; double rounding of (q·c + r) can land ~1e-14 below
+#: the true value, so the comparison concedes 1e-9 — overwhelmingly safe
+#: and a negligible pruning loss.
+_CELL_BOUND_EPS = 1e-9
+
+
+def incremental_semantic_dedup_routed(
+    batch: DataFrame,
+    corpus: DataFrame,
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    n_cells: int | None = None,
+    seed: int = 42,
+    target_cell_size: int = 512,
+    dim: int | None = None,
+) -> DataFrame:
+    """IVF-pre-routed :func:`incremental_semantic_dedup` — bit-identical
+    result, with the |batch| × |corpus| multiply-adds cut to the cells
+    that can POSSIBLY contain a match.
+
+    The broadcast-probe base operator is the right shape while the batch
+    broadcasts, but every corpus vector still scores against every batch
+    vector. This variant coarse-quantizes the corpus into k-means cells
+    (write-time in production — the same machinery and discipline as
+    :func:`build_ivf_index`; fitted inline here with a fixed seed) and
+    prunes LOSSLESSLY with a per-cell radius bound: for unit vectors,
+
+        cos(q, x) = q̂·x̂ = q̂·ĉ + q̂·(x̂ − ĉ) ≤ q̂·ĉ + ‖x̂ − ĉ‖ ≤ q̂·ĉ + r_cell
+
+    so a (batch vector, cell) pair with ``q̂·ĉ + r_cell < threshold`` can
+    be skipped without recall loss — no member of that cell can clear the
+    threshold. Pruning power grows with the threshold (at production
+    τ ≥ 0.8 most cells fail the bound; at τ → 0 it degrades gracefully to
+    the unrouted scan). Requires ``threshold > 0`` (zero-norm vectors
+    define cosine 0 and never match, exactly as in the base operator).
+
+    The FINAL cosine check re-runs the base operator's fold on the RAW
+    vectors — the bound only selects candidate cells — so the output is
+    bit-identical to the unrouted operator (unit-pinned in
+    tests/test_similarity.py).
+
+    Execution shape: centroids+radii are a k-row broadcast; the batch ×
+    cells bound check is |batch|·k; the surviving (batch, cell) pairs
+    broadcast into an equi-join on the cell id against the cell-assigned
+    corpus — per-cell work is |batch∩bound| × |cell|, and the corpus
+    moves once (at write time in production, where the index is stored
+    partitioned by cell like the IVF parquet layout).
+    """
+    if threshold <= 0:
+        raise ValueError("cell-bound routing requires threshold > 0")
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = batch.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
+
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col), dim).alias("__cn"),
+    ).filter(F.col("__cn") > 0)  # zero-norm corpus rows can never match
+    # ---- write-time half: fit cells, assign corpus, measure radii ----
+    feat = c.repartition(n_parts, F.col("__cid")).withColumn(
+        "__feat",
+        array_to_vector(F.transform("__cv", lambda x: x.cast("double") / F.col("__cn"))),
+    )
+    if n_cells is None:
+        n_cells = auto_n_cells(feat.count(), target_cell_size)
+    n_cells = max(2, n_cells)
+    model = KMeans(
+        k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell"
+    ).fit(feat)
+    assigned = model.transform(feat).drop("__feat")
+    centers = [(i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())]
+    cent = spark.createDataFrame(centers, "__cell int, __centroid array<double>")
+    unit_dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "__cv",
+                "__centroid",
+                lambda x, cc: (x.cast("double") / F.col("__cn") - cc)
+                * (x.cast("double") / F.col("__cn") - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    radii = F.broadcast(
+        assigned.join(F.broadcast(cent), "__cell")
+        .select("__cell", unit_dist.alias("__d"))
+        .groupBy("__cell")
+        .agg(F.max("__d").alias("__r"))
+        .join(F.broadcast(cent), "__cell")
+    )  # k rows: (__cell, __r, __centroid)
+
+    # ---- query half: bound-select cells per batch vector ----
+    b = batch.select(
+        F.col(id_col).alias("__bid"),
+        F.col(vec_col).alias("__bv"),
+        _norm(F.col(vec_col), dim).alias("__bn"),
+    )
+    live_b = b.filter(F.col("__bn") > 0)
+    q_dot_c = F.aggregate(
+        F.zip_with(
+            "__bv", "__centroid", lambda x, cc: x.cast("double") / F.col("__bn") * cc
+        ),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cand = (
+        live_b.crossJoin(radii)
+        .filter(q_dot_c + F.col("__r") >= F.lit(threshold - _CELL_BOUND_EPS))
+        .select("__bid", "__bv", "__bn", "__cell")
+    )
+    # ---- exact verify on raw vectors (identical fold to the base op) ----
+    cos = F.when(
+        (F.col("__bn") > 0) & (F.col("__cn") > 0),
+        _dot(F.col("__bv"), F.col("__cv"), dim) / (F.col("__bn") * F.col("__cn")),
+    ).otherwise(F.lit(0.0))
+    matches = (
+        F.broadcast(cand)
+        .join(assigned.select("__cell", "__cid", "__cv", "__cn"), "__cell")
+        .filter(cos >= F.lit(threshold))
+        .groupBy("__bid")
+        .agg(F.min("__cid").alias("match_id"))
+    )
+    return (
+        b.select("__bid")
+        .join(matches, "__bid", "left")
+        .select(
+            F.col("__bid").alias(id_col),
+            F.when(F.col("match_id").isNull(), F.lit("kept"))
+            .otherwise(F.lit("semantic_dup"))
+            .alias("status"),
+            "match_id",
+        )
+    )
+
+
 def _unit(vec: Column, dim: int) -> Column:
     """L2-normalized copy of an array column (zero vector stays zero)."""
     nrm = _norm(vec, dim)

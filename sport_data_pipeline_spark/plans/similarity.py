@@ -982,7 +982,7 @@ ORDER BY e.vec_id
 """
 
 
-INCR_SEMANTIC_ORACLE = """
+_INCR_SEMANTIC_SQL = """
 WITH b AS (
   SELECT vec_id, embedding AS v,
          sqrt(list_sum(list_transform(embedding,
@@ -1001,7 +1001,7 @@ m AS (
     ON b.n > 0 AND c.n > 0
    AND list_sum(list_transform(list_zip(b.v, c.v),
          x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (b.n * c.n)
-       >= 0.4
+       >= {tau}
   GROUP BY b.vec_id
 )
 SELECT b.vec_id,
@@ -1009,6 +1009,9 @@ SELECT b.vec_id,
        m.match_id
 FROM b LEFT JOIN m ON m.vec_id = b.vec_id
 """
+
+INCR_SEMANTIC_ORACLE = _INCR_SEMANTIC_SQL.format(tau=0.4)
+INCR_SEMANTIC_IVF_ORACLE = _INCR_SEMANTIC_SQL.format(tau=0.8)
 
 
 @query(
@@ -1032,6 +1035,30 @@ def incremental_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     batch = emb.filter(F.col("vec_id") % 5 == 1)
     corpus = emb.filter(F.col("vec_id") % 5 != 1)
     return incremental_semantic_dedup(batch, corpus, "vec_id", "embedding", threshold=0.4)
+
+
+@query(
+    "incremental_semantic_dedup_ivf",
+    survey="dedup-semantic,dedup-incremental,ann-cosine-ivf,U3",
+    oracle=INCR_SEMANTIC_IVF_ORACLE,
+)
+def incremental_semantic_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-pre-routed incremental semantic dedup at the production
+    threshold (0.8): the corpus is coarse-quantized into k-means cells
+    (write-time discipline, same machinery as build_ivf_index) and batch
+    vectors probe only cells passing the LOSSLESS radius bound
+    cos(q,x) <= q_hat.c + r_cell — the exact-verify fold then runs on raw
+    vectors, so the routing table is bit-identical to the unrouted
+    operator (unit-pinned) and to the exact one-sided all-pairs oracle.
+    n_cells pinned for cross-run determinism of the cell fit."""
+    from ..operators.similarity import incremental_semantic_dedup_routed
+
+    emb = _t(spark, sf_dir, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 1)
+    corpus = emb.filter(F.col("vec_id") % 5 != 1)
+    return incremental_semantic_dedup_routed(
+        batch, corpus, "vec_id", "embedding", threshold=0.8, n_cells=8
+    )
 
 
 @query("semantic_dedup", survey="dedup-semantic,iterative,U3", oracle=SEMANTIC_DEDUP_ORACLE)

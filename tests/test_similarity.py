@@ -346,3 +346,42 @@ def test_incremental_semantic_dedup_routes_batch(spark):
         12: ("kept", None),
         13: ("semantic_dup", 4),
     }
+
+
+def test_incremental_semantic_dedup_routed_bit_identical(spark):
+    # the IVF cell-radius prune is lossless: the routed variant must
+    # return exactly the unrouted operator's routing table, at a high
+    # threshold (strong pruning) and a low one (bound rarely fires)
+    from sport_data_pipeline_spark.catalog import load_table
+    from sport_data_pipeline_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        incremental_semantic_dedup_routed,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 1)
+    corpus = emb.filter(F.col("vec_id") % 5 != 1)
+    for tau in (0.8, 0.4):
+        base = {
+            r.vec_id: (r.status, r.match_id)
+            for r in incremental_semantic_dedup(
+                batch, corpus, "vec_id", threshold=tau
+            ).collect()
+        }
+        routed = {
+            r.vec_id: (r.status, r.match_id)
+            for r in incremental_semantic_dedup_routed(
+                batch, corpus, "vec_id", threshold=tau, n_cells=8
+            ).collect()
+        }
+        assert routed == base
+
+
+def test_incremental_semantic_dedup_routed_rejects_nonpositive_threshold(spark):
+    from sport_data_pipeline_spark.operators.similarity import (
+        incremental_semantic_dedup_routed,
+    )
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="threshold > 0"):
+        incremental_semantic_dedup_routed(emb, emb, "vec_id", threshold=0.0)

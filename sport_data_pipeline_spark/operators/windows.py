@@ -172,3 +172,61 @@ def global_percent_rank(
         )
         .drop("__pid", "__off", "__total")
     )
+
+
+def global_quantiles(
+    df: DataFrame,
+    value_col: str,
+    tiebreak_col: str,
+    ps: Sequence[float],
+) -> DataFrame:
+    """EXACT global quantiles (``percentile_disc`` semantics) without a
+    single-partition sort — the same distributed-rank machinery as
+    :func:`global_percent_rank`.
+
+    ``percentile_disc(p)`` is the value at 1-based position ``ceil(p·n)``
+    of the sorted multiset; ties in ``value_col`` don't matter because any
+    row at that position carries the same value, so ranking by the total
+    order ``(value_col, tiebreak_col)`` and picking the target row is
+    exact. Plan: range exchange on the order columns → per-partition
+    counts (≤ P rows) → broadcast cumulative offsets → row_number within
+    each range partition → filter to the ≤ len(ps) target positions.
+    Every partition is bounded at ~n/P; the only unpartitioned window
+    runs over the P-row counts frame (config-bounded).
+
+    Returns ``(p, value)`` — one row per requested quantile; empty input
+    returns no rows. ``approx_percentile`` is the one-pass sketch
+    alternative; this is the exact path for when the quantile IS the
+    product (split thresholds, calibration cuts).
+    """
+    if not ps:
+        raise ValueError("global_quantiles requires at least one quantile")
+    if any(p <= 0 or p > 1 for p in ps):
+        raise ValueError(f"quantiles must be in (0, 1]: {list(ps)}")
+    cols = [F.col(value_col), F.col(tiebreak_col)]
+    part = df.repartitionByRange(*cols).withColumn("__pid", F.spark_partition_id())
+    counts = part.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    w_off = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("__pid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "__pid",
+        F.coalesce(F.sum("__cnt").over(w_off), F.lit(0)).alias("__off"),
+        F.sum("__cnt").over(w_tot).alias("__total"),
+    )
+    w_rn = Window.partitionBy("__pid").orderBy(*cols)
+    ranked = part.join(F.broadcast(offsets), "__pid").select(
+        F.col(value_col).alias("value"),
+        (F.col("__off") + F.row_number().over(w_rn)).alias("__rank"),
+        "__total",
+    )
+    # targets as a tiny literal frame: rank == ceil(p * n), 1-based
+    p_df = F.broadcast(
+        df.sparkSession.createDataFrame([(float(p),) for p in ps], "p double")
+    )
+    return (
+        ranked.join(p_df, F.ceil(F.col("p") * F.col("__total")) == F.col("__rank"))
+        .select("p", "value")
+        .orderBy("p")
+    )

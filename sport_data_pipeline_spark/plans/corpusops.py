@@ -1287,3 +1287,62 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, status string, match_id long, n_tok long,"
         " n_tok_clean long, clean_fp string",
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE merge-pair statistics (r8): the first iteration of byte-pair-encoding
+# training — count adjacent character pairs across the corpus weighted by
+# word frequency, the statistic a tokenizer trainer computes before every
+# merge. Wordcount-shaped twice over (word counts, then pair counts over
+# the DISTINCT word list), so the second explode is vocabulary-sized, not
+# corpus-sized — the trick that makes BPE training feasible at 100 TB:
+# corpus tokens collapse to the vocabulary before any per-character work.
+# ---------------------------------------------------------------------------
+
+BPE_PAIR_ORACLE = r"""
+WITH w AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\s+')) AS w FROM documents
+),
+wc AS (
+  SELECT w, COUNT(*) AS wn FROM w WHERE len(w) >= 2 GROUP BY w
+),
+pairs AS (
+  SELECT unnest([w[i:i+1] FOR i IN generate_series(1, len(w) - 1)]) AS pair, wn
+  FROM wc
+),
+agg AS (SELECT pair, CAST(SUM(wn) AS BIGINT) AS n FROM pairs GROUP BY pair)
+SELECT pair, n FROM agg ORDER BY n DESC, pair LIMIT 20
+"""
+
+
+@query("bpe_pair_stats", survey="A5,llm-index", oracle=BPE_PAIR_ORACLE)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 adjacent character pairs weighted by word frequency — the
+    first BPE training iteration. Two wordcount-shaped passes: corpus
+    tokens collapse to (word, count) first, so the character-pair explode
+    runs over the VOCABULARY (bounded) rather than the corpus; the final
+    top-20 is TakeOrderedAndProject, never a global sort."""
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
+    wc = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .filter(F.length("w") >= 2)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+    )
+    pairs = wc.select(
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.length("w") - 1),
+                lambda i: F.substring(F.col("w"), i, F.lit(2)),
+            )
+        ).alias("pair"),
+        "wn",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("wn").cast("long").alias("n"))
+        .orderBy(F.desc("n"), F.asc("pair"))
+        .limit(20)
+    )

@@ -16,6 +16,7 @@ from ..operators.sessionize import sessionize
 from ..operators.windows import (
     first_last_value,
     global_percent_rank,
+    global_quantiles,
     last_n_per_key,
     rank_standings,
     time_bucket_agg,
@@ -649,3 +650,31 @@ def trend_forecast(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_custkey", F.year("o_orderdate").alias("yr")
     ).agg(F.count(F.lit(1)).alias("n_orders"))
     return linear_trend_forecast(per_year, ["o_custkey"], "yr", "n_orders")
+
+
+# ---------------------------------------------------------------------------
+# Exact global quantiles via the distributed-rank machinery (r8): the exact
+# sibling of approx_percentile for when the quantile IS the product
+# (split thresholds, calibration cuts). No single-partition sort — see
+# operators/windows.global_quantiles.
+# ---------------------------------------------------------------------------
+
+_QUANTILE_PS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+GLOBAL_QUANTILES_ORACLE = "\nUNION ALL\n".join(
+    f"SELECT CAST({p} AS DOUBLE) AS p,"
+    f" quantile_disc(l_extendedprice, {p}) AS value FROM lineitem"
+    for p in _QUANTILE_PS
+) + "\nORDER BY p"
+
+
+@query("global_exact_quantiles", survey="A7,W2", oracle=GLOBAL_QUANTILES_ORACLE)
+def global_exact_quantiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact p25/p50/p75/p90/p99 of lineitem prices, computed
+    distributively: range exchange + broadcast offsets + per-partition
+    row_number, then filter to the ceil(p*n) target positions —
+    percentile_disc semantics with every partition bounded at ~n/P
+    (operators/windows.global_quantiles). The DuckDB twin is
+    quantile_disc, pinned to the same 1-based ceil(p*n) position rule."""
+    l = _t(spark, sf_dir, "lineitem").select("l_extendedprice", "l_orderkey")
+    return global_quantiles(l, "l_extendedprice", "l_orderkey", list(_QUANTILE_PS))

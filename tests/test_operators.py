@@ -458,3 +458,18 @@ def test_asof_join_rejects_bad_inputs(spark):
     )
     with _pytest.raises(ValueError, match="dtypes disagree"):
         asof_join(left, right_ts, on=["k"], left_ts="t", right_ts="t", right_values=["v"])
+
+
+def test_global_quantiles_validation_and_edges(spark):
+    import pytest as _pytest
+
+    from sport_data_pipeline_spark.operators.windows import global_quantiles
+
+    df = spark.createDataFrame([(1, 5.0)], "id int, v double")
+    with _pytest.raises(ValueError, match="at least one"):
+        global_quantiles(df, "v", "id", [])
+    with _pytest.raises(ValueError, match="in \\(0, 1\\]"):
+        global_quantiles(df, "v", "id", [0.0, 0.5])
+    # single row: every quantile is that row's value
+    rows = global_quantiles(df, "v", "id", [0.25, 1.0]).collect()
+    assert [(r["p"], r["value"]) for r in rows] == [(0.25, 5.0), (1.0, 5.0)]

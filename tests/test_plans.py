@@ -393,3 +393,13 @@ def test_incremental_semantic_dedup_no_corpus_shuffle(spark):
     assert "Exchange rangepartitioning" not in plan
     assert "BroadcastNestedLoopJoin BuildLeft" in plan
     assert plan.count("Exchange hashpartitioning") == 2
+
+
+def test_global_exact_quantiles_distributed(spark):
+    # exact quantiles must use the range-partitioned rank machinery — the
+    # only SinglePartition exchange allowed is the config-bounded counts
+    # rollup (plus nothing over the lineitem-scale data)
+    plan = physical_plan(SPECS["global_exact_quantiles"].fn(spark, SF_DIR))
+    assert "Exchange rangepartitioning" in plan
+    assert "percent_rank" not in plan
+    assert plan.count("Exchange SinglePartition") <= 2  # counts rollup + 5-row final sort

@@ -1348,3 +1348,62 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(tmp, ignore_errors=True)
 
     return spark.createDataFrame(rows, "doc_id long, status string, match_id long")
+
+
+# ---------------------------------------------------------------------------
+# Per-language embedding centroids (r8): the domain/cluster mean-embedding
+# a curriculum or mixture designer computes per corpus slice. Floating-point
+# sums are order-dependent under partial aggregation, so the centroid uses
+# the same FIXED-POINT discipline as lm_quality_score: elements scale to
+# integers (×2^20, round-half-away), sum exactly as decimal(38,0) — fully
+# map-side combinable AND bit-portable across engines — and divide back
+# once at the end. Output is (lang, i, c) scalar rows, one per dimension.
+# ---------------------------------------------------------------------------
+
+_CENTROID_SCALE = 1 << 20
+
+EMB_CENTROID_ORACLE = f"""
+WITH j AS (
+  SELECT d.lang, e.embedding
+  FROM documents d JOIN embeddings e ON e.vec_id = d.doc_id
+),
+el AS (
+  SELECT lang,
+         unnest([ CAST(round(CAST(embedding[i] AS DOUBLE) * {_CENTROID_SCALE}) AS DECIMAL(38,0))
+                  FOR i IN generate_series(1, len(embedding)) ]) AS q,
+         unnest(generate_series(1, len(embedding))) AS i
+  FROM j
+)
+SELECT lang, CAST(i AS INTEGER) AS i,
+       CAST(SUM(q) AS DOUBLE) / COUNT(*) / {_CENTROID_SCALE} AS c,
+       CAST(COUNT(*) AS BIGINT) AS n_vecs
+FROM el GROUP BY lang, i
+"""
+
+
+@query("lang_embedding_centroid", survey="A1,llm-quantize", oracle=EMB_CENTROID_ORACLE)
+def lang_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean embedding per language, exact and order-independent: element
+    values quantize to 2^20 fixed-point longs, sum as decimal(38,0)
+    (map-side combinable; no float-accumulation nondeterminism), and
+    divide back once. One posexplode (dim-bounded fan-out) + one grouped
+    aggregation — wordcount-shaped at any corpus size."""
+    d = _t(spark, sf_dir, "documents").select(F.col("doc_id"), "lang")
+    e = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    j = e.join(d, e.vec_id == d.doc_id).select("lang", "embedding")
+    el = j.select(
+        "lang",
+        F.posexplode("embedding").alias("i0", "v"),
+    ).select(
+        "lang",
+        (F.col("i0") + 1).cast("int").alias("i"),
+        F.round(F.col("v").cast("double") * _CENTROID_SCALE)
+        .cast("decimal(38,0)")
+        .alias("q"),
+    )
+    return el.groupBy("lang", "i").agg(
+        (
+            F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(_CENTROID_SCALE)
+        ).alias("c"),
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+    )

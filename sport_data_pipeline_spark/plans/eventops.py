@@ -773,33 +773,67 @@ def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Incident-window attribution: a keyless temporal range join, made scalable
 # by bucket expansion (operators/joins.interval_point_join). The interval
-# side is derived by aggregating error events to the MINUTE grain first, so
-# the one global gaps-and-islands window runs over a frame whose
-# cardinality is bounded by elapsed wall-clock minutes — a property of the
-# time range, not the data volume (a year is ~526k rows regardless of SF).
+# side is derived by aggregating error events to the MINUTE grain first
+# (cardinality bounded by elapsed wall-clock minutes, not event volume),
+# and since r8 the gaps-and-islands pass is TWO-LEVEL: per-day islands run
+# in a day-partitioned window (fully parallel), and a day-level boundary
+# merge runs over one row per present day — so the only unpartitioned
+# window is bounded by elapsed wall-clock DAYS. A 100× longer time span
+# now widens the tiny day frame instead of single-partitioning the whole
+# minute history.
 # ---------------------------------------------------------------------------
 
 def _incident_windows(ev: DataFrame) -> DataFrame:
     """Error-burst windows at minute grain: distinct error minutes merged
     when ≤10 min apart, padded 10 min past the last error minute. ONE
     definition feeds both incident queries (attribution + session
-    overlap), so their window semantics cannot drift apart. The single
-    global gaps-and-islands window is safe because the minute frame's
-    cardinality is bounded by elapsed wall-clock time, not event volume.
-    Returns (w_start, w_end, n_error_minutes)."""
+    overlap), so their window semantics cannot drift apart.
+
+    Distributed gaps-and-islands (bit-identical to the single global
+    window): local islands per calendar day (day-partitioned lag — the
+    within-day global predecessor IS the within-day lag), then a day-level
+    merge pass: day d's first island joins the previous PRESENT day's last
+    island iff the boundary gap is ≤ 10 min (the boundary pair is exactly
+    the global adjacent-minute pair). Global island id = Σ islands of
+    earlier days − Σ merge flags ≤ d + local id, which propagates merge
+    chains across any number of days through the prefix sums. Returns
+    (w_start, w_end, n_error_minutes)."""
+    gap_us = 10 * 60 * 1_000_000
     minutes = (
         ev.filter(F.col("event_type") == "error")
         .select(F.date_trunc("minute", F.col("ts")).alias("m"))
         .distinct()
+        .withColumn("d", F.date_trunc("day", F.col("m")))
     )
-    w = Window.orderBy("m")
-    run = Window.orderBy("m").rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    gap_us = 10 * 60 * 1_000_000
+    w_day = Window.partitionBy("d").orderBy("m")
+    run_day = w_day.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     brk = F.when(
-        F.unix_micros(F.col("m")) - F.lag(F.unix_micros(F.col("m"))).over(w) > gap_us, 1
+        F.unix_micros(F.col("m")) - F.lag(F.unix_micros(F.col("m"))).over(w_day)
+        > gap_us,
+        1,
     ).otherwise(0)
+    local = minutes.withColumn("lg", F.sum(brk).over(run_day) + F.lit(1))
+    # one row per PRESENT day — the only unpartitioned frame, bounded by
+    # elapsed wall-clock days
+    days = local.groupBy("d").agg(
+        F.min("m").alias("__first"),
+        F.max("m").alias("__last"),
+        F.max("lg").alias("__c"),
+    )
+    w_days = Window.orderBy("d")
+    merge = F.when(
+        F.unix_micros(F.col("__first"))
+        - F.lag(F.unix_micros(F.col("__last"))).over(w_days)
+        <= gap_us,
+        1,
+    ).otherwise(0)
+    base = F.coalesce(
+        F.sum("__c").over(w_days.rowsBetween(Window.unboundedPreceding, -1)), F.lit(0)
+    ) - F.sum("__mg").over(w_days.rowsBetween(Window.unboundedPreceding, 0))
+    offs = days.withColumn("__mg", merge).select("d", base.alias("__base"))
     return (
-        minutes.withColumn("g", F.sum(brk).over(run))
+        local.join(F.broadcast(offs), "d")
+        .select("m", (F.col("__base") + F.col("lg")).alias("g"))
         .groupBy("g")
         .agg(
             F.min("m").alias("w_start"),

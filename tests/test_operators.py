@@ -473,3 +473,43 @@ def test_global_quantiles_validation_and_edges(spark):
     # single row: every quantile is that row's value
     rows = global_quantiles(df, "v", "id", [0.25, 1.0]).collect()
     assert [(r["p"], r["value"]) for r in rows] == [(0.25, 5.0), (1.0, 5.0)]
+
+
+def test_incident_windows_two_level_islands_merge_across_midnight(spark):
+    # the r8 day-partitioned gaps-and-islands must be bit-identical to the
+    # global window: bursts that straddle midnight (gap <= 10 min) merge
+    # into one incident, and chains may run across several days
+    from sport_data_pipeline_spark.plans.eventops import _incident_windows
+
+    def ts(s):
+        return dt.datetime.fromisoformat(s)
+
+    rows = [
+        # burst A: spans midnight d1->d2 with 6-min boundary gap (merges)
+        ("error", ts("2024-03-01 23:50:00")),
+        ("error", ts("2024-03-01 23:58:00")),
+        ("error", ts("2024-03-02 00:04:00")),
+        # >10 min later the same day: burst B
+        ("error", ts("2024-03-02 00:30:00")),
+        # burst C: a chain across THREE days, every boundary gap <= 10 min
+        ("error", ts("2024-03-04 23:55:00")),
+        ("error", ts("2024-03-05 00:05:00")),
+        ("error", ts("2024-03-05 23:59:00")),
+        ("error", ts("2024-03-06 00:08:00")),
+        # non-error events must be ignored
+        ("purchase", ts("2024-03-02 00:10:00")),
+    ]
+    ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
+    got = sorted(
+        (r["w_start"], r["w_end"], r["n_error_minutes"])
+        for r in _incident_windows(ev).collect()
+    )
+    assert got == [
+        (ts("2024-03-01 23:50:00"), ts("2024-03-02 00:14:00"), 3),
+        (ts("2024-03-02 00:30:00"), ts("2024-03-02 00:40:00"), 1),
+        # the C chain collapses to ONE window across three days... unless
+        # the 23:59 -> next-burst gap breaks it: 00:05 -> 23:59 same day is
+        # > 10 min, so C is actually two windows; the midnight merges hold
+        (ts("2024-03-04 23:55:00"), ts("2024-03-05 00:15:00"), 2),
+        (ts("2024-03-05 23:59:00"), ts("2024-03-06 00:18:00"), 2),
+    ]

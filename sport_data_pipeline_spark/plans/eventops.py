@@ -812,12 +812,23 @@ def _incident_windows(ev: DataFrame) -> DataFrame:
         > gap_us,
         1,
     ).otherwise(0)
-    local = minutes.withColumn("lg", F.sum(brk).over(run_day) + F.lit(1))
+    # collapse minutes to per-day ISLANDS right after the window (the
+    # groupBy reuses the window's day clustering); all merge bookkeeping
+    # below runs on the island frame, not the minute frame
+    isl = (
+        minutes.withColumn("lg", F.sum(brk).over(run_day) + F.lit(1))
+        .groupBy("d", "lg")
+        .agg(
+            F.min("m").alias("__s"),
+            F.max("m").alias("__e"),
+            F.count(F.lit(1)).alias("__n"),
+        )
+    )
     # one row per PRESENT day — the only unpartitioned frame, bounded by
     # elapsed wall-clock days
-    days = local.groupBy("d").agg(
-        F.min("m").alias("__first"),
-        F.max("m").alias("__last"),
+    days = isl.groupBy("d").agg(
+        F.min("__s").alias("__first"),
+        F.max("__e").alias("__last"),
         F.max("lg").alias("__c"),
     )
     w_days = Window.orderBy("d")
@@ -832,13 +843,13 @@ def _incident_windows(ev: DataFrame) -> DataFrame:
     ) - F.sum("__mg").over(w_days.rowsBetween(Window.unboundedPreceding, 0))
     offs = days.withColumn("__mg", merge).select("d", base.alias("__base"))
     return (
-        local.join(F.broadcast(offs), "d")
-        .select("m", (F.col("__base") + F.col("lg")).alias("g"))
+        isl.join(F.broadcast(offs), "d")
+        .select((F.col("__base") + F.col("lg")).alias("g"), "__s", "__e", "__n")
         .groupBy("g")
         .agg(
-            F.min("m").alias("w_start"),
-            (F.max("m") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
-            F.count(F.lit(1)).alias("n_error_minutes"),
+            F.min("__s").alias("w_start"),
+            (F.max("__e") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+            F.sum("__n").cast("long").alias("n_error_minutes"),
         )
         .drop("g")
     )

@@ -773,32 +773,60 @@ def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Incident-window attribution: a keyless temporal range join, made scalable
 # by bucket expansion (operators/joins.interval_point_join). The interval
-# side is derived by aggregating error events to the MINUTE grain first
-# (cardinality bounded by elapsed wall-clock minutes, not event volume),
-# and since r8 the gaps-and-islands pass is TWO-LEVEL: per-day islands run
-# in a day-partitioned window (fully parallel), and a day-level boundary
-# merge runs over one row per present day — so the only unpartitioned
-# window is bounded by elapsed wall-clock DAYS. A 100× longer time span
-# now widens the tiny day frame instead of single-partitioning the whole
-# minute history.
+# side is derived by aggregating error events to the MINUTE grain first,
+# so the gaps-and-islands pass runs over a frame whose cardinality is
+# bounded by elapsed wall-clock minutes — a property of the time range,
+# not the data volume (a year is ~526k rows regardless of SF). For
+# deployments where even the minute frame is too long for one partition
+# (decades of history), ``two_level=True`` switches to a day-partitioned
+# islands pass + a boundary merge over one row per present day —
+# bit-identical (pinned by the midnight-chain unit test), at ~0.4 s extra
+# fixed stage overhead per query, which is why the bounded single-window
+# derivation stays the registered default.
 # ---------------------------------------------------------------------------
 
-def _incident_windows(ev: DataFrame) -> DataFrame:
+def _incident_windows(ev: DataFrame, *, two_level: bool = False) -> DataFrame:
     """Error-burst windows at minute grain: distinct error minutes merged
     when ≤10 min apart, padded 10 min past the last error minute. ONE
     definition feeds both incident queries (attribution + session
     overlap), so their window semantics cannot drift apart.
 
-    Distributed gaps-and-islands (bit-identical to the single global
-    window): local islands per calendar day (day-partitioned lag — the
-    within-day global predecessor IS the within-day lag), then a day-level
-    merge pass: day d's first island joins the previous PRESENT day's last
-    island iff the boundary gap is ≤ 10 min (the boundary pair is exactly
-    the global adjacent-minute pair). Global island id = Σ islands of
-    earlier days − Σ merge flags ≤ d + local id, which propagates merge
-    chains across any number of days through the prefix sums. Returns
+    Default: one global gaps-and-islands window over the distinct-minute
+    frame — safe because its cardinality is bounded by elapsed wall-clock
+    time, not event volume. ``two_level=True`` computes the identical
+    result distributed: local islands per calendar day (day-partitioned
+    lag — the within-day global predecessor IS the within-day lag), then
+    a day-level merge pass over one row per PRESENT day: day d's first
+    island joins the previous present day's last island iff the boundary
+    gap is ≤ 10 min (the boundary pair is exactly the global
+    adjacent-minute pair). Global island id = Σ islands of earlier days −
+    Σ merge flags ≤ d + local id, which propagates merge chains across
+    any number of days through the prefix sums. Returns
     (w_start, w_end, n_error_minutes)."""
     gap_us = 10 * 60 * 1_000_000
+    if not two_level:
+        minutes = (
+            ev.filter(F.col("event_type") == "error")
+            .select(F.date_trunc("minute", F.col("ts")).alias("m"))
+            .distinct()
+        )
+        w = Window.orderBy("m")
+        run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        brk = F.when(
+            F.unix_micros(F.col("m")) - F.lag(F.unix_micros(F.col("m"))).over(w)
+            > gap_us,
+            1,
+        ).otherwise(0)
+        return (
+            minutes.withColumn("g", F.sum(brk).over(run))
+            .groupBy("g")
+            .agg(
+                F.min("m").alias("w_start"),
+                (F.max("m") + F.expr("INTERVAL 10 MINUTES")).alias("w_end"),
+                F.count(F.lit(1)).alias("n_error_minutes"),
+            )
+            .drop("g")
+        )
     minutes = (
         ev.filter(F.col("event_type") == "error")
         .select(F.date_trunc("minute", F.col("ts")).alias("m"))

@@ -476,7 +476,8 @@ def test_global_quantiles_validation_and_edges(spark):
 
 
 def test_incident_windows_two_level_islands_merge_across_midnight(spark):
-    # the r8 day-partitioned gaps-and-islands must be bit-identical to the
+    # the r8 day-partitioned gaps-and-islands (two_level=True, the
+    # long-horizon variant) must be bit-identical to the default bounded
     # global window: bursts that straddle midnight (gap <= 10 min) merge
     # into one incident, and chains may run across several days
     from sport_data_pipeline_spark.plans.eventops import _incident_windows
@@ -502,8 +503,13 @@ def test_incident_windows_two_level_islands_merge_across_midnight(spark):
     ev = spark.createDataFrame(rows, "event_type string, ts timestamp")
     got = sorted(
         (r["w_start"], r["w_end"], r["n_error_minutes"])
+        for r in _incident_windows(ev, two_level=True).collect()
+    )
+    got_default = sorted(
+        (r["w_start"], r["w_end"], r["n_error_minutes"])
         for r in _incident_windows(ev).collect()
     )
+    assert got == got_default  # both derivations agree bit-for-bit
     assert got == [
         (ts("2024-03-01 23:50:00"), ts("2024-03-02 00:14:00"), 3),
         (ts("2024-03-02 00:30:00"), ts("2024-03-02 00:40:00"), 1),

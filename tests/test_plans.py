@@ -403,3 +403,46 @@ def test_global_exact_quantiles_distributed(spark):
     assert "Exchange rangepartitioning" in plan
     assert "percent_rank" not in plan
     assert plan.count("Exchange SinglePartition") <= 2  # counts rollup + 5-row final sort
+
+
+# ---------------------------------------------------------------------------
+# Unpartitioned-window lint: a Window with no PARTITION BY moves its whole
+# input into one task — the r7 percentile_peer defect class. Every driver-
+# window query must have ZERO unpartitioned window specs except the
+# documented-bounded allowances below, where the frame's size is bounded
+# by something other than data volume.
+# ---------------------------------------------------------------------------
+
+_UNPARTITIONED_SPEC = __import__("re").compile(
+    r"windowspecdefinition\([^#]+#\d+L? (?:ASC|DESC)"
+)
+
+#: query -> (allowed count, why the frame is bounded)
+_BOUNDED_WINDOW_ALLOWANCE = {
+    # league standings: one row per (league, season) team — entity-bounded
+    "standings": (1, "league table rows are bounded by participating teams"),
+    # distributed global rank: the two cumulative-offset windows run over
+    # the per-range-partition counts frame (<= spark.sql.shuffle.partitions
+    # rows — cluster config, not data)
+    "percentile_peer": (2, "counts rollup is <= shuffle-partition-count rows"),
+    # the final rank runs AFTER orderBy().limit(5) — a 5-row frame
+    "user_activity_topk": (1, "rank window runs over the post-limit top-5"),
+    # gaps-and-islands over DISTINCT minutes: cardinality is elapsed
+    # wall-clock time (a year ~= 526k tiny rows), not event volume; the
+    # two_level=True variant removes even this for decades-long horizons
+    "incident_window_attribution": (2, "minute frame bounded by observation period"),
+}
+
+
+@pytest.mark.parametrize("name", list(__import__(
+    "sport_data_pipeline_spark.plans.registry", fromlist=["DRIVER_WINDOW"]
+).DRIVER_WINDOW))
+def test_no_undocumented_unpartitioned_windows(spark, name):
+    plan = physical_plan(SPECS[name].fn(spark, SF_DIR))
+    hits = len(_UNPARTITIONED_SPEC.findall(plan))
+    allowed = _BOUNDED_WINDOW_ALLOWANCE.get(name, (0, ""))[0]
+    assert hits <= allowed, (
+        f"{name}: {hits} unpartitioned window spec(s), allowance {allowed} — "
+        "either partition the window or document the bound in "
+        "_BOUNDED_WINDOW_ALLOWANCE"
+    )

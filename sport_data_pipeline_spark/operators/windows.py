@@ -230,3 +230,77 @@ def global_quantiles(
         .select("p", "value")
         .orderBy("p")
     )
+
+
+def systematic_weighted_sample(
+    df: DataFrame,
+    id_col: str,
+    weight_col: str,
+    n: int,
+) -> DataFrame:
+    """Deterministic systematic sampling with inclusion probability
+    proportional to an integer weight (token counts, byte sizes) — the
+    zero-RNG way to draw a ~``n``-item token-budget subsample of a corpus.
+
+    Lay the items on a line in ``id_col`` order, each occupying the
+    half-open interval ``(cum−w, cum]`` of length ``weight``; select every
+    item whose interval contains one of the ``n`` evenly spaced points
+    ``k·W/n`` (k = 1..n, W = total weight — the right-closed convention,
+    so the first item isn't unconditionally selected by a zero point). An
+    item heavier than the stride can cover several points but is emitted
+    once (``n_points`` reports how many, and Σ n_points == n exactly), so
+    the sample size is ≤ n with expectation n; selection is exactly
+    reproducible across engines, runs, and cluster sizes — no RNG state,
+    and upstream dedup cannot flip unrelated items in or out.
+
+    The cumulative weight is a DISTRIBUTED prefix sum (same machinery as
+    :func:`global_percent_rank`): range exchange on ``id_col`` →
+    per-partition weight sums (≤ P rows) → broadcast cumulative offsets →
+    running sum within each range partition. The point-containment test is
+    pure integer arithmetic — ``(cum·n) div W > ((cum−w)·n) div W`` in
+    decimal(38,0), exact in both Spark and external SQL engines (the
+    quotient is ≤ n, far from any overflow).
+
+    Zero-weight items are never selected. Returns
+    ``(id_col, weight_col, n_points)`` for the selected items.
+    """
+    if n <= 0:
+        raise ValueError(f"sample size must be positive: {n}")
+    part = df.select(
+        F.col(id_col), F.col(weight_col).cast("decimal(38,0)").alias("__w")
+    ).repartitionByRange(F.col(id_col)).withColumn("__pid", F.spark_partition_id())
+    # the counts branch projects RENAMED columns so no attribute name is
+    # shared with the probe side (Spark 4's self-join ambiguity detection
+    # trips on same-named refs across the shared lineage)
+    counts = part.select(
+        F.col("__pid").alias("__cpid"), F.col("__w").alias("__cw")
+    ).groupBy("__cpid").agg(F.sum("__cw").alias("__psum"))
+    w_off = Window.orderBy("__cpid").rowsBetween(Window.unboundedPreceding, -1)
+    w_tot = Window.orderBy("__cpid").rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    offsets = counts.select(
+        "__cpid",
+        F.coalesce(F.sum("__psum").over(w_off), F.lit(0).cast("decimal(38,0)")).alias(
+            "__off"
+        ),
+        F.sum("__psum").over(w_tot).alias("__totw"),
+    )
+    w_run = Window.partitionBy("__pid").orderBy(id_col).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = part.withColumn("__ps", F.sum("__w").over(w_run))
+    k_hi = F.expr(f"(__cum * {n}) div __totw")  # points strictly before cum
+    k_lo = F.expr(f"((__cum - __w) * {n}) div __totw")
+    return (
+        run.join(F.broadcast(offsets), F.col("__pid") == F.col("__cpid"))
+        .withColumn("__cum", (F.col("__off") + F.col("__ps")).cast("decimal(38,0)"))
+        .filter(F.col("__totw") > 0)
+        .withColumn("__np", k_hi - k_lo)
+        .filter(F.col("__np") > 0)
+        .select(
+            id_col,
+            F.col("__w").cast("long").alias(weight_col),
+            F.col("__np").cast("long").alias("n_points"),
+        )
+    )

@@ -1346,3 +1346,50 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), F.asc("pair"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget systematic sampling (r8): draw a ~64-doc subsample with
+# inclusion probability proportional to token count, with ZERO randomness —
+# the reproducible way to build an eval slice or a budgeted mixture draw.
+# The cumulative token line is a distributed prefix sum (range exchange +
+# broadcast offsets, operators/windows.systematic_weighted_sample); the
+# point-containment test is pure decimal integer arithmetic, so both
+# engines agree bit-for-bit.
+# ---------------------------------------------------------------------------
+
+_SYS_SAMPLE_N = 64
+
+SYSTEMATIC_SAMPLE_ORACLE = rf"""
+WITH t AS (
+  SELECT doc_id, len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents
+),
+c AS (
+  SELECT doc_id, n_tok,
+         SUM(n_tok) OVER (ORDER BY doc_id) AS cum,
+         SUM(n_tok) OVER () AS tot
+  FROM t
+)
+SELECT doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+       CAST((cum * {_SYS_SAMPLE_N}) // tot - ((cum - n_tok) * {_SYS_SAMPLE_N}) // tot AS BIGINT) AS n_points
+FROM c
+WHERE (cum * {_SYS_SAMPLE_N}) // tot > ((cum - n_tok) * {_SYS_SAMPLE_N}) // tot
+"""
+
+
+@query("systematic_token_sample", survey="llm-mixture,W2", oracle=SYSTEMATIC_SAMPLE_ORACLE)
+def systematic_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """~64-doc systematic sample weighted by token count, deterministic
+    and RNG-free: distributed cumulative token line (same range-exchange
+    + broadcast-offset machinery as the global rank), items selected
+    where their weight interval contains one of the 64 evenly spaced
+    points. Reproducible across engines and cluster layouts; a heavier
+    doc covers more points (n_points) but appears once."""
+    d = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    from ..operators.windows import systematic_weighted_sample
+
+    return systematic_weighted_sample(d, "doc_id", "n_tok", _SYS_SAMPLE_N)

@@ -519,3 +519,21 @@ def test_incident_windows_two_level_islands_merge_across_midnight(spark):
         (ts("2024-03-04 23:55:00"), ts("2024-03-05 00:15:00"), 2),
         (ts("2024-03-05 23:59:00"), ts("2024-03-06 00:18:00"), 2),
     ]
+
+
+def test_systematic_weighted_sample_edges(spark):
+    import pytest as _pytest
+
+    from sport_data_pipeline_spark.operators.windows import systematic_weighted_sample
+
+    df = spark.createDataFrame([(1, 0), (2, 100), (3, 1), (4, 0)], "id int, w int")
+    got = sorted(
+        (r["id"], r["w"], r["n_points"])
+        for r in systematic_weighted_sample(df, "id", "w", 5).collect()
+    )
+    # zero-weight items never selected; the heavy item covers 4 of the 5
+    # points, the last point k=5 (p == W) lands in id 3's interval
+    assert got == [(2, 100, 4), (3, 1, 1)]
+    assert sum(p for _, _, p in got) == 5  # sum(n_points) == n exactly
+    with _pytest.raises(ValueError, match="positive"):
+        systematic_weighted_sample(df, "id", "w", 0)

@@ -1407,3 +1407,138 @@ def lang_embedding_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("c"),
         F.count(F.lit(1)).cast("long").alias("n_vecs"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Streaming SEMANTIC ingest-dedup with evolving corpus state (r8): the
+# embedding twin of stream_ingest_dedup — micro-batch k routes against
+# corpus ∪ kept vectors of batches < k through the one-sided SemDeDup
+# criterion, so a vector kept in batch 1 deduplicates its re-embedding in
+# batch 3. Batch boundaries are deterministic (vec_id arithmetic) and each
+# stage is the proven one-sided routing of the incremental-semantic
+# oracle, so the FULL routing table is hash-compared bit-exactly.
+# ---------------------------------------------------------------------------
+
+_SEM_CORPUS = "vec_id % 5 = 0"
+_SEM_TAU = 0.8
+
+
+def _stream_semantic_oracle(n_batches: int = 4) -> str:
+    parts = [
+        """WITH t AS (
+  SELECT vec_id, embedding AS v,
+         sqrt(list_sum(list_transform(embedding,
+              x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS n
+  FROM embeddings
+),""",
+        f"c0 AS (SELECT * FROM t WHERE {_SEM_CORPUS})",
+    ]
+    for k in range(n_batches):
+        parts.append(
+            f""",
+b{k} AS (SELECT * FROM t WHERE NOT ({_SEM_CORPUS}) AND vec_id % {n_batches} = {k}),
+m{k} AS (
+  SELECT b.vec_id, MIN(c.vec_id) AS match_id
+  FROM b{k} b JOIN c{k} c
+    ON b.n > 0 AND c.n > 0
+   AND list_sum(list_transform(list_zip(b.v, c.v),
+         x -> CAST(x[1] AS DOUBLE) * CAST(x[2] AS DOUBLE))) / (b.n * c.n)
+       >= {_SEM_TAU}
+  GROUP BY 1
+),
+r{k} AS (
+  SELECT b.vec_id,
+         CASE WHEN m{k}.match_id IS NULL THEN 'kept' ELSE 'semantic_dup' END AS status,
+         m{k}.match_id
+  FROM b{k} b LEFT JOIN m{k} ON b.vec_id = m{k}.vec_id
+),
+c{k + 1} AS (
+  SELECT * FROM c{k}
+  UNION ALL
+  SELECT t.* FROM t JOIN r{k} ON t.vec_id = r{k}.vec_id WHERE r{k}.status = 'kept'
+)"""
+        )
+    union = "\nUNION ALL\n".join(f"SELECT * FROM r{k}" for k in range(n_batches))
+    parts.append(f"\n{union}\nORDER BY vec_id")
+    return "".join(parts)
+
+
+STREAM_SEMANTIC_INGEST_ORACLE = _stream_semantic_oracle(4)
+
+
+@query(
+    "stream_semantic_ingest_dedup",
+    survey="dedup-semantic,dedup-incremental,T1,X3",
+    oracle=STREAM_SEMANTIC_INGEST_ORACLE,
+)
+def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 4 streamed embedding batches against an evolving corpus with
+    the one-sided SemDeDup criterion (cosine >= 0.8, min corpus id).
+
+    Real StreamingQuery: file source (1 file per micro-batch, arrival
+    order pinned by mtime), foreachBatch runs
+    ``incremental_semantic_dedup`` against the current corpus state and
+    folds the batch's kept vectors back into the state parquet
+    APPEND-ONLY (per-batch write cost O(batch), never O(corpus)) — the
+    embedding twin of ``stream_ingest_dedup``, completing the
+    evolving-corpus family for the vector representation. Returns the
+    full (vec_id, status, match_id) routing table.
+    """
+    import shutil
+    import tempfile
+    import time as _time
+
+    from ..operators.similarity import incremental_semantic_dedup
+
+    emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    corpus0 = emb.filter(F.expr(_SEM_CORPUS))
+    streamed = emb.filter(~F.expr(_SEM_CORPUS))
+
+    tmp = tempfile.mkdtemp(prefix="sdp_sem_ingest_")
+    try:
+        in_dir, state_dir, routed_dir, ckpt = (
+            f"{tmp}/in",
+            f"{tmp}/state",
+            f"{tmp}/routed",
+            f"{tmp}/ckpt",
+        )
+        corpus0.write.parquet(state_dir)
+        for k in range(4):
+            if k:
+                _time.sleep(1.1)  # strictly increasing mtime → batch order
+            streamed.filter(F.col("vec_id") % 4 == k).coalesce(1).write.mode(
+                "append"
+            ).parquet(in_dir)
+
+        schema = spark.read.parquet(in_dir).schema
+
+        def route_batch(batch: DataFrame, _epoch: int) -> None:
+            state = spark.read.parquet(state_dir)
+            routed = incremental_semantic_dedup(
+                batch, state, "vec_id", "embedding", threshold=_SEM_TAU
+            ).localCheckpoint(eager=True)  # cut lineage before state append
+            routed.write.mode("append").parquet(routed_dir)
+            batch.join(
+                routed.filter(F.col("status") == "kept"), "vec_id", "left_semi"
+            ).write.mode("append").parquet(state_dir)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(route_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        rows = (
+            spark.read.parquet(routed_dir)
+            .select("vec_id", "status", "match_id")
+            .orderBy("vec_id")
+            .collect()
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    return spark.createDataFrame(rows, "vec_id long, status string, match_id long")

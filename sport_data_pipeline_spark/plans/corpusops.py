@@ -1393,3 +1393,61 @@ def systematic_token_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     from ..operators.windows import systematic_weighted_sample
 
     return systematic_weighted_sample(d, "doc_id", "n_tok", _SYS_SAMPLE_N)
+
+
+# ---------------------------------------------------------------------------
+# Length-percentile quality gate (r8): "drop the shortest 25% of documents"
+# — the standard length-filter stage of CCNet/RefinedWeb-style pipelines,
+# with the threshold COMPUTED IN-QUERY by the distributed exact-quantile
+# machinery and broadcast back as a one-row scalar (no collect, no driver
+# round-trip): quantile → broadcast threshold → gated aggregate, all one
+# declarative plan.
+# ---------------------------------------------------------------------------
+
+LENGTH_GATE_ORACLE = r"""
+WITH t AS (
+  SELECT doc_id, lang,
+         len(regexp_split_to_array(trim(text), '\s+')) AS n_tok
+  FROM documents
+),
+q AS (SELECT quantile_disc(n_tok, 0.25) AS thr FROM t)
+SELECT t.lang,
+       CAST(SUM(CASE WHEN t.n_tok >= q.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+       CAST(SUM(CASE WHEN t.n_tok < q.thr THEN 1 ELSE 0 END) AS BIGINT) AS n_dropped,
+       CAST(SUM(CASE WHEN t.n_tok >= q.thr THEN t.n_tok ELSE 0 END) AS BIGINT) AS kept_tokens,
+       CAST(MIN(q.thr) AS BIGINT) AS threshold
+FROM t CROSS JOIN q
+GROUP BY t.lang
+"""
+
+
+@query("length_percentile_gate", survey="llm-quality,A7,W2", oracle=LENGTH_GATE_ORACLE)
+def length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language keep/drop stats for a p25 length floor, threshold
+    computed distributively in the same plan (operators/windows.
+    global_quantiles → one-row broadcast; percentile_disc semantics, so
+    the cut is bit-portable) — no collect between the quantile and the
+    gate."""
+    from ..operators.windows import global_quantiles
+
+    t = _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        "lang",
+        F.size(F.split(F.trim(F.col("text")), r"\s+")).cast("long").alias("n_tok"),
+    )
+    thr = global_quantiles(t, "n_tok", "doc_id", [0.25]).select(
+        F.col("value").cast("long").alias("thr")
+    )
+    kept = F.col("n_tok") >= F.col("thr")
+    return (
+        t.crossJoin(F.broadcast(thr))
+        .groupBy("lang")
+        .agg(
+            F.sum(kept.cast("int")).cast("long").alias("n_kept"),
+            F.sum((~kept).cast("int")).cast("long").alias("n_dropped"),
+            F.sum(F.when(kept, F.col("n_tok")).otherwise(0)).cast("long").alias(
+                "kept_tokens"
+            ),
+            F.min("thr").cast("long").alias("threshold"),
+        )
+    )

@@ -752,18 +752,39 @@ def incremental_semantic_dedup_routed(
     """
     if threshold <= 0:
         raise ValueError("cell-bound routing requires threshold > 0")
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    spark = batch.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-
     c = corpus.select(
         F.col(id_col).alias("__cid"),
         F.col(vec_col).alias("__cv"),
         _norm(F.col(vec_col), dim).alias("__cn"),
     ).filter(F.col("__cn") > 0)  # zero-norm corpus rows can never match
-    # ---- write-time half: fit cells, assign corpus, measure radii ----
+    assigned, cells = build_semantic_cell_index(
+        c, n_cells=n_cells, seed=seed, target_cell_size=target_cell_size
+    )
+    return _route_with_cells(batch, assigned, cells, id_col, vec_col, threshold, dim)
+
+
+def build_semantic_cell_index(
+    c: DataFrame,
+    n_cells: int | None = None,
+    seed: int = 42,
+    target_cell_size: int = 512,
+) -> tuple[DataFrame, list[tuple[int, list[float], float]]]:
+    """WRITE-TIME half of the cell-bound routing: fit k-means on the unit
+    vectors of a prepared corpus frame (columns ``__cid, __cv, __cn``,
+    zero-norms already excluded), assign every vector to its nearest cell,
+    and measure each cell's radius ``max ‖x̂ − c‖``.
+
+    Returns ``(assigned, cells)``: the corpus frame with a ``__cell``
+    column (persist it partitioned by cell in production, like
+    :func:`build_ivf_index`'s layout), and the k-row cell table as a
+    plain Python list ``(cell, centroid, radius)`` — kilobytes, so an
+    ingest loop can carry it driver-side and maintain radii incrementally
+    as the corpus grows (see ``stream_semantic_ingest_dedup``)."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    spark = c.sparkSession
+    n_parts = spark.sparkContext.defaultParallelism
     feat = c.repartition(n_parts, F.col("__cid")).withColumn(
         "__feat",
         array_to_vector(F.transform("__cv", lambda x: x.cast("double") / F.col("__cn"))),
@@ -789,15 +810,77 @@ def incremental_semantic_dedup_routed(
             lambda acc, x: acc + x,
         )
     )
-    radii = F.broadcast(
-        assigned.join(F.broadcast(cent), "__cell")
+    radii = {
+        r["__cell"]: r["__r"]
+        for r in assigned.join(F.broadcast(cent), "__cell")
         .select("__cell", unit_dist.alias("__d"))
         .groupBy("__cell")
         .agg(F.max("__d").alias("__r"))
-        .join(F.broadcast(cent), "__cell")
-    )  # k rows: (__cell, __r, __centroid)
+        .collect()
+    }
+    cells = [(i, v, float(radii.get(i, 0.0))) for i, v in centers]
+    return assigned, cells
 
-    # ---- query half: bound-select cells per batch vector ----
+
+def assign_to_cells(
+    vectors: DataFrame,
+    cells: list[tuple[int, list[float], float]],
+    dim: int | None = None,
+) -> DataFrame:
+    """Map each prepared vector row (``__cid, __cv, __cn``; norms > 0) to
+    its nearest EXISTING cell — the incremental-fold half of the cell
+    index: newly kept vectors join the index without refitting centroids
+    (production refits at compaction time). Returns the frame with
+    ``__cell`` and ``__d`` (unit-space distance, for radius updates)."""
+    spark = vectors.sparkSession
+    cent = F.broadcast(
+        spark.createDataFrame(
+            [(i, v) for i, v, _ in cells], "__cell int, __centroid array<double>"
+        )
+    )
+    unit_dist = F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "__cv",
+                "__centroid",
+                lambda x, cc: (x.cast("double") / F.col("__cn") - cc)
+                * (x.cast("double") / F.col("__cn") - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+    w = Window.partitionBy("__cid").orderBy("__d", "__cell")
+    return (
+        vectors.crossJoin(cent)
+        .withColumn("__d", unit_dist)
+        .withColumn("__rk", F.row_number().over(w))
+        .filter(F.col("__rk") == 1)
+        .drop("__rk", "__centroid")
+    )
+
+
+def _route_with_cells(
+    batch: DataFrame,
+    assigned: DataFrame,
+    cells: list[tuple[int, list[float], float]],
+    id_col: str,
+    vec_col: str,
+    threshold: float,
+    dim: int | None = None,
+) -> DataFrame:
+    """QUERY half of the cell-bound routing: bound-select candidate cells
+    per batch vector (``q̂·c + r ≥ τ − ε`` — lossless), equi-join the
+    surviving (vector, cell) pairs against the cell-assigned corpus, and
+    re-verify with the base operator's raw-vector fold so the routing
+    table is bit-identical to the unrouted scan."""
+    spark = batch.sparkSession
+    radii = F.broadcast(
+        spark.createDataFrame(
+            [(i, v, r) for i, v, r in cells],
+            "__cell int, __centroid array<double>, __r double",
+        )
+    )
     b = batch.select(
         F.col(id_col).alias("__bid"),
         F.col(vec_col).alias("__bv"),

@@ -1476,19 +1476,32 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     the one-sided SemDeDup criterion (cosine >= 0.8, min corpus id).
 
     Real StreamingQuery: file source (1 file per micro-batch, arrival
-    order pinned by mtime), foreachBatch runs
-    ``incremental_semantic_dedup`` against the current corpus state and
-    folds the batch's kept vectors back into the state parquet
-    APPEND-ONLY (per-batch write cost O(batch), never O(corpus)) — the
-    embedding twin of ``stream_ingest_dedup``, completing the
-    evolving-corpus family for the vector representation. Returns the
-    full (vec_id, status, match_id) routing table.
+    order pinned by mtime). The corpus state carries a WRITE-TIME cell
+    index (``build_semantic_cell_index``: k-means cells fitted ONCE on
+    the initial corpus; the k-row centroid+radius table rides driver-side
+    across batches): each micro-batch routes through the LOSSLESS
+    cell-radius bound (``_route_with_cells`` — bit-identical to the
+    unrouted scan), and the batch's kept vectors fold back APPEND-ONLY
+    with ``assign_to_cells`` (nearest EXISTING cell, radii updated as a
+    running max — no refit; production refits at compaction time).
+    Per-batch cost is |batch|·k bound checks + the matched cells only —
+    the first registration of this query scanned batch × full corpus and
+    measured 26× at 10× data (both sides grow); the index routing is what
+    makes the ingest loop's cost batch-proportional. Zero-norm kept
+    vectors are excluded from the scan state (they can never match a
+    positive threshold — lossless). Returns the full
+    (vec_id, status, match_id) routing table.
     """
     import shutil
     import tempfile
     import time as _time
 
-    from ..operators.similarity import incremental_semantic_dedup
+    from ..operators.similarity import (
+        _norm,
+        _route_with_cells,
+        assign_to_cells,
+        build_semantic_cell_index,
+    )
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus0 = emb.filter(F.expr(_SEM_CORPUS))
@@ -1502,7 +1515,15 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{tmp}/routed",
             f"{tmp}/ckpt",
         )
-        corpus0.write.parquet(state_dir)
+        prepared0 = corpus0.select(
+            F.col("vec_id").alias("__cid"),
+            F.col("embedding").alias("__cv"),
+            _norm(F.col("embedding")).alias("__cn"),
+        ).filter(F.col("__cn") > 0)
+        assigned0, cells0 = build_semantic_cell_index(prepared0, n_cells=8)
+        assigned0.write.parquet(state_dir)
+        cells = {c: (v, r) for c, v, r in cells0}  # driver-side k-row index
+
         for k in range(4):
             if k:
                 _time.sleep(1.1)  # strictly increasing mtime → batch order
@@ -1514,13 +1535,24 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def route_batch(batch: DataFrame, _epoch: int) -> None:
             state = spark.read.parquet(state_dir)
-            routed = incremental_semantic_dedup(
-                batch, state, "vec_id", "embedding", threshold=_SEM_TAU
+            cell_list = [(c, v, r) for c, (v, r) in sorted(cells.items())]
+            routed = _route_with_cells(
+                batch, state, cell_list, "vec_id", "embedding", _SEM_TAU
             ).localCheckpoint(eager=True)  # cut lineage before state append
             routed.write.mode("append").parquet(routed_dir)
-            batch.join(
+            kept = batch.join(
                 routed.filter(F.col("status") == "kept"), "vec_id", "left_semi"
-            ).write.mode("append").parquet(state_dir)
+            ).select(
+                F.col("vec_id").alias("__cid"),
+                F.col("embedding").alias("__cv"),
+                _norm(F.col("embedding")).alias("__cn"),
+            ).filter(F.col("__cn") > 0)
+            folded = assign_to_cells(kept, cell_list)
+            # radius running-max per cell (≤ k rows to the driver)
+            for r in folded.groupBy("__cell").agg(F.max("__d").alias("__m")).collect():
+                v, old = cells[r["__cell"]]
+                cells[r["__cell"]] = (v, max(old, r["__m"]))
+            folded.drop("__d").write.mode("append").parquet(state_dir)
 
         q = (
             spark.readStream.schema(schema)

@@ -212,7 +212,7 @@ FROM (SELECT doc_id, toks, unnest(generate_series(0, nc - 1)) AS i FROM n)
 """
 
 
-@query("doc_chunks", survey="llm-chunking,P1,UDTF", oracle=DOC_CHUNKS_ORACLE)
+@query("doc_chunks", survey="llm-chunking,P1,UDTF", oracle=DOC_CHUNKS_ORACLE, headline=True)
 def doc_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Overlapping token-window chunks (64-token windows, 48-token stride).
 
@@ -1178,6 +1178,7 @@ ORDER BY r.doc_id
     "e2e_daily_pipeline",
     survey="llm-pipeline-e2e,S9,X1,S10,W7,dedup-incremental",
     oracle=E2E_PIPELINE_ORACLE,
+    headline=True,
 )
 def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One production day, end to end through the engine's own edges.

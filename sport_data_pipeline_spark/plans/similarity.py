@@ -848,7 +848,12 @@ ORDER BY b.doc_id
 """
 
 
-@query("incremental_dedup_docs", survey="dedup-incremental,U3", oracle=INCR_DEDUP_ORACLE)
+@query(
+    "incremental_dedup_docs",
+    survey="dedup-incremental,U3",
+    oracle=INCR_DEDUP_ORACLE,
+    headline=True,
+)
 def incremental_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Route every batch doc: dup_exact / near_dup / kept, with the
     smallest matching corpus id. See operators/dedup.incremental_dedup for
@@ -893,6 +898,7 @@ def incremental_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     "incremental_dedup_indexed",
     survey="dedup-incremental,U3",
     oracle=INCR_DEDUP_ORACLE,
+    headline=True,
 )
 def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The WRITE-TIME-INDEX variant of ``incremental_dedup_docs``: the
@@ -1121,7 +1127,12 @@ FROM embeddings
 _PLANT_BASE = 1_000_000
 
 
-@query("semantic_dedup_cells", survey="dedup-semantic", oracle=SEMANTIC_CELLS_ORACLE)
+@query(
+    "semantic_dedup_cells",
+    survey="dedup-semantic",
+    oracle=SEMANTIC_CELLS_ORACLE,
+    headline=True,
+)
 def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SemDeDup cells routing, checked via its structural invariants."""
     from pyspark.sql.types import BooleanType, LongType, StructField, StructType

@@ -388,7 +388,7 @@ FROM j WHERE rn = 1
 """
 
 
-@query("asof_clicks", survey="J10,J11,W5", oracle=ASOF_ORACLE)
+@query("asof_clicks", survey="J10,J11,W5", oracle=ASOF_ORACLE, headline=True)
 def asof_clicks(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Union+window as-of join: one shuffle on user_id, no theta-join blowup
     (the oracle's LEFT JOIN .. ts<=ts is quadratic per key; this is linear).

@@ -88,8 +88,8 @@ def test_window_covers_all_survey_ops():
         # generator-function tag: the explode/posexplode shape stays
         # in-window via dedup_spans_rewrite (span/position explode) and
         # corpus_train_shards (chunk explode); doc_chunks carried the tag
-        # green r1–r6, rotated out in r7, still DuckDB-oracled (its bench
-        # slot passed to dedup_spans_rewrite in the r8 headline refresh).
+        # green r1–r6, rotated out in r7, still DuckDB-oracled and still
+        # a bench headline row (the r8 refresh widened the set to 26).
         "UDTF",
         # --- r8 rotation (driver-row-backlog close): each tag below left
         # the window with a green row history and an in-window sibling of

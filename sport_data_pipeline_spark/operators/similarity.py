@@ -822,6 +822,32 @@ def build_semantic_cell_index(
     return assigned, cells
 
 
+def _unit_dist_expr(dim: int | None) -> Column:
+    """``‖__cv/__cn − __centroid‖`` as an expression: the zip_with fold for
+    unknown dims, or (with ``dim``) the codegen-able element_at unroll —
+    same left-to-right addition order, bit-identical (see ``_dot``)."""
+    if dim is not None:
+        s: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            d = F.element_at("__cv", i).cast("double") / F.col("__cn") - F.element_at(
+                "__centroid", i
+            )
+            s = s + d * d
+        return F.sqrt(s)
+    return F.sqrt(
+        F.aggregate(
+            F.zip_with(
+                "__cv",
+                "__centroid",
+                lambda x, cc: (x.cast("double") / F.col("__cn") - cc)
+                * (x.cast("double") / F.col("__cn") - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+    )
+
+
 def assign_to_cells(
     vectors: DataFrame,
     cells: list[tuple[int, list[float], float]],
@@ -838,18 +864,7 @@ def assign_to_cells(
             [(i, v) for i, v, _ in cells], "__cell int, __centroid array<double>"
         )
     )
-    unit_dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                "__cv",
-                "__centroid",
-                lambda x, cc: (x.cast("double") / F.col("__cn") - cc)
-                * (x.cast("double") / F.col("__cn") - cc),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    unit_dist = _unit_dist_expr(dim)
     w = Window.partitionBy("__cid").orderBy("__d", "__cell")
     return (
         vectors.crossJoin(cent)
@@ -887,13 +902,20 @@ def _route_with_cells(
         _norm(F.col(vec_col), dim).alias("__bn"),
     )
     live_b = b.filter(F.col("__bn") > 0)
-    q_dot_c = F.aggregate(
-        F.zip_with(
-            "__bv", "__centroid", lambda x, cc: x.cast("double") / F.col("__bn") * cc
-        ),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
+    if dim is not None:
+        q_dot_c: Column = F.lit(0.0)
+        for i in range(1, dim + 1):
+            q_dot_c = q_dot_c + F.element_at("__bv", i).cast("double") / F.col(
+                "__bn"
+            ) * F.element_at("__centroid", i)
+    else:
+        q_dot_c = F.aggregate(
+            F.zip_with(
+                "__bv", "__centroid", lambda x, cc: x.cast("double") / F.col("__bn") * cc
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
     cand = (
         live_b.crossJoin(radii)
         .filter(q_dot_c + F.col("__r") >= F.lit(threshold - _CELL_BOUND_EPS))

@@ -1534,6 +1534,11 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         assigned0, cells0 = build_semantic_cell_index(prepared0, n_cells=8)
         assigned0.write.parquet(state_dir)
         cells = {c: (v, r) for c, v, r in cells0}  # driver-side k-row index
+        # fixed embedding width, read once: lets every per-batch cosine /
+        # distance unroll to codegen (the zip_with fold runs on the
+        # expression interpreter — a 10× probe of the fold variant spent
+        # minutes/batch inside interpreted ZipWith in the verify join)
+        dim = len(cells0[0][1])
 
         for k in range(4):
             if k:
@@ -1548,7 +1553,7 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             state = spark.read.parquet(state_dir)
             cell_list = [(c, v, r) for c, (v, r) in sorted(cells.items())]
             routed = _route_with_cells(
-                batch, state, cell_list, "vec_id", "embedding", _SEM_TAU
+                batch, state, cell_list, "vec_id", "embedding", _SEM_TAU, dim=dim
             ).localCheckpoint(eager=True)  # cut lineage before state append
             routed.write.mode("append").parquet(routed_dir)
             kept = batch.join(
@@ -1558,7 +1563,7 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("embedding").alias("__cv"),
                 _norm(F.col("embedding")).alias("__cn"),
             ).filter(F.col("__cn") > 0)
-            folded = assign_to_cells(kept, cell_list)
+            folded = assign_to_cells(kept, cell_list, dim=dim)
             # radius running-max per cell (≤ k rows to the driver)
             for r in folded.groupBy("__cell").agg(F.max("__d").alias("__m")).collect():
                 v, old = cells[r["__cell"]]

@@ -1550,7 +1550,17 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(in_dir).schema
 
         def route_batch(batch: DataFrame, _epoch: int) -> None:
-            state = spark.read.parquet(state_dir)
+            # spread the state scan: a compacted small state bin-packs into
+            # one-few file partitions (openCostInBytes), which serializes
+            # the verify join into a single task (measured: one 6-minute
+            # task at 10× while 31 cores idled). The exchange is linear in
+            # state bytes — the same order as the scan itself — and stands
+            # in for the write-time partitioned-by-cell layout a production
+            # index directory has, where the scan is born parallel.
+            n_parts = spark.sparkContext.defaultParallelism
+            state = spark.read.parquet(state_dir).repartition(
+                n_parts, "__cell", "__cid"
+            )
             cell_list = [(c, v, r) for c, (v, r) in sorted(cells.items())]
             routed = _route_with_cells(
                 batch, state, cell_list, "vec_id", "embedding", _SEM_TAU, dim=dim

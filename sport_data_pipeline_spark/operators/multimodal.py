@@ -10,9 +10,11 @@ the published container formats, no codec library needed), powering
 ``extract_media_dimensions`` and the ``decode_stub=False`` path of
 ``extract_features``; ``decode_png_rgb`` goes all the way to PIXELS for
 PNG (zlib inflate + all five scanline filters — PNG's pixel layer needs
-no codec library), powering ``extract_pixel_stats``. JPEG/MP4 pixel
-decode (libjpeg/ffmpeg entropy-coder territory) stays behind the
-documented codec seam; ``decode_stub=True`` substitutes a deterministic
+no codec library), powering ``extract_pixel_stats``; ``decode_wav_pcm``
+goes all the way to SAMPLES for 16-bit PCM WAV (raw little-endian frames
+in the data chunk), powering ``extract_audio_stats``. JPEG/MP4 pixel and
+compressed-audio decode (libjpeg/ffmpeg entropy-coder territory) stays
+behind the documented codec seam; ``decode_stub=True`` substitutes a deterministic
 byte-histogram feature so that distributed path — schema, batch shape,
 partitioning, null handling — is exercised end to end
 (tests/test_multimodal.py).
@@ -624,3 +626,129 @@ def extract_pixel_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# WAV PCM codec: REAL sample-level decode, pure stdlib + numpy — the audio
+# twin of the PNG pixel codec above. 16-bit integer PCM is raw
+# little-endian samples inside the RIFF 'data' chunk (no entropy coder),
+# so full waveform reconstruction needs no codec library; compressed
+# audio (MP3/AAC/Opus) stays behind the documented seam with JPEG/MP4.
+# ---------------------------------------------------------------------------
+
+
+def encode_wav_pcm(samples, sample_rate: int, channels: int) -> bytes:
+    """Encode interleaved int16 samples (flat array, frame-major) as a
+    spec-valid RIFF/WAVE file (PCM format 1, 16-bit). Write-time fixture
+    synthesizer, same discipline as ``encode_png_rgb``."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    data = s.tobytes()  # numpy int16 is little-endian on all our platforms
+    block = channels * 2
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, 1, channels, sample_rate, sample_rate * block, block, 16
+    )
+    body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        body += b"\x00"  # RIFF chunks are word-aligned
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav_pcm(b: bytes | None):
+    """Full sample decode of a 16-bit integer-PCM RIFF/WAVE payload:
+    returns (channels, sample_rate, samples) with ``samples`` a flat
+    interleaved int16 numpy array, or None for anything unrecognizable or
+    outside that profile (float/8-bit/24-bit/compressed formats, missing
+    or truncated chunks → None, never a crash). Walks the chunk list with
+    RIFF word alignment; ignores unknown chunks (LIST/fact/cue)."""
+    import numpy as np
+
+    if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        return None
+    i, n = 12, len(b)
+    channels = rate = bits = fmt_tag = None
+    data = None
+    while i + 8 <= n:
+        cid = b[i : i + 4]
+        (sz,) = struct.unpack("<I", b[i + 4 : i + 8])
+        payload = b[i + 8 : i + 8 + sz]
+        if len(payload) < sz:
+            return None  # declared size runs past the buffer: truncated
+        if cid == b"fmt " and sz >= 16:
+            fmt_tag, channels, rate, _, _, bits = struct.unpack(
+                "<HHIIHH", payload[:16]
+            )
+        elif cid == b"data":
+            data = payload
+        i += 8 + sz + (sz & 1)  # word alignment
+    if fmt_tag != 1 or bits != 16 or not channels or not rate or data is None:
+        return None
+    if len(data) % (channels * 2):
+        return None  # partial frame
+    return channels, rate, np.frombuffer(data, dtype="<i2")
+
+
+AUDIO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("sum_sq", LongType(), True),
+        StructField("sum_abs", LongType(), True),
+        StructField("peak", IntegerType(), True),
+        StructField("rms", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_stats(df: DataFrame) -> DataFrame:
+    """Distributed waveform statistics over PCM WAV payloads via the REAL
+    sample decode (``decode_wav_pcm``) inside Arrow-batched mapInPandas:
+    per-payload energy (sum of squares), total magnitude, peak, and RMS.
+    Undecodable payloads yield NULL stats. Like ``extract_pixel_stats``,
+    the reduce happens in the executor pass — O(files) rows out, never
+    samples. Stats accumulate in int64 (a peak of -32768 would overflow
+    abs() in int16)."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decode_wav_pcm(None if payload is None else bytes(payload))
+                if dec is None or dec[2].size == 0:
+                    rows.append((mid, None, None, None, None, None, None, None))
+                    continue
+                ch, rate, s = dec
+                v = s.astype(np.int64)
+                sum_sq = int((v * v).sum())
+                n = int(v.size)
+                rows.append(
+                    (
+                        mid,
+                        ch,
+                        rate,
+                        n,
+                        sum_sq,
+                        int(np.abs(v).sum()),
+                        int(np.abs(v).max()),
+                        (sum_sq / n) ** 0.5,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "channels",
+                    "sample_rate",
+                    "n_samples",
+                    "sum_sq",
+                    "sum_abs",
+                    "peak",
+                    "rms",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)

@@ -13,9 +13,11 @@ produce, so any regression in the byte-level parsers or the mapInPandas
 plumbing breaks the hash-match).
 
 Pixel-level decode is REAL for PNG (``image_pixel_stats`` below: zlib +
-scanline un-filtering, formula-derived oracle); JPEG/MP4 pixel decode
-stays behind the documented codec seam (their entropy coders are
-libjpeg/ffmpeg territory, outside this container). Everything else
+scanline un-filtering, formula-derived oracle) and sample-level decode is
+REAL for PCM WAV (``audio_pcm_stats`` below); JPEG/MP4 pixel and
+compressed-audio decode stays behind the documented codec seam (their
+entropy coders are libjpeg/ffmpeg territory, outside this container).
+Everything else
 checked here — container walking, dimension/rate/duration extraction,
 frame-sampling arithmetic, Arrow batch shapes, null propagation — is the
 real distributed path.
@@ -263,3 +265,64 @@ def image_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((i, payload, "image/png", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_pixel_stats(media).orderBy("media_id")
+
+
+# Waveform-stats oracle: the audio twin of PIXEL_STATS_ORACLE — restates
+# the PCM sample-generation formula in SQL, independent of the RIFF walk /
+# frombuffer decode under test. The multiplier 7919 is odd, so
+# (7919·x) mod 65536 == 0 only at x == 0: sample value -32768 occurs
+# exactly once (media 0, sample 0), pinning the int64-before-abs
+# discipline in the operator (|−32768| overflows int16).
+AUDIO_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS k),
+dims AS (
+  SELECT k, 1 + (k % 2) AS channels, 8000 + 1000*(k % 3) AS rate,
+         (800 + 100*k) * (1 + (k % 2)) AS n_samples
+  FROM idx
+),
+s AS (
+  SELECT d.k, d.channels, d.rate, d.n_samples,
+         ((7919 * (u.i + 13*d.k)) % 65536) - 32768 AS v
+  FROM dims d, LATERAL (SELECT unnest(range(d.n_samples)) AS i) u
+)
+SELECT CAST(k AS BIGINT) AS media_id,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+       SQRT(CAST(SUM(v * v) AS DOUBLE) / n_samples) AS rms
+FROM s GROUP BY k, channels, rate, n_samples ORDER BY media_id
+"""
+
+
+@query("audio_pcm_stats", survey="llm-multimodal,X6", oracle=AUDIO_STATS_ORACLE)
+def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-level PCM decode, distributed: per-file waveform energy
+    / magnitude / peak / RMS via ``extract_audio_stats`` (RIFF chunk walk
+    + raw int16 sample reconstruction inside Arrow-batched mapInPandas —
+    16-bit PCM has no entropy coder, so no codec library is needed; the
+    audio twin of ``image_pixel_stats``).
+
+    The 8 fixture WAVs are synthesized driver-side from a closed sample
+    formula (mono/stereo alternating, three sample rates); the oracle
+    restates the formula. In production the payload column arrives from
+    the media table and the decode runs where the data lives; only the
+    per-file stat row leaves an executor.
+    """
+    import numpy as np
+
+    from ..operators.multimodal import encode_wav_pcm, extract_audio_stats
+
+    rows = []
+    for k in range(_N_PER_KIND):
+        channels = 1 + (k % 2)
+        rate = 8000 + 1000 * (k % 3)
+        n_samples = (800 + 100 * k) * channels
+        i = np.arange(n_samples, dtype=np.int64)
+        v = ((7919 * (i + 13 * k)) % 65536 - 32768).astype(np.int16)
+        payload = encode_wav_pcm(v, rate, channels)
+        rows.append((k, payload, "audio/wav", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_audio_stats(media).orderBy("media_id")

@@ -351,3 +351,80 @@ def test_extract_pixel_stats_distributed(spark):
     assert got[1]["mean_g"] == 20.0
     for mid in (2, 3):
         assert got[mid]["width"] is None and got[mid]["sum_r"] is None
+
+
+# --------------------------------------------------------------------------
+# WAV PCM codec: real sample-level decode
+# --------------------------------------------------------------------------
+
+from sport_data_pipeline_spark.operators.multimodal import (
+    decode_wav_pcm,
+    encode_wav_pcm,
+    extract_audio_stats,
+)
+
+
+def test_wav_pcm_roundtrip_mono_and_stereo():
+    rng = np.random.RandomState(5)
+    for ch, n in [(1, 801), (2, 1024)]:
+        s = rng.randint(-32768, 32768, size=n * ch, dtype=np.int64).astype(np.int16)
+        dec = decode_wav_pcm(encode_wav_pcm(s, 8000, ch))
+        assert dec is not None
+        got_ch, got_rate, got = dec
+        assert (got_ch, got_rate) == (ch, 8000)
+        assert (got == s).all()
+
+
+def test_wav_pcm_decode_matches_stdlib_wave_encoder():
+    """stdlib `wave` is an independent encoder: bytes it writes must decode
+    to the exact samples — catches any encoder/decoder bug pair in our own
+    round-trip."""
+    s = np.array([0, 1, -1, 32767, -32768, 12345, -12345], dtype=np.int16)
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as w:
+        w.setnchannels(1)
+        w.setsampwidth(2)
+        w.setframerate(11025)
+        w.writeframes(s.tobytes())
+    dec = decode_wav_pcm(buf.getvalue())
+    assert dec is not None
+    ch, rate, got = dec
+    assert (ch, rate) == (1, 11025)
+    assert (got == s).all()
+
+
+def test_wav_pcm_decode_rejects_out_of_profile():
+    s = np.zeros(64, dtype=np.int16)
+    good = encode_wav_pcm(s, 8000, 1)
+    assert decode_wav_pcm(good) is not None
+    assert decode_wav_pcm(None) is None
+    assert decode_wav_pcm(b"RIFFxxxx") is None
+    assert decode_wav_pcm(good[:40]) is None  # truncated data chunk
+    bad_fmt = bytearray(good)
+    bad_fmt[20] = 3  # format tag 3 = IEEE float, not PCM
+    assert decode_wav_pcm(bytes(bad_fmt)) is None
+    bad_bits = bytearray(good)
+    bad_bits[34] = 8  # 8-bit profile not supported
+    assert decode_wav_pcm(bytes(bad_bits)) is None
+    # stereo with a partial frame (odd sample count): reject
+    assert decode_wav_pcm(encode_wav_pcm(np.zeros(65, dtype=np.int16), 8000, 2)) is None
+
+
+def test_extract_audio_stats_distributed(spark):
+    s = np.array([3, -4, 0, 5], dtype=np.int16)
+    rows = [
+        (1, encode_wav_pcm(s, 16000, 1), "audio/wav", 0, None),
+        (2, None, "audio/wav", 0, None),
+        (3, b"\x89PNG\r\n\x1a\not-audio", "image/png", 0, None),
+    ]
+    got = {
+        r["media_id"]: r
+        for r in extract_audio_stats(
+            spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3, "media_id")
+        ).collect()
+    }
+    assert got[1]["n_samples"] == 4 and got[1]["channels"] == 1
+    assert got[1]["sum_sq"] == 50 and got[1]["sum_abs"] == 12 and got[1]["peak"] == 5
+    assert abs(got[1]["rms"] - (50 / 4) ** 0.5) < 1e-12
+    for mid in (2, 3):
+        assert got[mid]["n_samples"] is None and got[mid]["sum_sq"] is None

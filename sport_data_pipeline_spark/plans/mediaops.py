@@ -326,3 +326,83 @@ def audio_pcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((k, payload, "audio/wav", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_audio_stats(media).orderBy("media_id")
+
+
+# Resize oracle: restates the box-downsample block math in SQL — pixels
+# group into factor×factor blocks (ragged right/bottom edges keep their
+# actual size), each block becomes floor(sum/count) per channel, and the
+# stats aggregate the DOWNSAMPLED image. The Spark side runs the full
+# decode → resize → re-encode → decode chain, so the hash-match certifies
+# the resampler AND both codec directions end to end.
+RESIZE_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 16 + 3*i AS w, 9 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h, ux.x, uy.y,
+         (7*d.i + 3*ux.x + 5*uy.y) % 256 AS r,
+         (11*d.i + 2*ux.x + uy.y) % 256 AS g,
+         (13*d.i + ux.x + 4*uy.y) % 256 AS b
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+blocks AS (
+  SELECT i, x // 2 AS bx, y // 2 AS by,
+         SUM(r) // COUNT(*) AS br,
+         SUM(g) // COUNT(*) AS bg,
+         SUM(b) // COUNT(*) AS bb
+  FROM px GROUP BY i, x // 2, y // 2
+),
+d2 AS (SELECT i, (w + 1) // 2 AS w2, (h + 1) // 2 AS h2 FROM dims)
+SELECT CAST(i AS BIGINT) AS media_id,
+       CAST(w2 AS INTEGER) AS width,
+       CAST(h2 AS INTEGER) AS height,
+       CAST(w2 * h2 AS BIGINT) AS n_px,
+       CAST(SUM(br) AS BIGINT) AS sum_r,
+       CAST(SUM(bg) AS BIGINT) AS sum_g,
+       CAST(SUM(bb) AS BIGINT) AS sum_b,
+       CAST(SUM(br) AS DOUBLE) / (w2 * h2) AS mean_r,
+       CAST(SUM(bg) AS DOUBLE) / (w2 * h2) AS mean_g,
+       CAST(SUM(bb) AS DOUBLE) / (w2 * h2) AS mean_b
+FROM blocks JOIN d2 USING (i)
+GROUP BY i, w2, h2 ORDER BY media_id
+"""
+
+
+@query("image_resize_stats", survey="llm-multimodal,X6", oracle=RESIZE_STATS_ORACLE)
+def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL pixel resize, end to end: the same eight formula PNGs as
+    ``image_pixel_stats`` flow through ``resize_image_payloads`` (decode →
+    2× box-downsample with floor-integer block means → re-encode) and the
+    resized payloads are decoded AGAIN by ``extract_pixel_stats`` — the
+    oracle restates the block arithmetic from the pixel formulas, so one
+    hash-match certifies the resampler and both codec directions. The
+    fixture widths/heights are odd for most ids, so ragged edge blocks
+    (right column / bottom row smaller than 2×2) are exercised on every
+    image.
+    """
+    import numpy as np
+
+    from ..operators.multimodal import (
+        encode_png_rgb,
+        extract_pixel_stats,
+        resize_image_payloads,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 16 + 3 * i, 9 + 2 * i
+        y, x = np.mgrid[0:h, 0:w]
+        px = np.stack(
+            [
+                (7 * i + 3 * x + 5 * y) % 256,
+                (11 * i + 2 * x + y) % 256,
+                (13 * i + x + 4 * y) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        rows.append((i, encode_png_rgb(px), "image/png", 0, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(resize_image_payloads(media, factor=2)).orderBy(
+        "media_id"
+    )

@@ -428,3 +428,57 @@ def test_extract_audio_stats_distributed(spark):
     assert abs(got[1]["rms"] - (50 / 4) ** 0.5) < 1e-12
     for mid in (2, 3):
         assert got[mid]["n_samples"] is None and got[mid]["sum_sq"] is None
+
+
+# --------------------------------------------------------------------------
+# Box-downsample resize on real pixels
+# --------------------------------------------------------------------------
+
+from sport_data_pipeline_spark.operators.multimodal import (
+    box_downsample_rgb,
+    resize_image_payloads,
+)
+
+
+def _naive_box_downsample(px: np.ndarray, f: int) -> np.ndarray:
+    """Independent scalar reference: explicit block loops."""
+    h, w, _ = px.shape
+    h2, w2 = (h + f - 1) // f, (w + f - 1) // f
+    out = np.zeros((h2, w2, 3), dtype=np.uint8)
+    for by in range(h2):
+        for bx in range(w2):
+            block = px[by * f : (by + 1) * f, bx * f : (bx + 1) * f, :].astype(np.int64)
+            out[by, bx] = block.reshape(-1, 3).sum(axis=0) // (
+                block.shape[0] * block.shape[1]
+            )
+    return out
+
+
+def test_box_downsample_matches_naive_reference_with_ragged_edges():
+    rng = np.random.RandomState(3)
+    for h, w, f in [(9, 16, 2), (13, 37, 3), (4, 4, 2), (5, 7, 4)]:
+        px = rng.randint(0, 256, size=(h, w, 3), dtype=np.uint8)
+        got = box_downsample_rgb(px, f)
+        ref = _naive_box_downsample(px, f)
+        assert got.shape == ref.shape and (got == ref).all()
+
+
+def test_resize_image_payloads_roundtrip_and_nulls(spark):
+    rng = np.random.RandomState(17)
+    px = rng.randint(0, 256, size=(9, 15, 3), dtype=np.uint8)
+    rows = [
+        (1, encode_png_rgb(px), "image/png", 0, None),
+        (2, None, "image/png", 0, None),
+        (3, b"GIF89a\x10\x00\x08\x00", "image/gif", 0, None),  # not a PNG
+    ]
+    out = {
+        r["media_id"]: r
+        for r in resize_image_payloads(
+            spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3, "media_id"),
+            factor=2,
+        ).collect()
+    }
+    resized = decode_png_rgb(bytes(out[1]["payload"]))
+    assert (resized == _naive_box_downsample(px, 2)).all()
+    assert out[1]["n_bytes"] == len(bytes(out[1]["payload"]))
+    assert out[2]["payload"] is None and out[3]["payload"] is None

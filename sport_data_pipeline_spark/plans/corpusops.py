@@ -1452,3 +1452,126 @@ def length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("thr").cast("long").alias("threshold"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Iterative BPE merge training (r8): N full merge iterations, not just the
+# first pair statistic (bpe_pair_stats above). Each iteration picks the
+# most frequent adjacent symbol pair (deterministic tie-break) and merges
+# it greedily left-to-right across the vocabulary — the actual
+# tokenizer-training loop (Sennrich et al. 2016).
+#
+# Representation shared with the oracle: a word's symbol sequence is the
+# sentinel string '<s1><s2>...<sn>' (symbols are lowercase a-z only, so
+# the sentinels can never collide). Merging pair (a, b) is then EXACTLY
+# the literal string replace '<a><b>' → '<ab>': literal replace is
+# non-overlapping left-to-right — the standard BPE greedy merge — and the
+# per-symbol brackets mean adjacent matches share no boundary characters,
+# so '<a><a><a>' under pair (a,a) becomes '<aa><a>', as BPE requires.
+# Both engines implement the SAME iteration on this representation, so
+# the learned merge table hash-matches bit-exactly.
+#
+# Scale shape: the corpus collapses to the (word, count) vocabulary ONCE
+# (wordcount-shaped); every iteration after that is vocabulary-sized —
+# one grouped pair count + a 1-row top-1 collect + a map-only replace.
+# At 100 TB the vocabulary is millions of rows regardless of corpus
+# bytes; the driver loop holds N scalar pairs, nothing else.
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 5
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    parts = [
+        r"""WITH w AS (
+  SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents
+),
+v0 AS (
+  SELECT regexp_replace(w, '(.)', '<\1>', 'g') AS s, COUNT(*) AS wn
+  FROM w WHERE regexp_matches(w, '^[a-z]{2,}$') GROUP BY 1
+)"""
+    ]
+    for k in range(1, n_merges + 1):
+        parts.append(
+            f""",
+p{k} AS (
+  SELECT pr[1] AS l, pr[2] AS r, SUM(wn) AS n FROM (
+    SELECT unnest([[syms[i], syms[i+1]] FOR i IN generate_series(1, len(syms) - 1)]) AS pr, wn
+    FROM (SELECT str_split(s[2:-2], '><') AS syms, wn FROM v{k - 1})
+  ) GROUP BY 1, 2
+),
+m{k} AS (SELECT l, r, n FROM p{k} ORDER BY n DESC, l, r LIMIT 1),
+v{k} AS (
+  SELECT replace(s, '<' || m.l || '><' || m.r || '>', '<' || m.l || m.r || '>') AS s, wn
+  FROM v{k - 1}, m{k} m
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT {k} AS step, l AS left, r AS right, l || r AS merged, n AS pair_count FROM m{k}"
+        for k in range(1, n_merges + 1)
+    )
+    parts.append(
+        f"\nSELECT CAST(step AS INTEGER) AS step, \"left\", \"right\", merged,"
+        f" CAST(pair_count AS BIGINT) AS pair_count FROM ({union}) ORDER BY step"
+    )
+    return "".join(parts)
+
+
+BPE_TRAIN_ORACLE = _bpe_oracle(_BPE_MERGES)
+
+
+@query("bpe_train_merges", survey="A5,llm-index,iterative", oracle=BPE_TRAIN_ORACLE)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn the first N byte-pair-encoding merges over the document corpus.
+
+    Corpus → (word, count) vocabulary once; then N iterations of: count
+    adjacent symbol pairs weighted by word frequency (grouped agg over the
+    vocabulary), pick the max with a total tie-break (count desc, pair
+    asc — a 1-row collect), and merge it everywhere with the sentinel
+    literal-replace (map-only over the vocabulary, greedy left-to-right
+    by construction of non-overlapping literal replace). The vocabulary
+    frame is localCheckpointed per iteration so the lineage stays flat
+    across merges."""
+    words = (
+        _t(spark, sf_dir, "documents")
+        .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+    )
+    vocab = (
+        words.groupBy("w")
+        .agg(F.count(F.lit(1)).alias("wn"))
+        .select(F.regexp_replace("w", "(.)", "<$1>").alias("s"), "wn")
+        .localCheckpoint(eager=True)
+    )
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, _BPE_MERGES + 1):
+        syms = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
+        shifted = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+        prs = F.filter(
+            F.zip_with(
+                syms, shifted, lambda a, b: F.struct(a.alias("l"), b.alias("r"))
+            ),
+            lambda p: p["r"].isNotNull(),
+        )
+        top = (
+            vocab.select(F.explode(prs).alias("p"), "wn")
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("wn").alias("n"))
+            .orderBy(F.desc("n"), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break  # vocabulary fully merged (tiny corpora)
+        row = top[0]
+        l_, r_, n_ = row["l"], row["r"], int(row["n"])
+        merges.append((step, l_, r_, l_ + r_, n_))
+        vocab = vocab.select(
+            F.replace(
+                F.col("s"), F.lit(f"<{l_}><{r_}>"), F.lit(f"<{l_}{r_}>")
+            ).alias("s"),
+            "wn",
+        ).localCheckpoint(eager=True)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    ).orderBy("step")

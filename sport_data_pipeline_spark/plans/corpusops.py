@@ -1481,7 +1481,9 @@ def length_percentile_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BPE_MERGES = 5
 
 
-def _bpe_oracle(n_merges: int) -> str:
+def _bpe_oracle_prefix(n_merges: int) -> str:
+    """The shared WITH-chain: vocabulary v0, then per-iteration pair
+    counts p{k}, top-1 merge m{k}, merged vocabulary v{k}."""
     parts = [
         r"""WITH w AS (
   SELECT unnest(regexp_split_to_array(lower(trim(text)), '\s+')) AS w FROM documents
@@ -1506,18 +1508,22 @@ v{k} AS (
   FROM v{k - 1}, m{k} m
 )"""
         )
+    return "".join(parts)
+
+
+def _bpe_train_oracle(n_merges: int) -> str:
     union = "\nUNION ALL\n".join(
         f"SELECT {k} AS step, l AS left, r AS right, l || r AS merged, n AS pair_count FROM m{k}"
         for k in range(1, n_merges + 1)
     )
-    parts.append(
-        f"\nSELECT CAST(step AS INTEGER) AS step, \"left\", \"right\", merged,"
+    return (
+        _bpe_oracle_prefix(n_merges)
+        + f"\nSELECT CAST(step AS INTEGER) AS step, \"left\", \"right\", merged,"
         f" CAST(pair_count AS BIGINT) AS pair_count FROM ({union}) ORDER BY step"
     )
-    return "".join(parts)
 
 
-BPE_TRAIN_ORACLE = _bpe_oracle(_BPE_MERGES)
+BPE_TRAIN_ORACLE = _bpe_train_oracle(_BPE_MERGES)
 
 
 @query("bpe_train_merges", survey="A5,llm-index,iterative", oracle=BPE_TRAIN_ORACLE)
@@ -1532,6 +1538,18 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     by construction of non-overlapping literal replace). The vocabulary
     frame is localCheckpointed per iteration so the lineage stays flat
     across merges."""
+    merges, _ = _bpe_train(spark, sf_dir, _BPE_MERGES)
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, merged string, pair_count long"
+    ).orderBy("step")
+
+
+def _bpe_train(
+    spark: SparkSession, sf_dir: str, n_merges: int
+) -> tuple[list[tuple[int, str, str, str, int]], DataFrame]:
+    """Run the BPE training loop; returns (merge table rows, final
+    merged vocabulary frame with columns ``s`` (sentinel string) and
+    ``wn`` (word count))."""
     words = (
         _t(spark, sf_dir, "documents")
         .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
@@ -1544,17 +1562,9 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, _BPE_MERGES + 1):
-        syms = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
-        shifted = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
-        prs = F.filter(
-            F.zip_with(
-                syms, shifted, lambda a, b: F.struct(a.alias("l"), b.alias("r"))
-            ),
-            lambda p: p["r"].isNotNull(),
-        )
+    for step in range(1, n_merges + 1):
         top = (
-            vocab.select(F.explode(prs).alias("p"), "wn")
+            vocab.select(F.explode(_sym_pairs()).alias("p"), "wn")
             .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
             .agg(F.sum("wn").alias("n"))
             .orderBy(F.desc("n"), "l", "r")
@@ -1572,6 +1582,44 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s"),
             "wn",
         ).localCheckpoint(eager=True)
-    return spark.createDataFrame(
-        merges, "step int, left string, right string, merged string, pair_count long"
-    ).orderBy("step")
+    return merges, vocab
+
+
+def _sym_pairs():
+    """Adjacent symbol pairs of the sentinel string column ``s``."""
+    syms = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
+    shifted = F.slice(syms, 2, F.greatest(F.size(syms) - 1, F.lit(0)))
+    return F.filter(
+        F.zip_with(syms, shifted, lambda a, b: F.struct(a.alias("l"), b.alias("r"))),
+        lambda p: p["r"].isNotNull(),
+    )
+
+
+BPE_VOCAB_ORACLE = (
+    _bpe_oracle_prefix(_BPE_MERGES)
+    + f"""
+SELECT token, CAST(SUM(wn) AS BIGINT) AS n FROM (
+  SELECT unnest(str_split(s[2:-2], '><')) AS token, wn FROM v{_BPE_MERGES}
+) GROUP BY token ORDER BY n DESC, token LIMIT 20
+"""
+)
+
+
+@query("bpe_vocab_after_merges", survey="A5,llm-index,iterative", oracle=BPE_VOCAB_ORACLE)
+def bpe_vocab_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """APPLY the learned merges: top-20 vocabulary symbols (with corpus
+    frequencies) after the five trained BPE merges — the tokenizer's
+    post-merge token distribution, i.e. what the corpus actually
+    tokenizes into once training ran. Shares the training loop with
+    ``bpe_train_merges``; the apply half is one vocabulary-sized explode
+    + grouped sum (still corpus-byte-independent after the initial
+    wordcount collapse)."""
+    _, vocab = _bpe_train(spark, sf_dir, _BPE_MERGES)
+    syms = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
+    return (
+        vocab.select(F.explode(syms).alias("token"), "wn")
+        .groupBy("token")
+        .agg(F.sum("wn").cast("long").alias("n"))
+        .orderBy(F.desc("n"), "token")
+        .limit(20)
+    )

@@ -12,9 +12,15 @@ the published container formats, no codec library needed), powering
 PNG (zlib inflate + all five scanline filters — PNG's pixel layer needs
 no codec library), powering ``extract_pixel_stats``; ``decode_wav_pcm``
 goes all the way to SAMPLES for 16-bit PCM WAV (raw little-endian frames
-in the data chunk), powering ``extract_audio_stats``. JPEG/MP4 pixel and
-compressed-audio decode (libjpeg/ffmpeg entropy-coder territory) stays
-behind the documented codec seam; ``decode_stub=True`` substitutes a deterministic
+in the data chunk), powering ``extract_audio_stats``; ``decode_jpeg_gray``
+goes all the way to PIXELS for baseline grayscale JPEG (real huffman+DPCM
+entropy decode + IDCT — see the JPEG section), powering
+``extract_jpeg_stats``; and ``parse_mp4_samples`` walks the ISO-BMFF
+sample tables so ``extract_video_frame_stats`` reconstructs every MJPEG
+frame's pixels. What remains behind the documented seam: chroma-subsampled
+/ progressive JPEG, inter-frame video codecs (H.26x/VP9/AV1), and
+compressed audio (MP3/AAC) — genuinely library-grade territory.
+``decode_stub=True`` substitutes a deterministic
 byte-histogram feature so that distributed path — schema, batch shape,
 partitioning, null handling — is exercised end to end
 (tests/test_multimodal.py).
@@ -804,3 +810,731 @@ def resize_image_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline codec: REAL entropy-level decode, pure stdlib + numpy — the
+# section that closes the "entropy-coder seam" for still images. Baseline
+# sequential JPEG (ITU-T T.81) over the 8-bit single-component (grayscale)
+# profile: real marker stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), Annex-K
+# huffman + quantization tables, canonical-code huffman DECODE of the DPCM
+# DC / run-length AC coefficient stream (with 0xFF00 byte-stuffing), zigzag
+# de-serialization, dequantization, and a float64 orthonormal 2-D IDCT.
+#
+# Profile honesty: grayscale only. A 4:4:4 YCbCr scan is three interleaved
+# copies of exactly this per-component machinery plus one affine color
+# matrix; chroma SUBSAMPLING (2x2 MCUs) and progressive scans remain out of
+# profile and decode to None (never a crash) — as do DRI/restart streams.
+# Motion codecs (H.26x) stay behind the documented seam; MJPEG video is
+# this codec applied per frame (see parse_mp4_samples below).
+#
+# Exactness contract used by the oracled queries: for an image whose 8x8
+# blocks are each CONSTANT with an even level, the quantized DCT is a lone
+# DC coefficient ((value-128)/2 with the Annex-K q00=16) and the decode
+# reproduces every pixel bit-exactly — so a SQL oracle can restate the
+# decoded pixels from the block-value formula with no float replication.
+# Dense-coefficient blocks are covered by unit tests against an
+# independent four-loop math.cos IDCT reference (tests/test_multimodal.py).
+# ---------------------------------------------------------------------------
+
+#: Annex K Table K.1 luminance quantization (natural row-major order).
+STD_LUMA_QUANT = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+#: Zigzag scan: _ZIGZAG[k] = natural index of the k-th zigzag coefficient.
+_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+#: Annex K Table K.3 / K.5: luminance DC and AC huffman specs, as
+#: (bits[1..16], huffval) — the canonical-code inputs DHT carries verbatim.
+_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_DC_VALS = tuple(range(12))
+_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_AC_VALS = (
+    0x01, 0x02, 0x03, 0x00, 0x04, 0x11, 0x05, 0x12, 0x21, 0x31, 0x41, 0x06,
+    0x13, 0x51, 0x61, 0x07, 0x22, 0x71, 0x14, 0x32, 0x81, 0x91, 0xA1, 0x08,
+    0x23, 0x42, 0xB1, 0xC1, 0x15, 0x52, 0xD1, 0xF0, 0x24, 0x33, 0x62, 0x72,
+    0x82, 0x09, 0x0A, 0x16, 0x17, 0x18, 0x19, 0x1A, 0x25, 0x26, 0x27, 0x28,
+    0x29, 0x2A, 0x34, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44, 0x45,
+    0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58, 0x59,
+    0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74, 0x75,
+    0x76, 0x77, 0x78, 0x79, 0x7A, 0x83, 0x84, 0x85, 0x86, 0x87, 0x88, 0x89,
+    0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A, 0xA2, 0xA3,
+    0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4, 0xB5, 0xB6,
+    0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
+    0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
+    0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+def _huff_codes(bits, vals):
+    """Canonical huffman assignment (T.81 C.2): value -> (code, length)."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[vals[k]] = (code, ln)
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+def _huff_decode_table(bits, vals):
+    """Canonical huffman decode map: (length, code) -> value."""
+    out = {}
+    code = 0
+    k = 0
+    for ln in range(1, 17):
+        for _ in range(bits[ln - 1]):
+            out[(ln, code)] = vals[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return out
+
+
+_DCT_MAT = None
+
+
+def _dct_matrix():
+    """Orthonormal 8-point DCT-II matrix: C[u,x] = 0.5*c(u)*cos((2x+1)u*pi/16).
+    2-D forward DCT of a block s is C @ s @ C.T; inverse is C.T @ S @ C."""
+    global _DCT_MAT
+    if _DCT_MAT is None:
+        import math
+
+        import numpy as np
+
+        m = np.empty((8, 8))
+        for u in range(8):
+            cu = 1.0 / math.sqrt(2.0) if u == 0 else 1.0
+            for x in range(8):
+                m[u, x] = 0.5 * cu * math.cos((2 * x + 1) * u * math.pi / 16)
+        _DCT_MAT = m
+    return _DCT_MAT
+
+
+class _BitWriter:
+    """MSB-first bit accumulator with JPEG byte stuffing (0xFF -> 0xFF00)."""
+
+    def __init__(self) -> None:
+        self.out = bytearray()
+        self.acc = 0
+        self.nbits = 0
+
+    def put(self, value: int, length: int) -> None:
+        if length == 0:
+            return
+        self.acc = (self.acc << length) | (value & ((1 << length) - 1))
+        self.nbits += length
+        while self.nbits >= 8:
+            byte = (self.acc >> (self.nbits - 8)) & 0xFF
+            self.out.append(byte)
+            if byte == 0xFF:
+                self.out.append(0x00)
+            self.nbits -= 8
+            self.acc &= (1 << self.nbits) - 1
+
+    def flush(self) -> bytes:
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
+        return bytes(self.out)
+
+
+class _BitReader:
+    """MSB-first bit reader over entropy-coded data with byte-unstuffing;
+    raises ValueError on markers inside the scan or exhausted input."""
+
+    def __init__(self, data: bytes, pos: int) -> None:
+        self.data = data
+        self.pos = pos
+        self.acc = 0
+        self.nbits = 0
+
+    def _fill(self) -> None:
+        b = self.data
+        if self.pos >= len(b):
+            raise ValueError("entropy stream exhausted")
+        byte = b[self.pos]
+        self.pos += 1
+        if byte == 0xFF:
+            if self.pos >= len(b):
+                raise ValueError("truncated stuffing")
+            nxt = b[self.pos]
+            if nxt == 0x00:
+                self.pos += 1
+            else:
+                raise ValueError("marker inside scan")
+        self.acc = (self.acc << 8) | byte
+        self.nbits += 8
+
+    def bit(self) -> int:
+        if self.nbits == 0:
+            self._fill()
+        self.nbits -= 1
+        v = (self.acc >> self.nbits) & 1
+        self.acc &= (1 << self.nbits) - 1
+        return v
+
+    def bits(self, n: int) -> int:
+        v = 0
+        for _ in range(n):
+            v = (v << 1) | self.bit()
+        return v
+
+
+def _extend(v: int, t: int) -> int:
+    """T.81 F.2.2.1 EXTEND: map t received bits to the signed amplitude."""
+    if t == 0:
+        return 0
+    return v if v >= (1 << (t - 1)) else v - (1 << t) + 1
+
+
+def _bit_size(v: int) -> int:
+    """Amplitude category (SSSS): number of bits to code |v|."""
+    return 0 if v == 0 else abs(v).bit_length()
+
+
+def _encode_coeff_blocks(blocks) -> bytes:
+    """Huffman-encode quantized coefficient blocks (each a length-64 int
+    sequence in NATURAL order) into the entropy-coded segment: DPCM DC,
+    run-length AC with ZRL/EOB, Annex-K tables, byte stuffing, 1-padded
+    flush. Exposed for coefficient-level round-trip tests."""
+    dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
+    w = _BitWriter()
+    pred = 0
+    for blk in blocks:
+        zz = [int(blk[_ZIGZAG[k]]) for k in range(64)]
+        diff = zz[0] - pred
+        pred = zz[0]
+        t = _bit_size(diff)
+        code, ln = dc_codes[t]
+        w.put(code, ln)
+        if t:
+            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+        run = 0
+        for k in range(1, 64):
+            v = zz[k]
+            if v == 0:
+                run += 1
+                continue
+            while run >= 16:
+                code, ln = ac_codes[0xF0]  # ZRL
+                w.put(code, ln)
+                run -= 16
+            t = _bit_size(v)
+            code, ln = ac_codes[(run << 4) | t]
+            w.put(code, ln)
+            w.put(v if v >= 0 else v + (1 << t) - 1, t)
+            run = 0
+        if run:
+            code, ln = ac_codes[0x00]  # EOB
+            w.put(code, ln)
+    return w.flush()
+
+
+def _decode_coeff_blocks(data: bytes, pos: int, n_blocks: int):
+    """Huffman-decode ``n_blocks`` quantized coefficient blocks from the
+    entropy-coded segment at ``pos``. Returns a list of length-64 int lists
+    in NATURAL order. Inverse of _encode_coeff_blocks."""
+    dc_tab = _huff_decode_table(_DC_BITS, _DC_VALS)
+    ac_tab = _huff_decode_table(_AC_BITS, _AC_VALS)
+    r = _BitReader(data, pos)
+
+    def read_symbol(tab) -> int:
+        code = 0
+        for ln in range(1, 17):
+            code = (code << 1) | r.bit()
+            if (ln, code) in tab:
+                return tab[(ln, code)]
+        raise ValueError("invalid huffman code")
+
+    blocks = []
+    pred = 0
+    for _ in range(n_blocks):
+        zz = [0] * 64
+        t = read_symbol(dc_tab)
+        diff = _extend(r.bits(t), t) if t else 0
+        pred += diff
+        zz[0] = pred
+        k = 1
+        while k < 64:
+            sym = read_symbol(ac_tab)
+            if sym == 0x00:  # EOB
+                break
+            if sym == 0xF0:  # ZRL
+                k += 16
+                continue
+            run, t = sym >> 4, sym & 0x0F
+            k += run
+            if k > 63 or t == 0:
+                raise ValueError("corrupt AC run")
+            zz[k] = _extend(r.bits(t), t)
+            k += 1
+        natural = [0] * 64
+        for k in range(64):
+            natural[_ZIGZAG[k]] = zz[k]
+        blocks.append(natural)
+    return blocks
+
+
+def encode_jpeg_gray(pixels, quant=STD_LUMA_QUANT) -> bytes:
+    """Encode an (h, w) uint8 array as a spec-valid BASELINE grayscale JPEG
+    (SOF0, one component, Annex-K huffman tables, ``quant`` as DQT table 0).
+    Edge-replication pads to 8x8 blocks; float64 forward DCT; round-to-
+    nearest-even quantization. Write-time fixture synthesizer, same
+    discipline as ``encode_png_rgb`` — any standard JPEG decoder reads the
+    output."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
+    padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64) - 128.0
+    q = np.asarray(quant, dtype=np.float64).reshape(8, 8)
+    mat = _dct_matrix()
+    blocks = []
+    for by in range(ph // 8):
+        for bx in range(pw // 8):
+            blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
+            s = mat @ blk @ mat.T
+            blocks.append(np.rint(s / q).astype(np.int64).reshape(-1))
+    scan = _encode_coeff_blocks(blocks)
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    qz = bytes(int(np.asarray(quant).reshape(-1)[_ZIGZAG[k]]) for k in range(64))
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + qz)
+    sof = seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00")
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+    )
+    sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def decode_jpeg_gray(b: bytes | None):
+    """Full pixel decode of a baseline grayscale JPEG: marker walk, DQT/DHT
+    table load (arbitrary spec-valid tables, not just Annex K), huffman +
+    DPCM entropy decode, dequantization, float64 IDCT, level shift, clip,
+    crop to the SOF dimensions. Returns an (h, w) uint8 array, or None for
+    anything outside the profile (progressive/multi-component/subsampled/
+    restart-interval streams, 16-bit tables) — same null discipline as
+    ``decode_png_rgb``. Inverse of ``encode_jpeg_gray`` at the coefficient
+    level; exact at the pixel level for even-valued constant blocks (see
+    section comment)."""
+    import numpy as np
+
+    if not b or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
+        return None
+    quant = {}
+    dc_spec = {}
+    ac_spec = {}
+    h = w = -1
+    comp_q = comp_dc = comp_ac = 0
+    i = 2
+    n = len(b)
+    try:
+        while i + 4 <= n:
+            if b[i] != 0xFF:
+                return None
+            marker = b[i + 1]
+            if marker == 0xD9:
+                return None  # EOI before SOS
+            (ln,) = struct.unpack(">H", b[i + 2 : i + 4])
+            payload = b[i + 4 : i + 2 + ln]
+            if len(payload) != ln - 2:
+                return None
+            if marker == 0xDB:
+                p = 0
+                while p < len(payload):
+                    pq, tq = payload[p] >> 4, payload[p] & 0x0F
+                    if pq != 0:
+                        return None  # 16-bit tables out of profile
+                    tab = [0] * 64
+                    for k in range(64):
+                        tab[_ZIGZAG[k]] = payload[p + 1 + k]
+                    quant[tq] = tab
+                    p += 65
+            elif marker == 0xC4:
+                p = 0
+                while p < len(payload):
+                    tc, th = payload[p] >> 4, payload[p] & 0x0F
+                    bits = tuple(payload[p + 1 : p + 17])
+                    nv = sum(bits)
+                    vals = tuple(payload[p + 17 : p + 17 + nv])
+                    (dc_spec if tc == 0 else ac_spec)[th] = (bits, vals)
+                    p += 17 + nv
+            elif marker == 0xC0:
+                if payload[0] != 8 or payload[5] != 1:
+                    return None  # not 8-bit single-component
+                h, w = struct.unpack(">HH", payload[1:5])
+                if payload[7] != 0x11:
+                    return None  # subsampled
+                comp_q = payload[8]
+            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+                            0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
+                return None  # non-baseline SOF or restart interval
+            elif marker == 0xDA:
+                if payload[0] != 1 or h <= 0:
+                    return None
+                comp_dc, comp_ac = payload[2] >> 4, payload[2] & 0x0F
+                i += 2 + ln
+                break
+            i += 2 + ln
+        else:
+            return None
+        if comp_q not in quant or comp_dc not in dc_spec or comp_ac not in ac_spec:
+            return None
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        # scan decode with the tables DHT declared (not assumed Annex K)
+        dc_tab = _huff_decode_table(*dc_spec[comp_dc])
+        ac_tab = _huff_decode_table(*ac_spec[comp_ac])
+        r = _BitReader(b, i)
+
+        def read_symbol(tab) -> int:
+            code = 0
+            for ln2 in range(1, 17):
+                code = (code << 1) | r.bit()
+                if (ln2, code) in tab:
+                    return tab[(ln2, code)]
+            raise ValueError("invalid huffman code")
+
+        q = np.asarray(quant[comp_q], dtype=np.float64).reshape(8, 8)
+        mat = _dct_matrix()
+        out = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
+        pred = 0
+        for bidx in range(nbx * nby):
+            zz = [0] * 64
+            t = read_symbol(dc_tab)
+            pred += _extend(r.bits(t), t) if t else 0
+            zz[0] = pred
+            k = 1
+            while k < 64:
+                sym = read_symbol(ac_tab)
+                if sym == 0x00:
+                    break
+                if sym == 0xF0:
+                    k += 16
+                    continue
+                run, t = sym >> 4, sym & 0x0F
+                k += run
+                if k > 63 or t == 0:
+                    raise ValueError("corrupt AC run")
+                zz[k] = _extend(r.bits(t), t)
+                k += 1
+            s = np.zeros((8, 8), dtype=np.float64)
+            flat = s.reshape(-1)
+            for k in range(64):
+                if zz[k]:
+                    flat[_ZIGZAG[k]] = zz[k]
+            blk = mat.T @ (s * q) @ mat
+            px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.uint8)
+            by, bx = divmod(bidx, nbx)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+    except (ValueError, struct.error, IndexError):
+        return None
+    return out[:h, :w]
+
+
+JPEG_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_px", LongType(), True),
+        StructField("sum_v", LongType(), True),
+        StructField("min_v", IntegerType(), True),
+        StructField("max_v", IntegerType(), True),
+        StructField("mean_v", DoubleType(), True),
+    ]
+)
+
+
+def extract_jpeg_stats(df: DataFrame) -> DataFrame:
+    """Distributed pixel statistics over baseline grayscale JPEG payloads
+    via the REAL entropy-level decode (``decode_jpeg_gray``) inside
+    Arrow-batched mapInPandas: per-image luminance sum/min/max/mean.
+    Undecodable or out-of-profile payloads yield NULL stats. Same
+    O(images)-rows-out discipline as ``extract_pixel_stats``."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg_gray(None if payload is None else bytes(payload))
+                if px is None:
+                    rows.append((mid, None, None, None, None, None, None, None))
+                    continue
+                h, w = px.shape
+                total = int(px.sum(dtype=np.int64))
+                n = w * h
+                rows.append(
+                    (mid, w, h, n, total, int(px.min()), int(px.max()), total / n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "sum_v",
+                    "min_v",
+                    "max_v",
+                    "mean_v",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP4 sample tables (ISO/IEC 14496-12) + MJPEG frame pixels: closes the
+# video-pixel seam for INTRA-frame codecs. A motion-JPEG mp4 stores each
+# frame as an independent baseline-JPEG sample; the stbl sample table
+# (stsz sizes + stco chunk offsets + stsc chunk map) locates every sample
+# inside mdat, so frame extraction is a byte-range slice + the JPEG decode
+# above — no inter-frame prediction state. H.26x/VP9/AV1 (motion
+# compensation, arithmetic coders) remain the documented seam.
+# ---------------------------------------------------------------------------
+
+
+def _box(typ: bytes, payload: bytes) -> bytes:
+    return struct.pack(">I", 8 + len(payload)) + typ + payload
+
+
+def _full_box(typ: bytes, payload: bytes, version: int = 0, flags: int = 0) -> bytes:
+    return _box(typ, bytes((version,)) + flags.to_bytes(3, "big") + payload)
+
+
+def build_mp4_mjpeg(frames, timescale: int = 1000, frame_dur: int = 500) -> bytes:
+    """Assemble a spec-shaped MJPEG mp4: ftyp + moov(mvhd, trak(tkhd,
+    mdia(mdhd, hdlr, minf(stbl(stsd 'jpeg', stts, stsc, stsz, stco)))))
+    + mdat holding each frame's JPEG bytes as one sample. stco carries the
+    real absolute mdat payload offset (moov is built twice: the offset
+    field is fixed-width, so the second pass only fills the number in).
+    Write-time fixture synthesizer, same discipline as ``encode_png_rgb``."""
+    frames = [bytes(f) for f in frames]
+    n = len(frames)
+    duration = n * frame_dur
+
+    def moov(chunk_off: int) -> bytes:
+        mvhd = _full_box(
+            b"mvhd",
+            struct.pack(">IIII", 0, 0, timescale, duration) + b"\x00" * 80,
+        )
+        tkhd = _full_box(
+            b"tkhd", struct.pack(">IIIII", 0, 0, 1, 0, duration) + b"\x00" * 60, flags=7
+        )
+        mdhd = _full_box(
+            b"mdhd", struct.pack(">IIII", 0, 0, timescale, duration) + b"\x55\xc4\x00\x00"
+        )
+        hdlr = _full_box(b"hdlr", struct.pack(">I", 0) + b"vide" + b"\x00" * 12 + b"\x00")
+        stsd = _full_box(
+            b"stsd",
+            struct.pack(">I", 1)
+            + _box(b"jpeg", b"\x00" * 6 + struct.pack(">H", 1) + b"\x00" * 70),
+        )
+        stts = _full_box(b"stts", struct.pack(">III", 1, n, frame_dur))
+        stsc = _full_box(b"stsc", struct.pack(">IIII", 1, 1, n, 1))
+        stsz = _full_box(
+            b"stsz",
+            struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
+        )
+        stco = _full_box(b"stco", struct.pack(">II", 1, chunk_off))
+        stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
+        minf = _box(b"minf", stbl)
+        mdia = _box(b"mdia", mdhd + hdlr + minf)
+        trak = _box(b"trak", tkhd + mdia)
+        return _box(b"moov", mvhd + trak)
+
+    ftyp = _box(b"ftyp", b"isom\x00\x00\x02\x00isommp41")
+    probe = moov(0)
+    chunk_off = len(ftyp) + len(probe) + 8  # + mdat header
+    body = moov(chunk_off)
+    mdat = _box(b"mdat", b"".join(frames))
+    return ftyp + body + mdat
+
+
+def parse_mp4_samples(b: bytes | None):
+    """Walk the ISO-BMFF box tree to the first video track's sample table
+    and return [(absolute_offset, size)] for every sample. Profile: 32-bit
+    box sizes, stsz with a per-sample size list or a fixed size, samples
+    laid sequentially per chunk (the stsc map is applied chunk by chunk).
+    Returns None for anything unrecognizable — same null discipline as the
+    other parsers."""
+    if not b or len(b) < 16:
+        return None
+
+    def children(lo: int, hi: int):
+        out = []
+        i = lo
+        while i + 8 <= hi:
+            (size,) = struct.unpack(">I", b[i : i + 4])
+            typ = b[i + 4 : i + 8]
+            if size < 8 or i + size > hi:
+                return None
+            out.append((typ, i + 8, i + size))
+            i += size
+        return out
+
+    def find(lo: int, hi: int, path):
+        boxes = children(lo, hi)
+        if boxes is None:
+            return None
+        for typ, clo, chi in boxes:
+            if typ == path[0]:
+                if len(path) == 1:
+                    return (clo, chi)
+                got = find(clo, chi, path[1:])
+                if got is not None:
+                    return got
+        return None
+
+    try:
+        stbl = find(0, len(b), [b"moov", b"trak", b"mdia", b"minf", b"stbl"])
+        if stbl is None:
+            return None
+        tables = {}
+        for typ, clo, chi in children(*stbl) or []:
+            tables[typ] = (clo, chi)
+        if b"stsz" not in tables or b"stco" not in tables or b"stsc" not in tables:
+            return None
+        lo, hi = tables[b"stsz"]
+        fixed, count = struct.unpack(">II", b[lo + 4 : lo + 12])
+        if fixed:
+            sizes = [fixed] * count
+        else:
+            sizes = [
+                struct.unpack(">I", b[lo + 12 + 4 * k : lo + 16 + 4 * k])[0]
+                for k in range(count)
+            ]
+        lo, hi = tables[b"stco"]
+        (n_chunks,) = struct.unpack(">I", b[lo + 4 : lo + 8])
+        offsets = [
+            struct.unpack(">I", b[lo + 8 + 4 * k : lo + 12 + 4 * k])[0]
+            for k in range(n_chunks)
+        ]
+        lo, hi = tables[b"stsc"]
+        (n_ent,) = struct.unpack(">I", b[lo + 4 : lo + 8])
+        ents = [
+            struct.unpack(">III", b[lo + 8 + 12 * k : lo + 20 + 12 * k])
+            for k in range(n_ent)
+        ]
+        # expand stsc: samples-per-chunk for each chunk index (1-based)
+        per_chunk = []
+        for e_i, (first, spc, _desc) in enumerate(ents):
+            last = ents[e_i + 1][0] - 1 if e_i + 1 < len(ents) else n_chunks
+            per_chunk.extend([spc] * (last - first + 1))
+        out = []
+        s = 0
+        for c_i, coff in enumerate(offsets):
+            pos = coff
+            for _ in range(per_chunk[c_i] if c_i < len(per_chunk) else 0):
+                if s >= len(sizes):
+                    break
+                out.append((pos, sizes[s]))
+                pos += sizes[s]
+                s += 1
+        if s != len(sizes):
+            return None
+        return out
+    except (struct.error, IndexError):
+        return None
+
+
+VIDEO_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_px", LongType(), True),
+        StructField("sum_v", LongType(), True),
+        StructField("min_v", IntegerType(), True),
+        StructField("max_v", IntegerType(), True),
+        StructField("mean_v", DoubleType(), True),
+    ]
+)
+
+
+def extract_video_frame_stats(df: DataFrame) -> DataFrame:
+    """Distributed FRAME-PIXEL statistics over MJPEG mp4 payloads: the
+    sample-table walk (``parse_mp4_samples``) slices every frame out of
+    mdat and the baseline JPEG decode (``decode_jpeg_gray``) reconstructs
+    its pixels, inside Arrow-batched mapInPandas. Per video: decoded frame
+    count, frame dimensions, total pixels, and luminance sum/min/max/mean
+    across ALL frames. Videos outside the profile (or with any undecodable
+    frame) yield NULL stats — partial decodes are not reported as totals.
+    O(videos) rows out; pixels never leave the executor."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = parse_mp4_samples(None if payload is None else bytes(payload))
+                if not samples:
+                    rows.append((mid, None, None, None, None, None, None, None, None))
+                    continue
+                raw = bytes(payload)
+                total = 0
+                n_px = 0
+                vmin, vmax = 256, -1
+                w = h = None
+                ok = True
+                for off, size in samples:
+                    px = decode_jpeg_gray(raw[off : off + size])
+                    if px is None or (w is not None and px.shape != (h, w)):
+                        ok = False
+                        break
+                    h, w = px.shape
+                    total += int(px.sum(dtype=np.int64))
+                    n_px += px.size
+                    vmin = min(vmin, int(px.min()))
+                    vmax = max(vmax, int(px.max()))
+                if not ok or n_px == 0:
+                    rows.append((mid, None, None, None, None, None, None, None, None))
+                    continue
+                rows.append(
+                    (mid, len(samples), w, h, n_px, total, vmin, vmax, total / n_px)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "n_frames",
+                    "width",
+                    "height",
+                    "n_px",
+                    "sum_v",
+                    "min_v",
+                    "max_v",
+                    "mean_v",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)

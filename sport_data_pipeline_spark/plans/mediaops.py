@@ -13,10 +13,12 @@ produce, so any regression in the byte-level parsers or the mapInPandas
 plumbing breaks the hash-match).
 
 Pixel-level decode is REAL for PNG (``image_pixel_stats`` below: zlib +
-scanline un-filtering, formula-derived oracle) and sample-level decode is
-REAL for PCM WAV (``audio_pcm_stats`` below); JPEG/MP4 pixel and
-compressed-audio decode stays behind the documented codec seam (their
-entropy coders are libjpeg/ffmpeg territory, outside this container).
+scanline un-filtering, formula-derived oracle), for baseline grayscale
+JPEG (``jpeg_pixel_stats``: real huffman+DPCM entropy decode + IDCT),
+and for MJPEG video frames (``video_frame_stats``: ISO-BMFF sample-table
+walk + per-frame JPEG decode); sample-level decode is REAL for PCM WAV
+(``audio_pcm_stats``). The remaining documented seam: subsampled /
+progressive JPEG, inter-frame video codecs, compressed audio.
 Everything else
 checked here — container walking, dimension/rate/duration extraction,
 frame-sampling arithmetic, Arrow batch shapes, null propagation — is the
@@ -406,3 +408,134 @@ def image_resize_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_pixel_stats(resize_image_payloads(media, factor=2)).orderBy(
         "media_id"
     )
+
+
+# JPEG pixel-stats oracle: restates the block-value formula in SQL —
+# independent of everything under test (marker walk, DHT canonical-code
+# build, huffman+DPCM entropy decode, dequant, IDCT, padding crop). Block
+# values are even constants, so the decode is bit-exact by the codec's
+# documented contract (operators/multimodal.py, JPEG section): the
+# quantized spectrum of an even-constant block is a lone DC coefficient
+# and survives the float DCT/IDCT + rint round trip exactly. Image
+# dimensions are NOT multiples of 8, so the edge-replication pad and the
+# decoder's crop are on the oracled path; block values vary per block, so
+# the DC DPCM codes span positive/negative diffs of many bit-sizes.
+JPEG_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 29 + 3*i AS w, 21 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         8 + 2*((7*d.i + 3*(ux.x // 8) + 5*(uy.y // 8)) % 120) AS v
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+)
+SELECT CAST(100 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(v) AS BIGINT) AS sum_v,
+       CAST(MIN(v) AS INTEGER) AS min_v,
+       CAST(MAX(v) AS INTEGER) AS max_v,
+       CAST(SUM(v) AS DOUBLE) / (w * h) AS mean_v
+FROM px GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query("jpeg_pixel_stats", survey="llm-multimodal,X6", oracle=JPEG_STATS_ORACLE)
+def jpeg_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-level JPEG decode, distributed: per-image luminance
+    stats via ``extract_jpeg_stats`` — baseline huffman + DPCM coefficient
+    decode, dequantization, and IDCT inside Arrow-batched mapInPandas, no
+    codec library (the still-image half of the former "entropy-coder
+    seam"; see the codec section in operators/multimodal.py for the
+    profile and the exactness contract the oracle leans on).
+
+    The 8 fixture JPEGs are synthesized driver-side with per-8x8-block
+    constant values from a closed formula (even levels -> bit-exact
+    decode), at dimensions that are never multiples of 8 so the pad/crop
+    path runs on every image. In production the payload column arrives
+    from the media table and the decode runs where the data lives; only
+    the per-image stat row leaves an executor.
+    """
+    import numpy as np
+
+    from ..operators.multimodal import encode_jpeg_gray, extract_jpeg_stats
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * i, 21 + 2 * i
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        by, bx = np.mgrid[0:nby, 0:nbx]
+        bv = (8 + 2 * ((7 * i + 3 * bx + 5 * by) % 120)).astype(np.uint8)
+        px = np.kron(bv, np.ones((8, 8), np.uint8))[:h, :w]
+        rows.append((100 + i, encode_jpeg_gray(px), "image/jpeg", 0, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_jpeg_stats(media).orderBy("media_id")
+
+
+# Video frame-stats oracle: restates the per-frame block formula in SQL,
+# independent of the whole chain under test — ISO-BMFF box walk, stsc/stsz/
+# stco sample-location arithmetic, per-sample mdat slicing, and the
+# baseline JPEG decode of every frame. Frame counts vary per video (3+i),
+# so the stsz lists and mdat layouts all differ.
+VIDEO_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+vids AS (SELECT i, 3 + i AS n_frames, 29 + 3*(i % 4) AS w, 21 + 2*(i % 4) AS h FROM idx),
+px AS (
+  SELECT v.i, v.n_frames, v.w, v.h,
+         8 + 2*((7*v.i + 11*uf.f + 3*(ux.x // 8) + 5*(uy.y // 8)) % 120) AS val
+  FROM vids v,
+       LATERAL (SELECT unnest(range(v.n_frames)) AS f) uf,
+       LATERAL (SELECT unnest(range(v.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(v.h)) AS y) uy
+)
+SELECT CAST(400 + i AS BIGINT) AS media_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(n_frames * w * h AS BIGINT) AS n_px,
+       CAST(SUM(val) AS BIGINT) AS sum_v,
+       CAST(MIN(val) AS INTEGER) AS min_v,
+       CAST(MAX(val) AS INTEGER) AS max_v,
+       CAST(SUM(val) AS DOUBLE) / (n_frames * w * h) AS mean_v
+FROM px GROUP BY i, n_frames, w, h ORDER BY media_id
+"""
+
+
+@query("video_frame_stats", survey="llm-multimodal,X6", oracle=VIDEO_STATS_ORACLE)
+def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video frame-pixel decode, distributed: per-video luminance
+    stats across every frame via ``extract_video_frame_stats`` — the
+    ISO-BMFF sample-table walk (stsd/stts/stsc/stsz/stco) locates each
+    MJPEG sample inside mdat, and the baseline JPEG codec reconstructs its
+    pixels, all inside Arrow-batched mapInPandas (the video half of the
+    former "entropy-coder seam"; inter-frame codecs remain documented out
+    of profile).
+
+    The 8 fixture videos are synthesized driver-side (3..10 frames each,
+    per-frame per-block constant-value formula, even levels -> bit-exact
+    frame decode); the oracle restates the formula over (frame, x, y). In
+    production the payload column arrives from the media table; only the
+    per-video stat row leaves an executor, never frames.
+    """
+    import numpy as np
+
+    from ..operators.multimodal import (
+        build_mp4_mjpeg,
+        encode_jpeg_gray,
+        extract_video_frame_stats,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * (i % 4), 21 + 2 * (i % 4)
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        frames = []
+        for f in range(3 + i):
+            by, bx = np.mgrid[0:nby, 0:nbx]
+            bv = (8 + 2 * ((7 * i + 11 * f + 3 * bx + 5 * by) % 120)).astype(np.uint8)
+            frames.append(encode_jpeg_gray(np.kron(bv, np.ones((8, 8), np.uint8))[:h, :w]))
+        rows.append((400 + i, build_mp4_mjpeg(frames), "video/mp4", 0, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_video_frame_stats(media).orderBy("media_id")

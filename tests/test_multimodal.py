@@ -482,3 +482,219 @@ def test_resize_image_payloads_roundtrip_and_nulls(spark):
     assert (resized == _naive_box_downsample(px, 2)).all()
     assert out[1]["n_bytes"] == len(bytes(out[1]["payload"]))
     assert out[2]["payload"] is None and out[3]["payload"] is None
+
+
+# ---------------------------------------------------------------------------
+# JPEG baseline codec + MJPEG mp4 sample tables
+# ---------------------------------------------------------------------------
+
+from sport_data_pipeline_spark.operators.multimodal import (  # noqa: E402
+    STD_LUMA_QUANT,
+    _decode_coeff_blocks,
+    _encode_coeff_blocks,
+    build_mp4_mjpeg,
+    decode_jpeg_gray,
+    encode_jpeg_gray,
+    extract_jpeg_stats,
+    extract_video_frame_stats,
+    parse_mp4_header,
+    parse_mp4_samples,
+)
+
+
+def _const_block_image(rng, h, w):
+    bv = (rng.integers(0, 128, size=((h + 7) // 8, (w + 7) // 8)) * 2).astype(np.uint8)
+    return np.kron(bv, np.ones((8, 8), np.uint8))[:h, :w]
+
+
+def test_jpeg_entropy_layer_exact_roundtrip():
+    """Coefficient-level round trip: huffman+DPCM encode/decode is exact for
+    arbitrary quantized spectra — dense blocks, long zero runs needing ZRL,
+    max-ish amplitudes, sign coverage. This pins the ENTROPY layer alone
+    (no DCT in the loop)."""
+    rng = np.random.default_rng(11)
+    blocks = []
+    for b in range(20):
+        blk = np.zeros(64, dtype=np.int64)
+        if b % 4 == 0:  # dense small coefficients
+            blk[:] = rng.integers(-40, 41, size=64)
+        elif b % 4 == 1:  # sparse: forces ZRL (>16-zero gaps)
+            blk[0] = rng.integers(-200, 201)
+            blk[40] = rng.integers(1, 5)
+            blk[63] = -3
+        elif b % 4 == 2:  # large amplitudes across bit-size categories
+            blk[0] = 1000
+            blk[1] = -1023
+            blk[8] = 511
+            blk[9] = -1
+        # b % 4 == 3: all-zero block (EOB straight after DC)
+        blocks.append(blk.tolist())
+    data = _encode_coeff_blocks(blocks)
+    out = _decode_coeff_blocks(data, 0, len(blocks))
+    assert [list(map(int, blk)) for blk in out] == [list(map(int, b)) for b in blocks]
+
+
+def test_jpeg_constant_even_blocks_bitexact():
+    """The exactness contract the oracle leans on: even constant-valued 8x8
+    blocks survive encode->decode bit-exactly, including ragged pad/crop."""
+    rng = np.random.default_rng(5)
+    for h, w in [(8, 8), (21, 29), (9, 40), (16, 17)]:
+        px = _const_block_image(rng, h, w)
+        dec = decode_jpeg_gray(encode_jpeg_gray(px))
+        assert dec is not None and dec.shape == (h, w)
+        assert (dec == px).all()
+
+
+def test_jpeg_idct_matches_independent_four_loop_reference():
+    """Decoder IDCT vs an independent direct T.81 A.3.3 quadruple-loop
+    math.cos reference, on random dense coefficient blocks pushed through
+    the real byte stream (flat quant table isolates the transform)."""
+    import math
+
+    rng = np.random.default_rng(23)
+    coeffs = rng.integers(-60, 61, size=(4, 64)).astype(np.int64)
+    flat_q = [1] * 64
+
+    # hand-build a JPEG whose quantized spectrum is exactly `coeffs`
+    data = _encode_coeff_blocks([c.tolist() for c in coeffs])
+    import struct as _s
+
+    def seg(marker, payload):
+        return bytes((0xFF, marker)) + _s.pack(">H", len(payload) + 2) + payload
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        _AC_BITS,
+        _AC_VALS,
+        _DC_BITS,
+        _DC_VALS,
+        _ZIGZAG,
+    )
+
+    qz = bytes(flat_q[_ZIGZAG[k]] for k in range(64))
+    h, w = 8, 32  # 4 blocks in a row
+    payload = (
+        b"\xff\xd8"
+        + seg(0xDB, b"\x00" + qz)
+        + seg(0xC0, b"\x08" + _s.pack(">HH", h, w) + b"\x01\x01\x11\x00")
+        + seg(0xC4, b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+              + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS))
+        + seg(0xDA, b"\x01\x01\x00\x00\x3f\x00")
+        + data
+        + b"\xff\xd9"
+    )
+    dec = decode_jpeg_gray(payload)
+    assert dec is not None and dec.shape == (h, w)
+
+    def ref_idct(blk64):
+        s = [[0.0] * 8 for _ in range(8)]
+        for y in range(8):
+            for x in range(8):
+                acc = 0.0
+                for v in range(8):
+                    for u in range(8):
+                        cu = 1 / math.sqrt(2) if u == 0 else 1.0
+                        cv = 1 / math.sqrt(2) if v == 0 else 1.0
+                        acc += (
+                            cu * cv * blk64[v * 8 + u]
+                            * math.cos((2 * x + 1) * u * math.pi / 16)
+                            * math.cos((2 * y + 1) * v * math.pi / 16)
+                        )
+                s[y][x] = acc / 4.0
+        return s
+
+    for b in range(4):
+        ref = ref_idct(coeffs[b])
+        got = dec[:, b * 8 : b * 8 + 8].astype(int)
+        want = np.clip(np.rint(np.array(ref)) + 128, 0, 255).astype(int)
+        assert (got == want).all(), f"block {b}"
+
+
+def test_jpeg_decode_rejects_out_of_profile():
+    px = _const_block_image(np.random.default_rng(1), 16, 16)
+    good = encode_jpeg_gray(px)
+    assert decode_jpeg_gray(None) is None
+    assert decode_jpeg_gray(b"\xff\xd8\xff") is None
+    assert decode_jpeg_gray(good[:40]) is None  # truncated mid-tables
+    # progressive SOF2 (the multimodal_meta fixture's progressive header)
+    prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    assert decode_jpeg_gray(prog) is None
+    # DRI / restart-interval streams are out of profile
+    import struct as _s
+
+    dri = b"\xff\xdd" + _s.pack(">H", 4) + _s.pack(">H", 8)
+    sos_at = good.index(b"\xff\xda")
+    assert decode_jpeg_gray(good[:sos_at] + dri + good[sos_at:]) is None
+    # 3-component SOF is out of profile (component count byte = 3)
+    sof_at = good.index(b"\xff\xc0")
+    multi = bytearray(good)
+    multi[sof_at + 9] = 3
+    assert decode_jpeg_gray(bytes(multi)) is None
+
+
+def test_jpeg_decode_honors_declared_quant_table():
+    """DQT is read from the stream, not assumed Annex-K: a flat table of 8
+    makes every even value in [-128h..] representable — check a non-even
+    pattern decodes exactly under it."""
+    rng = np.random.default_rng(9)
+    bv = rng.integers(0, 256, size=(2, 2)).astype(np.uint8)
+    px = np.kron(bv, np.ones((8, 8), np.uint8))
+    flat = [8] * 64
+    dec = decode_jpeg_gray(encode_jpeg_gray(px, quant=flat))
+    # q00 = 8: S = round(8(v-128)/8) = v-128 exactly, decode = v exactly
+    assert (dec == px).all()
+
+
+def test_extract_jpeg_stats_distributed(spark):
+    rng = np.random.default_rng(2)
+    rows = []
+    want = {}
+    for i in range(6):
+        px = _const_block_image(rng, 17 + i, 24 + i)
+        rows.append((i, encode_jpeg_gray(px), "image/jpeg", 0, None))
+        want[i] = (int(px.sum()), int(px.min()), int(px.max()))
+    rows.append((99, b"not a jpeg", "image/jpeg", 0, None))
+    from sport_data_pipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3, "media_id")
+    got = {r["media_id"]: r for r in extract_jpeg_stats(df).collect()}
+    assert got[99]["sum_v"] is None
+    for i, (s, lo, hi) in want.items():
+        assert (got[i]["sum_v"], got[i]["min_v"], got[i]["max_v"]) == (s, lo, hi)
+
+
+def test_mp4_sample_table_roundtrip_and_header_compat():
+    rng = np.random.default_rng(4)
+    frames = [encode_jpeg_gray(_const_block_image(rng, 16, 24)) for _ in range(7)]
+    mp4 = build_mp4_mjpeg(frames, timescale=600, frame_dur=100)
+    # existing mvhd duration parser still reads the richer builder's output
+    assert parse_mp4_header(mp4) == ("isom", round(7 * 100 / 600, 6))
+    samples = parse_mp4_samples(mp4)
+    assert [s for _, s in samples] == [len(f) for f in frames]
+    for (off, size), f in zip(samples, frames):
+        assert mp4[off : off + size] == f
+    assert parse_mp4_samples(None) is None
+    assert parse_mp4_samples(b"\x00\x00\x00\x08free") is None
+    assert parse_mp4_samples(mp4[:80]) is None
+
+
+def test_extract_video_frame_stats_distributed(spark):
+    rng = np.random.default_rng(6)
+    rows = []
+    want = {}
+    for i in range(4):
+        pxs = [_const_block_image(rng, 16, 16) for _ in range(2 + i)]
+        mp4 = build_mp4_mjpeg([encode_jpeg_gray(p) for p in pxs])
+        rows.append((i, mp4, "video/mp4", 0, None))
+        want[i] = (len(pxs), sum(int(p.sum()) for p in pxs))
+    # one video with a corrupt middle frame -> NULL stats, not partial
+    pxs = [_const_block_image(rng, 16, 16) for _ in range(3)]
+    frames = [encode_jpeg_gray(p) for p in pxs]
+    frames[1] = b"\x00" * len(frames[1])
+    rows.append((50, build_mp4_mjpeg(frames), "video/mp4", 0, None))
+    from sport_data_pipeline_spark.operators.multimodal import MEDIA_SCHEMA
+
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3, "media_id")
+    got = {r["media_id"]: r for r in extract_video_frame_stats(df).collect()}
+    assert got[50]["sum_v"] is None
+    for i, (nf, s) in want.items():
+        assert (got[i]["n_frames"], got[i]["sum_v"]) == (nf, s)

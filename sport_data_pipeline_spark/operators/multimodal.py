@@ -1197,7 +1197,9 @@ def decode_jpeg_gray(b: bytes | None):
                             0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
                 return None  # non-baseline SOF or restart interval
             elif marker == 0xDA:
-                if payload[0] != 1 or h <= 0:
+                # w/h both checked: a SOF0 declaring width 0 would otherwise
+                # decode to a zero-size (h, 0) array and crash stats callers.
+                if payload[0] != 1 or h <= 0 or w <= 0:
                     return None
                 comp_dc, comp_ac = payload[2] >> 4, payload[2] & 0x0F
                 i += 2 + ln
@@ -1285,7 +1287,7 @@ def extract_jpeg_stats(df: DataFrame) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 px = decode_jpeg_gray(None if payload is None else bytes(payload))
-                if px is None:
+                if px is None or px.size == 0:
                     rows.append((mid, None, None, None, None, None, None, None))
                     continue
                 h, w = px.shape
@@ -1423,23 +1425,35 @@ def parse_mp4_samples(b: bytes | None):
             tables[typ] = (clo, chi)
         if b"stsz" not in tables or b"stco" not in tables or b"stsc" not in tables:
             return None
+        # Untrusted declared counts: every table read is bounded by its own
+        # box end (``hi``) so a corrupt count can neither read neighboring
+        # boxes as entries nor ([fixed]*count) attempt a multi-GB allocation.
         lo, hi = tables[b"stsz"]
         fixed, count = struct.unpack(">II", b[lo + 4 : lo + 12])
         if fixed:
+            # samples can't total more bytes than the file holds
+            if count > len(b) or fixed * count > len(b):
+                return None
             sizes = [fixed] * count
         else:
+            if lo + 12 + 4 * count > hi:
+                return None
             sizes = [
                 struct.unpack(">I", b[lo + 12 + 4 * k : lo + 16 + 4 * k])[0]
                 for k in range(count)
             ]
         lo, hi = tables[b"stco"]
         (n_chunks,) = struct.unpack(">I", b[lo + 4 : lo + 8])
+        if lo + 8 + 4 * n_chunks > hi:
+            return None
         offsets = [
             struct.unpack(">I", b[lo + 8 + 4 * k : lo + 12 + 4 * k])[0]
             for k in range(n_chunks)
         ]
         lo, hi = tables[b"stsc"]
         (n_ent,) = struct.unpack(">I", b[lo + 4 : lo + 8])
+        if lo + 8 + 12 * n_ent > hi:
+            return None
         ents = [
             struct.unpack(">III", b[lo + 8 + 12 * k : lo + 20 + 12 * k])
             for k in range(n_ent)

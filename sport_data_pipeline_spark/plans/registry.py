@@ -118,43 +118,71 @@ def query(
 #: (tests/test_registry.py): token_counts (F4(text)), histogram_bucket
 #: (A6), hard_negative_mining (llm-hard-negatives), union_distinct_keys
 #: (U2), doc_quality (A11(text)), ratio_of_sums (A3). percentile_peer
-#: deliberately KEEPS its slot so the r8 distributed-rank rewrite is
-#: re-verified externally.
+#: deliberately KEPT its slot so the r8 distributed-rank rewrite was
+#: re-verified externally (bit-exact, CORRECTNESS_r08).
+#: r9 rotation (14 swaps): IN came the fourteen queries registered in r8
+#: AFTER the r8 rotation (COVERAGE.md "r9 candidates" plus
+#: jpeg_pixel_stats + video_frame_stats) — the five pixel/sample-level
+#: media decodes (image_pixel_stats, audio_pcm_stats, image_resize_stats,
+#: jpeg_pixel_stats, video_frame_stats), the full BPE training family
+#: (bpe_pair_stats, bpe_train_merges, bpe_vocab_after_merges), the
+#: distributed-quantile family (global_exact_quantiles,
+#: length_percentile_gate, systematic_token_sample), the cell-routed and
+#: streaming semantic dedup paths (incremental_semantic_dedup_ivf —
+#: returning ann-cosine-ivf to the window — and
+#: stream_semantic_ingest_dedup), and lang_embedding_centroid. OUT went
+#: fourteen slots with green r8 rows whose tags stay represented:
+#: league_summary → standings (A12) + accepted A2; frequency_count →
+#: cube_order_stats/bpe_pair_stats (A5); segment_argmax →
+#: global_exact_quantiles/length_percentile_gate (A7); open_close →
+#: asof_nearest_clicks (W5/J11); percentile_peer →
+#: global_exact_quantiles (W2, the same range-exchange rank machinery);
+#: doc_fingerprint → accepted dedup-exact (hash-dedup stays in-window
+#: inside e2e_daily_pipeline; fingerprinting via doc_winnow_fingerprint);
+#: neardup_clusters → accepted dedup-clusters (iterative via
+#: bpe_train_merges; pair generation via minhash_jaccard_neardup);
+#: embedding_quantize_error → lang_embedding_centroid (llm-quantize) +
+#: accepted ann-compression (sibling pq_topk_recall); term_doc_frequency
+#: → bpe family (llm-index/A5) + top_performers (O1); lm_quality_score →
+#: length_percentile_gate (llm-quality); corpus_mixture_sample +
+#: source_cap_sample → systematic_token_sample (llm-mixture);
+#: incremental_semantic_dedup → the two incoming semantic-dedup paths;
+#: multimodal_meta → the five incoming media-stats queries
+#: (llm-multimodal/X6). All rotated-out queries keep their green history
+#: and stay DuckDB-oracled locally (tests/test_queries_oracle.py).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
     "multi_join_daterange",
-    "league_summary",
-    "frequency_count",
     "rollup_pricing",
     "cube_order_stats",
-    "segment_argmax",
     # windows / temporal
     "last_n_form",
     "h2h_symmetric",
     "latest_per_key",
     "standings",
     "asof_nearest_clicks",
-    "open_close",
     "time_bucket_cascade",
     "trend_forecast",
-    "percentile_peer",
+    # distributed quantile / rank family
+    "global_exact_quantiles",
+    "length_percentile_gate",
+    "systematic_token_sample",
     # text / parsing
     "json_extract_stats",
     "string_normalize_slug",
     "parse_functions",
     "field_coverage",
-    "doc_fingerprint",
     "doc_winnow_fingerprint",
     # similarity / dedup / ANN
     "fuzzy_entity_match_blocked",
     "minhash_jaccard_neardup",
     "simhash_neardup",
-    "incremental_semantic_dedup",
+    "incremental_semantic_dedup_ivf",
+    "stream_semantic_ingest_dedup",
     "dedup_spans_rewrite",
     "embedding_cosine_neardup",
-    "neardup_clusters",
-    "embedding_quantize_error",
+    "lang_embedding_centroid",
     "pq_topk_recall",
     "user_activity_topk",
     # domain composites
@@ -162,23 +190,27 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "record_unification",
     "external_id_lookup",
     "heavy_hitters_sketch",
-    "source_cap_sample",
     # e2e: bronze snapshots -> DataSource read -> refine -> gate -> dedup
     "e2e_daily_pipeline",
-    # LLM corpus prep
-    "lm_quality_score",
+    # LLM corpus prep + tokenizer training
     "pii_redaction",
-    "corpus_mixture_sample",
     "contamination_overlap",
-    "term_doc_frequency",
     "corpus_train_shards",
-    # event analytics + streaming + multimodal verdict rows
+    "bpe_pair_stats",
+    "bpe_train_merges",
+    "bpe_vocab_after_merges",
+    # event analytics + streaming
     "incident_window_attribution",
     "snapshot_table_diff",
     "stream_batch_equivalence",
     "stream_session_equivalence",
     "stream_join_equivalence",
-    "multimodal_meta",
+    # multimodal pixel/sample-level decode rows
+    "image_pixel_stats",
+    "audio_pcm_stats",
+    "image_resize_stats",
+    "jpeg_pixel_stats",
+    "video_frame_stats",
 )
 
 

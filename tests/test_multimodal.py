@@ -629,6 +629,11 @@ def test_jpeg_decode_rejects_out_of_profile():
     multi = bytearray(good)
     multi[sof_at + 9] = 3
     assert decode_jpeg_gray(bytes(multi)) is None
+    # SOF0 declaring width 0 must yield None, never a zero-size (h, 0)
+    # array that crashes stats callers (px.min() / total/n)
+    zero_w = bytearray(good)
+    zero_w[sof_at + 7 : sof_at + 9] = b"\x00\x00"
+    assert decode_jpeg_gray(bytes(zero_w)) is None
 
 
 def test_jpeg_decode_honors_declared_quant_table():
@@ -675,6 +680,34 @@ def test_mp4_sample_table_roundtrip_and_header_compat():
     assert parse_mp4_samples(None) is None
     assert parse_mp4_samples(b"\x00\x00\x00\x08free") is None
     assert parse_mp4_samples(mp4[:80]) is None
+
+
+def test_mp4_sample_table_bounds_hardened():
+    """Untrusted sample-table counts: a crafted stsz declaring ~4 billion
+    fixed-size samples must not attempt a multi-GB allocation, and counts
+    that overrun their own box end must fail deterministically instead of
+    silently reading neighboring boxes as entries."""
+    rng = np.random.default_rng(8)
+    frames = [encode_jpeg_gray(_const_block_image(rng, 16, 16)) for _ in range(3)]
+    mp4 = build_mp4_mjpeg(frames)
+    assert parse_mp4_samples(mp4) is not None  # baseline sanity
+    i = mp4.index(b"stsz")  # layout: type, ver/flags(4), fixed(4), count(4)
+    crafted = bytearray(mp4)
+    crafted[i + 8 : i + 12] = (16).to_bytes(4, "big")
+    crafted[i + 12 : i + 16] = (0xFFFFFFFF).to_bytes(4, "big")
+    assert parse_mp4_samples(bytes(crafted)) is None
+    # variable-size stsz whose declared count overruns the box end
+    crafted = bytearray(mp4)
+    crafted[i + 12 : i + 16] = (10**6).to_bytes(4, "big")
+    assert parse_mp4_samples(bytes(crafted)) is None
+    # stco / stsc entry counts one past their box end read into the next
+    # box without the hi bound; with it they are rejected outright
+    for typ, real_plus in ((b"stco", 4), (b"stsc", 12)):
+        j = mp4.index(typ)
+        (declared,) = struct.unpack(">I", mp4[j + 8 : j + 12])
+        crafted = bytearray(mp4)
+        crafted[j + 8 : j + 12] = (declared + 1).to_bytes(4, "big")
+        assert parse_mp4_samples(bytes(crafted)) is None, typ
 
 
 def test_extract_video_frame_stats_distributed(spark):

@@ -49,12 +49,9 @@ def test_window_covers_all_survey_ops():
         # Arrow/BLAS top-k: alternative physical path for the same rank
         # projection as in-window ann-cosine (embedding_topk); rotated out
         # in r5 to free a slot, agreement unit-tested + DuckDB-oracled.
+        # (ann-cosine-ivf was accepted here r6–r8; the r9 rotation returned
+        # it to the window via incremental_semantic_dedup_ivf.)
         "ann-cosine-arrow",
-        # IVF ANN: rotated out in r6 after two rounds of green driver rows
-        # (ivf_topk_recall, r4+r5); the in-window recall-contract slot for
-        # approximate ANN moved to the PQ sibling (pq_topk_recall, same
-        # pattern); still exact-recall-oracled in the tail.
-        "ann-cosine-ivf",
         # HLL++/GK sketch profile: rotated out in r6 (green rows r4+r5);
         # the in-window sketch-family slot moved to the Misra-Gries
         # heavy-hitters sibling (same error-bound-contract pattern); the
@@ -117,6 +114,31 @@ def test_window_covers_all_survey_ops():
         # aggregation with a derived division (league_summary);
         # ratio_of_sums carried it green r7.
         "A3",
+        # --- r9 rotation: each tag below left the window with a green r8
+        # row and an in-window sibling of the same execution shape; all
+        # stay DuckDB-oracled locally. ---
+        # global (ungrouped) decimal-sum aggregate: the same partial-agg
+        # + single-exchange shape as in-window grouped A1
+        # (top_performers, lang_embedding_centroid) and the counts rollup
+        # inside global_exact_quantiles; league_summary carried A2 green
+        # r8, pricing_summary/global_aggregates r1–r7.
+        "A2",
+        # exact hash dedup: the hash-groupBy + semi-join shape stays
+        # in-window inside e2e_daily_pipeline's incremental dedup stage,
+        # and content fingerprinting via doc_winnow_fingerprint;
+        # doc_fingerprint carried dedup-exact green r8.
+        "dedup-exact",
+        # connected components over near-dup pairs: pair generation stays
+        # in-window (minhash_jaccard_neardup) and the iterative
+        # collect-and-refine loop shape via bpe_train_merges;
+        # neardup_clusters carried dedup-clusters green r7–r8.
+        "dedup-clusters",
+        # vector compression error contract: the codebook-quantization
+        # sibling pq_topk_recall (PQ IS the compressed-ANN path) stays
+        # in-window, int8 quantization via lang_embedding_centroid's
+        # fixed-point machinery; embedding_quantize_error carried
+        # ann-compression green r7–r8.
+        "ann-compression",
     }
     real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
     real = {n: lost for n, lost in real.items() if lost}

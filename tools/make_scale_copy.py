@@ -9,13 +9,29 @@ not "what does the data look like at sf1".
 Two tables need more than an id offset to avoid fabricating quadratic
 structure that the real corpus would not have:
 
-- documents: each copy's text gets a per-copy token prefix on EVERY token
-  (`c3_foo`), so shingle sets across copies are disjoint — otherwise every
-  doc gains N-1 exact clones and near-dup pair counts grow O(N²) by
-  construction, poisoning the scaling exponent of every dedup query.
-- embeddings: each copy's vector is rotated by copy positions (norm
-  preserved, direction changed), so cross-copy cosine ≈ noise instead of
-  1.0 for the same reason.
+- documents: each copy's text gets a per-copy LETTER-ONLY suffix on EVERY
+  token (`foo` -> `fooqad` for copy 3), so shingle sets across copies are
+  disjoint — otherwise every doc gains N-1 exact clones and near-dup pair
+  counts grow O(N²) by construction, poisoning the scaling exponent of
+  every dedup query. Letters-only matters: the r8 probe used a `cN_`
+  PREFIX, which made every token fail the BPE trainer's `^[a-z]{2,}$`
+  word filter, so copies contributed no vocabulary and the trainer probe
+  ratio was meaningless (SCALE.md §8g). With the suffix, copy tokens stay
+  lowercase-letter words and the vocabulary grows ~N× as real data would.
+- embeddings, mode=rotate (default): each copy's vector is rotated by
+  copy positions (norm preserved, direction changed), so cross-copy
+  cosine ≈ noise instead of 1.0 for the same reason. This is the
+  DECORRELATED replica: it deliberately destroys semantic clustering, so
+  it measures the worst case of any cluster-routed operator (nothing
+  prunes — the lossless-router O(n²) floor, SCALE.md §8g).
+- embeddings, mode=perturb: each copy (except copy 0) keeps its vector
+  direction with a tiny deterministic multiplicative jitter
+  (cosine-to-original ≈ 0.999) — the STRUCTURED replica: copies land in
+  their originals' semantic neighborhood, preserving cluster structure
+  the way a re-crawl or shard merge would. Use ONLY for semantic-routing
+  probes (stream_semantic_ingest_dedup, incremental_semantic_dedup_ivf):
+  cross-copy near-dup pairs are real here by construction, so text-dedup
+  scaling exponents measured on this replica are meaningless.
 
 region/nation are fixed dimensions and stay as-is (as they would at any
 real SF).
@@ -27,7 +43,8 @@ modulus) gets ``user_id = -1``, emulating the single-dominant-entity skew
 cluster scale. Used by tools/skew_probe.py; leave at 0 for the plain
 scaling probe.
 
-Usage: python tools/make_scale_copy.py SRC_DIR DST_DIR N [HOT_FRAC]
+Usage: python tools/make_scale_copy.py SRC_DIR DST_DIR N [HOT_FRAC] [EMB_MODE]
+       EMB_MODE: rotate (default) | perturb
 """
 
 from __future__ import annotations
@@ -51,7 +68,9 @@ def _offset(col: str) -> F.Column:
     return (F.col(col) + F.col("__c").cast("long") * F.lit(OFFSET)).alias(col)
 
 
-def replicate(src: str, dst: str, n: int, hot_frac: float = 0.0) -> None:
+def replicate(
+    src: str, dst: str, n: int, hot_frac: float = 0.0, emb_mode: str = "rotate"
+) -> None:
     from sport_data_pipeline_spark.catalog import TABLES, load_table
     from sport_data_pipeline_spark.session import get_session
 
@@ -79,28 +98,70 @@ def replicate(src: str, dst: str, n: int, hot_frac: float = 0.0) -> None:
                 elif name == "documents" and c == "text":
                     cols.append(F.col("text"))  # rewritten with __c below
                 elif name == "embeddings" and c == "embedding":
-                    # rotate by __c positions: norm kept, direction changed.
-                    # Modulo the dim — a shift >= dim would silently be the
-                    # identity (empty first slice), planting cosine-1.0
-                    # cross-copy clones for n > dim.
-                    sz = F.size("embedding")
-                    shift = F.pmod(F.col("__c"), sz)
-                    rot = F.concat(
-                        F.slice(F.col("embedding"), shift + 1, sz),
-                        F.slice(F.col("embedding"), F.lit(1), shift),
-                    )
-                    cols.append(rot.alias("embedding"))
+                    if emb_mode == "perturb":
+                        # STRUCTURED replica: per-element multiplicative
+                        # jitter in [1-eps, 1+eps], deterministic in
+                        # (copy, element index), copy 0 untouched. Keeps
+                        # direction (cosine-to-original ≈ 1 - Var(δ)/2 ≈
+                        # 0.9996 at eps=0.05) so copies stay inside their
+                        # originals' semantic cluster; zero vectors stay
+                        # zero (zero-norm semantics preserved).
+                        eps = 0.05
+                        jit = F.transform(
+                            "embedding",
+                            lambda x, i: F.when(
+                                F.col("__c") == 0, x
+                            ).otherwise(
+                                (
+                                    x.cast("double")
+                                    * (
+                                        F.lit(1.0)
+                                        + F.lit(eps)
+                                        * (
+                                            (
+                                                F.pmod(
+                                                    F.col("__c") * 131 + i * 17,
+                                                    F.lit(11),
+                                                ).cast("double")
+                                                - 5.0
+                                            )
+                                            / 5.0
+                                        )
+                                    )
+                                ).cast("float")
+                            ),
+                        )
+                        cols.append(jit.alias("embedding"))
+                    else:
+                        # DECORRELATED replica (default): rotate by __c
+                        # positions — norm kept, direction changed. Modulo
+                        # the dim — a shift >= dim would silently be the
+                        # identity (empty first slice), planting cosine-1.0
+                        # cross-copy clones for n > dim.
+                        sz = F.size("embedding")
+                        shift = F.pmod(F.col("__c"), sz)
+                        rot = F.concat(
+                            F.slice(F.col("embedding"), shift + 1, sz),
+                            F.slice(F.col("embedding"), F.lit(1), shift),
+                        )
+                        cols.append(rot.alias("embedding"))
                 else:
                     cols.append(F.col(c))
             out = rep.select(*cols, F.col("__c"))
             if name == "documents":
-                # do the text prefix with the copy index available
+                # per-copy letter-only token SUFFIX (copy 3 -> "fooqad"):
+                # shingles stay disjoint across copies AND suffixed tokens
+                # still pass word filters like the BPE trainer's
+                # ^[a-z]{2,}$ — so vocabulary-sized claims probe honestly.
+                # Two base-26 letters cover n <= 676 copies.
+                c_hi = F.char(F.lit(97) + F.floor(F.col("__c") / 26) % 26)
+                c_lo = F.char(F.lit(97) + F.pmod(F.col("__c"), F.lit(26)))
                 out = out.withColumn(
                     "text",
                     F.regexp_replace(
                         F.col("text"),
                         F.lit(r"(\S+)"),
-                        F.concat(F.lit("c"), F.col("__c").cast("string"), F.lit(r"_$1")),
+                        F.concat(F.lit(r"$1q"), c_hi, c_lo),
                     ),
                 )
             out = out.drop("__c")
@@ -127,4 +188,7 @@ def replicate(src: str, dst: str, n: int, hot_frac: float = 0.0) -> None:
 if __name__ == "__main__":
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
     hot_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
-    replicate(src, dst, n, hot_frac)
+    emb_mode = sys.argv[5] if len(sys.argv) > 5 else "rotate"
+    if emb_mode not in ("rotate", "perturb"):
+        raise SystemExit(f"EMB_MODE must be rotate|perturb, got {emb_mode!r}")
+    replicate(src, dst, n, hot_frac, emb_mode)

@@ -815,25 +815,29 @@ def resize_image_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
 # ---------------------------------------------------------------------------
 # JPEG baseline codec: REAL entropy-level decode, pure stdlib + numpy — the
 # section that closes the "entropy-coder seam" for still images. Baseline
-# sequential JPEG (ITU-T T.81) over the 8-bit single-component (grayscale)
-# profile: real marker stream (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), Annex-K
-# huffman + quantization tables, canonical-code huffman DECODE of the DPCM
-# DC / run-length AC coefficient stream (with 0xFF00 byte-stuffing), zigzag
-# de-serialization, dequantization, and a float64 orthonormal 2-D IDCT.
+# sequential JPEG (ITU-T T.81) over 8-bit single-component (grayscale) AND
+# three-component 4:4:4 YCbCr (color) profiles: real marker stream
+# (SOI/APP0/DQT/SOF0/DHT/SOS/EOI), Annex-K huffman + quantization tables
+# (luma K.1/K.3/K.5 and chroma K.2/K.4/K.6), canonical-code huffman DECODE
+# of the DPCM DC / run-length AC coefficient stream (with 0xFF00
+# byte-stuffing, per-component predictors through the interleaved MCU
+# scan), zigzag de-serialization, dequantization, a float64 orthonormal
+# 2-D IDCT, and the CCIR 601 inverse color transform (JFIF v1.02 §7).
 #
-# Profile honesty: grayscale only. A 4:4:4 YCbCr scan is three interleaved
-# copies of exactly this per-component machinery plus one affine color
-# matrix; chroma SUBSAMPLING (2x2 MCUs) and progressive scans remain out of
-# profile and decode to None (never a crash) — as do DRI/restart streams.
-# Motion codecs (H.26x) stay behind the documented seam; MJPEG video is
-# this codec applied per frame (see parse_mp4_samples below).
+# Profile honesty: chroma SUBSAMPLING (2x2 MCUs) and progressive scans
+# remain out of profile and decode to None (never a crash) — as do
+# DRI/restart streams. Motion codecs (H.26x) stay behind the documented
+# seam; MJPEG video is this codec applied per frame (parse_mp4_samples).
 #
 # Exactness contract used by the oracled queries: for an image whose 8x8
 # blocks are each CONSTANT with an even level, the quantized DCT is a lone
 # DC coefficient ((value-128)/2 with the Annex-K q00=16) and the decode
 # reproduces every pixel bit-exactly — so a SQL oracle can restate the
 # decoded pixels from the block-value formula with no float replication.
-# Dense-coefficient blocks are covered by unit tests against an
+# The chroma twin: levels 128+17t against the K.2 q00=17 quantize to the
+# lone integer DC 8t and round-trip exactly, so the color oracle only has
+# to mirror the (floor(x+0.5)-pinned) color matrix on top of the plane
+# formulas. Dense-coefficient blocks are covered by unit tests against an
 # independent four-loop math.cos IDCT reference (tests/test_multimodal.py).
 # ---------------------------------------------------------------------------
 
@@ -847,6 +851,18 @@ STD_LUMA_QUANT = (
     24, 35, 55, 64, 81, 104, 113, 92,
     49, 64, 78, 87, 103, 121, 120, 101,
     72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+#: Annex K Table K.2 chrominance quantization (natural row-major order).
+STD_CHROMA_QUANT = (
+    17, 18, 24, 47, 99, 99, 99, 99,
+    18, 21, 26, 66, 99, 99, 99, 99,
+    24, 26, 56, 99, 99, 99, 99, 99,
+    47, 66, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
+    99, 99, 99, 99, 99, 99, 99, 99,
 )
 
 #: Zigzag scan: _ZIGZAG[k] = natural index of the k-th zigzag coefficient.
@@ -876,6 +892,28 @@ _AC_VALS = (
     0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7, 0xC8, 0xC9,
     0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA, 0xE1, 0xE2,
     0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF1, 0xF2, 0xF3, 0xF4,
+    0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
+)
+
+
+#: Annex K Tables K.4 / K.6: chrominance DC and AC huffman specs.
+_DC_CHROMA_BITS = (0, 3, 1, 1, 1, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0)
+_DC_CHROMA_VALS = tuple(range(12))
+_AC_CHROMA_BITS = (0, 2, 1, 2, 4, 4, 3, 4, 7, 5, 4, 4, 0, 1, 2, 0x77)
+_AC_CHROMA_VALS = (
+    0x00, 0x01, 0x02, 0x03, 0x11, 0x04, 0x05, 0x21, 0x31, 0x06, 0x12, 0x41,
+    0x51, 0x07, 0x61, 0x71, 0x13, 0x22, 0x32, 0x81, 0x08, 0x14, 0x42, 0x91,
+    0xA1, 0xB1, 0xC1, 0x09, 0x23, 0x33, 0x52, 0xF0, 0x15, 0x62, 0x72, 0xD1,
+    0x0A, 0x16, 0x24, 0x34, 0xE1, 0x25, 0xF1, 0x17, 0x18, 0x19, 0x1A, 0x26,
+    0x27, 0x28, 0x29, 0x2A, 0x35, 0x36, 0x37, 0x38, 0x39, 0x3A, 0x43, 0x44,
+    0x45, 0x46, 0x47, 0x48, 0x49, 0x4A, 0x53, 0x54, 0x55, 0x56, 0x57, 0x58,
+    0x59, 0x5A, 0x63, 0x64, 0x65, 0x66, 0x67, 0x68, 0x69, 0x6A, 0x73, 0x74,
+    0x75, 0x76, 0x77, 0x78, 0x79, 0x7A, 0x82, 0x83, 0x84, 0x85, 0x86, 0x87,
+    0x88, 0x89, 0x8A, 0x92, 0x93, 0x94, 0x95, 0x96, 0x97, 0x98, 0x99, 0x9A,
+    0xA2, 0xA3, 0xA4, 0xA5, 0xA6, 0xA7, 0xA8, 0xA9, 0xAA, 0xB2, 0xB3, 0xB4,
+    0xB5, 0xB6, 0xB7, 0xB8, 0xB9, 0xBA, 0xC2, 0xC3, 0xC4, 0xC5, 0xC6, 0xC7,
+    0xC8, 0xC9, 0xCA, 0xD2, 0xD3, 0xD4, 0xD5, 0xD6, 0xD7, 0xD8, 0xD9, 0xDA,
+    0xE2, 0xE3, 0xE4, 0xE5, 0xE6, 0xE7, 0xE8, 0xE9, 0xEA, 0xF2, 0xF3, 0xF4,
     0xF5, 0xF6, 0xF7, 0xF8, 0xF9, 0xFA,
 )
 
@@ -1011,6 +1049,40 @@ def _bit_size(v: int) -> int:
     return 0 if v == 0 else abs(v).bit_length()
 
 
+def _put_block(w: "_BitWriter", blk, pred: int, dc_codes, ac_codes) -> int:
+    """Huffman-encode ONE quantized coefficient block (length-64 ints in
+    NATURAL order) against the given code tables: DPCM DC vs ``pred``,
+    run-length AC with ZRL/EOB. Returns the new DC predictor — the unit
+    both the single-component scan and the interleaved 3-component MCU
+    scan are built from (each component carries its own predictor)."""
+    zz = [int(blk[_ZIGZAG[k]]) for k in range(64)]
+    diff = zz[0] - pred
+    t = _bit_size(diff)
+    code, ln = dc_codes[t]
+    w.put(code, ln)
+    if t:
+        w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
+    run = 0
+    for k in range(1, 64):
+        v = zz[k]
+        if v == 0:
+            run += 1
+            continue
+        while run >= 16:
+            code, ln = ac_codes[0xF0]  # ZRL
+            w.put(code, ln)
+            run -= 16
+        t = _bit_size(v)
+        code, ln = ac_codes[(run << 4) | t]
+        w.put(code, ln)
+        w.put(v if v >= 0 else v + (1 << t) - 1, t)
+        run = 0
+    if run:
+        code, ln = ac_codes[0x00]  # EOB
+        w.put(code, ln)
+    return zz[0]
+
+
 def _encode_coeff_blocks(blocks) -> bytes:
     """Huffman-encode quantized coefficient blocks (each a length-64 int
     sequence in NATURAL order) into the entropy-coded segment: DPCM DC,
@@ -1021,32 +1093,7 @@ def _encode_coeff_blocks(blocks) -> bytes:
     w = _BitWriter()
     pred = 0
     for blk in blocks:
-        zz = [int(blk[_ZIGZAG[k]]) for k in range(64)]
-        diff = zz[0] - pred
-        pred = zz[0]
-        t = _bit_size(diff)
-        code, ln = dc_codes[t]
-        w.put(code, ln)
-        if t:
-            w.put(diff if diff >= 0 else diff + (1 << t) - 1, t)
-        run = 0
-        for k in range(1, 64):
-            v = zz[k]
-            if v == 0:
-                run += 1
-                continue
-            while run >= 16:
-                code, ln = ac_codes[0xF0]  # ZRL
-                w.put(code, ln)
-                run -= 16
-            t = _bit_size(v)
-            code, ln = ac_codes[(run << 4) | t]
-            w.put(code, ln)
-            w.put(v if v >= 0 else v + (1 << t) - 1, t)
-            run = 0
-        if run:
-            code, ln = ac_codes[0x00]  # EOB
-            w.put(code, ln)
+        pred = _put_block(w, blk, pred, dc_codes, ac_codes)
     return w.flush()
 
 
@@ -1095,16 +1142,14 @@ def _decode_coeff_blocks(data: bytes, pos: int, n_blocks: int):
     return blocks
 
 
-def encode_jpeg_gray(pixels, quant=STD_LUMA_QUANT) -> bytes:
-    """Encode an (h, w) uint8 array as a spec-valid BASELINE grayscale JPEG
-    (SOF0, one component, Annex-K huffman tables, ``quant`` as DQT table 0).
-    Edge-replication pads to 8x8 blocks; float64 forward DCT; round-to-
-    nearest-even quantization. Write-time fixture synthesizer, same
-    discipline as ``encode_png_rgb`` — any standard JPEG decoder reads the
-    output."""
+def _quantize_plane(px, quant):
+    """Forward half of the per-component pipeline shared by the grayscale
+    and YCbCr encoders: edge-replication pad to 8x8 blocks, float64 DCT,
+    round-to-nearest-even quantization against ``quant``. Returns the
+    quantized coefficient blocks in raster order (length-64 natural-order
+    arrays)."""
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     ph, pw = (h + 7) // 8 * 8, (w + 7) // 8 * 8
     padded = np.pad(px, ((0, ph - h), (0, pw - w)), mode="edge").astype(np.float64) - 128.0
@@ -1116,6 +1161,21 @@ def encode_jpeg_gray(pixels, quant=STD_LUMA_QUANT) -> bytes:
             blk = padded[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8]
             s = mat @ blk @ mat.T
             blocks.append(np.rint(s / q).astype(np.int64).reshape(-1))
+    return blocks
+
+
+def encode_jpeg_gray(pixels, quant=STD_LUMA_QUANT) -> bytes:
+    """Encode an (h, w) uint8 array as a spec-valid BASELINE grayscale JPEG
+    (SOF0, one component, Annex-K huffman tables, ``quant`` as DQT table 0).
+    Edge-replication pads to 8x8 blocks; float64 forward DCT; round-to-
+    nearest-even quantization. Write-time fixture synthesizer, same
+    discipline as ``encode_png_rgb`` — any standard JPEG decoder reads the
+    output."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w = px.shape
+    blocks = _quantize_plane(px, quant)
     scan = _encode_coeff_blocks(blocks)
 
     def seg(marker: int, payload: bytes) -> bytes:
@@ -1134,16 +1194,78 @@ def encode_jpeg_gray(pixels, quant=STD_LUMA_QUANT) -> bytes:
     return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
-def decode_jpeg_gray(b: bytes | None):
-    """Full pixel decode of a baseline grayscale JPEG: marker walk, DQT/DHT
-    table load (arbitrary spec-valid tables, not just Annex K), huffman +
-    DPCM entropy decode, dequantization, float64 IDCT, level shift, clip,
-    crop to the SOF dimensions. Returns an (h, w) uint8 array, or None for
-    anything outside the profile (progressive/multi-component/subsampled/
-    restart-interval streams, 16-bit tables) — same null discipline as
-    ``decode_png_rgb``. Inverse of ``encode_jpeg_gray`` at the coefficient
-    level; exact at the pixel level for even-valued constant blocks (see
-    section comment)."""
+def encode_jpeg_ycbcr(
+    y, cb, cr, quant_luma=STD_LUMA_QUANT, quant_chroma=STD_CHROMA_QUANT
+) -> bytes:
+    """Encode three (h, w) uint8 YCbCr planes as a spec-valid BASELINE
+    COLOR JPEG at 4:4:4 (no chroma subsampling: every component sampled
+    1x1, so each MCU is one 8x8 block per component, interleaved Y-Cb-Cr
+    per T.81 A.2.3). Y quantizes against Annex-K table K.1 / huffman
+    K.3+K.5 (DQT 0, DHT class 0/1 id 0); Cb and Cr against K.2 / K.4+K.6
+    (DQT 1, DHT id 1). Each component carries its own DC predictor
+    through the interleaved scan. Taking YCbCr planes (not RGB) keeps the
+    encoder the exact inverse of the transform-domain half of
+    ``decode_jpeg_rgb`` — fixture formulas pick the planes, and the
+    decoder's color matrix is oracled separately. Any standard JPEG
+    decoder reads the output."""
+    import numpy as np
+
+    planes = [np.asarray(p, dtype=np.uint8) for p in (y, cb, cr)]
+    h, w = planes[0].shape
+    if any(p.shape != (h, w) for p in planes):
+        raise ValueError("YCbCr planes must share one shape at 4:4:4")
+    comp_blocks = [
+        _quantize_plane(planes[0], quant_luma),
+        _quantize_plane(planes[1], quant_chroma),
+        _quantize_plane(planes[2], quant_chroma),
+    ]
+    dc_luma = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_luma = _huff_codes(_AC_BITS, _AC_VALS)
+    dc_chroma = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_chroma = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    codes = [(dc_luma, ac_luma), (dc_chroma, ac_chroma), (dc_chroma, ac_chroma)]
+    bw = _BitWriter()
+    preds = [0, 0, 0]
+    for m in range(len(comp_blocks[0])):  # MCU raster = block raster at 4:4:4
+        for c in range(3):
+            preds[c] = _put_block(bw, comp_blocks[c][m], preds[c], *codes[c])
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    def zz(quant) -> bytes:
+        flat = np.asarray(quant).reshape(-1)
+        return bytes(int(flat[_ZIGZAG[k]]) for k in range(64))
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + zz(quant_luma) + b"\x01" + zz(quant_chroma))
+    sof = seg(
+        0xC0,
+        b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+        + b"\x01\x11\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS)
+        + b"\x11" + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS),
+    )
+    sos = seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
+def _decode_jpeg_planes(b: bytes | None):
+    """Component-plane decode shared by the grayscale and color wrappers:
+    marker walk, DQT/DHT table load (arbitrary spec-valid tables, not just
+    Annex K), huffman + DPCM entropy decode of the (possibly interleaved)
+    scan, dequantization, float64 IDCT, level shift, clip. Profile:
+    baseline sequential (SOF0), 8-bit tables, 1 or 3 components ALL
+    sampled 1x1 (4:4:4 — chroma-subsampled, progressive, and
+    restart-interval streams return None, same null discipline as
+    ``decode_png_rgb``). Returns ``(planes, h, w)`` with one padded
+    (8-aligned) uint8 plane per SOF component in SOF order, or None."""
     import numpy as np
 
     if not b or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
@@ -1152,7 +1274,8 @@ def decode_jpeg_gray(b: bytes | None):
     dc_spec = {}
     ac_spec = {}
     h = w = -1
-    comp_q = comp_dc = comp_ac = 0
+    sof_comps: list[tuple[int, int]] = []  # (component id, quant id), SOF order
+    scan_tabs: dict[int, tuple[int, int]] = {}  # component id -> (dc id, ac id)
     i = 2
     n = len(b)
     try:
@@ -1187,32 +1310,46 @@ def decode_jpeg_gray(b: bytes | None):
                     (dc_spec if tc == 0 else ac_spec)[th] = (bits, vals)
                     p += 17 + nv
             elif marker == 0xC0:
-                if payload[0] != 8 or payload[5] != 1:
-                    return None  # not 8-bit single-component
+                if payload[0] != 8 or payload[5] not in (1, 3):
+                    return None  # not 8-bit gray/YCbCr
                 h, w = struct.unpack(">HH", payload[1:5])
-                if payload[7] != 0x11:
-                    return None  # subsampled
-                comp_q = payload[8]
+                for c in range(payload[5]):
+                    if payload[7 + 3 * c] != 0x11:
+                        return None  # chroma-subsampled: out of profile
+                    sof_comps.append((payload[6 + 3 * c], payload[8 + 3 * c]))
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
                 return None  # non-baseline SOF or restart interval
             elif marker == 0xDA:
                 # w/h both checked: a SOF0 declaring width 0 would otherwise
                 # decode to a zero-size (h, 0) array and crash stats callers.
-                if payload[0] != 1 or h <= 0 or w <= 0:
+                if payload[0] != len(sof_comps) or not sof_comps or h <= 0 or w <= 0:
                     return None
-                comp_dc, comp_ac = payload[2] >> 4, payload[2] & 0x0F
+                for j in range(payload[0]):
+                    cid = payload[1 + 2 * j]
+                    scan_tabs[cid] = (payload[2 + 2 * j] >> 4, payload[2 + 2 * j] & 0x0F)
                 i += 2 + ln
                 break
             i += 2 + ln
         else:
             return None
-        if comp_q not in quant or comp_dc not in dc_spec or comp_ac not in ac_spec:
-            return None
+        mat = _dct_matrix()
+        comps = []  # per SOF component: (quant 8x8, dc table, ac table, plane)
         nbx, nby = (w + 7) // 8, (h + 7) // 8
-        # scan decode with the tables DHT declared (not assumed Annex K)
-        dc_tab = _huff_decode_table(*dc_spec[comp_dc])
-        ac_tab = _huff_decode_table(*ac_spec[comp_ac])
+        for cid, tq in sof_comps:
+            if cid not in scan_tabs or tq not in quant:
+                return None
+            td, ta = scan_tabs[cid]
+            if td not in dc_spec or ta not in ac_spec:
+                return None
+            comps.append(
+                (
+                    np.asarray(quant[tq], dtype=np.float64).reshape(8, 8),
+                    _huff_decode_table(*dc_spec[td]),
+                    _huff_decode_table(*ac_spec[ta]),
+                    np.empty((nby * 8, nbx * 8), dtype=np.uint8),
+                )
+            )
         r = _BitReader(b, i)
 
         def read_symbol(tab) -> int:
@@ -1223,41 +1360,86 @@ def decode_jpeg_gray(b: bytes | None):
                     return tab[(ln2, code)]
             raise ValueError("invalid huffman code")
 
-        q = np.asarray(quant[comp_q], dtype=np.float64).reshape(8, 8)
-        mat = _dct_matrix()
-        out = np.empty((nby * 8, nbx * 8), dtype=np.uint8)
-        pred = 0
+        # Interleaved scan (T.81 A.2.3): at 4:4:4 each MCU is one block per
+        # component in scan order, each component with its own predictor.
+        # A single-component scan degenerates to the same loop (MCU=block).
+        preds = [0] * len(comps)
         for bidx in range(nbx * nby):
-            zz = [0] * 64
-            t = read_symbol(dc_tab)
-            pred += _extend(r.bits(t), t) if t else 0
-            zz[0] = pred
-            k = 1
-            while k < 64:
-                sym = read_symbol(ac_tab)
-                if sym == 0x00:
-                    break
-                if sym == 0xF0:
-                    k += 16
-                    continue
-                run, t = sym >> 4, sym & 0x0F
-                k += run
-                if k > 63 or t == 0:
-                    raise ValueError("corrupt AC run")
-                zz[k] = _extend(r.bits(t), t)
-                k += 1
-            s = np.zeros((8, 8), dtype=np.float64)
-            flat = s.reshape(-1)
-            for k in range(64):
-                if zz[k]:
-                    flat[_ZIGZAG[k]] = zz[k]
-            blk = mat.T @ (s * q) @ mat
-            px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.uint8)
             by, bx = divmod(bidx, nbx)
-            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+            for ci, (q, dc_tab, ac_tab, out) in enumerate(comps):
+                zz = [0] * 64
+                t = read_symbol(dc_tab)
+                preds[ci] += _extend(r.bits(t), t) if t else 0
+                zz[0] = preds[ci]
+                k = 1
+                while k < 64:
+                    sym = read_symbol(ac_tab)
+                    if sym == 0x00:
+                        break
+                    if sym == 0xF0:
+                        k += 16
+                        continue
+                    run, t = sym >> 4, sym & 0x0F
+                    k += run
+                    if k > 63 or t == 0:
+                        raise ValueError("corrupt AC run")
+                    zz[k] = _extend(r.bits(t), t)
+                    k += 1
+                s = np.zeros((8, 8), dtype=np.float64)
+                flat = s.reshape(-1)
+                for k in range(64):
+                    if zz[k]:
+                        flat[_ZIGZAG[k]] = zz[k]
+                blk = mat.T @ (s * q) @ mat
+                px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.uint8)
+                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
     except (ValueError, struct.error, IndexError):
         return None
-    return out[:h, :w]
+    return [c[3] for c in comps], h, w
+
+
+def decode_jpeg_gray(b: bytes | None):
+    """Full pixel decode of a baseline GRAYSCALE JPEG via
+    ``_decode_jpeg_planes``. Returns an (h, w) uint8 array cropped to the
+    SOF dimensions, or None for anything outside the profile (including
+    color streams — use ``decode_jpeg_rgb``). Inverse of
+    ``encode_jpeg_gray`` at the coefficient level; exact at the pixel
+    level for even-valued constant blocks (see section comment)."""
+    got = _decode_jpeg_planes(b)
+    if got is None or len(got[0]) != 1:
+        return None
+    planes, h, w = got
+    return planes[0][:h, :w]
+
+
+def decode_jpeg_rgb(b: bytes | None):
+    """Full pixel decode of a baseline COLOR JPEG at 4:4:4: the three
+    component planes from ``_decode_jpeg_planes`` (JFIF orders them
+    Y, Cb, Cr in SOF) through the CCIR 601 inverse color transform
+    (JFIF v1.02 §7):
+
+        R = Y + 1.402 (Cr-128)
+        G = Y - 0.344136 (Cb-128) - 0.714136 (Cr-128)
+        B = Y + 1.772 (Cb-128)
+
+    rounded as floor(x + 0.5) and clipped to [0, 255] — the rounding is
+    pinned to floor(+0.5) (not banker's) so the SQL oracle can restate
+    the matrix verbatim with FLOOR(). Returns an (h, w, 3) uint8 RGB
+    array, or None outside the profile (grayscale streams — use
+    ``decode_jpeg_gray`` — and subsampled/progressive color)."""
+    import numpy as np
+
+    got = _decode_jpeg_planes(b)
+    if got is None or len(got[0]) != 3:
+        return None
+    (yp, cbp, crp), h, w = got
+    yv = yp[:h, :w].astype(np.float64)
+    cb = cbp[:h, :w].astype(np.float64) - 128.0
+    cr = crp[:h, :w].astype(np.float64) - 128.0
+    r = np.floor(yv + 1.402 * cr + 0.5)
+    g = np.floor(yv - 0.344136 * cb - 0.714136 * cr + 0.5)
+    bl = np.floor(yv + 1.772 * cb + 0.5)
+    return np.clip(np.stack([r, g, bl], axis=-1), 0, 255).astype(np.uint8)
 
 
 JPEG_STATS_SCHEMA = StructType(
@@ -1311,6 +1493,50 @@ def extract_jpeg_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
+
+
+def extract_jpeg_color_stats(df: DataFrame) -> DataFrame:
+    """Distributed per-channel pixel statistics over baseline 4:4:4 COLOR
+    JPEG payloads via the REAL interleaved entropy decode + CCIR 601
+    inverse transform (``decode_jpeg_rgb``) inside Arrow-batched
+    mapInPandas: per-image RGB sums and means, the color twin of
+    ``extract_pixel_stats`` (same output schema, so PNG and JPEG color
+    stats union cleanly). Undecodable or out-of-profile payloads
+    (grayscale, subsampled, progressive) yield NULL stats; only the
+    per-image stat row leaves an executor, never pixels."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                px = decode_jpeg_rgb(None if payload is None else bytes(payload))
+                if px is None or px.size == 0:
+                    rows.append((mid, None, None, None, None, None, None, None, None, None))
+                    continue
+                h, w, _ = px.shape
+                s = px.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                n = w * h
+                rows.append(
+                    (mid, w, h, n, int(s[0]), int(s[1]), int(s[2]), s[0] / n, s[1] / n, s[2] / n)
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "media_id",
+                    "width",
+                    "height",
+                    "n_px",
+                    "sum_r",
+                    "sum_g",
+                    "sum_b",
+                    "mean_r",
+                    "mean_g",
+                    "mean_b",
+                ],
+            )
+
+    return df.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
 
 
 # ---------------------------------------------------------------------------

@@ -822,6 +822,80 @@ def build_semantic_cell_index(
     return assigned, cells
 
 
+def write_semantic_cell_index(
+    corpus: DataFrame,
+    path: str,
+    id_col: str,
+    vec_col: str = "embedding",
+    n_cells: int | None = None,
+    seed: int = 42,
+    target_cell_size: int = 512,
+) -> int:
+    """Persist the cell index to ``path`` — the SINK-SIDE half of routed
+    semantic dedup, paying the k-means fit ONCE at write time (the same
+    discipline as :func:`build_ivf_index` and the dedup signature index):
+    the cell-assigned corpus lands partitioned by ``__cell`` (so a probe
+    touching k cells reads k directories, not the whole corpus) and the
+    k-row centroid/radius table lands beside it. Query time then loads
+    with :func:`read_semantic_cell_index` and routes with
+    :func:`route_against_cell_index` — no fit in the query path.
+
+    Returns the number of cells fitted."""
+    c = corpus.select(
+        F.col(id_col).alias("__cid"),
+        F.col(vec_col).alias("__cv"),
+        _norm(F.col(vec_col)).alias("__cn"),
+    ).filter(F.col("__cn") > 0)
+    assigned, cells = build_semantic_cell_index(
+        c, n_cells=n_cells, seed=seed, target_cell_size=target_cell_size
+    )
+    # co-locate each cell before the partitioned write: one task per cell
+    # (not shuffle_partitions × cells small files) — and the file layout a
+    # cluster-side reader partition-prunes on.
+    assigned.repartition(len(cells), F.col("__cell")).write.mode(
+        "overwrite"
+    ).partitionBy("__cell").parquet(f"{path}/assigned")
+    corpus.sparkSession.createDataFrame(
+        cells, "__cell int, __centroid array<double>, __r double"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/cells")
+    return len(cells)
+
+
+def read_semantic_cell_index(
+    spark: SparkSession, path: str
+) -> tuple[DataFrame, list[tuple[int, list[float], float]]]:
+    """Load a persisted cell index written by
+    :func:`write_semantic_cell_index`: ``(assigned, cells)`` in the exact
+    shape :func:`route_against_cell_index` consumes. The cell table is
+    k rows (kilobytes) and collects driver-side, as the ingest loop
+    carries it."""
+    assigned = spark.read.parquet(f"{path}/assigned")
+    cells = [
+        (int(r["__cell"]), [float(x) for x in r["__centroid"]], float(r["__r"]))
+        for r in spark.read.parquet(f"{path}/cells").collect()
+    ]
+    return assigned, sorted(cells)
+
+
+def route_against_cell_index(
+    batch: DataFrame,
+    assigned: DataFrame,
+    cells: list[tuple[int, list[float], float]],
+    id_col: str,
+    vec_col: str = "embedding",
+    threshold: float = 0.85,
+    dim: int | None = None,
+) -> DataFrame:
+    """QUERY-TIME half of routed semantic dedup against a prebuilt index
+    (:func:`write_semantic_cell_index`): lossless radius-bound cell
+    selection + exact raw-vector verify. Bit-identical to
+    :func:`incremental_semantic_dedup_routed` (which fits inline) and to
+    the unrouted :func:`incremental_semantic_dedup` — unit-pinned."""
+    if threshold <= 0:
+        raise ValueError("cell-bound routing requires threshold > 0")
+    return _route_with_cells(batch, assigned, cells, id_col, vec_col, threshold, dim)
+
+
 def _unit_dist_expr(dim: int | None) -> Column:
     """``‖__cv/__cn − __centroid‖`` as an expression: the zip_with fold for
     unknown dims, or (with ``dim``) the codegen-able element_at unroll —

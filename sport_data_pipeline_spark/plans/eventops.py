@@ -1310,3 +1310,76 @@ def stream_outer_join_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame
         ],
         verdict_schema,
     )
+
+
+# ---------------------------------------------------------------------------
+# T6 stateful per-key operator, batch twin (streaming/stateful.py): the
+# applyInPandasWithState status tracker was the one §2 operator never
+# externally hash-checked (its micro-batch boundaries have no SQL
+# restatement). The batch twin runs the SAME state-transition function
+# (_fold_transitions) over each fixture's full history via applyInPandas,
+# which a window-function oracle CAN restate exactly: keep ticks whose
+# lifecycle rank exceeds the running max of all earlier ticks, pair each
+# kept tick with the previous kept status. Ticks are totally ordered by
+# (ts, event_id) on both sides, so the comparison is deterministic.
+# ---------------------------------------------------------------------------
+
+STATUS_TRANSITIONS_ORACLE = """
+WITH ticks AS (
+  SELECT user_id AS fixture_id, event_id,
+         CASE event_type WHEN 'view' THEN 'scheduled'
+                         WHEN 'click' THEN 'live'
+                         ELSE 'finished' END AS status,
+         CASE event_type WHEN 'view' THEN 0
+                         WHEN 'click' THEN 1
+                         ELSE 2 END AS ord,
+         ts
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+),
+m AS (
+  SELECT fixture_id, status, ord, ts,
+         MAX(ord) OVER (PARTITION BY fixture_id ORDER BY ts, event_id
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+           AS prev_max
+  FROM ticks
+),
+kept AS (
+  SELECT fixture_id, status, ord, ts FROM m
+  WHERE prev_max IS NULL OR ord > prev_max
+)
+SELECT fixture_id,
+       LAG(status) OVER (PARTITION BY fixture_id ORDER BY ts, ord)
+         AS prev_status,
+       status AS new_status,
+       ts AS transition_ts
+FROM kept
+ORDER BY fixture_id, transition_ts
+"""
+
+
+@query("status_transitions_batch", survey="T6,X6", oracle=STATUS_TRANSITIONS_ORACLE)
+def status_transitions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward-only per-fixture status transitions (scheduled→live→
+    finished), computed by the batch twin of the stateful streaming
+    operator — the exact state-transition function the
+    applyInPandasWithState tracker runs per micro-batch
+    (streaming/stateful.py:_fold_transitions), applied to each fixture's
+    full history in one grouped Arrow pass. Event types map onto the
+    lifecycle (view→scheduled, click→live, purchase→finished; other
+    types are non-lifecycle noise the fold ignores). Distributed shape:
+    one hash exchange on fixture_id, per-group linear walk — the same
+    partitioning contract as the streaming state store. Reference parity:
+    src/common/scraper_utils.py:48-60 (status recompute per poll)."""
+    from ..streaming.stateful import track_status_transitions_batch
+
+    ev = _t(spark, sf_dir, "events")
+    ticks = ev.filter(F.col("event_type").isin("view", "click", "purchase")).select(
+        F.col("user_id").alias("fixture_id"),
+        F.when(F.col("event_type") == "view", "scheduled")
+        .when(F.col("event_type") == "click", "live")
+        .otherwise("finished")
+        .alias("status"),
+        F.col("ts").alias("scraped_at"),
+        F.col("event_id").alias("tick_id"),
+    )
+    return track_status_transitions_batch(ticks).orderBy("fixture_id", "transition_ts")

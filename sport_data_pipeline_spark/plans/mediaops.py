@@ -15,9 +15,11 @@ plumbing breaks the hash-match).
 Pixel-level decode is REAL for PNG (``image_pixel_stats`` below: zlib +
 scanline un-filtering, formula-derived oracle), for baseline grayscale
 JPEG (``jpeg_pixel_stats``: real huffman+DPCM entropy decode + IDCT),
-and for MJPEG video frames (``video_frame_stats``: ISO-BMFF sample-table
-walk + per-frame JPEG decode); sample-level decode is REAL for PCM WAV
-(``audio_pcm_stats``). The remaining documented seam: subsampled /
+for baseline 4:4:4 COLOR JPEG (``jpeg_color_pixel_stats``: interleaved
+three-component decode + CCIR 601 inverse transform), and for MJPEG
+video frames (``video_frame_stats``: ISO-BMFF sample-table walk +
+per-frame JPEG decode); sample-level decode is REAL for PCM WAV
+(``audio_pcm_stats``). The remaining documented seam: chroma-subsampled /
 progressive JPEG, inter-frame video codecs, compressed audio.
 Everything else
 checked here — container walking, dimension/rate/duration extraction,
@@ -539,3 +541,91 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((400 + i, build_mp4_mjpeg(frames), "video/mp4", 0, None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_video_frame_stats(media).orderBy("media_id")
+
+
+# Color-JPEG pixel-stats oracle: restates the per-block YCbCr plane
+# formulas AND the decoder's CCIR 601 inverse transform in SQL —
+# independent of everything under test (the interleaved 3-component
+# entropy decode with per-component predictors/tables, chroma DQT/DHT
+# load, dequant, IDCT, color matrix). Plane constants are chosen for
+# bit-exact transform round-trips per component: Y levels are EVEN
+# (luma DC quant 16: 8*d/16 = d/2 exact), chroma levels are 128 + 17*t
+# (chroma DC quant 17: 8*17t/17 = 8t exact), so the decoded planes equal
+# the formulas exactly and the only arithmetic the oracle must mirror is
+# the color matrix — pinned to floor(x+0.5) in both (e0 literals keep
+# DuckDB in DOUBLE, not DECIMAL). Chroma swings push R/G/B past both
+# clip rails on several blocks, so the LEAST/GREATEST path is exercised.
+JPEG_COLOR_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 29 + 3*i AS w, 21 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         CAST(8 + 2*((7*d.i + 3*(ux.x // 8) + 5*(uy.y // 8)) % 120) AS DOUBLE) AS yv,
+         17.0e0 * (((11*d.i + (ux.x // 8) + 2*(uy.y // 8)) % 15) - 7) AS cbd,
+         17.0e0 * (((13*d.i + 2*(ux.x // 8) + (uy.y // 8)) % 15) - 7) AS crd
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+rgb AS (
+  SELECT i, w, h,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv + 1.402e0*crd + 0.5e0))) AS r,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv - 0.344136e0*cbd - 0.714136e0*crd + 0.5e0))) AS g,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv + 1.772e0*cbd + 0.5e0))) AS b
+  FROM px
+)
+SELECT CAST(500 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query("jpeg_color_pixel_stats", survey="llm-multimodal,X6", oracle=JPEG_COLOR_STATS_ORACLE)
+def jpeg_color_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-level COLOR JPEG decode, distributed: per-image RGB
+    channel stats via ``extract_jpeg_color_stats`` — baseline 4:4:4
+    three-component interleaved huffman + DPCM decode (per-component
+    predictors, Annex-K luma AND chroma table sets), dequantization,
+    IDCT, and the CCIR 601 inverse color transform inside Arrow-batched
+    mapInPandas, no codec library. Closes the r8 verdict's color seam:
+    the grayscale machinery ran per-component three ways plus one affine
+    matrix (chroma subsampling and progressive scans stay documented out
+    of profile -> NULL, never a crash).
+
+    The 8 fixture JPEGs are synthesized driver-side as per-8x8-block
+    constant YCbCr planes from closed formulas whose levels make every
+    component's transform round-trip bit-exact (even luma levels against
+    DC quant 16; 128+17t chroma levels against DC quant 17), at
+    dimensions never multiples of 8 so pad/crop runs on every image. The
+    oracle restates the plane formulas and the color matrix; several
+    blocks clip at both rails, so saturation is on the oracled path. In
+    production the payload column arrives from the media table and only
+    the per-image stat row leaves an executor.
+    """
+    import numpy as np
+
+    from ..operators.multimodal import encode_jpeg_ycbcr, extract_jpeg_color_stats
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * i, 21 + 2 * i
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        by, bx = np.mgrid[0:nby, 0:nbx]
+        yb = (8 + 2 * ((7 * i + 3 * bx + 5 * by) % 120)).astype(np.uint8)
+        cbb = (128 + 17 * (((11 * i + bx + 2 * by) % 15) - 7)).astype(np.uint8)
+        crb = (128 + 17 * (((13 * i + 2 * bx + by) % 15) - 7)).astype(np.uint8)
+
+        def up(a):
+            return np.kron(a, np.ones((8, 8), np.uint8))[:h, :w]
+
+        rows.append((500 + i, encode_jpeg_ycbcr(up(yb), up(cbb), up(crb)), "image/jpeg", 0, None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_jpeg_color_stats(media).orderBy("media_id")

@@ -39,24 +39,14 @@ TRANSITION_SCHEMA = StructType(
 _STATE_SCHEMA = StructType([StructField("status", StringType(), True)])
 
 
-def _track(
-    key: tuple,
-    batches: Iterable[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    (fixture_id,) = key
-    if state.hasTimedOut:
-        # timeout invocation: no input batches (concat would raise), just
-        # drop the expired per-fixture state and emit nothing
-        state.remove()
-        return
-    current = state.get[0] if state.exists else None
-    rows = []
-    frames = list(batches)
-    if not frames:
-        return
-    ticks = pd.concat(frames, ignore_index=True)
-    ticks = ticks.sort_values("scraped_at", kind="mergesort")
+def _fold_transitions(
+    fixture_id, ticks: pd.DataFrame, current: str | None
+) -> tuple[list[dict], str | None]:
+    """THE state-transition function, shared verbatim by the streaming
+    operator and its batch twin: walk already-sorted ticks, emit a row
+    whenever the lifecycle moves FORWARD (late/stale statuses are data
+    noise, not regressions), return the advanced state."""
+    rows: list[dict] = []
     for _, t in ticks.iterrows():
         status = t["status"]
         if status not in _STATUS_ORDER:
@@ -71,6 +61,27 @@ def _track(
                 }
             )
             current = status
+    return rows, current
+
+
+def _track(
+    key: tuple,
+    batches: Iterable[pd.DataFrame],
+    state: GroupState,
+) -> Iterator[pd.DataFrame]:
+    (fixture_id,) = key
+    if state.hasTimedOut:
+        # timeout invocation: no input batches (concat would raise), just
+        # drop the expired per-fixture state and emit nothing
+        state.remove()
+        return
+    current = state.get[0] if state.exists else None
+    frames = list(batches)
+    if not frames:
+        return
+    ticks = pd.concat(frames, ignore_index=True)
+    ticks = ticks.sort_values("scraped_at", kind="mergesort")
+    rows, current = _fold_transitions(fixture_id, ticks, current)
     state.update((current,))
     if current == "finished":
         # finished fixtures won't transition again — let state expire
@@ -95,3 +106,30 @@ def track_status_transitions(ticks: DataFrame) -> DataFrame:
             timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
         )
     )
+
+
+def track_status_transitions_batch(ticks: DataFrame, tie_col: str = "tick_id") -> DataFrame:
+    """BATCH twin of :func:`track_status_transitions`, running the SAME
+    state-transition function (``_fold_transitions``) over each fixture's
+    full history in one grouped Arrow pass (``applyInPandas``) — the
+    restatement that makes the stateful operator externally
+    hash-checkable by a SQL oracle, which the streaming half cannot be
+    (its micro-batch boundaries are not SQL-expressible).
+
+    ``ticks``: (fixture_id, status, scraped_at, ``tie_col``) — the tie
+    column gives simultaneous ticks a deterministic total order (the
+    streaming operator's within-batch stable sort has no SQL twin).
+    Distributed shape: one hash exchange on fixture_id, per-group work
+    linear in that fixture's ticks — the same contract as the state-store
+    partitioning at cluster scale."""
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["scraped_at", tie_col], kind="mergesort")
+        rows, _ = _fold_transitions(int(pdf["fixture_id"].iloc[0]), pdf, None)
+        if not rows:
+            return pd.DataFrame(
+                columns=["fixture_id", "prev_status", "new_status", "transition_ts"]
+            )
+        return pd.DataFrame(rows)
+
+    return ticks.groupBy("fixture_id").applyInPandas(run, TRANSITION_SCHEMA)

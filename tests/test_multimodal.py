@@ -731,3 +731,119 @@ def test_extract_video_frame_stats_distributed(spark):
     assert got[50]["sum_v"] is None
     for i, (nf, s) in want.items():
         assert (got[i]["n_frames"], got[i]["sum_v"]) == (nf, s)
+
+
+def _ycbcr_const_planes(i, h, w):
+    """Per-block constant YCbCr planes at the bit-exact levels the color
+    oracle leans on: even luma (DC quant 16), 128+17t chroma (DC quant 17)."""
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    by, bx = np.mgrid[0:nby, 0:nbx]
+    yb = (8 + 2 * ((7 * i + 3 * bx + 5 * by) % 120)).astype(np.uint8)
+    cbb = (128 + 17 * (((11 * i + bx + 2 * by) % 15) - 7)).astype(np.uint8)
+    crb = (128 + 17 * (((13 * i + 2 * bx + by) % 15) - 7)).astype(np.uint8)
+
+    def up(a):
+        return np.kron(a, np.ones((8, 8), np.uint8))[:h, :w]
+
+    return up(yb), up(cbb), up(crb)
+
+
+def _rgb_from_planes(ypl, cbpl, crpl):
+    yv = ypl.astype(np.float64)
+    cbd = cbpl.astype(np.float64) - 128.0
+    crd = crpl.astype(np.float64) - 128.0
+    r = np.clip(np.floor(yv + 1.402 * crd + 0.5), 0, 255)
+    g = np.clip(np.floor(yv - 0.344136 * cbd - 0.714136 * crd + 0.5), 0, 255)
+    b = np.clip(np.floor(yv + 1.772 * cbd + 0.5), 0, 255)
+    return np.stack([r, g, b], axis=-1).astype(np.uint8)
+
+
+def test_jpeg_color_constant_blocks_bitexact():
+    """The color exactness contract: per-block constant YCbCr planes at the
+    oracle's levels survive the interleaved 3-component encode -> decode ->
+    CCIR 601 inverse transform bit-exactly (ragged pad/crop included), and
+    the chroma swings hit BOTH clip rails so saturation is covered."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr,
+    )
+
+    hit0 = hit255 = False
+    dims = [(21, 29), (9, 40), (16, 17), (24, 32)] + [(21 + 2 * i, 29 + 3 * i) for i in range(4, 8)]
+    for i, (h, w) in enumerate(dims):
+        ypl, cbpl, crpl = _ycbcr_const_planes(i, h, w)
+        rgb = decode_jpeg_rgb(encode_jpeg_ycbcr(ypl, cbpl, crpl))
+        exp = _rgb_from_planes(ypl, cbpl, crpl)
+        assert rgb is not None and rgb.shape == (h, w, 3)
+        assert (rgb == exp).all()
+        hit0 |= bool((exp == 0).any())
+        hit255 |= bool((exp == 255).any())
+    assert hit0 and hit255
+
+
+def test_jpeg_color_and_gray_wrappers_are_strict():
+    """decode_jpeg_gray refuses color streams, decode_jpeg_rgb refuses
+    grayscale — a stats caller never silently gets the wrong shape."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_gray,
+        encode_jpeg_ycbcr,
+    )
+
+    ypl, cbpl, crpl = _ycbcr_const_planes(2, 16, 16)
+    color = encode_jpeg_ycbcr(ypl, cbpl, crpl)
+    gray = encode_jpeg_gray(ypl)
+    assert decode_jpeg_gray(color) is None
+    assert decode_jpeg_rgb(gray) is None
+    assert decode_jpeg_gray(gray) is not None
+    assert decode_jpeg_rgb(color) is not None
+
+
+def test_jpeg_color_decode_rejects_out_of_profile():
+    """Profile honesty for the color path: subsampled (non-1x1 sampling),
+    progressive, truncated, and zero-dimension color streams yield None —
+    never a crash or a wrong-shape array."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr,
+    )
+
+    ypl, cbpl, crpl = _ycbcr_const_planes(3, 16, 16)
+    good = encode_jpeg_ycbcr(ypl, cbpl, crpl)
+    assert decode_jpeg_rgb(None) is None
+    assert decode_jpeg_rgb(good[:60]) is None  # truncated mid-tables
+    sof_at = good.index(b"\xff\xc0")
+    # 4:2:0 luma sampling (0x22) is out of profile
+    sub = bytearray(good)
+    assert sub[sof_at + 11] == 0x11
+    sub[sof_at + 11] = 0x22
+    assert decode_jpeg_rgb(bytes(sub)) is None
+    # progressive SOF2
+    assert decode_jpeg_rgb(good.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
+    # SOF0 declaring width 0
+    zero_w = bytearray(good)
+    zero_w[sof_at + 7 : sof_at + 9] = b"\x00\x00"
+    assert decode_jpeg_rgb(bytes(zero_w)) is None
+
+
+def test_extract_jpeg_color_stats_distributed(spark):
+    from sport_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_jpeg_ycbcr,
+        extract_jpeg_color_stats,
+    )
+
+    rows = []
+    want = {}
+    for i in range(4):
+        ypl, cbpl, crpl = _ycbcr_const_planes(i, 21 + 2 * i, 29 + 3 * i)
+        rows.append((i, encode_jpeg_ycbcr(ypl, cbpl, crpl), "image/jpeg", 0, None))
+        exp = _rgb_from_planes(ypl, cbpl, crpl).reshape(-1, 3).sum(axis=0, dtype=np.int64)
+        want[i] = tuple(int(x) for x in exp)
+    rows.append((9, b"\x00garbage", "image/jpeg", 0, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3, "media_id")
+    got = {r["media_id"]: r for r in extract_jpeg_color_stats(df).collect()}
+    assert got[9]["sum_r"] is None
+    for i, (sr, sg, sb) in want.items():
+        assert (got[i]["sum_r"], got[i]["sum_g"], got[i]["sum_b"]) == (sr, sg, sb)

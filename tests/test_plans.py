@@ -425,6 +425,12 @@ _BOUNDED_WINDOW_ALLOWANCE = {
     # the per-range-partition counts frame (<= spark.sql.shuffle.partitions
     # rows — cluster config, not data)
     "percentile_peer": (2, "counts rollup is <= shuffle-partition-count rows"),
+    # the r9 window entrants on the same range-exchange machinery
+    # (operators/windows.py: global_quantiles / systematic_weighted_sample):
+    # identical two cumulative-offset windows over the <= P-row counts frame
+    "global_exact_quantiles": (2, "counts rollup is <= shuffle-partition-count rows"),
+    "length_percentile_gate": (2, "counts rollup is <= shuffle-partition-count rows"),
+    "systematic_token_sample": (2, "counts rollup is <= shuffle-partition-count rows"),
     # the final rank runs AFTER orderBy().limit(5) — a 5-row frame
     "user_activity_topk": (1, "rank window runs over the post-limit top-5"),
     # gaps-and-islands over DISTINCT minutes: cardinality is elapsed

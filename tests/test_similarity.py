@@ -377,6 +377,62 @@ def test_incremental_semantic_dedup_routed_bit_identical(spark):
         assert routed == base
 
 
+def test_persisted_cell_index_round_trip_bit_identical(spark, tmp_path):
+    # the write-time index split: write_semantic_cell_index persists the
+    # cell-assigned corpus (partitioned by cell) + the centroid/radius
+    # table; routing a batch against the LOADED index must be bit-identical
+    # to the inline-fit routed operator AND the unrouted base operator
+    from sport_data_pipeline_spark.catalog import load_table
+    from sport_data_pipeline_spark.operators.similarity import (
+        incremental_semantic_dedup,
+        incremental_semantic_dedup_routed,
+        read_semantic_cell_index,
+        route_against_cell_index,
+        write_semantic_cell_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 1)
+    corpus = emb.filter(F.col("vec_id") % 5 != 1)
+    path = str(tmp_path / "cell_index")
+    k = write_semantic_cell_index(corpus, path, "vec_id", n_cells=8)
+    assert k == 8
+    assigned, cells = read_semantic_cell_index(spark, path)
+    assert len(cells) == 8
+    # partition pruning is real: the assigned corpus is laid out by cell
+    assert any("__cell=" in str(p) for p in (tmp_path / "cell_index" / "assigned").iterdir())
+    for tau in (0.8, 0.4):
+        from_index = {
+            r.vec_id: (r.status, r.match_id)
+            for r in route_against_cell_index(
+                batch, assigned, cells, "vec_id", threshold=tau
+            ).collect()
+        }
+        inline = {
+            r.vec_id: (r.status, r.match_id)
+            for r in incremental_semantic_dedup_routed(
+                batch, corpus, "vec_id", threshold=tau, n_cells=8
+            ).collect()
+        }
+        base = {
+            r.vec_id: (r.status, r.match_id)
+            for r in incremental_semantic_dedup(
+                batch, corpus, "vec_id", threshold=tau
+            ).collect()
+        }
+        assert from_index == inline == base
+
+
+def test_route_against_cell_index_rejects_nonpositive_threshold(spark):
+    from sport_data_pipeline_spark.operators.similarity import (
+        route_against_cell_index,
+    )
+
+    emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="threshold > 0"):
+        route_against_cell_index(emb, emb, [], "vec_id", threshold=-1.0)
+
+
 def test_incremental_semantic_dedup_routed_rejects_nonpositive_threshold(spark):
     from sport_data_pipeline_spark.operators.similarity import (
         incremental_semantic_dedup_routed,

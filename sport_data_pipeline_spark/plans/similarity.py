@@ -1595,7 +1595,17 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("embedding").alias("__cv"),
             _norm(F.col("embedding")).alias("__cn"),
         ).filter(F.col("__cn") > 0)
-        assigned0, cells0 = build_semantic_cell_index(prepared0, n_cells=8)
+        # AUTO-sized cells (k = ceil(n / target_cell_size)): pinning k=8 was
+        # the r9 structured-replica probe's finding — a fixed cell count
+        # lets per-cell membership (and radii) grow with the corpus, so
+        # the radius bound stops pruning at 10× and the verify join
+        # degrades toward batch × corpus (measured 20.3× before this
+        # change, SCALE.md §8h). Auto-k keeps cells ~target-sized at any
+        # corpus scale and is just as deterministic: k is a pure function
+        # of the corpus count and the fit is seeded. target=128 keeps the
+        # per-item bound-check cost trivial (k cheap dot products) while
+        # bounding every matched cell's exact-verify fan-out.
+        assigned0, cells0 = build_semantic_cell_index(prepared0, target_cell_size=128)
         assigned0.write.parquet(state_dir)
         cells = {c: (v, r) for c, v, r in cells0}  # driver-side k-row index
         # fixed embedding width, read once: lets every per-batch cosine /

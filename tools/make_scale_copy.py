@@ -31,7 +31,21 @@ structure that the real corpus would not have:
   the way a re-crawl or shard merge would. Use ONLY for semantic-routing
   probes (stream_semantic_ingest_dedup, incremental_semantic_dedup_ivf):
   cross-copy near-dup pairs are real here by construction, so text-dedup
-  scaling exponents measured on this replica are meaningless.
+  scaling exponents measured on this replica are meaningless. CAVEAT
+  (measured r9): the raw synthetic embeddings have NO semantic structure
+  at the production threshold — zero cos>=0.8 pairs across the
+  corpus/batch split, radius bound admits ~100% (semantic_bound_probe) —
+  so perturb copies replicate structurelessness and the probe still
+  measures the no-structure floor, with true-pair multiplicity inflated
+  10x on top (copies of corpus rows are corpus rows).
+- embeddings, mode=cluster: REPLACES every direction with one of 4
+  per-copy seeded +-1/sqrt(d) cluster centers plus eps=0.05 jitter.
+  Cluster COUNT grows with the copy index while per-cluster density
+  stays constant (more topics, not 10x-duplicated topics), so true-pair
+  volume grows LINEARLY and cluster routing has real structure to prune
+  against at tau=0.8 (within-cluster cos >= ~0.98, cross-cluster <~0.6).
+  The transform applies to copy 0 too: compare a cluster-1x dir against
+  a cluster-Nx dir, never against the raw sf dir.
 
 region/nation are fixed dimensions and stay as-is (as they would at any
 real SF).
@@ -44,7 +58,7 @@ cluster scale. Used by tools/skew_probe.py; leave at 0 for the plain
 scaling probe.
 
 Usage: python tools/make_scale_copy.py SRC_DIR DST_DIR N [HOT_FRAC] [EMB_MODE]
-       EMB_MODE: rotate (default) | perturb
+       EMB_MODE: rotate (default) | perturb | cluster
 """
 
 from __future__ import annotations
@@ -98,7 +112,10 @@ def replicate(
                 elif name == "documents" and c == "text":
                     cols.append(F.col("text"))  # rewritten with __c below
                 elif name == "embeddings" and c == "embedding":
-                    if emb_mode == "perturb":
+                    if emb_mode == "cluster":
+                        # rewritten with __c below (needs a centers join)
+                        cols.append(F.col("embedding"))
+                    elif emb_mode == "perturb":
                         # STRUCTURED replica: per-element multiplicative
                         # jitter in [1-eps, 1+eps], deterministic in
                         # (copy, element index), copy 0 untouched. Keeps
@@ -164,6 +181,86 @@ def replicate(
                         F.concat(F.lit(r"$1q"), c_hi, c_lo),
                     ),
                 )
+            if name == "embeddings" and emb_mode == "cluster":
+                # CLUSTERED replica: REPLACE every direction with one of
+                # C=4 per-copy cluster centers plus a small deterministic
+                # jitter, so the table has real semantic structure at the
+                # production threshold (the raw synthetic table has NONE:
+                # measured zero cos>=0.8 pairs across the corpus/batch
+                # split and a radius bound that admits ~100% — no router
+                # can prune structureless data, tools/semantic_bound_probe
+                # .py). Cluster COUNT grows with the copy index (cid =
+                # vec_id%C + C*copy) while per-cluster density stays
+                # constant — the way real corpora scale (more topics, not
+                # 10x-duplicated topics) — so true-pair volume grows
+                # LINEARLY and a cluster-routed operator can be probed for
+                # its scaling exponent. Centers are seeded random +-1/sqrt(d)
+                # rows: pairwise cos ~ N(0, 1/d), max well under tau-2*eps,
+                # so clusters never bleed at tau=0.8; within-cluster cos
+                # >= ~0.98 at eps=0.05. Zero vectors stay zero. Compare a
+                # cluster-1x dir against a cluster-Nx dir (NOT the raw sf
+                # dir - different data by construction).
+                import numpy as np
+
+                c_per_copy = 4
+                eps = 0.05
+                dim = len(df.select("embedding").first()[0])
+                rng = np.random.default_rng(42)
+                centers = rng.choice([-1.0, 1.0], size=(c_per_copy * n, dim)) / dim**0.5
+                cent = F.broadcast(
+                    spark.createDataFrame(
+                        [(i, [float(x) for x in row]) for i, row in enumerate(centers)],
+                        "__cl int, __center array<double>",
+                    )
+                )
+                n0 = F.sqrt(
+                    F.aggregate(
+                        F.transform("embedding", lambda x: x.cast("double") * x.cast("double")),
+                        F.lit(0.0),
+                        lambda a, x: a + x,
+                    )
+                )
+                out = (
+                    out.withColumn(
+                        "__cl",
+                        (
+                            F.pmod(F.col("vec_id"), F.lit(c_per_copy))
+                            + F.lit(c_per_copy) * F.col("__c")
+                        ).cast("int"),
+                    )
+                    .withColumn("__n0", n0)
+                    .join(cent, "__cl")
+                    .withColumn(
+                        "__mix",
+                        F.zip_with(
+                            "__center",
+                            "embedding",
+                            lambda cc, x: cc
+                            + F.when(
+                                F.col("__n0") > 0,
+                                F.lit(eps) * x.cast("double") / F.col("__n0"),
+                            ).otherwise(F.lit(0.0)),
+                        ),
+                    )
+                    .withColumn(
+                        "__n1",
+                        F.sqrt(
+                            F.aggregate(
+                                F.transform("__mix", lambda x: x * x),
+                                F.lit(0.0),
+                                lambda a, x: a + x,
+                            )
+                        ),
+                    )
+                    .withColumn(
+                        "embedding",
+                        F.when(
+                            F.col("__n0") > 0,
+                            F.transform("__mix", lambda x: (x / F.col("__n1")).cast("float")),
+                        ).otherwise(F.col("embedding")),
+                    )
+                    .drop("__cl", "__center", "__mix", "__n0", "__n1")
+                )
             out = out.drop("__c")
         if name == "events" and hot_frac > 0:
             # Deterministic hot-key injection AFTER the id offset so the
@@ -189,6 +286,6 @@ if __name__ == "__main__":
     src, dst, n = sys.argv[1], sys.argv[2], int(sys.argv[3])
     hot_frac = float(sys.argv[4]) if len(sys.argv) > 4 else 0.0
     emb_mode = sys.argv[5] if len(sys.argv) > 5 else "rotate"
-    if emb_mode not in ("rotate", "perturb"):
-        raise SystemExit(f"EMB_MODE must be rotate|perturb, got {emb_mode!r}")
+    if emb_mode not in ("rotate", "perturb", "cluster"):
+        raise SystemExit(f"EMB_MODE must be rotate|perturb|cluster, got {emb_mode!r}")
     replicate(src, dst, n, hot_frac, emb_mode)

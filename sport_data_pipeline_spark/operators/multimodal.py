@@ -760,6 +760,64 @@ def extract_audio_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
+def box_downsample_pcm(samples, channels: int, factor: int):
+    """Average-pool an interleaved int16 PCM buffer by ``factor`` FRAMES
+    per channel with floor-integer means (the audio twin of
+    :func:`box_downsample_rgb` — the decimation step of sample-rate
+    normalization); a ragged final window averages its actual (smaller)
+    frame count. Floor (not truncate-toward-zero) is pinned so negative
+    sums divide identically to SQL ``FLOOR(sum/count)``. Pure numpy
+    (``add.reduceat`` over the frame axis) — no per-sample Python."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int64)
+    frames = s.size // channels
+    m = s[: frames * channels].reshape(frames, channels)
+    idx = np.arange(0, frames, factor)
+    sums = np.add.reduceat(m, idx, axis=0)
+    cnt = np.diff(np.append(idx, frames))[:, None]
+    return (sums // cnt).astype(np.int16).reshape(-1)
+
+
+def resample_wav_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
+    """REAL sample-rate downsample over PCM WAV payloads, distributed:
+    decode (``decode_wav_pcm``) → frame-wise box-downsample by ``factor``
+    (floor-integer window means, ragged tail handled) → re-encode at
+    ``rate // factor``, inside Arrow-batched mapInPandas. Returns
+    MEDIA_SCHEMA rows with the resampled payload; undecodable payloads
+    pass through with payload NULL — the same shape and null discipline
+    as :func:`resize_image_payloads`, completing the resample story for
+    the audio profile (a training pipeline normalizes heterogeneous
+    sample rates before feature extraction)."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads, sizes = [], []
+            for payload in pdf["payload"]:
+                dec = decode_wav_pcm(None if payload is None else bytes(payload))
+                if dec is None or dec[2].size == 0:
+                    payloads.append(None)
+                    sizes.append(None)
+                    continue
+                ch, rate, s = dec
+                out = encode_wav_pcm(
+                    box_downsample_pcm(s, ch, factor), max(1, rate // factor), ch
+                )
+                payloads.append(out)
+                sizes.append(len(out))
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "payload": payloads,
+                    "mime_type": pdf["mime_type"],
+                    "n_bytes": pd.array(sizes, dtype="Int64"),
+                    "meta_json": pdf["meta_json"],
+                }
+            )
+
+    return df.mapInPandas(run, schema=MEDIA_SCHEMA)
+
+
 def box_downsample_rgb(px, factor: int):
     """Average-pool an (h, w, 3) uint8 array by ``factor`` in both axes
     with floor-integer means; ragged right/bottom edges average their

@@ -18,8 +18,9 @@ JPEG (``jpeg_pixel_stats``: real huffman+DPCM entropy decode + IDCT),
 for baseline 4:4:4 COLOR JPEG (``jpeg_color_pixel_stats``: interleaved
 three-component decode + CCIR 601 inverse transform), and for MJPEG
 video frames (``video_frame_stats``: ISO-BMFF sample-table walk +
-per-frame JPEG decode); sample-level decode is REAL for PCM WAV
-(``audio_pcm_stats``). The remaining documented seam: chroma-subsampled /
+per-frame JPEG decode); sample-level decode AND resampling are REAL for
+PCM WAV (``audio_pcm_stats``, ``audio_resample_stats``: frame-wise box
+downsample at rate//2). The remaining documented seam: chroma-subsampled /
 progressive JPEG, inter-frame video codecs, compressed audio.
 Everything else
 checked here — container walking, dimension/rate/duration extraction,
@@ -629,3 +630,80 @@ def jpeg_color_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((500 + i, encode_jpeg_ycbcr(up(yb), up(cbb), up(crb)), "image/jpeg", 0, None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_jpeg_color_stats(media).orderBy("media_id")
+
+
+# Audio-resample oracle: the audio twin of RESIZE_STATS_ORACLE — samples
+# regroup into per-channel windows of 2 FRAMES (f = i // channels,
+# window = f // 2; a ragged final window keeps its actual frame count),
+# each window becomes FLOOR(sum/count) — floor, not truncate-toward-zero,
+# because PCM samples are signed and the operator pins floor division so
+# negative sums divide identically in numpy and SQL — and the stats
+# aggregate the DOWNSAMPLED waveform. The Spark side runs the full decode
+# -> frame-box-downsample -> re-encode(rate//2) -> decode chain, so one
+# hash-match certifies the resampler and both RIFF codec directions.
+AUDIO_RESAMPLE_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS k),
+dims AS (
+  SELECT k, 1 + (k % 2) AS channels, 8000 + 1000*(k % 3) AS rate,
+         (801 + 100*k) * (1 + (k % 2)) AS n_samples
+  FROM idx
+),
+s AS (
+  SELECT d.k, d.channels, d.rate,
+         (u.i // d.channels) AS f, (u.i % d.channels) AS c,
+         ((7919 * (u.i + 13*d.k)) % 65536) - 32768 AS v
+  FROM dims d, LATERAL (SELECT unnest(range(d.n_samples)) AS i) u
+),
+win AS (
+  SELECT k, channels, rate, c, f // 2 AS w,
+         CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS bv
+  FROM s GROUP BY k, channels, rate, c, f // 2
+)
+SELECT CAST(600 + k AS BIGINT) AS media_id,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(rate // 2 AS INTEGER) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(bv * bv) AS BIGINT) AS sum_sq,
+       CAST(SUM(ABS(bv)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(bv)) AS INTEGER) AS peak,
+       SQRT(CAST(SUM(bv * bv) AS DOUBLE) / COUNT(*)) AS rms
+FROM win GROUP BY k, channels, rate ORDER BY media_id
+"""
+
+
+@query("audio_resample_stats", survey="llm-multimodal,X6", oracle=AUDIO_RESAMPLE_ORACLE)
+def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL sample-rate downsample, end to end: the same eight formula
+    WAVs as ``audio_pcm_stats`` flow through ``resample_wav_payloads``
+    (decode -> 2x frame-wise box-downsample with floor-integer window
+    means -> re-encode at rate//2) and the stats extractor then re-decodes
+    the RESAMPLED payloads — the audio half of the resample story
+    (``image_resize_stats`` is the image half), the normalization step a
+    training pipeline runs on heterogeneous sample rates. The oracle
+    restates the window arithmetic from the sample formula, so one
+    hash-match certifies the resampler and both codec directions; odd
+    frame counts exercise the ragged final window, stereo fixtures the
+    per-channel framing, and negative samples the floor-division pin.
+    """
+    import numpy as np
+
+    from ..operators.multimodal import (
+        encode_wav_pcm,
+        extract_audio_stats,
+        resample_wav_payloads,
+    )
+
+    rows = []
+    for k in range(_N_PER_KIND):
+        channels = 1 + (k % 2)
+        rate = 8000 + 1000 * (k % 3)
+        n_samples = (801 + 100 * k) * channels  # ODD frame count: every
+        # fixture ends in a ragged 1-frame window (the docstring's claim)
+        i = np.arange(n_samples, dtype=np.int64)
+        v = ((7919 * (i + 13 * k)) % 65536 - 32768).astype(np.int16)
+        payload = encode_wav_pcm(v, rate, channels)
+        rows.append((600 + k, payload, "audio/wav", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_audio_stats(resample_wav_payloads(media, factor=2)).orderBy(
+        "media_id"
+    )

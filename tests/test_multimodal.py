@@ -847,3 +847,52 @@ def test_extract_jpeg_color_stats_distributed(spark):
     assert got[9]["sum_r"] is None
     for i, (sr, sg, sb) in want.items():
         assert (got[i]["sum_r"], got[i]["sum_g"], got[i]["sum_b"]) == (sr, sg, sb)
+
+
+def test_box_downsample_pcm_floor_and_ragged():
+    """The resampler's arithmetic pins: FLOOR division (negative window
+    sums round toward -inf, matching SQL FLOOR(sum/count)), per-channel
+    framing of interleaved buffers, and a ragged final window averaging
+    its actual frame count."""
+    from sport_data_pipeline_spark.operators.multimodal import box_downsample_pcm
+
+    # mono, 5 frames, factor 2 -> windows [a,b], [c,d], [e] (ragged)
+    out = box_downsample_pcm(np.array([-3, -4, 5, 6, 9], np.int16), 1, 2)
+    #  (-3 + -4) // 2 = -4 (floor, NOT -3), (5+6)//2 = 5, ragged [9] = 9
+    assert out.tolist() == [-4, 5, 9]
+    # stereo interleaved: frames (L,R) = (1,-1),(2,-2),(3,-3) factor 2
+    out = box_downsample_pcm(np.array([1, -1, 2, -2, 3, -3], np.int16), 2, 2)
+    #  L: (1+2)//2 = 1, ragged 3; R: (-1 + -2)//2 = -2 (floor), ragged -3
+    assert out.tolist() == [1, -2, 3, -3]
+    # -32768 windows stay in int16 range
+    out = box_downsample_pcm(np.array([-32768, -32768], np.int16), 1, 2)
+    assert out.tolist() == [-32768]
+
+
+def test_resample_wav_payloads_distributed(spark):
+    from sport_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        box_downsample_pcm,
+        encode_wav_pcm,
+        extract_audio_stats,
+        resample_wav_payloads,
+    )
+
+    rng = np.random.default_rng(9)
+    rows, want = [], {}
+    for i in range(4):
+        ch = 1 + (i % 2)
+        v = rng.integers(-32768, 32767, size=(51 + i * 10) * ch).astype(np.int16)
+        rows.append((i, encode_wav_pcm(v, 8000, ch), "audio/wav", 0, None))
+        exp = box_downsample_pcm(v, ch, 2).astype(np.int64)
+        want[i] = (int(exp.size), int((exp * exp).sum()))
+    rows.append((9, b"RIFFgarbage", "audio/wav", 0, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3, "media_id")
+    got = {
+        r["media_id"]: r
+        for r in extract_audio_stats(resample_wav_payloads(df, factor=2)).collect()
+    }
+    assert got[9]["sum_sq"] is None
+    for i, (n, ss) in want.items():
+        assert (got[i]["n_samples"], got[i]["sum_sq"]) == (n, ss)
+        assert got[i]["sample_rate"] == 4000

@@ -441,3 +441,27 @@ def test_incremental_semantic_dedup_routed_rejects_nonpositive_threshold(spark):
     emb = spark.createDataFrame([(1, [1.0, 0.0])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="threshold > 0"):
         incremental_semantic_dedup_routed(emb, emb, "vec_id", threshold=0.0)
+
+
+def test_persisted_cell_index_route_partition_prunes(spark, tmp_path):
+    # the 100 TB story of the write-time index: the cell-partitioned
+    # corpus scan must carry a dynamic-partition-pruning subquery on
+    # __cell, so a probe touching k candidate cells reads k directories
+    # at runtime instead of the whole index (verified live in r9:
+    # SubqueryAdaptiveBroadcast dynamicpruning on the assigned FileScan)
+    from sport_data_pipeline_spark.catalog import load_table
+    from sport_data_pipeline_spark.operators.similarity import (
+        read_semantic_cell_index,
+        route_against_cell_index,
+        write_semantic_cell_index,
+    )
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    batch = emb.filter(F.col("vec_id") % 5 == 1)
+    corpus = emb.filter(F.col("vec_id") % 5 != 1)
+    path = str(tmp_path / "cell_index_dpp")
+    write_semantic_cell_index(corpus, path, "vec_id", n_cells=8)
+    assigned, cells = read_semantic_cell_index(spark, path)
+    routed = route_against_cell_index(batch, assigned, cells, "vec_id", threshold=0.8)
+    plan = routed._jdf.queryExecution().executedPlan().toString()
+    assert "dynamicpruning" in plan.lower(), plan[:2000]

@@ -1314,16 +1314,96 @@ def encode_jpeg_ycbcr(
     return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def encode_jpeg_ycbcr_420(
+    y, cb, cr, quant_luma=STD_LUMA_QUANT, quant_chroma=STD_CHROMA_QUANT
+) -> bytes:
+    """Encode a spec-valid BASELINE COLOR JPEG at 4:2:0 — the dominant
+    real-world profile: Y sampled 2x2 (one block per 8x8 luma tile),
+    chroma 1x1 (each Cb/Cr sample covers a 2x2 luma region), so each MCU
+    covers 16x16 luma pixels and carries four Y blocks + one Cb + one Cr
+    (T.81 A.2.3 raster order within the MCU). ``y`` is the full-res
+    (h, w) plane; ``cb``/``cr`` are the ALREADY-SUBSAMPLED
+    (ceil(h/2), ceil(w/2)) planes — fixture formulas pick them directly,
+    mirroring how ``encode_jpeg_ycbcr`` takes transform-domain inputs, so
+    the decoder's replication upsample + color matrix stay the only
+    arithmetic an oracle must restate. Tables as in
+    :func:`encode_jpeg_ycbcr`. Any standard JPEG decoder reads the
+    output."""
+    import numpy as np
+
+    yp = np.asarray(y, dtype=np.uint8)
+    cbp = np.asarray(cb, dtype=np.uint8)
+    crp = np.asarray(cr, dtype=np.uint8)
+    h, w = yp.shape
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    if cbp.shape != (ch, cw) or crp.shape != (ch, cw):
+        raise ValueError(
+            f"4:2:0 chroma planes must be (ceil(h/2), ceil(w/2)) = {(ch, cw)}"
+        )
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    # pad Y to the 16-aligned MCU grid, chroma to its 8-aligned grid
+    ypad = np.pad(yp, ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
+    cbpad = np.pad(cbp, ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)), mode="edge")
+    crpad = np.pad(crp, ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)), mode="edge")
+    yb = _quantize_plane(ypad, quant_luma)  # raster over a 2*mcux-wide grid
+    cbb = _quantize_plane(cbpad, quant_chroma)
+    crb = _quantize_plane(crpad, quant_chroma)
+    dc_l, ac_l = _huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    bw = _BitWriter()
+    py = pcb = pcr = 0
+    ybx = 2 * mcux  # Y block-grid width
+    for m in range(mcux * mcuy):
+        my, mx = divmod(m, mcux)
+        for byy in range(2):
+            for bxx in range(2):
+                py = _put_block(
+                    bw, yb[(my * 2 + byy) * ybx + (mx * 2 + bxx)], py, dc_l, ac_l
+                )
+        pcb = _put_block(bw, cbb[my * mcux + mx], pcb, dc_c, ac_c)
+        pcr = _put_block(bw, crb[my * mcux + mx], pcr, dc_c, ac_c)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    def zz(quant) -> bytes:
+        flat = np.asarray(quant).reshape(-1)
+        return bytes(int(flat[_ZIGZAG[k]]) for k in range(64))
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + zz(quant_luma) + b"\x01" + zz(quant_chroma))
+    sof = seg(
+        0xC0,
+        b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+        + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS)
+        + b"\x11" + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS),
+    )
+    sos = seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+
+
 def _decode_jpeg_planes(b: bytes | None):
     """Component-plane decode shared by the grayscale and color wrappers:
     marker walk, DQT/DHT table load (arbitrary spec-valid tables, not just
     Annex K), huffman + DPCM entropy decode of the (possibly interleaved)
     scan, dequantization, float64 IDCT, level shift, clip. Profile:
-    baseline sequential (SOF0), 8-bit tables, 1 or 3 components ALL
-    sampled 1x1 (4:4:4 — chroma-subsampled, progressive, and
-    restart-interval streams return None, same null discipline as
-    ``decode_png_rgb``). Returns ``(planes, h, w)`` with one padded
-    (8-aligned) uint8 plane per SOF component in SOF order, or None."""
+    baseline sequential (SOF0), 8-bit tables, and one of three sampling
+    layouts — single component 1x1 (grayscale), 3 components all 1x1
+    (4:4:4), or 3 components with Y 2x2 and chroma 1x1 (4:2:0, each MCU =
+    four Y blocks + one Cb + one Cr per T.81 A.2.3). Anything else
+    (progressive, restart-interval, other sampling mixes) returns None,
+    same null discipline as ``decode_png_rgb``. Returns
+    ``(planes, samplings, h, w)`` with one padded uint8 plane per SOF
+    component in SOF order (chroma planes at their SUBSAMPLED
+    resolution), or None."""
     import numpy as np
 
     if not b or len(b) < 4 or b[0] != 0xFF or b[1] != 0xD8:
@@ -1372,9 +1452,13 @@ def _decode_jpeg_planes(b: bytes | None):
                     return None  # not 8-bit gray/YCbCr
                 h, w = struct.unpack(">HH", payload[1:5])
                 for c in range(payload[5]):
-                    if payload[7 + 3 * c] != 0x11:
-                        return None  # chroma-subsampled: out of profile
-                    sof_comps.append((payload[6 + 3 * c], payload[8 + 3 * c]))
+                    sof_comps.append(
+                        (payload[6 + 3 * c], payload[7 + 3 * c], payload[8 + 3 * c])
+                    )
+                samp = [hv for _, hv, _ in sof_comps]
+                # supported layouts: all 1x1 (gray / 4:4:4), or 4:2:0
+                if samp != [0x11] * len(samp) and samp != [0x22, 0x11, 0x11]:
+                    return None  # other sampling mixes: out of profile
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
                 return None  # non-baseline SOF or restart interval
@@ -1392,20 +1476,26 @@ def _decode_jpeg_planes(b: bytes | None):
         else:
             return None
         mat = _dct_matrix()
-        comps = []  # per SOF component: (quant 8x8, dc table, ac table, plane)
-        nbx, nby = (w + 7) // 8, (h + 7) // 8
-        for cid, tq in sof_comps:
+        hmax = max(hv >> 4 for _, hv, _ in sof_comps)
+        vmax = max(hv & 0x0F for _, hv, _ in sof_comps)
+        mcux = (w + 8 * hmax - 1) // (8 * hmax)
+        mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+        comps = []  # per component: (quant, dc tab, ac tab, plane, h_i, v_i)
+        for cid, hv, tq in sof_comps:
             if cid not in scan_tabs or tq not in quant:
                 return None
             td, ta = scan_tabs[cid]
             if td not in dc_spec or ta not in ac_spec:
                 return None
+            h_i, v_i = hv >> 4, hv & 0x0F
             comps.append(
                 (
                     np.asarray(quant[tq], dtype=np.float64).reshape(8, 8),
                     _huff_decode_table(*dc_spec[td]),
                     _huff_decode_table(*ac_spec[ta]),
-                    np.empty((nby * 8, nbx * 8), dtype=np.uint8),
+                    np.empty((mcuy * 8 * v_i, mcux * 8 * h_i), dtype=np.uint8),
+                    h_i,
+                    v_i,
                 )
             )
         r = _BitReader(b, i)
@@ -1418,42 +1508,47 @@ def _decode_jpeg_planes(b: bytes | None):
                     return tab[(ln2, code)]
             raise ValueError("invalid huffman code")
 
-        # Interleaved scan (T.81 A.2.3): at 4:4:4 each MCU is one block per
-        # component in scan order, each component with its own predictor.
-        # A single-component scan degenerates to the same loop (MCU=block).
+        # Interleaved scan (T.81 A.2.3): each MCU carries h_i x v_i blocks
+        # per component in scan order (raster within the MCU), each
+        # component with its own DC predictor. Gray and 4:4:4 degenerate
+        # to one block per component; 4:2:0 is 4 Y + 1 Cb + 1 Cr.
         preds = [0] * len(comps)
-        for bidx in range(nbx * nby):
-            by, bx = divmod(bidx, nbx)
-            for ci, (q, dc_tab, ac_tab, out) in enumerate(comps):
-                zz = [0] * 64
-                t = read_symbol(dc_tab)
-                preds[ci] += _extend(r.bits(t), t) if t else 0
-                zz[0] = preds[ci]
-                k = 1
-                while k < 64:
-                    sym = read_symbol(ac_tab)
-                    if sym == 0x00:
-                        break
-                    if sym == 0xF0:
-                        k += 16
-                        continue
-                    run, t = sym >> 4, sym & 0x0F
-                    k += run
-                    if k > 63 or t == 0:
-                        raise ValueError("corrupt AC run")
-                    zz[k] = _extend(r.bits(t), t)
-                    k += 1
-                s = np.zeros((8, 8), dtype=np.float64)
-                flat = s.reshape(-1)
-                for k in range(64):
-                    if zz[k]:
-                        flat[_ZIGZAG[k]] = zz[k]
-                blk = mat.T @ (s * q) @ mat
-                px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.uint8)
-                out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            for ci, (q, dc_tab, ac_tab, out, h_i, v_i) in enumerate(comps):
+                for byy in range(v_i):
+                    for bxx in range(h_i):
+                        zz = [0] * 64
+                        t = read_symbol(dc_tab)
+                        preds[ci] += _extend(r.bits(t), t) if t else 0
+                        zz[0] = preds[ci]
+                        k = 1
+                        while k < 64:
+                            sym = read_symbol(ac_tab)
+                            if sym == 0x00:
+                                break
+                            if sym == 0xF0:
+                                k += 16
+                                continue
+                            run, t = sym >> 4, sym & 0x0F
+                            k += run
+                            if k > 63 or t == 0:
+                                raise ValueError("corrupt AC run")
+                            zz[k] = _extend(r.bits(t), t)
+                            k += 1
+                        s = np.zeros((8, 8), dtype=np.float64)
+                        flat = s.reshape(-1)
+                        for k in range(64):
+                            if zz[k]:
+                                flat[_ZIGZAG[k]] = zz[k]
+                        blk = mat.T @ (s * q) @ mat
+                        px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.uint8)
+                        oy = (my * v_i + byy) * 8
+                        ox = (mx * h_i + bxx) * 8
+                        out[oy : oy + 8, ox : ox + 8] = px
     except (ValueError, struct.error, IndexError):
         return None
-    return [c[3] for c in comps], h, w
+    return [c[3] for c in comps], [hv for _, hv, _ in sof_comps], h, w
 
 
 def decode_jpeg_gray(b: bytes | None):
@@ -1466,7 +1561,7 @@ def decode_jpeg_gray(b: bytes | None):
     got = _decode_jpeg_planes(b)
     if got is None or len(got[0]) != 1:
         return None
-    planes, h, w = got
+    planes, _, h, w = got
     return planes[0][:h, :w]
 
 
@@ -1482,16 +1577,23 @@ def decode_jpeg_rgb(b: bytes | None):
 
     rounded as floor(x + 0.5) and clipped to [0, 255] — the rounding is
     pinned to floor(+0.5) (not banker's) so the SQL oracle can restate
-    the matrix verbatim with FLOOR(). Returns an (h, w, 3) uint8 RGB
-    array, or None outside the profile (grayscale streams — use
-    ``decode_jpeg_gray`` — and subsampled/progressive color)."""
+    the matrix verbatim with FLOOR(). Handles both supported color
+    samplings: 4:4:4 (chroma at full resolution) and 4:2:0 (each decoded
+    chroma sample covers a 2x2 luma region; upsampled by pixel
+    REPLICATION — nearest-neighbor, the pinned choice so the oracle can
+    index chroma at x//2, y//2). Returns an (h, w, 3) uint8 RGB array,
+    or None outside the profile (grayscale streams — use
+    ``decode_jpeg_gray`` — and progressive / other-sampling color)."""
     import numpy as np
 
     got = _decode_jpeg_planes(b)
     if got is None or len(got[0]) != 3:
         return None
-    (yp, cbp, crp), h, w = got
+    (yp, cbp, crp), samplings, h, w = got
     yv = yp[:h, :w].astype(np.float64)
+    if samplings == [0x22, 0x11, 0x11]:  # 4:2:0 — replicate chroma 2x2
+        cbp = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
+        crp = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
     cb = cbp[:h, :w].astype(np.float64) - 128.0
     cr = crp[:h, :w].astype(np.float64) - 128.0
     r = np.floor(yv + 1.402 * cr + 0.5)

@@ -814,10 +814,11 @@ def test_jpeg_color_decode_rejects_out_of_profile():
     assert decode_jpeg_rgb(None) is None
     assert decode_jpeg_rgb(good[:60]) is None  # truncated mid-tables
     sof_at = good.index(b"\xff\xc0")
-    # 4:2:0 luma sampling (0x22) is out of profile
+    # 4:2:2-style luma sampling (0x21) is out of profile (4:2:0 is NOT:
+    # it decodes via the MCU-interleaved path, test_jpeg_420_*)
     sub = bytearray(good)
     assert sub[sof_at + 11] == 0x11
-    sub[sof_at + 11] = 0x22
+    sub[sof_at + 11] = 0x21
     assert decode_jpeg_rgb(bytes(sub)) is None
     # progressive SOF2
     assert decode_jpeg_rgb(good.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None

@@ -17,9 +17,11 @@ goes all the way to PIXELS for baseline grayscale JPEG (real huffman+DPCM
 entropy decode + IDCT — see the JPEG section), powering
 ``extract_jpeg_stats``; and ``parse_mp4_samples`` walks the ISO-BMFF
 sample tables so ``extract_video_frame_stats`` reconstructs every MJPEG
-frame's pixels. What remains behind the documented seam: chroma-subsampled
-/ progressive JPEG, inter-frame video codecs (H.26x/VP9/AV1), and
-compressed audio (MP3/AAC) — genuinely library-grade territory.
+frame's pixels; color JPEG decodes at BOTH supported samplings — 4:4:4
+and MCU-interleaved 4:2:0 (``decode_jpeg_rgb``). What remains behind the
+documented seam: 4:2:2 / progressive JPEG, inter-frame video codecs
+(H.26x/VP9/AV1), and compressed audio (MP3/AAC) — genuinely library-grade
+territory.
 ``decode_stub=True`` substitutes a deterministic
 byte-histogram feature so that distributed path — schema, batch shape,
 partitioning, null handling — is exercised end to end
@@ -770,6 +772,8 @@ def box_downsample_pcm(samples, channels: int, factor: int):
     (``add.reduceat`` over the frame axis) — no per-sample Python."""
     import numpy as np
 
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
     s = np.asarray(samples, dtype=np.int64)
     frames = s.size // channels
     m = s[: frames * channels].reshape(frames, channels)
@@ -788,7 +792,11 @@ def resample_wav_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
     pass through with payload NULL — the same shape and null discipline
     as :func:`resize_image_payloads`, completing the resample story for
     the audio profile (a training pipeline normalizes heterogeneous
-    sample rates before feature extraction)."""
+    sample rates before feature extraction). ``factor`` is validated
+    driver-side so a bad parameter fails fast, not as an executor
+    traceback mid-job."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -825,6 +833,8 @@ def box_downsample_rgb(px, factor: int):
     — no per-pixel Python."""
     import numpy as np
 
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
     h, w, _ = px.shape
     ys = np.arange(0, h, factor)
     xs = np.arange(0, w, factor)
@@ -843,7 +853,11 @@ def resize_image_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
     resized payload; undecodable payloads pass through with payload NULL
     (the same null discipline as the stat extractors). Completes the
     decode / feature-extract / RESIZE / frame-sample multimodal quartet
-    with real pixels for the PNG profile."""
+    with real pixels for the PNG profile. ``factor`` is validated
+    driver-side so a bad parameter fails fast, not as an executor
+    traceback mid-job."""
+    if factor < 1:
+        raise ValueError("factor must be >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -882,10 +896,14 @@ def resize_image_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
 # scan), zigzag de-serialization, dequantization, a float64 orthonormal
 # 2-D IDCT, and the CCIR 601 inverse color transform (JFIF v1.02 §7).
 #
-# Profile honesty: chroma SUBSAMPLING (2x2 MCUs) and progressive scans
-# remain out of profile and decode to None (never a crash) — as do
-# DRI/restart streams. Motion codecs (H.26x) stay behind the documented
-# seam; MJPEG video is this codec applied per frame (parse_mp4_samples).
+# Supported color samplings: 4:4:4 (one block per component per MCU) and
+# MCU-interleaved 4:2:0 (four Y + one Cb + one Cr per 16x16-pixel MCU,
+# chroma upsampled by pinned 2x2 replication — test_jpeg_420_* /
+# jpeg_420_pixel_stats). Profile honesty: 4:2:2 and other sampling mixes,
+# and progressive scans, remain out of profile and decode to None (never
+# a crash) — as do DRI/restart streams. Motion codecs (H.26x) stay behind
+# the documented seam; MJPEG video is this codec applied per frame
+# (parse_mp4_samples).
 #
 # Exactness contract used by the oracled queries: for an image whose 8x8
 # blocks are each CONSTANT with an even level, the quantized DCT is a lone
@@ -1656,13 +1674,14 @@ def extract_jpeg_stats(df: DataFrame) -> DataFrame:
 
 
 def extract_jpeg_color_stats(df: DataFrame) -> DataFrame:
-    """Distributed per-channel pixel statistics over baseline 4:4:4 COLOR
-    JPEG payloads via the REAL interleaved entropy decode + CCIR 601
-    inverse transform (``decode_jpeg_rgb``) inside Arrow-batched
+    """Distributed per-channel pixel statistics over baseline COLOR JPEG
+    payloads (4:4:4 or 4:2:0) via the REAL interleaved entropy decode +
+    CCIR 601 inverse transform (``decode_jpeg_rgb``) inside Arrow-batched
     mapInPandas: per-image RGB sums and means, the color twin of
     ``extract_pixel_stats`` (same output schema, so PNG and JPEG color
     stats union cleanly). Undecodable or out-of-profile payloads
-    (grayscale, subsampled, progressive) yield NULL stats; only the
+    (grayscale, 4:2:2, progressive) yield NULL stats — 4:2:0 DECODES
+    (MCU-interleaved path, replication chroma upsample); only the
     per-image stat row leaves an executor, never pixels."""
     import numpy as np
 

@@ -849,8 +849,10 @@ def write_semantic_cell_index(
     assigned, cells = build_semantic_cell_index(
         c, n_cells=n_cells, seed=seed, target_cell_size=target_cell_size
     )
-    # co-locate each cell before the partitioned write: one task per cell
-    # (not shuffle_partitions × cells small files) — and the file layout a
+    # co-locate cells before the partitioned write: at most k tasks (hash
+    # partitioning may fold two cells into one task — layout is unaffected,
+    # it just writes two files from that task) instead of
+    # shuffle_partitions × cells small files — and the file layout a
     # cluster-side reader partition-prunes on.
     assigned.repartition(len(cells), F.col("__cell")).write.mode(
         "overwrite"

@@ -15,12 +15,15 @@ plumbing breaks the hash-match).
 Pixel-level decode is REAL for PNG (``image_pixel_stats`` below: zlib +
 scanline un-filtering, formula-derived oracle), for baseline grayscale
 JPEG (``jpeg_pixel_stats``: real huffman+DPCM entropy decode + IDCT),
-for baseline 4:4:4 COLOR JPEG (``jpeg_color_pixel_stats``: interleaved
-three-component decode + CCIR 601 inverse transform), and for MJPEG
+for baseline COLOR JPEG at both supported samplings — 4:4:4
+(``jpeg_color_pixel_stats``: interleaved three-component decode + CCIR
+601 inverse transform) and MCU-interleaved 4:2:0
+(``jpeg_420_pixel_stats``: four-Y-block MCUs + pinned 2x2 replication
+chroma upsample) — and for MJPEG
 video frames (``video_frame_stats``: ISO-BMFF sample-table walk +
 per-frame JPEG decode); sample-level decode AND resampling are REAL for
 PCM WAV (``audio_pcm_stats``, ``audio_resample_stats``: frame-wise box
-downsample at rate//2). The remaining documented seam: chroma-subsampled /
+downsample at rate//2). The remaining documented seam: 4:2:2 /
 progressive JPEG, inter-frame video codecs, compressed audio.
 Everything else
 checked here — container walking, dimension/rate/duration extraction,
@@ -707,3 +710,95 @@ def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_audio_stats(resample_wav_payloads(media, factor=2)).orderBy(
         "media_id"
     )
+
+
+# 4:2:0 pixel-stats oracle: identical structure to JPEG_COLOR_STATS_ORACLE
+# — the ONLY new arithmetic is the chroma index. At 4:2:0 each decoded
+# chroma sample covers a 2x2 luma region and is upsampled by pixel
+# REPLICATION (the decoder's pinned convention), and the fixture chroma is
+# per-8x8-block constant on the SUBSAMPLED grid, so full-res pixel (x, y)
+# reads chroma block ((x//2)//8, (y//2)//8) = (x//16, y//16) — the oracle
+# swaps //8 for //16 in the chroma block index and everything else (plane
+# level formulas, CCIR 601 matrix pinned to FLOOR(x+0.5), both clip rails)
+# carries over verbatim. Every fixture height is odd, so the ragged
+# ceil(h/2) chroma plane is on the oracled path; w=32 (i=1) puts an exact
+# 16-multiple axis next to the pad/crop cases.
+JPEG_420_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 29 + 3*i AS w, 21 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         CAST(8 + 2*((7*d.i + 3*(ux.x // 8) + 5*(uy.y // 8)) % 120) AS DOUBLE) AS yv,
+         17.0e0 * (((11*d.i + (ux.x // 16) + 2*(uy.y // 16)) % 15) - 7) AS cbd,
+         17.0e0 * (((13*d.i + 2*(ux.x // 16) + (uy.y // 16)) % 15) - 7) AS crd
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+rgb AS (
+  SELECT i, w, h,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv + 1.402e0*crd + 0.5e0))) AS r,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv - 0.344136e0*cbd - 0.714136e0*crd + 0.5e0))) AS g,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv + 1.772e0*cbd + 0.5e0))) AS b
+  FROM px
+)
+SELECT CAST(700 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query("jpeg_420_pixel_stats", survey="llm-multimodal,X6", oracle=JPEG_420_STATS_ORACLE)
+def jpeg_420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-level 4:2:0 COLOR JPEG decode, distributed — the
+    dominant real-world chroma layout: each MCU covers 16x16 luma pixels
+    and carries four Y blocks + one Cb + one Cr (T.81 A.2.3 raster), so
+    this exercises the MCU-interleaved multi-block-per-component entropy
+    path, the 16-aligned pad/crop geometry, and the pinned 2x2
+    replication chroma upsample that ``jpeg_color_pixel_stats`` (4:4:4,
+    one block per component per MCU) cannot reach. Runs inside
+    Arrow-batched mapInPandas via ``extract_jpeg_color_stats`` — the
+    extractor is sampling-agnostic; the payload bytes select the path.
+
+    Fixtures: full-res Y planes per-8x8-block constant at even levels,
+    SUBSAMPLED chroma planes per-8x8-block constant at 128+17t on the
+    ceil-half grid (every height odd -> ragged chroma plane on every
+    image), encoded by ``encode_jpeg_ycbcr_420``. Both transform
+    round-trips are bit-exact at those levels, so the oracle restates the
+    plane formulas with the chroma block index at (x//16, y//16) — the
+    replication upsample — plus the same clip-exercising CCIR 601 matrix
+    as the 4:4:4 oracle. Unit twins: tests/test_multimodal.py
+    test_jpeg_420_*."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_jpeg_ycbcr_420, extract_jpeg_color_stats
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * i, 21 + 2 * i
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        by, bx = np.mgrid[0:nby, 0:nbx]
+        yb = (8 + 2 * ((7 * i + 3 * bx + 5 * by) % 120)).astype(np.uint8)
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        ncbx, ncby = (cw + 7) // 8, (ch + 7) // 8
+        cby, cbx = np.mgrid[0:ncby, 0:ncbx]
+        cbb = (128 + 17 * (((11 * i + cbx + 2 * cby) % 15) - 7)).astype(np.uint8)
+        crb = (128 + 17 * (((13 * i + 2 * cbx + cby) % 15) - 7)).astype(np.uint8)
+
+        def up(a, hh, ww):
+            return np.kron(a, np.ones((8, 8), np.uint8))[:hh, :ww]
+
+        payload = encode_jpeg_ycbcr_420(
+            up(yb, h, w), up(cbb, ch, cw), up(crb, ch, cw)
+        )
+        rows.append((700 + i, payload, "image/jpeg", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_jpeg_color_stats(media).orderBy("media_id")

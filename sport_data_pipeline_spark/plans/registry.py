@@ -150,6 +150,21 @@ def query(
 #: multimodal_meta → the five incoming media-stats queries
 #: (llm-multimodal/X6). All rotated-out queries keep their green history
 #: and stay DuckDB-oracled locally (tests/test_queries_oracle.py).
+#: r10 rotation (4 swaps): IN came the three queries registered in r9
+#: after the r9 rotation (COVERAGE.md "r10 candidates":
+#: jpeg_color_pixel_stats, audio_resample_stats,
+#: status_transitions_batch — the last the batch twin of the stateful
+#: per-key operator, T6/X6) plus the r10-new jpeg_420_pixel_stats
+#: (MCU-interleaved 4:2:0 decode, closing the r9 verdict's only weak
+#: slot with an external row). OUT went four green-r9-row holders whose
+#: tags stay represented: image_pixel_stats + jpeg_pixel_stats +
+#: audio_pcm_stats (llm-multimodal/X6 — PNG both-directions coverage
+#: stays via image_resize_stats, grayscale JPEG via video_frame_stats's
+#: per-frame decode, WAV decode/encode via audio_resample_stats which
+#: re-decodes what it re-encodes) and bpe_pair_stats (A5 via
+#: heavy_hitters_sketch/incident_window_attribution, llm-index via the
+#: two in-window BPE trainer queries whose first iteration IS the pair
+#: stats).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
@@ -196,7 +211,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "pii_redaction",
     "contamination_overlap",
     "corpus_train_shards",
-    "bpe_pair_stats",
     "bpe_train_merges",
     "bpe_vocab_after_merges",
     # event analytics + streaming
@@ -206,11 +220,13 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_session_equivalence",
     "stream_join_equivalence",
     # multimodal pixel/sample-level decode rows
-    "image_pixel_stats",
-    "audio_pcm_stats",
     "image_resize_stats",
-    "jpeg_pixel_stats",
     "video_frame_stats",
+    "jpeg_color_pixel_stats",
+    "jpeg_420_pixel_stats",
+    "audio_resample_stats",
+    # stateful per-key operator, batch twin (T6)
+    "status_transitions_batch",
 )
 
 

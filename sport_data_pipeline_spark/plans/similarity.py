@@ -1050,16 +1050,32 @@ def incremental_semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 #: epoch), exactly like a real ingest pipeline's index build. Override
 #: for tests via $SPARK_GRAFT_CELL_INDEX_CACHE.
 _CELL_INDEX_CACHE_ENV = "SPARK_GRAFT_CELL_INDEX_CACHE"
+#: Set to any non-empty value to ignore cached epochs and rebuild — the
+#: escape hatch for a corpus regenerated in ways the fingerprint could
+#: conceivably miss.
+_CELL_INDEX_REBUILD_ENV = "SPARK_GRAFT_CELL_INDEX_REBUILD"
 
 
 def _epoch_cell_index(
-    spark: SparkSession, sf_dir: str, corpus: DataFrame, n_cells: int, seed: int = 42
+    spark: SparkSession,
+    sf_dir: str,
+    corpus: DataFrame,
+    n_cells: int,
+    seed: int = 42,
+    corpus_token: str = "",
 ):
     """Load (building once per data epoch) the persisted semantic cell
-    index for ``corpus`` — keyed by the embeddings table's size+mtime
-    fingerprint so a regenerated test corpus rebuilds instead of serving
-    a stale index. Concurrent builders race safely: build into a
-    pid-suffixed dir, atomically rename, loser cleans up."""
+    index for ``corpus`` — keyed by the embeddings table's
+    size + mtime_ns + sampled-content fingerprint plus a caller-supplied
+    ``corpus_token`` naming the corpus DEFINITION (e.g. the filter
+    expression), so (a) a regenerated test corpus rebuilds instead of
+    serving a stale index even when regenerated byte-identical-size
+    within one second (st_mtime_ns + first/last-file content sample close
+    the seconds-granularity hole), and (b) two differently-filtered
+    corpora over the same table can never share an index entry.
+    ``$SPARK_GRAFT_CELL_INDEX_REBUILD`` forces a rebuild. Concurrent
+    builders race safely: build into a pid-suffixed dir, atomically
+    rename, loser cleans up."""
     import hashlib
     import os
     import shutil
@@ -1068,6 +1084,21 @@ def _epoch_cell_index(
         read_semantic_cell_index,
         write_semantic_cell_index,
     )
+
+    def _sample(fp: str) -> bytes:
+        # head + MIDDLE + tail bytes. The middle slice is the load-bearing
+        # one: a same-size regeneration can leave head (leading id column
+        # pages) and tail (footer — list columns carry no min/max stats)
+        # byte-identical while every embedding value changed; the middle of
+        # the file lands inside the vector data pages.
+        sz = os.path.getsize(fp)
+        with open(fp, "rb") as fh:
+            head = fh.read(1024)
+            fh.seek(max(0, sz // 2 - 512))
+            mid = fh.read(1024)
+            fh.seek(max(0, sz - 1024))
+            tail = fh.read(1024)
+        return head + mid + tail
 
     p = os.path.join(sf_dir, "embeddings.parquet")
     if os.path.isdir(p):
@@ -1078,15 +1109,20 @@ def _epoch_cell_index(
             if not f.startswith((".", "_"))
         )
         size = sum(os.stat(x).st_size for x in parts)
-        mtime = max((int(os.stat(x).st_mtime) for x in parts), default=0)
+        mtime = max((os.stat(x).st_mtime_ns for x in parts), default=0)
+        sample = b"".join(_sample(x) for x in (parts[:1] + parts[-1:]))
     else:
         st = os.stat(p)
-        size, mtime = st.st_size, int(st.st_mtime)
+        size, mtime = st.st_size, st.st_mtime_ns
+        sample = _sample(p)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{size}|{mtime}|{n_cells}|{seed}|v1".encode()
+        f"{os.path.abspath(sf_dir)}|{size}|{mtime}|{n_cells}|{seed}|{corpus_token}|v2".encode()
+        + sample
     ).hexdigest()
     root = os.environ.get(_CELL_INDEX_CACHE_ENV, "/tmp/sdp_cell_index_cache")
     path = os.path.join(root, key)
+    if os.environ.get(_CELL_INDEX_REBUILD_ENV) and os.path.isdir(path):
+        shutil.rmtree(path, ignore_errors=True)
     if not os.path.isdir(path):
         os.makedirs(root, exist_ok=True)
         tmp = f"{path}.build{os.getpid()}"
@@ -1125,7 +1161,9 @@ def incremental_semantic_dedup_ivf_q(spark: SparkSession, sf_dir: str) -> DataFr
     emb = _t(spark, sf_dir, "embeddings")
     batch = emb.filter(F.col("vec_id") % 5 == 1)
     corpus = emb.filter(F.col("vec_id") % 5 != 1)
-    assigned, cells = _epoch_cell_index(spark, sf_dir, corpus, n_cells=8)
+    assigned, cells = _epoch_cell_index(
+        spark, sf_dir, corpus, n_cells=8, corpus_token="vec_id%5!=1"
+    )
     return route_against_cell_index(
         batch, assigned, cells, "vec_id", "embedding", threshold=0.8
     )

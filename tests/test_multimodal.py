@@ -897,3 +897,138 @@ def test_resample_wav_payloads_distributed(spark):
     for i, (n, ss) in want.items():
         assert (got[i]["n_samples"], got[i]["sum_sq"]) == (n, ss)
         assert got[i]["sample_rate"] == 4000
+
+
+def _ycbcr_420_planes(i, h, w):
+    """4:2:0 fixture planes at the oracle's bit-exact levels: full-res Y
+    per-8x8-block constant (even levels -> exact against luma DC quant 16),
+    SUBSAMPLED chroma per-8x8-block constant on the (ceil(h/2), ceil(w/2))
+    grid (128+17t levels -> exact against chroma DC quant 17)."""
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    by, bx = np.mgrid[0:nby, 0:nbx]
+    yb = (8 + 2 * ((7 * i + 3 * bx + 5 * by) % 120)).astype(np.uint8)
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    ncbx, ncby = (cw + 7) // 8, (ch + 7) // 8
+    cby, cbx = np.mgrid[0:ncby, 0:ncbx]
+    cbb = (128 + 17 * (((11 * i + cbx + 2 * cby) % 15) - 7)).astype(np.uint8)
+    crb = (128 + 17 * (((13 * i + 2 * cbx + cby) % 15) - 7)).astype(np.uint8)
+
+    def up(a, hh, ww):
+        return np.kron(a, np.ones((8, 8), np.uint8))[:hh, :ww]
+
+    return up(yb, h, w), up(cbb, ch, cw), up(crb, ch, cw)
+
+
+def _replicate2(a, h, w):
+    return np.repeat(np.repeat(a, 2, axis=0), 2, axis=1)[:h, :w]
+
+
+def test_jpeg_420_constant_blocks_bitexact():
+    """4:2:0 round trip on the exactness-contract levels, at sizes that
+    exercise every boundary case: an exact 16-multiple, non-multiples of 16
+    (MCU edge pad/crop on both axes), a 17x17 image (heavy pad AND the
+    ragged ceil(h/2)=9 chroma plane from odd dimensions)."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr_420,
+    )
+
+    for i, (h, w) in enumerate([(16, 16), (21, 29), (17, 17), (35, 50)]):
+        ypl, cbpl, crpl = _ycbcr_420_planes(i, h, w)
+        dec = decode_jpeg_rgb(encode_jpeg_ycbcr_420(ypl, cbpl, crpl))
+        assert dec is not None and dec.shape == (h, w, 3), (h, w)
+        exp = _rgb_from_planes(ypl, _replicate2(cbpl, h, w), _replicate2(crpl, h, w))
+        assert (dec == exp).all(), (h, w)
+
+
+def test_jpeg_420_matches_444_on_replicated_chroma():
+    """The pinned replication-upsample convention, cross-checked through the
+    codec itself: a 4:2:0 stream and a 4:4:4 stream built from the
+    REPLICATED chroma planes decode to the identical RGB image (both exact
+    on constant blocks, so any upsample-convention drift breaks equality)."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr,
+        encode_jpeg_ycbcr_420,
+    )
+
+    for i, (h, w) in enumerate([(16, 16), (21, 29)]):
+        ypl, cbpl, crpl = _ycbcr_420_planes(i, h, w)
+        a = decode_jpeg_rgb(encode_jpeg_ycbcr_420(ypl, cbpl, crpl))
+        b = decode_jpeg_rgb(
+            encode_jpeg_ycbcr(ypl, _replicate2(cbpl, h, w), _replicate2(crpl, h, w))
+        )
+        assert a is not None and b is not None
+        assert (a == b).all(), (h, w)
+
+
+def test_jpeg_420_dense_blocks_match_transform_reference():
+    """Dense (every-coefficient) content through the 4:2:0 scan: the decode
+    must equal a quantize->dequantize->IDCT reference computed plane-by-plane
+    with the module's transform halves — pinning the NEW layer (the
+    MCU-interleaved entropy decode: four-Y-block raster order inside each
+    MCU, per-component DC predictors, 16-aligned pad geometry) independently
+    of the huffman layer's own round-trip tests."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        STD_CHROMA_QUANT,
+        STD_LUMA_QUANT,
+        _dct_matrix,
+        _quantize_plane,
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr_420,
+    )
+
+    def ref_plane(plane, quant, gh, gw):
+        pad = np.pad(
+            plane, ((0, gh - plane.shape[0]), (0, gw - plane.shape[1])), mode="edge"
+        )
+        mat = _dct_matrix()
+        q = np.asarray(quant, np.float64).reshape(8, 8)
+        out = np.empty((gh, gw), np.uint8)
+        for m, zz in enumerate(_quantize_plane(pad, quant)):
+            s = np.asarray(zz, np.float64).reshape(8, 8) * q
+            px = np.clip(np.rint(mat.T @ s @ mat) + 128, 0, 255).astype(np.uint8)
+            by, bx = divmod(m, gw // 8)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        return out
+
+    rng = np.random.default_rng(7)
+    h, w = 24, 40  # 16-misaligned on the vertical axis: pad row of Y blocks
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    y = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    cb = rng.integers(0, 256, size=(ch, cw)).astype(np.uint8)
+    cr = rng.integers(0, 256, size=(ch, cw)).astype(np.uint8)
+    dec = decode_jpeg_rgb(encode_jpeg_ycbcr_420(y, cb, cr))
+    assert dec is not None and dec.shape == (h, w, 3)
+    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
+    yr = ref_plane(y, STD_LUMA_QUANT, mcuy * 16, mcux * 16)[:h, :w]
+    cbr = _replicate2(ref_plane(cb, STD_CHROMA_QUANT, mcuy * 8, mcux * 8), h, w)
+    crr = _replicate2(ref_plane(cr, STD_CHROMA_QUANT, mcuy * 8, mcux * 8), h, w)
+    assert (dec == _rgb_from_planes(yr, cbr, crr)).all()
+
+
+def test_jpeg_420_encoder_validates_chroma_shape():
+    """The encoder takes ALREADY-SUBSAMPLED chroma — a full-resolution (or
+    otherwise mis-sized) plane must fail fast driver-side."""
+    from sport_data_pipeline_spark.operators.multimodal import encode_jpeg_ycbcr_420
+
+    y = np.full((16, 16), 128, np.uint8)
+    full = np.full((16, 16), 128, np.uint8)
+    with pytest.raises(ValueError, match="4:2:0 chroma"):
+        encode_jpeg_ycbcr_420(y, full, full)
+    with pytest.raises(ValueError, match="4:2:0 chroma"):
+        encode_jpeg_ycbcr_420(y, np.full((8, 8), 128, np.uint8), full)
+
+
+def test_resample_and_resize_validate_factor():
+    """Bad factors fail fast driver-side (ValueError), never as an executor
+    traceback mid-job."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        box_downsample_pcm,
+        box_downsample_rgb,
+    )
+
+    with pytest.raises(ValueError, match="factor"):
+        box_downsample_pcm(np.zeros(8, np.int16), 1, 0)
+    with pytest.raises(ValueError, match="factor"):
+        box_downsample_rgb(np.zeros((8, 8, 3), np.uint8), -2)

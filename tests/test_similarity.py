@@ -465,3 +465,63 @@ def test_persisted_cell_index_route_partition_prunes(spark, tmp_path):
     routed = route_against_cell_index(batch, assigned, cells, "vec_id", threshold=0.8)
     plan = routed._jdf.queryExecution().executedPlan().toString()
     assert "dynamicpruning" in plan.lower(), plan[:2000]
+
+
+def test_epoch_cell_index_rebuilds_on_same_size_regeneration(spark, tmp_path, monkeypatch):
+    """The epoch cache key must not serve a stale index when the corpus is
+    regenerated at IDENTICAL byte size within one second (the r9-advice
+    collision): st_mtime_ns + a head/tail content sample + the caller's
+    corpus-identity token all enter the key, and $SPARK_GRAFT_CELL_INDEX_REBUILD
+    force-rebuilds."""
+    import os
+
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from sport_data_pipeline_spark.plans.similarity import _epoch_cell_index
+
+    cache = tmp_path / "cache"
+    monkeypatch.setenv("SPARK_GRAFT_CELL_INDEX_CACHE", str(cache))
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    p = str(sf_dir / "embeddings.parquet")
+
+    def gen(seed: int) -> None:
+        rng = np.random.default_rng(seed)
+        vecs = rng.normal(size=(40, 4)).astype(np.float64)
+        t = pa.table(
+            {
+                "vec_id": pa.array(range(40), pa.int64()),
+                "embedding": pa.array(vecs.tolist(), pa.list_(pa.float64())),
+            }
+        )
+        # uncompressed + no dictionary: two generations with the same shape
+        # are byte-size-identical, reproducing the collision scenario
+        pq.write_table(t, p, compression="NONE", use_dictionary=False)
+        os.utime(p, ns=(1_700_000_000_000_000_000, 1_700_000_000_000_000_000))
+
+    def entries() -> int:
+        return sum(1 for d in cache.iterdir() if d.is_dir()) if cache.is_dir() else 0
+
+    gen(1)
+    size1 = os.path.getsize(p)
+    corpus = spark.read.parquet(p)
+    _epoch_cell_index(spark, str(sf_dir), corpus, n_cells=4, corpus_token="all")
+    assert entries() == 1
+
+    gen(2)  # same byte size, same mtime, different values
+    assert os.path.getsize(p) == size1
+    corpus2 = spark.read.parquet(p)
+    _epoch_cell_index(spark, str(sf_dir), corpus2, n_cells=4, corpus_token="all")
+    assert entries() == 2, "same-size same-second regeneration must rebuild"
+
+    # a differently-DEFINED corpus over the same table gets its own entry
+    half = corpus2.filter(F.col("vec_id") % 2 == 0)
+    _epoch_cell_index(spark, str(sf_dir), half, n_cells=4, corpus_token="vec_id%2==0")
+    assert entries() == 3
+
+    # the force-rebuild knob replaces (not duplicates) the entry
+    monkeypatch.setenv("SPARK_GRAFT_CELL_INDEX_REBUILD", "1")
+    _epoch_cell_index(spark, str(sf_dir), corpus2, n_cells=4, corpus_token="all")
+    assert entries() == 3

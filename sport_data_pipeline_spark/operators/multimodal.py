@@ -21,7 +21,13 @@ frame's pixels; color JPEG decodes at BOTH supported samplings — 4:4:4
 and MCU-interleaved 4:2:0 (``decode_jpeg_rgb``). What remains behind the
 documented seam: 4:2:2 / progressive JPEG, inter-frame video codecs
 (H.26x/VP9/AV1), and compressed audio (MP3/AAC) — genuinely library-grade
-territory.
+territory. The seam is an INTERFACE, not a comment: every stat extractor
+takes a ``decoder=`` callable (``bytes|None -> decoded|None``, defaulting
+to the pure decoders here), so production swaps in a native codec behind
+the identical operator shape; the throughput gap that makes that swap
+mandatory at real multimodal scale is measured in SCALE.md §8i
+(pure-Python JPEG ~0.2-0.3 MB/s/core vs libjpeg-turbo's ~100+ — ~400×;
+the mapInPandas shape itself adds no per-core penalty).
 ``decode_stub=True`` substitutes a deterministic
 byte-histogram feature so that distributed path — schema, batch shape,
 partitioning, null handling — is exercised end to end
@@ -583,20 +589,27 @@ PIXEL_STATS_SCHEMA = StructType(
 )
 
 
-def extract_pixel_stats(df: DataFrame) -> DataFrame:
+def extract_pixel_stats(df: DataFrame, decoder=None) -> DataFrame:
     """Distributed pixel-level statistics over PNG payloads: per-image
     channel sums and means from the REAL decode (``decode_png_rgb``), via
     Arrow-batched ``mapInPandas`` over MEDIA_SCHEMA frames. Undecodable
     payloads yield NULL stats. The per-image reduce happens inside the
     executor pass — only the (id, stats) row leaves, never pixels, so
-    output is O(images) regardless of resolution."""
+    output is O(images) regardless of resolution. ``decoder`` is the
+    production-codec seam: a callable ``bytes|None -> decoded|None`` with
+    the same contract as the pure default — a native library (e.g. a
+    libjpeg/libpng binding) slots in behind the identical operator shape,
+    schema, and null discipline (throughput gap quantified in SCALE.md
+    §8i)."""
     import numpy as np
+
+    decoder = decoder or decode_png_rgb
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_png_rgb(None if payload is None else bytes(payload))
+                px = decoder(None if payload is None else bytes(payload))
                 if px is None:
                     rows.append((mid, None, None, None, None, None, None, None, None, None))
                     continue
@@ -711,21 +724,28 @@ AUDIO_STATS_SCHEMA = StructType(
 )
 
 
-def extract_audio_stats(df: DataFrame) -> DataFrame:
+def extract_audio_stats(df: DataFrame, decoder=None) -> DataFrame:
     """Distributed waveform statistics over PCM WAV payloads via the REAL
     sample decode (``decode_wav_pcm``) inside Arrow-batched mapInPandas:
     per-payload energy (sum of squares), total magnitude, peak, and RMS.
     Undecodable payloads yield NULL stats. Like ``extract_pixel_stats``,
     the reduce happens in the executor pass — O(files) rows out, never
     samples. Stats accumulate in int64 (a peak of -32768 would overflow
-    abs() in int16)."""
+    abs() in int16). ``decoder`` is the
+    production-codec seam: a callable ``bytes|None -> decoded|None`` with
+    the same contract as the pure default — a native library (e.g. a
+    libjpeg/libpng binding) slots in behind the identical operator shape,
+    schema, and null discipline (throughput gap quantified in SCALE.md
+    §8i)."""
     import numpy as np
+
+    decoder = decoder or decode_wav_pcm
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                dec = decode_wav_pcm(None if payload is None else bytes(payload))
+                dec = decoder(None if payload is None else bytes(payload))
                 if dec is None or dec[2].size == 0:
                     rows.append((mid, None, None, None, None, None, None, None))
                     continue
@@ -1634,19 +1654,26 @@ JPEG_STATS_SCHEMA = StructType(
 )
 
 
-def extract_jpeg_stats(df: DataFrame) -> DataFrame:
+def extract_jpeg_stats(df: DataFrame, decoder=None) -> DataFrame:
     """Distributed pixel statistics over baseline grayscale JPEG payloads
     via the REAL entropy-level decode (``decode_jpeg_gray``) inside
     Arrow-batched mapInPandas: per-image luminance sum/min/max/mean.
     Undecodable or out-of-profile payloads yield NULL stats. Same
-    O(images)-rows-out discipline as ``extract_pixel_stats``."""
+    O(images)-rows-out discipline as ``extract_pixel_stats``. ``decoder`` is the
+    production-codec seam: a callable ``bytes|None -> decoded|None`` with
+    the same contract as the pure default — a native library (e.g. a
+    libjpeg/libpng binding) slots in behind the identical operator shape,
+    schema, and null discipline (throughput gap quantified in SCALE.md
+    §8i)."""
     import numpy as np
+
+    decoder = decoder or decode_jpeg_gray
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_jpeg_gray(None if payload is None else bytes(payload))
+                px = decoder(None if payload is None else bytes(payload))
                 if px is None or px.size == 0:
                     rows.append((mid, None, None, None, None, None, None, None))
                     continue
@@ -1673,7 +1700,7 @@ def extract_jpeg_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
 
 
-def extract_jpeg_color_stats(df: DataFrame) -> DataFrame:
+def extract_jpeg_color_stats(df: DataFrame, decoder=None) -> DataFrame:
     """Distributed per-channel pixel statistics over baseline COLOR JPEG
     payloads (4:4:4 or 4:2:0) via the REAL interleaved entropy decode +
     CCIR 601 inverse transform (``decode_jpeg_rgb``) inside Arrow-batched
@@ -1682,14 +1709,21 @@ def extract_jpeg_color_stats(df: DataFrame) -> DataFrame:
     stats union cleanly). Undecodable or out-of-profile payloads
     (grayscale, 4:2:2, progressive) yield NULL stats — 4:2:0 DECODES
     (MCU-interleaved path, replication chroma upsample); only the
-    per-image stat row leaves an executor, never pixels."""
+    per-image stat row leaves an executor, never pixels. ``decoder`` is the
+    production-codec seam: a callable ``bytes|None -> decoded|None`` with
+    the same contract as the pure default — a native library (e.g. a
+    libjpeg/libpng binding) slots in behind the identical operator shape,
+    schema, and null discipline (throughput gap quantified in SCALE.md
+    §8i)."""
     import numpy as np
+
+    decoder = decoder or decode_jpeg_rgb
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
-                px = decode_jpeg_rgb(None if payload is None else bytes(payload))
+                px = decoder(None if payload is None else bytes(payload))
                 if px is None or px.size == 0:
                     rows.append((mid, None, None, None, None, None, None, None, None, None))
                     continue

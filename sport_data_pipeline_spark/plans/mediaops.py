@@ -644,6 +644,12 @@ def jpeg_color_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # aggregate the DOWNSAMPLED waveform. The Spark side runs the full decode
 # -> frame-box-downsample -> re-encode(rate//2) -> decode chain, so one
 # hash-match certifies the resampler and both RIFF codec directions.
+# A second branch runs the SAME waveforms at factor 3 (media_id 620+k,
+# window = f // 3, rate // 3): a non-power-of-two factor whose ragged
+# final windows carry 1 OR 2 frames (801+100k ≡ 0,1,2 (mod 3) across the
+# fixtures), so the window arithmetic is oracled at a factor where
+# "half the frames" intuitions and the shift-friendly factor-2 path
+# would not catch an off-by-one.
 AUDIO_RESAMPLE_ORACLE = """
 WITH idx AS (SELECT unnest(range(8)) AS k),
 dims AS (
@@ -651,26 +657,27 @@ dims AS (
          (801 + 100*k) * (1 + (k % 2)) AS n_samples
   FROM idx
 ),
+facs AS (SELECT 600 AS base, 2 AS fac UNION ALL SELECT 620, 3),
 s AS (
-  SELECT d.k, d.channels, d.rate,
+  SELECT d.k, d.channels, d.rate, fc.base, fc.fac,
          (u.i // d.channels) AS f, (u.i % d.channels) AS c,
          ((7919 * (u.i + 13*d.k)) % 65536) - 32768 AS v
-  FROM dims d, LATERAL (SELECT unnest(range(d.n_samples)) AS i) u
+  FROM dims d, facs fc, LATERAL (SELECT unnest(range(d.n_samples)) AS i) u
 ),
 win AS (
-  SELECT k, channels, rate, c, f // 2 AS w,
+  SELECT k, channels, rate, base, fac, c, f // fac AS w,
          CAST(FLOOR(CAST(SUM(v) AS DOUBLE) / COUNT(*)) AS BIGINT) AS bv
-  FROM s GROUP BY k, channels, rate, c, f // 2
+  FROM s GROUP BY k, channels, rate, base, fac, c, f // fac
 )
-SELECT CAST(600 + k AS BIGINT) AS media_id,
+SELECT CAST(base + k AS BIGINT) AS media_id,
        CAST(channels AS INTEGER) AS channels,
-       CAST(rate // 2 AS INTEGER) AS sample_rate,
+       CAST(rate // fac AS INTEGER) AS sample_rate,
        CAST(COUNT(*) AS BIGINT) AS n_samples,
        CAST(SUM(bv * bv) AS BIGINT) AS sum_sq,
        CAST(SUM(ABS(bv)) AS BIGINT) AS sum_abs,
        CAST(MAX(ABS(bv)) AS INTEGER) AS peak,
        SQRT(CAST(SUM(bv * bv) AS DOUBLE) / COUNT(*)) AS rms
-FROM win GROUP BY k, channels, rate ORDER BY media_id
+FROM win GROUP BY k, channels, rate, base, fac ORDER BY media_id
 """
 
 
@@ -687,6 +694,10 @@ def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash-match certifies the resampler and both codec directions; odd
     frame counts exercise the ragged final window, stereo fixtures the
     per-channel framing, and negative samples the floor-division pin.
+    A second branch (media_id 620+k) resamples the SAME waveforms at
+    factor 3 — a non-power-of-two factor whose ragged tails carry 1 or 2
+    frames across the fixtures — so the window arithmetic is oracled
+    beyond the shift-friendly factor-2 case.
     """
     import numpy as np
 
@@ -696,20 +707,24 @@ def audio_resample_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         resample_wav_payloads,
     )
 
-    rows = []
+    rows2, rows3 = [], []
     for k in range(_N_PER_KIND):
         channels = 1 + (k % 2)
         rate = 8000 + 1000 * (k % 3)
         n_samples = (801 + 100 * k) * channels  # ODD frame count: every
-        # fixture ends in a ragged 1-frame window (the docstring's claim)
+        # factor-2 fixture ends in a ragged 1-frame window (the
+        # docstring's claim); against factor 3 the same counts run
+        # 0/1/2 (mod 3), so BOTH ragged window sizes occur
         i = np.arange(n_samples, dtype=np.int64)
         v = ((7919 * (i + 13 * k)) % 65536 - 32768).astype(np.int16)
         payload = encode_wav_pcm(v, rate, channels)
-        rows.append((600 + k, payload, "audio/wav", len(payload), None))
-    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
-    return extract_audio_stats(resample_wav_payloads(media, factor=2)).orderBy(
-        "media_id"
-    )
+        rows2.append((600 + k, payload, "audio/wav", len(payload), None))
+        rows3.append((620 + k, payload, "audio/wav", len(payload), None))
+    media2 = spark.createDataFrame(rows2, MEDIA_SCHEMA).repartition(4, "media_id")
+    media3 = spark.createDataFrame(rows3, MEDIA_SCHEMA).repartition(4, "media_id")
+    out2 = extract_audio_stats(resample_wav_payloads(media2, factor=2))
+    out3 = extract_audio_stats(resample_wav_payloads(media3, factor=3))
+    return out2.unionByName(out3).orderBy("media_id")
 
 
 # 4:2:0 pixel-stats oracle: identical structure to JPEG_COLOR_STATS_ORACLE

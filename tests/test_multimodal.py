@@ -1032,3 +1032,26 @@ def test_resample_and_resize_validate_factor():
         box_downsample_pcm(np.zeros(8, np.int16), 1, 0)
     with pytest.raises(ValueError, match="factor"):
         box_downsample_rgb(np.zeros((8, 8, 3), np.uint8), -2)
+
+
+def test_stat_extractors_accept_injected_decoder(spark):
+    """The production-codec seam is an interface: a caller-supplied
+    ``decoder=`` callable (same bytes->decoded|None contract) replaces the
+    pure default behind the identical operator shape, schema, and null
+    discipline — here a stub that decodes ANY payload to a constant 2x2
+    image, and None-rejects one id, without the payload being valid PNG."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        extract_pixel_stats,
+    )
+
+    def stub(b):
+        if b is None or b == b"reject":
+            return None
+        return np.full((2, 2, 3), 10, np.uint8)
+
+    rows = [(1, b"anything", "x", 0, None), (2, b"reject", "x", 0, None)]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2, "media_id")
+    got = {r["media_id"]: r for r in extract_pixel_stats(df, decoder=stub).collect()}
+    assert got[1]["n_px"] == 4 and got[1]["sum_r"] == 40 and got[1]["mean_g"] == 10.0
+    assert got[2]["sum_r"] is None

@@ -921,7 +921,9 @@ def resize_image_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
 # chroma upsampled by pinned 2x2 replication — test_jpeg_420_* /
 # jpeg_420_pixel_stats). Profile honesty: 4:2:2 and other sampling mixes,
 # and progressive scans, remain out of profile and decode to None (never
-# a crash) — as do DRI/restart streams. Motion codecs (H.26x) stay behind
+# a crash). DRI/restart streams ARE in profile (r10: predictor resets at
+# RSTn boundaries, modulo-8 sequence check — what real encoders routinely
+# emit for error resilience). Motion codecs (H.26x) stay behind
 # the documented seam; MJPEG video is this codec applied per frame
 # (parse_mp4_samples).
 #
@@ -1090,6 +1092,16 @@ class _BitWriter:
             self.put((1 << pad) - 1, pad)  # 1-fill per T.81 F.1.2.3
         return bytes(self.out)
 
+    def restart(self, n: int) -> None:
+        """Emit an RSTn marker (T.81 E.1.4): 1-fill to the byte boundary
+        (through put(), so a 0xFF pad byte still gets stuffed), then the
+        marker bytes RAW — markers are not entropy data and never
+        stuffed."""
+        if self.nbits:
+            pad = 8 - self.nbits
+            self.put((1 << pad) - 1, pad)
+        self.out += bytes((0xFF, 0xD0 + (n & 7)))
+
 
 class _BitReader:
     """MSB-first bit reader over entropy-coded data with byte-unstuffing;
@@ -1131,6 +1143,22 @@ class _BitReader:
         for _ in range(n):
             v = (v << 1) | self.bit()
         return v
+
+    def restart_marker(self) -> int:
+        """Byte-align (discard remaining pad bits of the current byte —
+        any stuffed 0x00 after a 0xFF pad byte was already consumed by
+        _fill) and consume an RSTn marker, returning n in 0..7. Raises
+        ValueError if the next bytes are not a restart marker."""
+        self.nbits = 0
+        self.acc = 0
+        b = self.data
+        if self.pos + 2 > len(b) or b[self.pos] != 0xFF:
+            raise ValueError("expected restart marker")
+        m = b[self.pos + 1]
+        if not 0xD0 <= m <= 0xD7:
+            raise ValueError("expected restart marker")
+        self.pos += 2
+        return m - 0xD0
 
 
 def _extend(v: int, t: int) -> int:
@@ -1179,16 +1207,22 @@ def _put_block(w: "_BitWriter", blk, pred: int, dc_codes, ac_codes) -> int:
     return zz[0]
 
 
-def _encode_coeff_blocks(blocks) -> bytes:
+def _encode_coeff_blocks(blocks, restart_interval: int = 0) -> bytes:
     """Huffman-encode quantized coefficient blocks (each a length-64 int
     sequence in NATURAL order) into the entropy-coded segment: DPCM DC,
     run-length AC with ZRL/EOB, Annex-K tables, byte stuffing, 1-padded
-    flush. Exposed for coefficient-level round-trip tests."""
+    flush. With ``restart_interval`` > 0, an RSTn marker (n cycling 0..7)
+    is emitted every that-many blocks (= MCUs for a single-component
+    scan) and the DC predictor resets at each — T.81 E.1.4. Exposed for
+    coefficient-level round-trip tests."""
     dc_codes = _huff_codes(_DC_BITS, _DC_VALS)
     ac_codes = _huff_codes(_AC_BITS, _AC_VALS)
     w = _BitWriter()
     pred = 0
-    for blk in blocks:
+    for m, blk in enumerate(blocks):
+        if restart_interval and m and m % restart_interval == 0:
+            w.restart((m // restart_interval - 1) % 8)
+            pred = 0
         pred = _put_block(w, blk, pred, dc_codes, ac_codes)
     return w.flush()
 
@@ -1260,11 +1294,14 @@ def _quantize_plane(px, quant):
     return blocks
 
 
-def encode_jpeg_gray(pixels, quant=STD_LUMA_QUANT) -> bytes:
+def encode_jpeg_gray(pixels, quant=STD_LUMA_QUANT, restart_interval: int = 0) -> bytes:
     """Encode an (h, w) uint8 array as a spec-valid BASELINE grayscale JPEG
     (SOF0, one component, Annex-K huffman tables, ``quant`` as DQT table 0).
     Edge-replication pads to 8x8 blocks; float64 forward DCT; round-to-
-    nearest-even quantization. Write-time fixture synthesizer, same
+    nearest-even quantization. ``restart_interval`` > 0 emits a DRI
+    segment and RSTn markers every that-many MCUs with DC-predictor
+    resets (T.81 E.1.4) — what real encoders routinely produce for error
+    resilience. Write-time fixture synthesizer, same
     discipline as ``encode_png_rgb`` — any standard JPEG decoder reads the
     output."""
     import numpy as np
@@ -1272,7 +1309,7 @@ def encode_jpeg_gray(pixels, quant=STD_LUMA_QUANT) -> bytes:
     px = np.asarray(pixels, dtype=np.uint8)
     h, w = px.shape
     blocks = _quantize_plane(px, quant)
-    scan = _encode_coeff_blocks(blocks)
+    scan = _encode_coeff_blocks(blocks, restart_interval)
 
     def seg(marker: int, payload: bytes) -> bytes:
         return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
@@ -1280,6 +1317,7 @@ def encode_jpeg_gray(pixels, quant=STD_LUMA_QUANT) -> bytes:
     qz = bytes(int(np.asarray(quant).reshape(-1)[_ZIGZAG[k]]) for k in range(64))
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dqt = seg(0xDB, b"\x00" + qz)
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sof = seg(0xC0, b"\x08" + struct.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00")
     dht = seg(
         0xC4,
@@ -1287,11 +1325,16 @@ def encode_jpeg_gray(pixels, quant=STD_LUMA_QUANT) -> bytes:
         + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
     )
     sos = seg(0xDA, b"\x01" + b"\x01\x00" + b"\x00\x3f\x00")
-    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + app0 + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
 def encode_jpeg_ycbcr(
-    y, cb, cr, quant_luma=STD_LUMA_QUANT, quant_chroma=STD_CHROMA_QUANT
+    y,
+    cb,
+    cr,
+    quant_luma=STD_LUMA_QUANT,
+    quant_chroma=STD_CHROMA_QUANT,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode three (h, w) uint8 YCbCr planes as a spec-valid BASELINE
     COLOR JPEG at 4:4:4 (no chroma subsampling: every component sampled
@@ -1323,6 +1366,9 @@ def encode_jpeg_ycbcr(
     bw = _BitWriter()
     preds = [0, 0, 0]
     for m in range(len(comp_blocks[0])):  # MCU raster = block raster at 4:4:4
+        if restart_interval and m and m % restart_interval == 0:
+            bw.restart((m // restart_interval - 1) % 8)
+            preds = [0, 0, 0]
         for c in range(3):
             preds[c] = _put_block(bw, comp_blocks[c][m], preds[c], *codes[c])
     scan = bw.flush()
@@ -1336,6 +1382,7 @@ def encode_jpeg_ycbcr(
 
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dqt = seg(0xDB, b"\x00" + zz(quant_luma) + b"\x01" + zz(quant_chroma))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sof = seg(
         0xC0,
         b"\x08" + struct.pack(">HH", h, w) + b"\x03"
@@ -1349,11 +1396,16 @@ def encode_jpeg_ycbcr(
         + b"\x11" + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS),
     )
     sos = seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
-    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + app0 + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
 def encode_jpeg_ycbcr_420(
-    y, cb, cr, quant_luma=STD_LUMA_QUANT, quant_chroma=STD_CHROMA_QUANT
+    y,
+    cb,
+    cr,
+    quant_luma=STD_LUMA_QUANT,
+    quant_chroma=STD_CHROMA_QUANT,
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a spec-valid BASELINE COLOR JPEG at 4:2:0 — the dominant
     real-world profile: Y sampled 2x2 (one block per 8x8 luma tile),
@@ -1393,6 +1445,9 @@ def encode_jpeg_ycbcr_420(
     py = pcb = pcr = 0
     ybx = 2 * mcux  # Y block-grid width
     for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.restart((m // restart_interval - 1) % 8)
+            py = pcb = pcr = 0
         my, mx = divmod(m, mcux)
         for byy in range(2):
             for bxx in range(2):
@@ -1412,6 +1467,7 @@ def encode_jpeg_ycbcr_420(
 
     app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
     dqt = seg(0xDB, b"\x00" + zz(quant_luma) + b"\x01" + zz(quant_chroma))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
     sof = seg(
         0xC0,
         b"\x08" + struct.pack(">HH", h, w) + b"\x03"
@@ -1425,7 +1481,7 @@ def encode_jpeg_ycbcr_420(
         + b"\x11" + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS),
     )
     sos = seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
-    return b"\xff\xd8" + app0 + dqt + sof + dht + sos + scan + b"\xff\xd9"
+    return b"\xff\xd8" + app0 + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
 def _decode_jpeg_planes(b: bytes | None):
@@ -1436,8 +1492,11 @@ def _decode_jpeg_planes(b: bytes | None):
     baseline sequential (SOF0), 8-bit tables, and one of three sampling
     layouts — single component 1x1 (grayscale), 3 components all 1x1
     (4:4:4), or 3 components with Y 2x2 and chroma 1x1 (4:2:0, each MCU =
-    four Y blocks + one Cb + one Cr per T.81 A.2.3). Anything else
-    (progressive, restart-interval, other sampling mixes) returns None,
+    four Y blocks + one Cb + one Cr per T.81 A.2.3). Restart-interval
+    streams (DRI/RSTn, T.81 E.1.4) are IN profile: predictors reset at
+    each marker and the modulo-8 marker count is verified, so a lost or
+    out-of-sequence marker yields None rather than desynced pixels.
+    Anything else (progressive, other sampling mixes) returns None,
     same null discipline as ``decode_png_rgb``. Returns
     ``(planes, samplings, h, w)`` with one padded uint8 plane per SOF
     component in SOF order (chroma planes at their SUBSAMPLED
@@ -1449,6 +1508,7 @@ def _decode_jpeg_planes(b: bytes | None):
     quant = {}
     dc_spec = {}
     ac_spec = {}
+    restart_interval = 0
     h = w = -1
     sof_comps: list[tuple[int, int]] = []  # (component id, quant id), SOF order
     scan_tabs: dict[int, tuple[int, int]] = {}  # component id -> (dc id, ac id)
@@ -1497,9 +1557,13 @@ def _decode_jpeg_planes(b: bytes | None):
                 # supported layouts: all 1x1 (gray / 4:4:4), or 4:2:0
                 if samp != [0x11] * len(samp) and samp != [0x22, 0x11, 0x11]:
                     return None  # other sampling mixes: out of profile
+            elif marker == 0xDD:
+                if ln != 4:
+                    return None
+                (restart_interval,) = struct.unpack(">H", payload)
             elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
-                            0xCB, 0xCD, 0xCE, 0xCF, 0xDD):
-                return None  # non-baseline SOF or restart interval
+                            0xCB, 0xCD, 0xCE, 0xCF):
+                return None  # non-baseline SOF
             elif marker == 0xDA:
                 # w/h both checked: a SOF0 declaring width 0 would otherwise
                 # decode to a zero-size (h, 0) array and crash stats callers.
@@ -1552,6 +1616,13 @@ def _decode_jpeg_planes(b: bytes | None):
         # to one block per component; 4:2:0 is 4 Y + 1 Cb + 1 Cr.
         preds = [0] * len(comps)
         for m in range(mcux * mcuy):
+            if restart_interval and m and m % restart_interval == 0:
+                # T.81 E.1.4: byte-align, consume RSTn (n counts modulo 8,
+                # so a lost/extra marker is detected), reset every DC
+                # predictor for the next restart segment.
+                if r.restart_marker() != (m // restart_interval - 1) % 8:
+                    raise ValueError("restart marker out of sequence")
+                preds = [0] * len(comps)
             my, mx = divmod(m, mcux)
             for ci, (q, dc_tab, ac_tab, out, h_i, v_i) in enumerate(comps):
                 for byy in range(v_i):

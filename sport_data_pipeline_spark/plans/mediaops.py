@@ -23,7 +23,9 @@ chroma upsample) — and for MJPEG
 video frames (``video_frame_stats``: ISO-BMFF sample-table walk +
 per-frame JPEG decode); sample-level decode AND resampling are REAL for
 PCM WAV (``audio_pcm_stats``, ``audio_resample_stats``: frame-wise box
-downsample at rate//2). The remaining documented seam: 4:2:2 /
+downsample at rate//2); DRI/RSTn restart-interval JPEG streams are in
+profile (r10) and ride the ``jpeg_420_pixel_stats`` oracle. The
+remaining documented seam: 4:2:2 /
 progressive JPEG, inter-frame video codecs, compressed audio.
 Everything else
 checked here — container walking, dimension/rate/duration extraction,
@@ -790,8 +792,10 @@ def jpeg_420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-trips are bit-exact at those levels, so the oracle restates the
     plane formulas with the chroma block index at (x//16, y//16) — the
     replication upsample — plus the same clip-exercising CCIR 601 matrix
-    as the 4:4:4 oracle. Unit twins: tests/test_multimodal.py
-    test_jpeg_420_*."""
+    as the 4:4:4 oracle. Odd fixtures additionally carry DRI/RSTn
+    restart markers (T.81 E.1.4, in profile since r10) — same pixel
+    math, so the one hash covers the restart path too. Unit twins:
+    tests/test_multimodal.py test_jpeg_420_* / test_jpeg_dri_*."""
     import numpy as np
 
     from ..operators.multimodal import encode_jpeg_ycbcr_420, extract_jpeg_color_stats
@@ -811,8 +815,13 @@ def jpeg_420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         def up(a, hh, ww):
             return np.kron(a, np.ones((8, 8), np.uint8))[:hh, :ww]
 
+        # odd fixtures carry DRI/RSTn restart markers (r10: in profile —
+        # predictor resets + modulo-8 sequence check); the pixel math and
+        # therefore the oracle are IDENTICAL, so the hash-match certifies
+        # the restart path against the marker-free twin formulas
         payload = encode_jpeg_ycbcr_420(
-            up(yb, h, w), up(cbb, ch, cw), up(crb, ch, cw)
+            up(yb, h, w), up(cbb, ch, cw), up(crb, ch, cw),
+            restart_interval=(2 if i % 2 else 0),
         )
         rows.append((700 + i, payload, "image/jpeg", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")

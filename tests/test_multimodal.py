@@ -618,12 +618,17 @@ def test_jpeg_decode_rejects_out_of_profile():
     # progressive SOF2 (the multimodal_meta fixture's progressive header)
     prog = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
     assert decode_jpeg_gray(prog) is None
-    # DRI / restart-interval streams are out of profile
+    # DRI is IN profile since r10 — but a stream DECLARING a restart
+    # interval whose scan lacks the markers (Ri=1 here, no RSTn emitted)
+    # must yield None, never desynced pixels
     import struct as _s
 
-    dri = b"\xff\xdd" + _s.pack(">H", 4) + _s.pack(">H", 8)
+    dri = b"\xff\xdd" + _s.pack(">H", 4) + _s.pack(">H", 1)
     sos_at = good.index(b"\xff\xda")
     assert decode_jpeg_gray(good[:sos_at] + dri + good[sos_at:]) is None
+    # malformed DRI length is rejected
+    bad_dri = b"\xff\xdd" + _s.pack(">H", 3) + b"\x01"
+    assert decode_jpeg_gray(good[:sos_at] + bad_dri + good[sos_at:]) is None
     # 3-component SOF is out of profile (component count byte = 3)
     sof_at = good.index(b"\xff\xc0")
     multi = bytearray(good)
@@ -1055,3 +1060,71 @@ def test_stat_extractors_accept_injected_decoder(spark):
     got = {r["media_id"]: r for r in extract_pixel_stats(df, decoder=stub).collect()}
     assert got[1]["n_px"] == 4 and got[1]["sum_r"] == 40 and got[1]["mean_g"] == 10.0
     assert got[2]["sum_r"] is None
+
+
+def test_jpeg_dri_restart_gray_bitexact_and_equal_to_plain():
+    """DRI/RSTn streams (T.81 E.1.4) are in profile: a grayscale encode
+    with restart_interval=2 over a 6x2-MCU image (11 restart markers, n
+    cycling past 8 so the modulo wrap is exercised) decodes bit-exactly
+    — and identically to the same pixels encoded without DRI."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(3)
+    px = _const_block_image(rng, 16, 95)  # 2x12 MCU grid -> 24 MCUs
+    with_dri = encode_jpeg_gray(px, restart_interval=2)
+    assert b"\xff\xdd" in with_dri
+    dec = decode_jpeg_gray(with_dri)
+    assert dec is not None and (dec == px).all()
+    assert (dec == decode_jpeg_gray(encode_jpeg_gray(px))).all()
+
+
+def test_jpeg_dri_restart_dense_color_444_and_420():
+    """Restart markers with DENSE coefficient content through both color
+    samplings: the predictor resets change the entropy stream, so equality
+    with the no-DRI decode pins that every reset happened on both sides."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr,
+        encode_jpeg_ycbcr_420,
+    )
+
+    rng = np.random.default_rng(9)
+    h, w = 24, 40
+    y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    cbf = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    crf = rng.integers(0, 256, (h, w)).astype(np.uint8)
+    a = decode_jpeg_rgb(encode_jpeg_ycbcr(y, cbf, crf, restart_interval=3))
+    b = decode_jpeg_rgb(encode_jpeg_ycbcr(y, cbf, crf))
+    assert a is not None and (a == b).all()
+    ch, cw = (h + 1) // 2, (w + 1) // 2
+    cbs = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+    crs = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+    c = decode_jpeg_rgb(encode_jpeg_ycbcr_420(y, cbs, crs, restart_interval=1))
+    d = decode_jpeg_rgb(encode_jpeg_ycbcr_420(y, cbs, crs))
+    assert c is not None and (c == d).all()
+
+
+def test_jpeg_dri_out_of_sequence_marker_yields_none():
+    """The modulo-8 RSTn count is verified: tampering one restart marker's
+    index (entropy data cannot contain 0xFF followed by 0xD0-0xD7 — only
+    0xFF00 stuffing — so any such pair after SOS IS a marker) must yield
+    None, never silently desynced pixels."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+    )
+
+    rng = np.random.default_rng(5)
+    px = _const_block_image(rng, 16, 95)
+    enc = bytearray(encode_jpeg_gray(px, restart_interval=2))
+    sos_at = bytes(enc).index(b"\xff\xda")
+    for i in range(sos_at, len(enc) - 3):  # leave EOI alone
+        if enc[i] == 0xFF and 0xD0 <= enc[i + 1] <= 0xD7:
+            enc[i + 1] = 0xD0 + ((enc[i + 1] - 0xD0 + 1) % 8)
+            break
+    else:
+        raise AssertionError("no restart marker found")
+    assert decode_jpeg_gray(bytes(enc)) is None

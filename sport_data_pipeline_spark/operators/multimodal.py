@@ -17,9 +17,11 @@ goes all the way to PIXELS for baseline grayscale JPEG (real huffman+DPCM
 entropy decode + IDCT — see the JPEG section), powering
 ``extract_jpeg_stats``; and ``parse_mp4_samples`` walks the ISO-BMFF
 sample tables so ``extract_video_frame_stats`` reconstructs every MJPEG
-frame's pixels; color JPEG decodes at BOTH supported samplings — 4:4:4
-and MCU-interleaved 4:2:0 (``decode_jpeg_rgb``). What remains behind the
-documented seam: 4:2:2 / progressive JPEG, inter-frame video codecs
+frame's pixels; color JPEG decodes at ALL THREE common samplings — 4:4:4,
+MCU-interleaved 4:2:0, and 4:2:2 — plus DRI/restart streams
+(``decode_jpeg_rgb``). What remains behind the
+documented seam: progressive JPEG (and exotic sampling mixes like
+4:4:0/4:1:1), inter-frame video codecs
 (H.26x/VP9/AV1), and compressed audio (MP3/AAC) — genuinely library-grade
 territory. The seam is an INTERFACE, not a comment: every stat extractor
 takes a ``decoder=`` callable (``bytes|None -> decoded|None``, defaulting
@@ -916,12 +918,14 @@ def resize_image_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
 # scan), zigzag de-serialization, dequantization, a float64 orthonormal
 # 2-D IDCT, and the CCIR 601 inverse color transform (JFIF v1.02 §7).
 #
-# Supported color samplings: 4:4:4 (one block per component per MCU) and
+# Supported color samplings: 4:4:4 (one block per component per MCU),
 # MCU-interleaved 4:2:0 (four Y + one Cb + one Cr per 16x16-pixel MCU,
 # chroma upsampled by pinned 2x2 replication — test_jpeg_420_* /
-# jpeg_420_pixel_stats). Profile honesty: 4:2:2 and other sampling mixes,
-# and progressive scans, remain out of profile and decode to None (never
-# a crash). DRI/restart streams ARE in profile (r10: predictor resets at
+# jpeg_420_pixel_stats), and 4:2:2 (two Y + one Cb + one Cr per
+# 16x8-pixel MCU, column-replication upsample — test_jpeg_422_* /
+# jpeg_422_pixel_stats). Profile honesty: other sampling mixes
+# (4:4:0, 4:1:1) and progressive scans remain out of profile and decode
+# to None (never a crash). DRI/restart streams ARE in profile (r10: predictor resets at
 # RSTn boundaries, modulo-8 sequence check — what real encoders routinely
 # emit for error resilience). Motion codecs (H.26x) stay behind
 # the documented seam; MJPEG video is this codec applied per frame
@@ -1484,15 +1488,94 @@ def encode_jpeg_ycbcr_420(
     return b"\xff\xd8" + app0 + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
+def encode_jpeg_ycbcr_422(
+    y,
+    cb,
+    cr,
+    quant_luma=STD_LUMA_QUANT,
+    quant_chroma=STD_CHROMA_QUANT,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a spec-valid BASELINE COLOR JPEG at 4:2:2 — the broadcast/
+    video-capture profile: Y sampled 2x1, chroma 1x1 (each Cb/Cr sample
+    covers a 2x1 luma region — HORIZONTAL-only subsampling), so each MCU
+    covers 16x8 luma pixels and carries two Y blocks + one Cb + one Cr
+    (T.81 A.2.3 raster order within the MCU). ``y`` is the full-res
+    (h, w) plane; ``cb``/``cr`` are the ALREADY-SUBSAMPLED
+    (h, ceil(w/2)) planes — same transform-domain fixture contract as
+    :func:`encode_jpeg_ycbcr_420`. Tables as in
+    :func:`encode_jpeg_ycbcr`. Any standard JPEG decoder reads the
+    output."""
+    import numpy as np
+
+    yp = np.asarray(y, dtype=np.uint8)
+    cbp = np.asarray(cb, dtype=np.uint8)
+    crp = np.asarray(cr, dtype=np.uint8)
+    h, w = yp.shape
+    cw = (w + 1) // 2
+    if cbp.shape != (h, cw) or crp.shape != (h, cw):
+        raise ValueError(f"4:2:2 chroma planes must be (h, ceil(w/2)) = {(h, cw)}")
+    mcux, mcuy = (w + 15) // 16, (h + 7) // 8
+    # pad Y to the 16x8-aligned MCU grid, chroma to its 8x8-aligned grid
+    ypad = np.pad(yp, ((0, mcuy * 8 - h), (0, mcux * 16 - w)), mode="edge")
+    cbpad = np.pad(cbp, ((0, mcuy * 8 - h), (0, mcux * 8 - cw)), mode="edge")
+    crpad = np.pad(crp, ((0, mcuy * 8 - h), (0, mcux * 8 - cw)), mode="edge")
+    yb = _quantize_plane(ypad, quant_luma)  # raster over a 2*mcux-wide grid
+    cbb = _quantize_plane(cbpad, quant_chroma)
+    crb = _quantize_plane(crpad, quant_chroma)
+    dc_l, ac_l = _huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    bw = _BitWriter()
+    py = pcb = pcr = 0
+    ybx = 2 * mcux  # Y block-grid width
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.restart((m // restart_interval - 1) % 8)
+            py = pcb = pcr = 0
+        my, mx = divmod(m, mcux)
+        for bxx in range(2):
+            py = _put_block(bw, yb[my * ybx + (mx * 2 + bxx)], py, dc_l, ac_l)
+        pcb = _put_block(bw, cbb[my * mcux + mx], pcb, dc_c, ac_c)
+        pcr = _put_block(bw, crb[my * mcux + mx], pcr, dc_c, ac_c)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    def zz(quant) -> bytes:
+        flat = np.asarray(quant).reshape(-1)
+        return bytes(int(flat[_ZIGZAG[k]]) for k in range(64))
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + zz(quant_luma) + b"\x01" + zz(quant_chroma))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sof = seg(
+        0xC0,
+        b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+        + b"\x01\x21\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS)
+        + b"\x11" + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS),
+    )
+    sos = seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
+
+
 def _decode_jpeg_planes(b: bytes | None):
     """Component-plane decode shared by the grayscale and color wrappers:
     marker walk, DQT/DHT table load (arbitrary spec-valid tables, not just
     Annex K), huffman + DPCM entropy decode of the (possibly interleaved)
     scan, dequantization, float64 IDCT, level shift, clip. Profile:
-    baseline sequential (SOF0), 8-bit tables, and one of three sampling
+    baseline sequential (SOF0), 8-bit tables, and one of four sampling
     layouts — single component 1x1 (grayscale), 3 components all 1x1
-    (4:4:4), or 3 components with Y 2x2 and chroma 1x1 (4:2:0, each MCU =
-    four Y blocks + one Cb + one Cr per T.81 A.2.3). Restart-interval
+    (4:4:4), Y 2x2 + chroma 1x1 (4:2:0, each MCU = four Y blocks + one
+    Cb + one Cr per T.81 A.2.3), or Y 2x1 + chroma 1x1 (4:2:2, two Y
+    blocks per MCU). Restart-interval
     streams (DRI/RSTn, T.81 E.1.4) are IN profile: predictors reset at
     each marker and the modulo-8 marker count is verified, so a lost or
     out-of-sequence marker yields None rather than desynced pixels.
@@ -1554,8 +1637,11 @@ def _decode_jpeg_planes(b: bytes | None):
                         (payload[6 + 3 * c], payload[7 + 3 * c], payload[8 + 3 * c])
                     )
                 samp = [hv for _, hv, _ in sof_comps]
-                # supported layouts: all 1x1 (gray / 4:4:4), or 4:2:0
-                if samp != [0x11] * len(samp) and samp != [0x22, 0x11, 0x11]:
+                # supported layouts: all 1x1 (gray / 4:4:4), 4:2:0, 4:2:2
+                if samp != [0x11] * len(samp) and samp not in (
+                    [0x22, 0x11, 0x11],
+                    [0x21, 0x11, 0x11],
+                ):
                     return None  # other sampling mixes: out of profile
             elif marker == 0xDD:
                 if ln != 4:
@@ -1686,12 +1772,13 @@ def decode_jpeg_rgb(b: bytes | None):
 
     rounded as floor(x + 0.5) and clipped to [0, 255] — the rounding is
     pinned to floor(+0.5) (not banker's) so the SQL oracle can restate
-    the matrix verbatim with FLOOR(). Handles both supported color
-    samplings: 4:4:4 (chroma at full resolution) and 4:2:0 (each decoded
-    chroma sample covers a 2x2 luma region; upsampled by pixel
+    the matrix verbatim with FLOOR(). Handles the three supported color
+    samplings: 4:4:4 (chroma at full resolution), 4:2:0 (each decoded
+    chroma sample covers a 2x2 luma region), and 4:2:2 (a 2x1 region —
+    horizontal-only subsampling); subsampled chroma is upsampled by pixel
     REPLICATION — nearest-neighbor, the pinned choice so the oracle can
-    index chroma at x//2, y//2). Returns an (h, w, 3) uint8 RGB array,
-    or None outside the profile (grayscale streams — use
+    index chroma at x//2 (and y//2 at 4:2:0). Returns an (h, w, 3) uint8
+    RGB array, or None outside the profile (grayscale streams — use
     ``decode_jpeg_gray`` — and progressive / other-sampling color)."""
     import numpy as np
 
@@ -1703,6 +1790,9 @@ def decode_jpeg_rgb(b: bytes | None):
     if samplings == [0x22, 0x11, 0x11]:  # 4:2:0 — replicate chroma 2x2
         cbp = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
         crp = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
+    elif samplings == [0x21, 0x11, 0x11]:  # 4:2:2 — replicate columns only
+        cbp = np.repeat(cbp, 2, axis=1)
+        crp = np.repeat(crp, 2, axis=1)
     cb = cbp[:h, :w].astype(np.float64) - 128.0
     cr = crp[:h, :w].astype(np.float64) - 128.0
     r = np.floor(yv + 1.402 * cr + 0.5)
@@ -1773,13 +1863,14 @@ def extract_jpeg_stats(df: DataFrame, decoder=None) -> DataFrame:
 
 def extract_jpeg_color_stats(df: DataFrame, decoder=None) -> DataFrame:
     """Distributed per-channel pixel statistics over baseline COLOR JPEG
-    payloads (4:4:4 or 4:2:0) via the REAL interleaved entropy decode +
+    payloads (4:4:4, 4:2:0, or 4:2:2) via the REAL interleaved entropy decode +
     CCIR 601 inverse transform (``decode_jpeg_rgb``) inside Arrow-batched
     mapInPandas: per-image RGB sums and means, the color twin of
     ``extract_pixel_stats`` (same output schema, so PNG and JPEG color
     stats union cleanly). Undecodable or out-of-profile payloads
-    (grayscale, 4:2:2, progressive) yield NULL stats — 4:2:0 DECODES
-    (MCU-interleaved path, replication chroma upsample); only the
+    (grayscale, progressive, exotic sampling mixes) yield NULL stats —
+    4:2:0 AND 4:2:2 DECODE
+    (MCU-interleaved paths, replication chroma upsample); only the
     per-image stat row leaves an executor, never pixels. ``decoder`` is the
     production-codec seam: a callable ``bytes|None -> decoded|None`` with
     the same contract as the pure default — a native library (e.g. a

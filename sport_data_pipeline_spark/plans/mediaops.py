@@ -15,18 +15,20 @@ plumbing breaks the hash-match).
 Pixel-level decode is REAL for PNG (``image_pixel_stats`` below: zlib +
 scanline un-filtering, formula-derived oracle), for baseline grayscale
 JPEG (``jpeg_pixel_stats``: real huffman+DPCM entropy decode + IDCT),
-for baseline COLOR JPEG at both supported samplings — 4:4:4
+for baseline COLOR JPEG at all three common samplings — 4:4:4
 (``jpeg_color_pixel_stats``: interleaved three-component decode + CCIR
-601 inverse transform) and MCU-interleaved 4:2:0
+601 inverse transform), MCU-interleaved 4:2:0
 (``jpeg_420_pixel_stats``: four-Y-block MCUs + pinned 2x2 replication
-chroma upsample) — and for MJPEG
+chroma upsample), and 4:2:2 (``jpeg_422_pixel_stats``: two-Y-block
+MCUs + column-replication upsample) — and for MJPEG
 video frames (``video_frame_stats``: ISO-BMFF sample-table walk +
 per-frame JPEG decode); sample-level decode AND resampling are REAL for
 PCM WAV (``audio_pcm_stats``, ``audio_resample_stats``: frame-wise box
 downsample at rate//2); DRI/RSTn restart-interval JPEG streams are in
-profile (r10) and ride the ``jpeg_420_pixel_stats`` oracle. The
-remaining documented seam: 4:2:2 /
-progressive JPEG, inter-frame video codecs, compressed audio.
+profile (r10) and ride the ``jpeg_420_pixel_stats`` /
+``jpeg_422_pixel_stats`` oracles. The remaining documented seam:
+progressive JPEG (and exotic sampling mixes like 4:4:0/4:1:1),
+inter-frame video codecs, compressed audio.
 Everything else
 checked here — container walking, dimension/rate/duration extraction,
 frame-sampling arithmetic, Arrow batch shapes, null propagation — is the
@@ -824,5 +826,92 @@ def jpeg_420_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             restart_interval=(2 if i % 2 else 0),
         )
         rows.append((700 + i, payload, "image/jpeg", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_jpeg_color_stats(media).orderBy("media_id")
+
+
+# 4:2:2 pixel-stats oracle: same structure as the 4:4:4/4:2:0 oracles —
+# at 4:2:2 chroma is subsampled HORIZONTALLY only (each decoded chroma
+# sample covers a 2x1 luma region, upsampled by column replication), and
+# the fixture chroma is per-8x8-block constant on the (h, ceil(w/2))
+# grid, so full-res pixel (x, y) reads chroma block
+# ((x//2)//8, y//8) = (x//16, y//8): the chroma X index halves, the Y
+# index does not. Everything else (plane formulas, FLOOR(x+0.5) CCIR 601
+# matrix, both clip rails) carries over verbatim.
+JPEG_422_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 29 + 3*i AS w, 21 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         CAST(8 + 2*((7*d.i + 3*(ux.x // 8) + 5*(uy.y // 8)) % 120) AS DOUBLE) AS yv,
+         17.0e0 * (((11*d.i + (ux.x // 16) + 2*(uy.y // 8)) % 15) - 7) AS cbd,
+         17.0e0 * (((13*d.i + 2*(ux.x // 16) + (uy.y // 8)) % 15) - 7) AS crd
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+rgb AS (
+  SELECT i, w, h,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv + 1.402e0*crd + 0.5e0))) AS r,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv - 0.344136e0*cbd - 0.714136e0*crd + 0.5e0))) AS g,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv + 1.772e0*cbd + 0.5e0))) AS b
+  FROM px
+)
+SELECT CAST(800 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query("jpeg_422_pixel_stats", survey="llm-multimodal,X6", oracle=JPEG_422_STATS_ORACLE)
+def jpeg_422_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-level 4:2:2 COLOR JPEG decode, distributed — the
+    broadcast/video-capture profile: each MCU covers 16x8 luma pixels
+    and carries two Y blocks + one Cb + one Cr, chroma subsampled
+    HORIZONTALLY only. With 4:4:4 (``jpeg_color_pixel_stats``) and 4:2:0
+    (``jpeg_420_pixel_stats``) this completes the oracle coverage of all
+    three supported color samplings — the 2x1 MCU raster and the
+    column-only replication upsample are the paths the other two cannot
+    reach. Same extractor (``extract_jpeg_color_stats`` is
+    sampling-agnostic), same Arrow-batched mapInPandas shape.
+
+    Fixtures mirror the 4:2:0 query's: per-8x8-block constant planes at
+    the bit-exact levels, chroma on the (h, ceil(w/2)) grid (every width
+    odd or 16-misaligned -> ragged/padded chroma), the oracle indexing
+    chroma blocks at (x//16, y//8). Odd fixtures carry DRI/RSTn restart
+    markers — same pixel math, one hash covers both. Unit twins:
+    tests/test_multimodal.py test_jpeg_422_*."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_jpeg_ycbcr_422, extract_jpeg_color_stats
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * i, 21 + 2 * i
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        by, bx = np.mgrid[0:nby, 0:nbx]
+        yb = (8 + 2 * ((7 * i + 3 * bx + 5 * by) % 120)).astype(np.uint8)
+        cw = (w + 1) // 2
+        ncbx = (cw + 7) // 8
+        cby, cbx = np.mgrid[0:nby, 0:ncbx]
+        cbb = (128 + 17 * (((11 * i + cbx + 2 * cby) % 15) - 7)).astype(np.uint8)
+        crb = (128 + 17 * (((13 * i + 2 * cbx + cby) % 15) - 7)).astype(np.uint8)
+
+        def up(a, hh, ww):
+            return np.kron(a, np.ones((8, 8), np.uint8))[:hh, :ww]
+
+        payload = encode_jpeg_ycbcr_422(
+            up(yb, h, w), up(cbb, h, cw), up(crb, h, cw),
+            restart_interval=(2 if i % 2 else 0),
+        )
+        rows.append((800 + i, payload, "image/jpeg", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_jpeg_color_stats(media).orderBy("media_id")

@@ -819,11 +819,12 @@ def test_jpeg_color_decode_rejects_out_of_profile():
     assert decode_jpeg_rgb(None) is None
     assert decode_jpeg_rgb(good[:60]) is None  # truncated mid-tables
     sof_at = good.index(b"\xff\xc0")
-    # 4:2:2-style luma sampling (0x21) is out of profile (4:2:0 is NOT:
-    # it decodes via the MCU-interleaved path, test_jpeg_420_*)
+    # 4:4:0-style vertical-only luma sampling (0x12) is out of profile
+    # (4:2:0 and 4:2:2 are NOT: they decode via the MCU-interleaved path,
+    # test_jpeg_420_* / test_jpeg_422_*)
     sub = bytearray(good)
     assert sub[sof_at + 11] == 0x11
-    sub[sof_at + 11] = 0x21
+    sub[sof_at + 11] = 0x12
     assert decode_jpeg_rgb(bytes(sub)) is None
     # progressive SOF2
     assert decode_jpeg_rgb(good.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
@@ -1128,3 +1129,127 @@ def test_jpeg_dri_out_of_sequence_marker_yields_none():
     else:
         raise AssertionError("no restart marker found")
     assert decode_jpeg_gray(bytes(enc)) is None
+
+
+def _ycbcr_422_planes(i, h, w):
+    """4:2:2 fixture planes: full-res Y per-8x8-block constant (even
+    levels), HORIZONTALLY-subsampled chroma per-8x8-block constant on the
+    (h, ceil(w/2)) grid (128+17t levels)."""
+    nbx, nby = (w + 7) // 8, (h + 7) // 8
+    by, bx = np.mgrid[0:nby, 0:nbx]
+    yb = (8 + 2 * ((7 * i + 3 * bx + 5 * by) % 120)).astype(np.uint8)
+    cw = (w + 1) // 2
+    ncbx = (cw + 7) // 8
+    cby, cbx = np.mgrid[0:nby, 0:ncbx]
+    cbb = (128 + 17 * (((11 * i + cbx + 2 * cby) % 15) - 7)).astype(np.uint8)
+    crb = (128 + 17 * (((13 * i + 2 * cbx + cby) % 15) - 7)).astype(np.uint8)
+
+    def up(a, hh, ww):
+        return np.kron(a, np.ones((8, 8), np.uint8))[:hh, :ww]
+
+    return up(yb, h, w), up(cbb, h, cw), up(crb, h, cw)
+
+
+def _replicate_cols(a, h, w):
+    return np.repeat(a, 2, axis=1)[:h, :w]
+
+
+def test_jpeg_422_constant_blocks_bitexact():
+    """4:2:2 (two-Y-block MCUs, horizontal-only chroma subsampling) round
+    trip on the exactness-contract levels: exact 16x8-MCU multiple, 16-
+    misaligned width (edge pad/crop), odd width (ragged ceil(w/2) chroma),
+    and a single-MCU-row image."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr_422,
+    )
+
+    for i, (h, w) in enumerate([(16, 16), (21, 29), (17, 17), (8, 50)]):
+        ypl, cbpl, crpl = _ycbcr_422_planes(i, h, w)
+        dec = decode_jpeg_rgb(encode_jpeg_ycbcr_422(ypl, cbpl, crpl))
+        assert dec is not None and dec.shape == (h, w, 3), (h, w)
+        exp = _rgb_from_planes(
+            ypl, _replicate_cols(cbpl, h, w), _replicate_cols(crpl, h, w)
+        )
+        assert (dec == exp).all(), (h, w)
+
+
+def test_jpeg_422_matches_444_on_replicated_chroma():
+    """The pinned column-replication upsample, cross-checked through the
+    codec: a 4:2:2 stream and a 4:4:4 stream built from the column-
+    replicated chroma planes decode identically (both exact on constant
+    blocks)."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr,
+        encode_jpeg_ycbcr_422,
+    )
+
+    for i, (h, w) in enumerate([(16, 16), (21, 29)]):
+        ypl, cbpl, crpl = _ycbcr_422_planes(i, h, w)
+        a = decode_jpeg_rgb(encode_jpeg_ycbcr_422(ypl, cbpl, crpl))
+        b = decode_jpeg_rgb(
+            encode_jpeg_ycbcr(
+                ypl, _replicate_cols(cbpl, h, w), _replicate_cols(crpl, h, w)
+            )
+        )
+        assert a is not None and b is not None
+        assert (a == b).all(), (h, w)
+
+
+def test_jpeg_422_dense_blocks_match_transform_reference():
+    """Dense content through the 4:2:2 scan vs the quantize->dequantize->
+    IDCT reference — pins the two-Y-block MCU raster, per-component
+    predictors, and 16x8 pad geometry independently of the huffman
+    layer; includes a DRI variant (restart_interval=2) that must decode
+    identically."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        STD_CHROMA_QUANT,
+        STD_LUMA_QUANT,
+        _dct_matrix,
+        _quantize_plane,
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr_422,
+    )
+
+    def ref_plane(plane, quant, gh, gw):
+        pad = np.pad(
+            plane, ((0, gh - plane.shape[0]), (0, gw - plane.shape[1])), mode="edge"
+        )
+        mat = _dct_matrix()
+        q = np.asarray(quant, np.float64).reshape(8, 8)
+        out = np.empty((gh, gw), np.uint8)
+        for m, zz in enumerate(_quantize_plane(pad, quant)):
+            s = np.asarray(zz, np.float64).reshape(8, 8) * q
+            px = np.clip(np.rint(mat.T @ s @ mat) + 128, 0, 255).astype(np.uint8)
+            by, bx = divmod(m, gw // 8)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        return out
+
+    rng = np.random.default_rng(11)
+    h, w = 20, 40  # 8-misaligned height: pad row; exact 16-multiple width
+    cw = (w + 1) // 2
+    y = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+    cb = rng.integers(0, 256, size=(h, cw)).astype(np.uint8)
+    cr = rng.integers(0, 256, size=(h, cw)).astype(np.uint8)
+    dec = decode_jpeg_rgb(encode_jpeg_ycbcr_422(y, cb, cr))
+    assert dec is not None and dec.shape == (h, w, 3)
+    mcux, mcuy = (w + 15) // 16, (h + 7) // 8
+    yr = ref_plane(y, STD_LUMA_QUANT, mcuy * 8, mcux * 16)[:h, :w]
+    cbr = _replicate_cols(ref_plane(cb, STD_CHROMA_QUANT, mcuy * 8, mcux * 8), h, w)
+    crr = _replicate_cols(ref_plane(cr, STD_CHROMA_QUANT, mcuy * 8, mcux * 8), h, w)
+    assert (dec == _rgb_from_planes(yr, cbr, crr)).all()
+    dri = decode_jpeg_rgb(encode_jpeg_ycbcr_422(y, cb, cr, restart_interval=2))
+    assert dri is not None and (dri == dec).all()
+
+
+def test_jpeg_422_encoder_validates_chroma_shape():
+    from sport_data_pipeline_spark.operators.multimodal import encode_jpeg_ycbcr_422
+
+    y = np.full((16, 16), 128, np.uint8)
+    with pytest.raises(ValueError, match="4:2:2 chroma"):
+        encode_jpeg_ycbcr_422(y, y, y)  # full-res chroma
+    with pytest.raises(ValueError, match="4:2:2 chroma"):
+        encode_jpeg_ycbcr_422(
+            y, np.full((8, 8), 128, np.uint8), np.full((8, 8), 128, np.uint8)
+        )  # 4:2:0-shaped chroma

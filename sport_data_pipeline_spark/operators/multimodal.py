@@ -18,10 +18,13 @@ entropy decode + IDCT — see the JPEG section), powering
 ``extract_jpeg_stats``; and ``parse_mp4_samples`` walks the ISO-BMFF
 sample tables so ``extract_video_frame_stats`` reconstructs every MJPEG
 frame's pixels; color JPEG decodes at ALL THREE common samplings — 4:4:4,
-MCU-interleaved 4:2:0, and 4:2:2 — plus DRI/restart streams
-(``decode_jpeg_rgb``). What remains behind the
-documented seam: progressive JPEG (and exotic sampling mixes like
-4:4:0/4:1:1), inter-frame video codecs
+MCU-interleaved 4:2:0, and 4:2:2 — plus DRI/restart streams AND
+PROGRESSIVE (SOF2) scans: the multi-scan Annex-G path accumulates
+coefficients across spectral-selection / successive-approximation scans
+and IDCTs once at EOI (``decode_jpeg_rgb`` / ``decode_jpeg_gray``
+dispatch on the SOF marker). What remains behind the
+documented seam: exotic sampling mixes (4:4:0/4:1:1),
+arithmetic-coded and hierarchical JPEG, inter-frame video codecs
 (H.26x/VP9/AV1), and compressed audio (MP3/AAC) — genuinely library-grade
 territory. The seam is an INTERFACE, not a comment: every stat extractor
 takes a ``decoder=`` callable (``bytes|None -> decoded|None``, defaulting
@@ -923,11 +926,16 @@ def resize_image_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
 # chroma upsampled by pinned 2x2 replication — test_jpeg_420_* /
 # jpeg_420_pixel_stats), and 4:2:2 (two Y + one Cb + one Cr per
 # 16x8-pixel MCU, column-replication upsample — test_jpeg_422_* /
-# jpeg_422_pixel_stats). Profile honesty: other sampling mixes
-# (4:4:0, 4:1:1) and progressive scans remain out of profile and decode
-# to None (never a crash). DRI/restart streams ARE in profile (r10: predictor resets at
-# RSTn boundaries, modulo-8 sequence check — what real encoders routinely
-# emit for error resilience). Motion codecs (H.26x) stay behind
+# jpeg_422_pixel_stats). PROGRESSIVE (SOF2) streams ARE in profile
+# (r10): coefficients accumulate across the scan script (spectral
+# selection + successive approximation, T.81 Annex G) and the IDCT runs
+# once at EOI — test_jpeg_progressive_* pin equality with the baseline
+# decode on identical planes; jpeg_progressive_pixel_stats carries the
+# SQL oracle. Profile honesty: other sampling mixes (4:4:0, 4:1:1),
+# arithmetic coding, and hierarchical JPEG remain out of profile and
+# decode to None (never a crash). DRI/restart streams ARE in profile
+# (r10: predictor resets at RSTn boundaries, modulo-8 sequence check —
+# what real encoders routinely emit for error resilience). Motion codecs (H.26x) stay behind
 # the documented seam; MJPEG video is this codec applied per frame
 # (parse_mp4_samples).
 #
@@ -1566,6 +1574,578 @@ def encode_jpeg_ycbcr_422(
     return b"\xff\xd8" + app0 + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
+
+
+
+def encode_jpeg_progressive(
+    y,
+    cb=None,
+    cr=None,
+    quant_luma=STD_LUMA_QUANT,
+    quant_chroma=STD_CHROMA_QUANT,
+    sampling: str = "444",
+) -> bytes:
+    """Encode a spec-valid PROGRESSIVE JPEG (SOF2, T.81 Annex G) —
+    grayscale (``y`` only) or color at 4:4:4, 4:2:0, or 4:2:2 — with a
+    libjpeg-like scan script exercising BOTH progressive mechanisms:
+    spectral selection (interleaved DC scan, then AC bands 1-5 and 6-63
+    per component, NON-interleaved over each component's true block grid
+    — pad blocks of the MCU grid are never AC-coded, per T.81 A.2.2) and
+    successive approximation (first scans at Al=1, then refinement scans
+    at Ah=1/Al=0 restoring the low bit). Chroma planes follow the
+    baseline encoders' contract: ALREADY-SUBSAMPLED for 4:2:0/4:2:2.
+    Uses the Annex-K huffman tables, which lack the EOBn (n>=1) run
+    symbols, so EOB runs are flushed per block (EOB0) — spec-valid, just
+    less compact than a custom-table encoder. Any standard JPEG decoder
+    reads the output; the decode twin is the multi-scan path of
+    ``_decode_jpeg_planes``."""
+    import numpy as np
+
+    yp = np.asarray(y, dtype=np.uint8)
+    h, w = yp.shape
+    gray = cb is None and cr is None
+    if gray:
+        samps = [(1, 1)]
+        planes = [yp]
+        quants = [quant_luma]
+    else:
+        if cb is None or cr is None:
+            raise ValueError("color needs both cb and cr")
+        cbp = np.asarray(cb, dtype=np.uint8)
+        crp = np.asarray(cr, dtype=np.uint8)
+        shapes = {
+            "444": ((h, w), (1, 1)),
+            "420": (((h + 1) // 2, (w + 1) // 2), (2, 2)),
+            "422": ((h, (w + 1) // 2), (2, 1)),
+        }
+        if sampling not in shapes:
+            raise ValueError(f"unsupported sampling {sampling!r}")
+        cshape, ysamp = shapes[sampling]
+        if cbp.shape != cshape or crp.shape != cshape:
+            raise ValueError(f"{sampling} chroma planes must be {cshape}")
+        samps = [ysamp, (1, 1), (1, 1)]
+        planes = [yp, cbp, crp]
+        quants = [quant_luma, quant_chroma, quant_chroma]
+    ncomp = len(planes)
+    hmax = max(sx for sx, _ in samps)
+    vmax = max(sy for _, sy in samps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    comps = []
+    for pl, q, (h_i, v_i) in zip(planes, quants, samps):
+        gw, gh = mcux * 8 * h_i, mcuy * 8 * v_i
+        pad = np.pad(
+            pl, ((0, gh - pl.shape[0]), (0, gw - pl.shape[1])), mode="edge"
+        )
+        blocks = _quantize_plane(pad, q)
+        cw = -(-(w * h_i) // hmax)
+        chh = -(-(h * v_i) // vmax)
+        comps.append(
+            {
+                "h": h_i,
+                "v": v_i,
+                "nbx": gw // 8,
+                "tnbx": -(-cw // 8),
+                "tnby": -(-chh // 8),
+                "zz": [[int(b[_ZIGZAG[k]]) for k in range(64)] for b in blocks],
+            }
+        )
+    dc_l = _huff_codes(_DC_BITS, _DC_VALS)
+    ac_l = _huff_codes(_AC_BITS, _AC_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    dc_codes = [dc_l] + [dc_c] * (ncomp - 1)
+    ac_codes = [ac_l] + [ac_c] * (ncomp - 1)
+
+    def put_val(bw, v, t):
+        if t:
+            bw.put(v if v >= 0 else v + (1 << t) - 1, t)
+
+    def dc_units():
+        """(comp index, padded block index) in the decoder's unit order:
+        MCU-interleaved for multi-component, true-grid raster for gray."""
+        if ncomp > 1:
+            for m in range(mcux * mcuy):
+                my, mx = divmod(m, mcux)
+                for ci, c in enumerate(comps):
+                    for byy in range(c["v"]):
+                        for bxx in range(c["h"]):
+                            yield ci, (my * c["v"] + byy) * c["nbx"] + (
+                                mx * c["h"] + bxx
+                            )
+        else:
+            c = comps[0]
+            for by in range(c["tnby"]):
+                for bx in range(c["tnbx"]):
+                    yield 0, by * c["nbx"] + bx
+
+    def comp_blocks(ci):
+        """Padded block indexes of component ci's TRUE grid, raster order
+        — the block sequence of a non-interleaved scan."""
+        c = comps[ci]
+        for by in range(c["tnby"]):
+            for bx in range(c["tnbx"]):
+                yield by * c["nbx"] + bx
+
+    def dc_first_scan(al):
+        bw = _BitWriter()
+        preds = [0] * ncomp
+        for ci, bi in dc_units():
+            v = comps[ci]["zz"][bi][0] >> al  # point transform: floor shift
+            diff = v - preds[ci]
+            preds[ci] = v
+            t = _bit_size(diff)
+            code, ln = dc_codes[ci][t]
+            bw.put(code, ln)
+            put_val(bw, diff, t)
+        return bw.flush()
+
+    def dc_refine_scan(al):
+        bw = _BitWriter()
+        for ci, bi in dc_units():
+            bw.put((comps[ci]["zz"][bi][0] >> al) & 1, 1)
+        return bw.flush()
+
+    def ac_first_scan(ci, ss, se, al):
+        bw = _BitWriter()
+        codes = ac_codes[ci]
+        eob_pending = 0
+
+        def flush_eob():
+            nonlocal eob_pending
+            if eob_pending:
+                code, ln = codes[0x00]
+                bw.put(code, ln)  # EOB0: run of one block
+                eob_pending = 0
+
+        for bi in comp_blocks(ci):
+            blk = comps[ci]["zz"][bi]
+            r = 0
+            for k in range(ss, se + 1):
+                v = blk[k]
+                t = v >> al if v >= 0 else -((-v) >> al)  # trunc toward zero
+                if t == 0:
+                    r += 1
+                    continue
+                flush_eob()
+                while r > 15:
+                    code, ln = codes[0xF0]
+                    bw.put(code, ln)
+                    r -= 16
+                tb = _bit_size(t)
+                code, ln = codes[(r << 4) | tb]
+                bw.put(code, ln)
+                put_val(bw, t, tb)
+                r = 0
+            if r:
+                flush_eob()  # Annex-K tables: no EOBn>0 symbols, flush each
+                eob_pending = 1
+        flush_eob()
+        return bw.flush()
+
+    def ac_refine_scan(ci, ss, se, al):
+        bw = _BitWriter()
+        codes = ac_codes[ci]
+        eob_pending = 0
+        be: list[int] = []
+
+        def flush_eob():
+            nonlocal eob_pending
+            if eob_pending:
+                code, ln = codes[0x00]
+                bw.put(code, ln)
+                for bit in be:
+                    bw.put(bit, 1)
+                be.clear()
+                eob_pending = 0
+
+        for bi in comp_blocks(ci):
+            blk = comps[ci]["zz"][bi]
+            # per band position: 'z' zero-history, 'c' correction bit of a
+            # history-nonzero coefficient, 'n' newly-significant (+ sign).
+            # Emission is strictly POSITIONAL, mirroring the decoder: a
+            # ZRL covers exactly 16 'z' positions and the 'c' bits passed
+            # on the way ride along in k order.
+            kinds = []
+            for k in range(ss, se + 1):
+                v = blk[k]
+                t = abs(v) >> al
+                if t == 0:
+                    kinds.append(("z", 0))
+                elif t > 1:
+                    kinds.append(("c", t & 1))
+                else:
+                    kinds.append(("n", 1 if v > 0 else 0))
+            pos = 0
+            for j, (kd, sign) in enumerate(kinds):
+                if kd != "n":
+                    continue
+                zeros = sum(1 for x in range(pos, j) if kinds[x][0] == "z")
+                while zeros > 15:
+                    flush_eob()
+                    code, ln = codes[0xF0]
+                    bw.put(code, ln)
+                    zc = 0
+                    while zc < 16:
+                        xkd, xbit = kinds[pos]
+                        if xkd == "c":
+                            bw.put(xbit, 1)
+                        else:
+                            zc += 1
+                        pos += 1
+                    zeros -= 16
+                flush_eob()
+                code, ln = codes[(zeros << 4) | 1]
+                bw.put(code, ln)
+                bw.put(sign, 1)
+                for x in range(pos, j):
+                    if kinds[x][0] == "c":
+                        bw.put(kinds[x][1], 1)
+                pos = j + 1
+            if pos < len(kinds):  # tail joins an EOB run (per-block EOB0)
+                flush_eob()  # a previous block's pending EOB goes first
+                eob_pending = 1
+                be.extend(bit for kd, bit in kinds[pos:] if kd == "c")
+        flush_eob()
+        return bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    def zzq(quant) -> bytes:
+        flat = np.asarray(quant).reshape(-1)
+        return bytes(int(flat[_ZIGZAG[k]]) for k in range(64))
+
+    def sos(comp_specs: list[tuple[int, int, int]], ss, se, ah, al) -> bytes:
+        body = bytes((len(comp_specs),))
+        for cid, td, ta in comp_specs:
+            body += bytes((cid, (td << 4) | ta))
+        body += bytes((ss, se, (ah << 4) | al))
+        return seg(0xDA, body)
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    if gray:
+        dqt = seg(0xDB, b"\x00" + zzq(quant_luma))
+        sof = seg(0xC2, b"\x08" + struct.pack(">HH", h, w) + b"\x01" + b"\x01\x11\x00")
+        dht = seg(
+            0xC4,
+            b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+            + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS),
+        )
+        all_dc = [(1, 0, 0)]
+        per_comp = [(1, 0, 0)]
+    else:
+        ysamp_byte = (samps[0][0] << 4) | samps[0][1]
+        dqt = seg(0xDB, b"\x00" + zzq(quant_luma) + b"\x01" + zzq(quant_chroma))
+        sof = seg(
+            0xC2,
+            b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+            + bytes((0x01, ysamp_byte, 0x00)) + b"\x02\x11\x01" + b"\x03\x11\x01",
+        )
+        dht = seg(
+            0xC4,
+            b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+            + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+            + b"\x01" + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS)
+            + b"\x11" + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS),
+        )
+        all_dc = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+        per_comp = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
+    out = b"\xff\xd8" + app0 + dqt + sof + dht
+    # scan script: DC first (Al=1), DC refine, then per component AC bands
+    # 1-5 and 6-63 first (Al=1) followed by their refinements (Al=0)
+    out += sos(all_dc, 0, 0, 0, 1) + dc_first_scan(1)
+    out += sos(all_dc, 0, 0, 1, 0) + dc_refine_scan(0)
+    for c in range(ncomp):
+        spec = [per_comp[c]]
+        out += sos(spec, 1, 5, 0, 1) + ac_first_scan(c, 1, 5, 1)
+        out += sos(spec, 6, 63, 0, 1) + ac_first_scan(c, 6, 63, 1)
+    for c in range(ncomp):
+        spec = [per_comp[c]]
+        out += sos(spec, 1, 5, 1, 0) + ac_refine_scan(c, 1, 5, 0)
+        out += sos(spec, 6, 63, 1, 0) + ac_refine_scan(c, 6, 63, 0)
+    return out + b"\xff\xd9"
+
+
+def _progressive_scan(
+    b, pos, payload, by_id, dc_spec, ac_spec, restart_interval, mcux, mcuy
+):
+    """Decode ONE progressive scan (T.81 Annex G) into the per-component
+    coefficient arrays: DC first/refinement (interleaved or single), AC
+    first/refinement (single-component only, with EOB runs). Returns the
+    byte position of the next marker after the scan's entropy data."""
+    ns = payload[0]
+    scomps = []
+    for j in range(ns):
+        cid = payload[1 + 2 * j]
+        if cid not in by_id:
+            raise ValueError("scan references unknown component")
+        scomps.append(
+            (by_id[cid], payload[2 + 2 * j] >> 4, payload[2 + 2 * j] & 0x0F)
+        )
+    ss, se = payload[1 + 2 * ns], payload[2 + 2 * ns]
+    ah, al = payload[3 + 2 * ns] >> 4, payload[3 + 2 * ns] & 0x0F
+    if ss > se or se > 63:
+        raise ValueError("bad spectral band")
+    r = _BitReader(b, pos)
+
+    def read_symbol(tab) -> int:
+        code = 0
+        for ln2 in range(1, 17):
+            code = (code << 1) | r.bit()
+            if (ln2, code) in tab:
+                return tab[(ln2, code)]
+        raise ValueError("invalid huffman code")
+
+    # unit list: interleaved MCUs when Ns > 1, else the single component's
+    # TRUE block grid (non-interleaved scans never code the MCU pad
+    # blocks — T.81 A.2.2); each unit is [(comp index in scomps, block
+    # row index into the coef array), ...]
+    units = []
+    if ns > 1:
+        if ss != 0:
+            raise ValueError("interleaved AC scan")
+        for m in range(mcux * mcuy):
+            my, mx = divmod(m, mcux)
+            blocks = []
+            for ci, (c, _, _) in enumerate(scomps):
+                h_i, v_i, nbx = c["h"], c["v"], c["nbx"]
+                for byy in range(v_i):
+                    for bxx in range(h_i):
+                        blocks.append(
+                            (ci, (my * v_i + byy) * nbx + (mx * h_i + bxx))
+                        )
+            units.append(blocks)
+    else:
+        c = scomps[0][0]
+        for by in range(c["tnby"]):
+            for bx in range(c["tnbx"]):
+                units.append([(0, by * c["nbx"] + bx)])
+
+    if ss == 0:
+        if se != 0:
+            raise ValueError("DC scan must have Se=0")
+        dctabs = []
+        for _, td, _ in scomps:
+            if ah == 0:
+                if td not in dc_spec:
+                    raise ValueError("missing DC table")
+                dctabs.append(_huff_decode_table(*dc_spec[td]))
+            else:
+                dctabs.append(None)  # refinement reads raw bits only
+    else:
+        if ns != 1:
+            raise ValueError("AC scan must be single-component")
+        ta = scomps[0][2]
+        if ta not in ac_spec:
+            raise ValueError("missing AC table")
+        actab = _huff_decode_table(*ac_spec[ta])
+    p1, m1 = 1 << al, -1 << al
+    preds = [0] * ns
+    eobrun = 0
+    for u, blocks in enumerate(units):
+        if restart_interval and u and u % restart_interval == 0:
+            if r.restart_marker() != (u // restart_interval - 1) % 8:
+                raise ValueError("restart marker out of sequence")
+            preds = [0] * ns
+            eobrun = 0
+        if ss == 0:
+            for ci, bi in blocks:
+                coef = scomps[ci][0]["coef"]
+                if ah == 0:  # DC first: DPCM in the point-transformed domain
+                    t = read_symbol(dctabs[ci])
+                    preds[ci] += _extend(r.bits(t), t) if t else 0
+                    coef[bi, 0] = preds[ci] << al
+                else:  # DC refinement: one raw bit per block
+                    if r.bit():
+                        coef[bi, 0] |= p1
+            continue
+        # AC scans: one block per unit, zigzag positions ss..se
+        (c, _, _ta) = scomps[0]
+        coef = c["coef"]
+        bi = blocks[0][1]
+        nat = _ZIGZAG  # zigzag index -> natural index
+        if ah == 0:  # AC first scan (G.1.2.2): EOB runs + value << Al
+            if eobrun > 0:
+                eobrun -= 1
+                continue
+            k = ss
+            while k <= se:
+                sym = read_symbol(actab)
+                run, t = sym >> 4, sym & 0x0F
+                if t == 0:
+                    if run == 15:
+                        k += 16  # ZRL
+                        continue
+                    eobrun = (1 << run) - 1
+                    if run:
+                        eobrun += r.bits(run)
+                    break
+                k += run
+                if k > se:
+                    raise ValueError("AC run past band end")
+                coef[bi, nat[k]] = _extend(r.bits(t), t) << al
+                k += 1
+            continue
+        # AC refinement scan (G.1.2.3): correction bits for history-nonzero
+        # coefficients, plus newly-significant +-1<<Al insertions
+        k = ss
+        if eobrun == 0:
+            while k <= se:
+                sym = read_symbol(actab)
+                run, t = sym >> 4, sym & 0x0F
+                if t == 0:
+                    if run != 15:
+                        # INCLUDES the current block: its remaining band
+                        # positions still carry correction bits below
+                        eobrun = 1 << run
+                        if run:
+                            eobrun += r.bits(run)
+                        break
+                    newval = 0  # ZRL: skip 16 zero-history positions
+                elif t == 1:
+                    newval = p1 if r.bit() else m1
+                else:
+                    raise ValueError("refinement magnitude must be 1")
+                while k <= se:
+                    idx = nat[k]
+                    v = int(coef[bi, idx])
+                    if v != 0:
+                        if r.bit() and (v & p1) == 0:
+                            coef[bi, idx] = v + (p1 if v >= 0 else m1)
+                    else:
+                        if run == 0:
+                            if newval:
+                                coef[bi, idx] = newval
+                            k += 1
+                            break
+                        run -= 1
+                    k += 1
+        if eobrun > 0:
+            # inside the EOB run: correction bits continue for every
+            # history-nonzero coefficient through the band end
+            while k <= se:
+                idx = nat[k]
+                v = int(coef[bi, idx])
+                if v != 0:
+                    if r.bit() and (v & p1) == 0:
+                        coef[bi, idx] = v + (p1 if v >= 0 else m1)
+                k += 1
+            eobrun -= 1
+    # advance to the next marker: drop pad bits, skip any stuffed 0x00
+    p = r.pos
+    n = len(b)
+    while p + 1 < n and not (b[p] == 0xFF and b[p + 1] != 0x00):
+        p += 1
+    if p + 1 >= n:
+        raise ValueError("no marker after scan")
+    return p
+
+
+def _decode_jpeg_progressive(
+    b, i, quant, dc_spec, ac_spec, sof_comps, h, w, restart_interval
+):
+    """PROGRESSIVE (SOF2) decode path: accumulate quantized coefficients
+    over the scan sequence (spectral selection + successive approximation,
+    T.81 Annex G), then dequantize + IDCT every component once at EOI.
+    Entered from ``_decode_jpeg_planes`` at the first SOS; returns the
+    same ``(planes, samplings, h, w)`` contract. Tables and DRI may be
+    redefined between scans (real encoders do); restart markers inside a
+    scan reset predictors and the EOB run."""
+    import numpy as np
+
+    n = len(b)
+    hmax = max(hv >> 4 for _, hv, _ in sof_comps)
+    vmax = max(hv & 0x0F for _, hv, _ in sof_comps)
+    mcux = (w + 8 * hmax - 1) // (8 * hmax)
+    mcuy = (h + 8 * vmax - 1) // (8 * vmax)
+    by_id = {}
+    order = []
+    for cid, hv, tq in sof_comps:
+        h_i, v_i = hv >> 4, hv & 0x0F
+        nbx, nby = mcux * h_i, mcuy * v_i
+        cw = -(-(w * h_i) // hmax)
+        chh = -(-(h * v_i) // vmax)
+        c = {
+            "h": h_i,
+            "v": v_i,
+            "tq": tq,
+            "nbx": nbx,
+            "nby": nby,
+            "tnbx": -(-cw // 8),
+            "tnby": -(-chh // 8),
+            "coef": np.zeros((nbx * nby, 64), dtype=np.int32),
+        }
+        by_id[cid] = c
+        order.append(c)
+    saw_scan = False
+    while i + 2 <= n:
+        if b[i] != 0xFF:
+            raise ValueError("desynced between scans")
+        marker = b[i + 1]
+        if marker == 0xD9:
+            break  # EOI
+        if i + 4 > n:
+            raise ValueError("truncated segment")
+        (ln,) = struct.unpack(">H", b[i + 2 : i + 4])
+        payload = b[i + 4 : i + 2 + ln]
+        if len(payload) != ln - 2:
+            raise ValueError("truncated payload")
+        if marker == 0xDB:
+            p = 0
+            while p < len(payload):
+                pq, tq2 = payload[p] >> 4, payload[p] & 0x0F
+                if pq != 0:
+                    raise ValueError("16-bit quant table")
+                tab = [0] * 64
+                for k in range(64):
+                    tab[_ZIGZAG[k]] = payload[p + 1 + k]
+                quant[tq2] = tab
+                p += 65
+        elif marker == 0xC4:
+            p = 0
+            while p < len(payload):
+                tc, th = payload[p] >> 4, payload[p] & 0x0F
+                bits = tuple(payload[p + 1 : p + 17])
+                nv = sum(bits)
+                vals = tuple(payload[p + 17 : p + 17 + nv])
+                (dc_spec if tc == 0 else ac_spec)[th] = (bits, vals)
+                p += 17 + nv
+        elif marker == 0xDD:
+            if ln != 4:
+                raise ValueError("bad DRI")
+            (restart_interval,) = struct.unpack(">H", payload)
+        elif marker == 0xDA:
+            saw_scan = True
+            i = _progressive_scan(
+                b, i + 2 + ln, payload, by_id, dc_spec, ac_spec,
+                restart_interval, mcux, mcuy,
+            )
+            continue
+        elif (0xE0 <= marker <= 0xEF) or marker == 0xFE:
+            pass  # APPn / COM between scans
+        else:
+            raise ValueError("unexpected marker between scans")
+        i += 2 + ln
+    if not saw_scan:
+        raise ValueError("no scan before EOI")
+    mat = _dct_matrix()
+    planes = []
+    for c in order:
+        if c["tq"] not in quant:
+            raise ValueError("missing quant table")
+        q = np.asarray(quant[c["tq"]], dtype=np.float64).reshape(8, 8)
+        s = c["coef"].astype(np.float64).reshape(-1, 8, 8) * q
+        blk = np.einsum("ij,njk,kl->nil", mat.T, s, mat)
+        px = np.clip(np.rint(blk) + 128, 0, 255).astype(np.uint8)
+        nby, nbx = c["nby"], c["nbx"]
+        plane = (
+            px.reshape(nby, nbx, 8, 8).transpose(0, 2, 1, 3).reshape(nby * 8, nbx * 8)
+        )
+        planes.append(plane)
+    return planes, [hv for _, hv, _ in sof_comps], h, w
+
+
 def _decode_jpeg_planes(b: bytes | None):
     """Component-plane decode shared by the grayscale and color wrappers:
     marker walk, DQT/DHT table load (arbitrary spec-valid tables, not just
@@ -1579,7 +2159,9 @@ def _decode_jpeg_planes(b: bytes | None):
     streams (DRI/RSTn, T.81 E.1.4) are IN profile: predictors reset at
     each marker and the modulo-8 marker count is verified, so a lost or
     out-of-sequence marker yields None rather than desynced pixels.
-    Anything else (progressive, other sampling mixes) returns None,
+    PROGRESSIVE (SOF2) streams take the multi-scan accumulation path
+    (``_decode_jpeg_progressive``). Anything else (other sampling mixes,
+    arithmetic coding) returns None,
     same null discipline as ``decode_png_rgb``. Returns
     ``(planes, samplings, h, w)`` with one padded uint8 plane per SOF
     component in SOF order (chroma planes at their SUBSAMPLED
@@ -1592,6 +2174,7 @@ def _decode_jpeg_planes(b: bytes | None):
     dc_spec = {}
     ac_spec = {}
     restart_interval = 0
+    progressive = False
     h = w = -1
     sof_comps: list[tuple[int, int]] = []  # (component id, quant id), SOF order
     scan_tabs: dict[int, tuple[int, int]] = {}  # component id -> (dc id, ac id)
@@ -1628,7 +2211,8 @@ def _decode_jpeg_planes(b: bytes | None):
                     vals = tuple(payload[p + 17 : p + 17 + nv])
                     (dc_spec if tc == 0 else ac_spec)[th] = (bits, vals)
                     p += 17 + nv
-            elif marker == 0xC0:
+            elif marker in (0xC0, 0xC2):
+                progressive = marker == 0xC2
                 if payload[0] != 8 or payload[5] not in (1, 3):
                     return None  # not 8-bit gray/YCbCr
                 h, w = struct.unpack(">HH", payload[1:5])
@@ -1647,13 +2231,23 @@ def _decode_jpeg_planes(b: bytes | None):
                 if ln != 4:
                     return None
                 (restart_interval,) = struct.unpack(">H", payload)
-            elif marker in (0xC1, 0xC2, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
+            elif marker in (0xC1, 0xC3, 0xC5, 0xC6, 0xC7, 0xC9, 0xCA,
                             0xCB, 0xCD, 0xCE, 0xCF):
-                return None  # non-baseline SOF
+                return None  # non-baseline/non-progressive SOF
             elif marker == 0xDA:
                 # w/h both checked: a SOF0 declaring width 0 would otherwise
                 # decode to a zero-size (h, 0) array and crash stats callers.
-                if payload[0] != len(sof_comps) or not sof_comps or h <= 0 or w <= 0:
+                if not sof_comps or h <= 0 or w <= 0:
+                    return None
+                if progressive:
+                    # multi-scan coefficient accumulation path (Annex G);
+                    # hand over AT the SOS marker — the progressive walk
+                    # re-parses it and every subsequent segment itself.
+                    return _decode_jpeg_progressive(
+                        b, i, quant, dc_spec, ac_spec, sof_comps, h, w,
+                        restart_interval,
+                    )
+                if payload[0] != len(sof_comps):
                     return None
                 for j in range(payload[0]):
                     cid = payload[1 + 2 * j]
@@ -1779,7 +2373,8 @@ def decode_jpeg_rgb(b: bytes | None):
     REPLICATION — nearest-neighbor, the pinned choice so the oracle can
     index chroma at x//2 (and y//2 at 4:2:0). Returns an (h, w, 3) uint8
     RGB array, or None outside the profile (grayscale streams — use
-    ``decode_jpeg_gray`` — and progressive / other-sampling color)."""
+    ``decode_jpeg_gray`` — and other-sampling color); progressive color
+    streams decode via the multi-scan path."""
     import numpy as np
 
     got = _decode_jpeg_planes(b)

@@ -26,8 +26,10 @@ per-frame JPEG decode); sample-level decode AND resampling are REAL for
 PCM WAV (``audio_pcm_stats``, ``audio_resample_stats``: frame-wise box
 downsample at rate//2); DRI/RSTn restart-interval JPEG streams are in
 profile (r10) and ride the ``jpeg_420_pixel_stats`` /
-``jpeg_422_pixel_stats`` oracles. The remaining documented seam:
-progressive JPEG (and exotic sampling mixes like 4:4:0/4:1:1),
+``jpeg_422_pixel_stats`` oracles; PROGRESSIVE (SOF2) decode is real too
+(``jpeg_progressive_pixel_stats``: multi-scan Annex-G coefficient
+accumulation). The remaining documented seam:
+exotic sampling mixes (4:4:0/4:1:1), arithmetic/hierarchical JPEG,
 inter-frame video codecs, compressed audio.
 Everything else
 checked here — container walking, dimension/rate/duration extraction,
@@ -605,8 +607,8 @@ def jpeg_color_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     IDCT, and the CCIR 601 inverse color transform inside Arrow-batched
     mapInPandas, no codec library. Closes the r8 verdict's color seam:
     the grayscale machinery ran per-component three ways plus one affine
-    matrix (chroma subsampling and progressive scans stay documented out
-    of profile -> NULL, never a crash).
+    matrix (4:2:0/4:2:2 and progressive later joined the profile in r10;
+    exotic mixes stay documented out of profile -> NULL, never a crash).
 
     The 8 fixture JPEGs are synthesized driver-side as per-8x8-block
     constant YCbCr planes from closed formulas whose levels make every
@@ -913,5 +915,93 @@ def jpeg_422_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             restart_interval=(2 if i % 2 else 0),
         )
         rows.append((800 + i, payload, "image/jpeg", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_jpeg_color_stats(media).orderBy("media_id")
+
+
+# Progressive-JPEG pixel-stats oracle: IDENTICAL pixel math to
+# JPEG_COLOR_STATS_ORACLE (4:4:4 constant-block planes at the bit-exact
+# levels) — the thing under test is the MULTI-SCAN Annex-G decode path:
+# interleaved DC first scan at Al=1, DC refinement restoring the low bit,
+# spectral-selection AC scans (pure EOB runs on constant blocks), the
+# between-scan marker walk, and the one-shot dequantize+IDCT at EOI. Any
+# drift in successive-approximation reconstruction (e.g. the floor-shift
+# DC point transform) shifts every pixel and breaks the hash.
+JPEG_PROG_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 29 + 3*i AS w, 21 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         CAST(8 + 2*((7*d.i + 3*(ux.x // 8) + 5*(uy.y // 8)) % 120) AS DOUBLE) AS yv,
+         17.0e0 * (((11*d.i + (ux.x // 8) + 2*(uy.y // 8)) % 15) - 7) AS cbd,
+         17.0e0 * (((13*d.i + 2*(ux.x // 8) + (uy.y // 8)) % 15) - 7) AS crd
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+rgb AS (
+  SELECT i, w, h,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv + 1.402e0*crd + 0.5e0))) AS r,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv - 0.344136e0*cbd - 0.714136e0*crd + 0.5e0))) AS g,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv + 1.772e0*cbd + 0.5e0))) AS b
+  FROM px
+)
+SELECT CAST(900 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query(
+    "jpeg_progressive_pixel_stats", survey="llm-multimodal,X6",
+    oracle=JPEG_PROG_STATS_ORACLE,
+)
+def jpeg_progressive_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL PROGRESSIVE JPEG decode (SOF2, T.81 Annex G), distributed —
+    the dominant web-JPEG coding mode, and the last piece of the still-
+    image seam: coefficients accumulate across a libjpeg-like scan script
+    (interleaved DC scan at Al=1, DC refinement, spectral-selection AC
+    bands 1-5/6-63 first + refinement scans per component) and the IDCT
+    runs once at EOI. Same extractor and Arrow-batched mapInPandas shape
+    as the baseline color queries; the payload's SOF marker selects the
+    multi-scan path.
+
+    Fixtures are the 4:4:4 constant-block planes of
+    ``jpeg_color_pixel_stats`` (same closed formulas, media_id 900+i)
+    encoded by ``encode_jpeg_progressive`` — the transform round-trips
+    stay bit-exact, so the oracle restates the identical plane/color
+    arithmetic while the hash certifies the successive-approximation
+    reconstruction and the between-scan walk. Dense/subsampled
+    progressive content is pinned by equality-vs-baseline unit tests
+    (test_jpeg_progressive_*), which need no SQL restatement."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        encode_jpeg_progressive,
+        extract_jpeg_color_stats,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * i, 21 + 2 * i
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        by, bx = np.mgrid[0:nby, 0:nbx]
+        yb = (8 + 2 * ((7 * i + 3 * bx + 5 * by) % 120)).astype(np.uint8)
+        cbb = (128 + 17 * (((11 * i + bx + 2 * by) % 15) - 7)).astype(np.uint8)
+        crb = (128 + 17 * (((13 * i + 2 * bx + by) % 15) - 7)).astype(np.uint8)
+
+        def up(a):
+            return np.kron(a, np.ones((8, 8), np.uint8))[:h, :w]
+
+        payload = encode_jpeg_progressive(up(yb), up(cbb), up(crb))
+        rows.append((900 + i, payload, "image/jpeg", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_jpeg_color_stats(media).orderBy("media_id")

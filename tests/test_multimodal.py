@@ -1253,3 +1253,114 @@ def test_jpeg_422_encoder_validates_chroma_shape():
         encode_jpeg_ycbcr_422(
             y, np.full((8, 8), 128, np.uint8), np.full((8, 8), 128, np.uint8)
         )  # 4:2:0-shaped chroma
+
+
+def test_jpeg_progressive_equals_baseline_dense_gray_and_444():
+    """PROGRESSIVE decode (SOF2, T.81 Annex G): the multi-scan
+    coefficient accumulation (spectral selection bands 1-5/6-63 +
+    successive approximation Al=1 -> refinement Al=0) must reconstruct
+    EXACTLY the coefficients the single-scan baseline codes, so on
+    identical input planes the progressive and baseline decodes are
+    bit-identical — for ANY content, not just the constant-block
+    exactness levels."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+    )
+
+    rng = np.random.default_rng(2)
+    for h, w in [(8, 8), (21, 29), (17, 40), (64, 64)]:
+        px = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        dec = decode_jpeg_gray(encode_jpeg_progressive(px))
+        assert dec is not None and dec.shape == (h, w), (h, w)
+        assert (dec == decode_jpeg_gray(encode_jpeg_gray(px))).all(), (h, w)
+    for h, w in [(16, 16), (21, 29), (40, 56)]:
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        cbf = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        crf = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        a = decode_jpeg_rgb(encode_jpeg_progressive(y, cbf, crf))
+        b = decode_jpeg_rgb(encode_jpeg_ycbcr(y, cbf, crf))
+        assert a is not None and (a == b).all(), (h, w)
+
+
+def test_jpeg_progressive_equals_baseline_subsampled():
+    """Progressive at the SUBSAMPLED layouts: interleaved multi-block DC
+    MCUs (four Y at 4:2:0, two at 4:2:2) and non-interleaved AC scans
+    over each component's TRUE block grid (MCU pad blocks are never
+    AC-coded — T.81 A.2.2; sizes with tnbx < nbx exercise exactly that
+    skip). Equality with the baseline twins after crop pins both."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_rgb,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr_420,
+        encode_jpeg_ycbcr_422,
+    )
+
+    rng = np.random.default_rng(3)
+    for h, w in [(16, 16), (21, 29), (17, 17), (24, 40)]:
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        cbs = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+        crs = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+        a = decode_jpeg_rgb(encode_jpeg_progressive(y, cbs, crs, sampling="420"))
+        b = decode_jpeg_rgb(encode_jpeg_ycbcr_420(y, cbs, crs))
+        assert a is not None and (a == b).all(), ("420", h, w)
+    for h, w in [(16, 16), (21, 29), (8, 50)]:
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        cw = (w + 1) // 2
+        cbs = rng.integers(0, 256, (h, cw)).astype(np.uint8)
+        crs = rng.integers(0, 256, (h, cw)).astype(np.uint8)
+        a = decode_jpeg_rgb(encode_jpeg_progressive(y, cbs, crs, sampling="422"))
+        b = decode_jpeg_rgb(encode_jpeg_ycbcr_422(y, cbs, crs))
+        assert a is not None and (a == b).all(), ("422", h, w)
+
+
+def test_jpeg_progressive_sparse_and_constant_content():
+    """EOB-heavy streams: smooth content (long zero runs, ZRL + EOB runs
+    in first AND refinement scans) and constant blocks (DC-only; every AC
+    scan is pure EOB runs) — the constant case lands on the exactness
+    contract, so the decode equals the source pixels, not just the
+    baseline twin."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+    )
+
+    xs, ys = np.meshgrid(np.arange(48), np.arange(48))
+    smooth = (128 + 60 * np.sin(xs / 10) * np.cos(ys / 13)).astype(np.uint8)
+    assert (
+        decode_jpeg_gray(encode_jpeg_progressive(smooth))
+        == decode_jpeg_gray(encode_jpeg_gray(smooth))
+    ).all()
+    const = np.kron(
+        (np.arange(24, dtype=np.uint8).reshape(4, 6) * 4 + 8),
+        np.ones((8, 8), np.uint8),
+    )
+    assert (decode_jpeg_gray(encode_jpeg_progressive(const)) == const).all()
+
+
+def test_jpeg_progressive_rejects_malformed():
+    """Null discipline for the multi-scan path: header-only SOF2 streams
+    (no scan), truncation mid-scan, a baseline full-band scan mislabeled
+    SOF2 (Se=63 DC scan), and a bad sampling argument all fail clean."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(5)
+    px = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    good = encode_jpeg_progressive(px)
+    assert decode_jpeg_gray(good[:60]) is None  # truncated in tables
+    assert decode_jpeg_gray(good[:-20]) is None  # truncated mid-scan
+    sos_at = good.index(b"\xff\xda")
+    assert decode_jpeg_gray(good[:sos_at] + b"\xff\xd9") is None  # no scan
+    # grayscale stream through the color wrapper stays None
+    assert decode_jpeg_rgb(good) is None
+    with pytest.raises(ValueError, match="unsupported sampling"):
+        encode_jpeg_progressive(px, px, px, sampling="411")

@@ -13,7 +13,7 @@ PNG (zlib inflate + all five scanline filters — PNG's pixel layer needs
 no codec library), powering ``extract_pixel_stats``; ``decode_wav_pcm``
 goes all the way to SAMPLES for 16-bit PCM WAV (raw little-endian frames
 in the data chunk), powering ``extract_audio_stats``; ``decode_jpeg_gray``
-goes all the way to PIXELS for baseline grayscale JPEG (real huffman+DPCM
+goes all the way to PIXELS for grayscale JPEG (real huffman+DPCM
 entropy decode + IDCT — see the JPEG section), powering
 ``extract_jpeg_stats``; and ``parse_mp4_samples`` walks the ISO-BMFF
 sample tables so ``extract_video_frame_stats`` reconstructs every MJPEG
@@ -2341,7 +2341,7 @@ def _decode_jpeg_planes(b: bytes | None):
 
 
 def decode_jpeg_gray(b: bytes | None):
-    """Full pixel decode of a baseline GRAYSCALE JPEG via
+    """Full pixel decode of a GRAYSCALE JPEG (baseline or progressive) via
     ``_decode_jpeg_planes``. Returns an (h, w) uint8 array cropped to the
     SOF dimensions, or None for anything outside the profile (including
     color streams — use ``decode_jpeg_rgb``). Inverse of
@@ -2411,7 +2411,8 @@ JPEG_STATS_SCHEMA = StructType(
 
 
 def extract_jpeg_stats(df: DataFrame, decoder=None) -> DataFrame:
-    """Distributed pixel statistics over baseline grayscale JPEG payloads
+    """Distributed pixel statistics over grayscale JPEG payloads
+    (baseline or progressive)
     via the REAL entropy-level decode (``decode_jpeg_gray``) inside
     Arrow-batched mapInPandas: per-image luminance sum/min/max/mean.
     Undecodable or out-of-profile payloads yield NULL stats. Same

@@ -44,6 +44,7 @@ def fixtures():
 
     from sport_data_pipeline_spark.operators.multimodal import (
         encode_jpeg_gray,
+        encode_jpeg_progressive,
         encode_jpeg_ycbcr,
         encode_jpeg_ycbcr_420,
         encode_png_rgb,
@@ -70,6 +71,10 @@ def fixtures():
             rng.integers(0, 256, (ch, cw)).astype(np.uint8),
         )
 
+    def jprog(h, w):
+        p = [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(3)]
+        return encode_jpeg_progressive(*p)
+
     def wav(n):
         return encode_wav_pcm(
             rng.integers(-32768, 32768, n).astype(np.int16), 16000, 2
@@ -83,6 +88,7 @@ def fixtures():
         ("jpeg_444", "query", [j444(35, 44) for _ in range(32)]),
         ("jpeg_444", "128px", [j444(128, 128) for _ in range(8)]),
         ("jpeg_420", "128px", [j420(128, 128) for _ in range(8)]),
+        ("jpeg_prog", "128px", [jprog(128, 128) for _ in range(8)]),
         ("wav_pcm", "1s", [wav(32000) for _ in range(64)]),
         ("wav_pcm", "10s", [wav(320000) for _ in range(32)]),
     ]
@@ -93,6 +99,7 @@ DECODERS = {
     "jpeg_gray": "decode_jpeg_gray",
     "jpeg_444": "decode_jpeg_rgb",
     "jpeg_420": "decode_jpeg_rgb",
+    "jpeg_prog": "decode_jpeg_rgb",
     "wav_pcm": "decode_wav_pcm",
 }
 
@@ -101,6 +108,7 @@ OPERATORS = {
     "jpeg_gray": "extract_jpeg_stats",
     "jpeg_444": "extract_jpeg_color_stats",
     "jpeg_420": "extract_jpeg_color_stats",
+    "jpeg_prog": "extract_jpeg_color_stats",
     "wav_pcm": "extract_audio_stats",
 }
 

@@ -1584,6 +1584,7 @@ def encode_jpeg_progressive(
     quant_luma=STD_LUMA_QUANT,
     quant_chroma=STD_CHROMA_QUANT,
     sampling: str = "444",
+    restart_interval: int = 0,
 ) -> bytes:
     """Encode a spec-valid PROGRESSIVE JPEG (SOF2, T.81 Annex G) —
     grayscale (``y`` only) or color at 4:4:4, 4:2:0, or 4:2:2 — with a
@@ -1596,7 +1597,11 @@ def encode_jpeg_progressive(
     baseline encoders' contract: ALREADY-SUBSAMPLED for 4:2:0/4:2:2.
     Uses the Annex-K huffman tables, which lack the EOBn (n>=1) run
     symbols, so EOB runs are flushed per block (EOB0) — spec-valid, just
-    less compact than a custom-table encoder. Any standard JPEG decoder
+    less compact than a custom-table encoder. ``restart_interval`` > 0
+    emits a DRI segment and RSTn markers every that-many units in EVERY
+    scan (units = MCUs for the interleaved DC scan, blocks for the
+    others), resetting DC predictors and forcing an EOB-run flush at each
+    boundary — T.81 E.1.4 applied per Annex-G scan. Any standard JPEG decoder
     reads the output; the decode twin is the multi-scan path of
     ``_decode_jpeg_planes``."""
     import numpy as np
@@ -1662,22 +1667,24 @@ def encode_jpeg_progressive(
             bw.put(v if v >= 0 else v + (1 << t) - 1, t)
 
     def dc_units():
-        """(comp index, padded block index) in the decoder's unit order:
-        MCU-interleaved for multi-component, true-grid raster for gray."""
+        """(unit number, comp index, padded block index) in the decoder's
+        unit order: MCU-interleaved for multi-component, true-grid raster
+        for gray — the unit number drives restart boundaries."""
         if ncomp > 1:
             for m in range(mcux * mcuy):
                 my, mx = divmod(m, mcux)
                 for ci, c in enumerate(comps):
                     for byy in range(c["v"]):
                         for bxx in range(c["h"]):
-                            yield ci, (my * c["v"] + byy) * c["nbx"] + (
+                            yield m, ci, (my * c["v"] + byy) * c["nbx"] + (
                                 mx * c["h"] + bxx
                             )
         else:
             c = comps[0]
-            for by in range(c["tnby"]):
-                for bx in range(c["tnbx"]):
-                    yield 0, by * c["nbx"] + bx
+            for u, (by, bx) in enumerate(
+                (by, bx) for by in range(c["tnby"]) for bx in range(c["tnbx"])
+            ):
+                yield u, 0, by * c["nbx"] + bx
 
     def comp_blocks(ci):
         """Padded block indexes of component ci's TRUE grid, raster order
@@ -1687,10 +1694,22 @@ def encode_jpeg_progressive(
             for bx in range(c["tnbx"]):
                 yield by * c["nbx"] + bx
 
+    def maybe_restart(bw, unit_no, state_reset):
+        """Emit RSTn at a restart boundary and run the scan's state reset."""
+        if restart_interval and unit_no and unit_no % restart_interval == 0:
+            bw.restart((unit_no // restart_interval - 1) % 8)
+            state_reset()
+
     def dc_first_scan(al):
         bw = _BitWriter()
         preds = [0] * ncomp
-        for ci, bi in dc_units():
+        seen = -1
+        for unit, ci, bi in dc_units():
+            if unit != seen:
+                seen = unit
+                maybe_restart(
+                    bw, unit, lambda: preds.__setitem__(slice(None), [0] * ncomp)
+                )
             v = comps[ci]["zz"][bi][0] >> al  # point transform: floor shift
             diff = v - preds[ci]
             preds[ci] = v
@@ -1702,7 +1721,11 @@ def encode_jpeg_progressive(
 
     def dc_refine_scan(al):
         bw = _BitWriter()
-        for ci, bi in dc_units():
+        seen = -1
+        for unit, ci, bi in dc_units():
+            if unit != seen:
+                seen = unit
+                maybe_restart(bw, unit, lambda: None)
             bw.put((comps[ci]["zz"][bi][0] >> al) & 1, 1)
         return bw.flush()
 
@@ -1718,7 +1741,10 @@ def encode_jpeg_progressive(
                 bw.put(code, ln)  # EOB0: run of one block
                 eob_pending = 0
 
-        for bi in comp_blocks(ci):
+        for unit, bi in enumerate(comp_blocks(ci)):
+            if restart_interval and unit and unit % restart_interval == 0:
+                flush_eob()  # a run never crosses a restart boundary
+                bw.restart((unit // restart_interval - 1) % 8)
             blk = comps[ci]["zz"][bi]
             r = 0
             for k in range(ss, se + 1):
@@ -1759,7 +1785,10 @@ def encode_jpeg_progressive(
                 be.clear()
                 eob_pending = 0
 
-        for bi in comp_blocks(ci):
+        for unit, bi in enumerate(comp_blocks(ci)):
+            if restart_interval and unit and unit % restart_interval == 0:
+                flush_eob()  # a run never crosses a restart boundary
+                bw.restart((unit // restart_interval - 1) % 8)
             blk = comps[ci]["zz"][bi]
             # per band position: 'z' zero-history, 'c' correction bit of a
             # history-nonzero coefficient, 'n' newly-significant (+ sign).
@@ -1851,7 +1880,10 @@ def encode_jpeg_progressive(
         )
         all_dc = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
         per_comp = [(1, 0, 0), (2, 1, 1), (3, 1, 1)]
-    out = b"\xff\xd8" + app0 + dqt + sof + dht
+    dri = (
+        seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    )
+    out = b"\xff\xd8" + app0 + dqt + dri + sof + dht
     # scan script: DC first (Al=1), DC refine, then per component AC bands
     # 1-5 and 6-63 first (Al=1) followed by their refinements (Al=0)
     out += sos(all_dc, 0, 0, 0, 1) + dc_first_scan(1)

@@ -1364,3 +1364,37 @@ def test_jpeg_progressive_rejects_malformed():
     assert decode_jpeg_rgb(good) is None
     with pytest.raises(ValueError, match="unsupported sampling"):
         encode_jpeg_progressive(px, px, px, sampling="411")
+
+
+def test_jpeg_progressive_restart_streams_decode_identically():
+    """DRI/RSTn inside PROGRESSIVE scans: restarts reset the DC predictors
+    AND the EOB run per T.81 E.1.4 applied per Annex-G scan — a
+    restart-bearing progressive stream must decode identically to the
+    marker-free twin, across gray, 4:4:4, and 4:2:0 (multi-block DC MCUs
+    hit the unit-boundary counting)."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        encode_jpeg_progressive,
+    )
+
+    rng = np.random.default_rng(4)
+    px = rng.integers(0, 256, (24, 40)).astype(np.uint8)
+    a = decode_jpeg_gray(encode_jpeg_progressive(px, restart_interval=2))
+    assert a is not None and (a == decode_jpeg_gray(encode_jpeg_progressive(px))).all()
+    y = rng.integers(0, 256, (21, 29)).astype(np.uint8)
+    cbf = rng.integers(0, 256, (21, 29)).astype(np.uint8)
+    crf = rng.integers(0, 256, (21, 29)).astype(np.uint8)
+    b = decode_jpeg_rgb(encode_jpeg_progressive(y, cbf, crf, restart_interval=3))
+    assert b is not None
+    assert (b == decode_jpeg_rgb(encode_jpeg_progressive(y, cbf, crf))).all()
+    y2 = rng.integers(0, 256, (21, 29)).astype(np.uint8)
+    cbs = rng.integers(0, 256, (11, 15)).astype(np.uint8)
+    crs = rng.integers(0, 256, (11, 15)).astype(np.uint8)
+    c = decode_jpeg_rgb(
+        encode_jpeg_progressive(y2, cbs, crs, sampling="420", restart_interval=1)
+    )
+    assert c is not None
+    assert (
+        c == decode_jpeg_rgb(encode_jpeg_progressive(y2, cbs, crs, sampling="420"))
+    ).all()

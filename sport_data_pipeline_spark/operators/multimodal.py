@@ -442,6 +442,17 @@ def extract_features(df: DataFrame, decode_stub: bool = True, batch_hint: int | 
 _PNG_BPP = 3  # encoder/decoder fixed to 8-bit truecolor (color type 2)
 
 
+#: Decode-bomb guard shared by the pixel decoders: a hostile header can
+#: declare up to 65535x65535 (4.3 GB/plane baseline, ~17 GB of progressive
+#: coefficients) or a ~100 KB zlib stream can inflate ~1000x — either
+#: would OOM an executor task long before any validity check fires. Caps
+#: at ~33.5M pixels (5792^2, larger than any training-corpus thumbnail
+#: path needs); beyond it the decoders return None like any other
+#: out-of-profile payload. PNG additionally bounds the inflate to the
+#: declared scanline volume, so a zip-bomb IDAT never materializes.
+_MAX_DECODE_PIXELS = 1 << 25
+
+
 def _paeth(a: int, b: int, c: int) -> int:
     """Paeth predictor (PNG filter 4): nearest of left/up/up-left to a+b-c."""
     p = a + b - c
@@ -537,13 +548,17 @@ def decode_png_rgb(b: bytes | None):
             elif typ == b"IEND":
                 break
             i += 12 + ln  # length + type + data + CRC
-        if w <= 0 or h <= 0 or not idat:
+        if w <= 0 or h <= 0 or not idat or w * h > _MAX_DECODE_PIXELS:
             return None
-        raw = zlib.decompress(bytes(idat))
-    except (zlib.error, struct.error):
+        stride = w * _PNG_BPP
+        expect = h * (stride + 1)
+        # bounded inflate: ask for at most expect+1 bytes so a zip-bomb
+        # IDAT is detected by the length check without ever materializing
+        d = zlib.decompressobj()
+        raw = d.decompress(bytes(idat), expect + 1)
+    except (zlib.error, struct.error, OverflowError):
         return None
-    stride = w * _PNG_BPP
-    if len(raw) != h * (stride + 1):
+    if len(raw) != expect or d.decompress(b"", 1):
         return None
     out = np.empty((h, stride), dtype=np.int32)
     prev = np.zeros(stride, dtype=np.int32)
@@ -2248,6 +2263,8 @@ def _decode_jpeg_planes(b: bytes | None):
                 if payload[0] != 8 or payload[5] not in (1, 3):
                     return None  # not 8-bit gray/YCbCr
                 h, w = struct.unpack(">HH", payload[1:5])
+                if h * w > _MAX_DECODE_PIXELS:
+                    return None  # decode-bomb guard (see _MAX_DECODE_PIXELS)
                 for c in range(payload[5]):
                     sof_comps.append(
                         (payload[6 + 3 * c], payload[7 + 3 * c], payload[8 + 3 * c])

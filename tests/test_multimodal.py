@@ -1398,3 +1398,100 @@ def test_jpeg_progressive_restart_streams_decode_identically():
     assert (
         c == decode_jpeg_rgb(encode_jpeg_progressive(y2, cbs, crs, sampling="420"))
     ).all()
+
+
+def test_decoders_survive_random_corruption():
+    """Robustness fuzz over every pixel/sample decoder: random byte
+    flips/truncations/insertions of valid streams must yield None or a
+    well-shaped array — never an exception, never a pathological
+    allocation (decode-bomb guards: _MAX_DECODE_PIXELS + the bounded PNG
+    inflate). Executors ingest untrusted media; a crash or OOM here is a
+    job failure, not a NULL row."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_jpeg_rgb,
+        decode_png_rgb,
+        decode_wav_pcm,
+        encode_jpeg_gray,
+        encode_jpeg_progressive,
+        encode_jpeg_ycbcr,
+        encode_jpeg_ycbcr_420,
+        encode_png_rgb,
+        encode_wav_pcm,
+    )
+
+    rng = np.random.default_rng(17)
+    g = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    c = [rng.integers(0, 256, (16, 16)).astype(np.uint8) for _ in range(3)]
+    sub = [rng.integers(0, 256, (8, 8)).astype(np.uint8) for _ in range(2)]
+    wav = rng.integers(-32768, 32768, 256).astype(np.int16)
+    cases = [
+        (decode_png_rgb, encode_png_rgb(np.dstack(c))),
+        (decode_jpeg_gray, encode_jpeg_gray(g, restart_interval=2)),
+        (decode_jpeg_rgb, encode_jpeg_ycbcr(*c)),
+        (decode_jpeg_rgb, encode_jpeg_ycbcr_420(g, *sub)),
+        (decode_jpeg_rgb, encode_jpeg_progressive(*c)),
+        (decode_wav_pcm, encode_wav_pcm(wav, 8000, 2)),
+    ]
+    for fn, good in cases:
+        assert fn(good) is not None
+        for _ in range(120):
+            buf = bytearray(good)
+            mode = rng.integers(0, 3)
+            if mode == 0:  # flip 1-4 bytes anywhere
+                for _ in range(int(rng.integers(1, 5))):
+                    buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+            elif mode == 1:  # truncate
+                buf = buf[: int(rng.integers(0, len(buf)))]
+            else:  # insert garbage mid-stream
+                at = int(rng.integers(0, len(buf)))
+                buf[at:at] = bytes(rng.integers(0, 256, int(rng.integers(1, 16))).astype(np.uint8))
+            out = fn(bytes(buf))  # must not raise
+            if out is not None:
+                assert getattr(out, "size", 1) >= 0  # well-formed result
+
+
+def test_decode_bomb_guards():
+    """Hostile-header DoS guards: a 65535x65535 SOF and a 500 MB-inflating
+    zip-bomb IDAT must both reject as None WITHOUT materializing the
+    declared buffers (peak allocation stays in the low MBs)."""
+    import struct as _s
+    import tracemalloc
+    import zlib
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_jpeg_gray,
+        decode_png_rgb,
+        encode_jpeg_gray,
+    )
+
+    good = encode_jpeg_gray(np.full((16, 16), 64, np.uint8))
+    sof_at = good.index(b"\xff\xc0")
+    bomb = bytearray(good)
+    bomb[sof_at + 5 : sof_at + 9] = _s.pack(">HH", 65535, 65535)
+    assert decode_jpeg_gray(bytes(bomb)) is None
+
+    def chunk(typ, data):
+        return (
+            _s.pack(">I", len(data)) + typ + data
+            + _s.pack(">I", zlib.crc32(typ + data))
+        )
+
+    idat = zlib.compress(b"\x00" * (500 * 1024 * 1024), 9)  # ~0.5 MB packed
+    ihdr = _s.pack(">II", 100, 100) + b"\x08\x02\x00\x00\x00"
+    png_bomb = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat) + chunk(b"IEND", b"")
+    )
+    tracemalloc.start()
+    out = decode_png_rgb(png_bomb)
+    _, peak = tracemalloc.get_traced_memory()
+    tracemalloc.stop()
+    assert out is None and peak < 50 * 1024 * 1024, peak
+    # huge-dims PNG header rejects too
+    ihdr2 = _s.pack(">II", 60000, 60000) + b"\x08\x02\x00\x00\x00"
+    png_dims = (
+        b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr2)
+        + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
+    )
+    assert decode_png_rgb(png_dims) is None

@@ -22,8 +22,11 @@ MCU-interleaved 4:2:0, and 4:2:2 — plus DRI/restart streams AND
 PROGRESSIVE (SOF2) scans: the multi-scan Annex-G path accumulates
 coefficients across spectral-selection / successive-approximation scans
 and IDCTs once at EOI (``decode_jpeg_rgb`` / ``decode_jpeg_gray``
-dispatch on the SOF marker). What remains behind the
-documented seam: exotic sampling mixes (4:4:0/4:1:1),
+dispatch on the SOF marker). The sampling gate is GENERIC — any
+Y-subsampled layout with h, v in 1..4 and h*v <= 8 (4:4:0, 4:1:1, and
+the rarer mixes; every accepted layout pinned by
+test_jpeg_sampling_matrix). What remains behind the
+documented seam: subsampled-CHROMA layouts,
 arithmetic-coded and hierarchical JPEG, inter-frame video codecs
 (H.26x/VP9/AV1), and compressed audio (MP3/AAC) — genuinely library-grade
 territory. The seam is an INTERFACE, not a comment: every stat extractor
@@ -941,12 +944,16 @@ def resize_image_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
 # chroma upsampled by pinned 2x2 replication — test_jpeg_420_* /
 # jpeg_420_pixel_stats), and 4:2:2 (two Y + one Cb + one Cr per
 # 16x8-pixel MCU, column-replication upsample — test_jpeg_422_* /
-# jpeg_422_pixel_stats). PROGRESSIVE (SOF2) streams ARE in profile
+# jpeg_422_pixel_stats). The gate generalizes to EVERY Y-subsampled
+# layout with h, v in 1..4 and h*v <= 8 — 4:4:0 and 4:1:1 are oracled
+# (jpeg_sampling_pixel_stats), the full matrix incl. 1x4/4x2/2x4/3x1/1x3
+# is dense-pinned (test_jpeg_sampling_matrix). PROGRESSIVE (SOF2)
+# streams ARE in profile
 # (r10): coefficients accumulate across the scan script (spectral
 # selection + successive approximation, T.81 Annex G) and the IDCT runs
 # once at EOI — test_jpeg_progressive_* pin equality with the baseline
 # decode on identical planes; jpeg_progressive_pixel_stats carries the
-# SQL oracle. Profile honesty: other sampling mixes (4:4:0, 4:1:1),
+# SQL oracle. Profile honesty: subsampled-CHROMA layouts,
 # arithmetic coding, and hierarchical JPEG remain out of profile and
 # decode to None (never a crash). DRI/restart streams ARE in profile
 # (r10: predictor resets at RSTn boundaries, modulo-8 sequence check —
@@ -1592,6 +1599,95 @@ def encode_jpeg_ycbcr_422(
 
 
 
+
+def encode_jpeg_ycbcr_subsampled(
+    y,
+    cb,
+    cr,
+    y_sampling: tuple[int, int] = (2, 2),
+    quant_luma=STD_LUMA_QUANT,
+    quant_chroma=STD_CHROMA_QUANT,
+    restart_interval: int = 0,
+) -> bytes:
+    """Encode a spec-valid BASELINE COLOR JPEG at ANY Y-subsampled layout
+    — Y sampled ``y_sampling`` = (h, v) with h, v in 1..4 and h*v <= 8
+    (the baseline 10-blocks-per-MCU bound, T.81 B.2.3), chroma 1x1: each
+    MCU covers 8h x 8v luma pixels and carries h*v Y blocks + one Cb +
+    one Cr in A.2.3 raster order. Generalizes the fixed-layout
+    :func:`encode_jpeg_ycbcr_420` / :func:`encode_jpeg_ycbcr_422` (which
+    predate it and keep their oracled fixtures); (1, 2) is 4:4:0 and
+    (4, 1) is 4:1:1. ``cb``/``cr`` are ALREADY-SUBSAMPLED
+    (ceil(h/v_s), ceil(w/h_s)) planes — same transform-domain fixture
+    contract. Any standard JPEG decoder reads the output."""
+    import numpy as np
+
+    sh, sv = y_sampling
+    if not (1 <= sh <= 4 and 1 <= sv <= 4 and 2 <= sh * sv <= 8):
+        raise ValueError("y_sampling must have h, v in 1..4 and 2 <= h*v <= 8")
+    yp = np.asarray(y, dtype=np.uint8)
+    cbp = np.asarray(cb, dtype=np.uint8)
+    crp = np.asarray(cr, dtype=np.uint8)
+    h, w = yp.shape
+    ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+    if cbp.shape != (ch, cw) or crp.shape != (ch, cw):
+        raise ValueError(
+            f"subsampled chroma planes must be (ceil(h/{sv}), ceil(w/{sh})) = {(ch, cw)}"
+        )
+    mcux, mcuy = (w + 8 * sh - 1) // (8 * sh), (h + 8 * sv - 1) // (8 * sv)
+    ypad = np.pad(
+        yp, ((0, mcuy * 8 * sv - h), (0, mcux * 8 * sh - w)), mode="edge"
+    )
+    cbpad = np.pad(cbp, ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)), mode="edge")
+    crpad = np.pad(crp, ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)), mode="edge")
+    yb = _quantize_plane(ypad, quant_luma)  # raster over an sh*mcux-wide grid
+    cbb = _quantize_plane(cbpad, quant_chroma)
+    crb = _quantize_plane(crpad, quant_chroma)
+    dc_l, ac_l = _huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS)
+    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
+    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
+    bw = _BitWriter()
+    py = pcb = pcr = 0
+    ybx = sh * mcux  # Y block-grid width
+    for m in range(mcux * mcuy):
+        if restart_interval and m and m % restart_interval == 0:
+            bw.restart((m // restart_interval - 1) % 8)
+            py = pcb = pcr = 0
+        my, mx = divmod(m, mcux)
+        for byy in range(sv):
+            for bxx in range(sh):
+                py = _put_block(
+                    bw, yb[(my * sv + byy) * ybx + (mx * sh + bxx)], py, dc_l, ac_l
+                )
+        pcb = _put_block(bw, cbb[my * mcux + mx], pcb, dc_c, ac_c)
+        pcr = _put_block(bw, crb[my * mcux + mx], pcr, dc_c, ac_c)
+    scan = bw.flush()
+
+    def seg(marker: int, payload: bytes) -> bytes:
+        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
+
+    def zz(quant) -> bytes:
+        flat = np.asarray(quant).reshape(-1)
+        return bytes(int(flat[_ZIGZAG[k]]) for k in range(64))
+
+    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
+    dqt = seg(0xDB, b"\x00" + zz(quant_luma) + b"\x01" + zz(quant_chroma))
+    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
+    sof = seg(
+        0xC0,
+        b"\x08" + struct.pack(">HH", h, w) + b"\x03"
+        + bytes((0x01, (sh << 4) | sv, 0x00)) + b"\x02\x11\x01" + b"\x03\x11\x01",
+    )
+    dht = seg(
+        0xC4,
+        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
+        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
+        + b"\x01" + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS)
+        + b"\x11" + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS),
+    )
+    sos = seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
+    return b"\xff\xd8" + app0 + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
+
+
 def encode_jpeg_progressive(
     y,
     cb=None,
@@ -2198,11 +2294,12 @@ def _decode_jpeg_planes(b: bytes | None):
     marker walk, DQT/DHT table load (arbitrary spec-valid tables, not just
     Annex K), huffman + DPCM entropy decode of the (possibly interleaved)
     scan, dequantization, float64 IDCT, level shift, clip. Profile:
-    baseline sequential (SOF0), 8-bit tables, and one of four sampling
-    layouts — single component 1x1 (grayscale), 3 components all 1x1
-    (4:4:4), Y 2x2 + chroma 1x1 (4:2:0, each MCU = four Y blocks + one
-    Cb + one Cr per T.81 A.2.3), or Y 2x1 + chroma 1x1 (4:2:2, two Y
-    blocks per MCU). Restart-interval
+    baseline sequential (SOF0), 8-bit tables, and either single
+    component 1x1 (grayscale), 3 components all 1x1 (4:4:4), or ANY
+    Y-subsampled 3-component layout — chroma 1x1, Y (h, v) each in 1..4
+    with h*v <= 8 (the baseline 10-blocks-per-MCU bound): 4:2:0 (2x2),
+    4:2:2 (2x1), 4:4:0 (1x2), 4:1:1 (4x1) and the rarer mixes, each MCU
+    carrying h*v Y blocks + one Cb + one Cr per T.81 A.2.3. Restart-interval
     streams (DRI/RSTn, T.81 E.1.4) are IN profile: predictors reset at
     each marker and the modulo-8 marker count is verified, so a lost or
     out-of-sequence marker yields None rather than desynced pixels.
@@ -2270,12 +2367,24 @@ def _decode_jpeg_planes(b: bytes | None):
                         (payload[6 + 3 * c], payload[7 + 3 * c], payload[8 + 3 * c])
                     )
                 samp = [hv for _, hv, _ in sof_comps]
-                # supported layouts: all 1x1 (gray / 4:4:4), 4:2:0, 4:2:2
-                if samp != [0x11] * len(samp) and samp not in (
-                    [0x22, 0x11, 0x11],
-                    [0x21, 0x11, 0x11],
-                ):
-                    return None  # other sampling mixes: out of profile
+                # supported layouts: all 1x1 (gray / 4:4:4), or 3
+                # components with chroma 1x1 and Y (h, v) each in 1..4
+                # with h*v <= 8 (baseline MCU <= 10 blocks, T.81 B.2.3):
+                # covers 4:2:0 (2x2), 4:2:2 (2x1), 4:4:0 (1x2), 4:1:1
+                # (4x1) and the other spec-legal Y-subsampled layouts.
+                # The MCU decode loop below is generic over h_i x v_i;
+                # only the RGB wrapper needs the per-axis upsample.
+                if samp != [0x11] * len(samp):
+                    yh, yv = samp[0] >> 4, samp[0] & 0x0F
+                    if (
+                        len(samp) != 3
+                        or samp[1] != 0x11
+                        or samp[2] != 0x11
+                        or not (1 <= yh <= 4 and 1 <= yv <= 4)
+                        or yh * yv > 8
+                        or yh * yv < 2
+                    ):
+                        return None  # non-Y-subsampled mixes: out of profile
             elif marker == 0xDD:
                 if ln != 4:
                     return None
@@ -2415,12 +2524,12 @@ def decode_jpeg_rgb(b: bytes | None):
 
     rounded as floor(x + 0.5) and clipped to [0, 255] — the rounding is
     pinned to floor(+0.5) (not banker's) so the SQL oracle can restate
-    the matrix verbatim with FLOOR(). Handles the three supported color
-    samplings: 4:4:4 (chroma at full resolution), 4:2:0 (each decoded
-    chroma sample covers a 2x2 luma region), and 4:2:2 (a 2x1 region —
-    horizontal-only subsampling); subsampled chroma is upsampled by pixel
-    REPLICATION — nearest-neighbor, the pinned choice so the oracle can
-    index chroma at x//2 (and y//2 at 4:2:0). Returns an (h, w, 3) uint8
+    the matrix verbatim with FLOOR(). Handles every supported color
+    sampling: 4:4:4 (chroma at full resolution) and any Y-subsampled
+    layout (4:2:0, 4:2:2, 4:4:0, 4:1:1, ...), where each decoded chroma
+    sample covers an (h x v) = Y-sampling luma region and is upsampled by
+    per-axis pixel REPLICATION — nearest-neighbor, the pinned choice so
+    the oracle can index chroma at x//h, y//v. Returns an (h, w, 3) uint8
     RGB array, or None outside the profile (grayscale streams — use
     ``decode_jpeg_gray`` — and other-sampling color); progressive color
     streams decode via the multi-scan path."""
@@ -2431,12 +2540,15 @@ def decode_jpeg_rgb(b: bytes | None):
         return None
     (yp, cbp, crp), samplings, h, w = got
     yv = yp[:h, :w].astype(np.float64)
-    if samplings == [0x22, 0x11, 0x11]:  # 4:2:0 — replicate chroma 2x2
-        cbp = np.repeat(np.repeat(cbp, 2, axis=0), 2, axis=1)
-        crp = np.repeat(np.repeat(crp, 2, axis=0), 2, axis=1)
-    elif samplings == [0x21, 0x11, 0x11]:  # 4:2:2 — replicate columns only
-        cbp = np.repeat(cbp, 2, axis=1)
-        crp = np.repeat(crp, 2, axis=1)
+    fy, fx = samplings[0] & 0x0F, samplings[0] >> 4  # chroma is 1x1, so
+    # the per-axis replication factor IS Y's sampling (2x2 at 4:2:0, 2x1
+    # at 4:2:2, 1x2 at 4:4:0, 4x1 at 4:1:1, ...)
+    if fy > 1:
+        cbp = np.repeat(cbp, fy, axis=0)
+        crp = np.repeat(crp, fy, axis=0)
+    if fx > 1:
+        cbp = np.repeat(cbp, fx, axis=1)
+        crp = np.repeat(crp, fx, axis=1)
     cb = cbp[:h, :w].astype(np.float64) - 128.0
     cr = crp[:h, :w].astype(np.float64) - 128.0
     r = np.floor(yv + 1.402 * cr + 0.5)

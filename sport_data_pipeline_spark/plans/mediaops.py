@@ -28,8 +28,10 @@ downsample at rate//2); DRI/RSTn restart-interval JPEG streams are in
 profile (r10) and ride the ``jpeg_420_pixel_stats`` /
 ``jpeg_422_pixel_stats`` oracles; PROGRESSIVE (SOF2) decode is real too
 (``jpeg_progressive_pixel_stats``: multi-scan Annex-G coefficient
-accumulation). The remaining documented seam:
-exotic sampling mixes (4:4:0/4:1:1), arithmetic/hierarchical JPEG,
+accumulation), and the sampling gate covers EVERY Y-subsampled layout
+(``jpeg_sampling_pixel_stats``: 4:4:0 + 4:1:1 oracled; the full matrix
+dense-pinned in unit tests). The remaining documented seam:
+subsampled-chroma layouts, arithmetic/hierarchical JPEG,
 inter-frame video codecs, compressed audio.
 Everything else
 checked here — container walking, dimension/rate/duration extraction,
@@ -1003,5 +1005,93 @@ def jpeg_progressive_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         payload = encode_jpeg_progressive(up(yb), up(cbb), up(crb))
         rows.append((900 + i, payload, "image/jpeg", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_jpeg_color_stats(media).orderBy("media_id")
+
+
+# Sampling-matrix oracle: 4:4:0 (vertical-only subsampling, fixtures
+# i<4) and 4:1:1 (4x horizontal, fixtures i>=4) — the remaining common
+# Y-subsampled layouts after 4:2:0/4:2:2. Same constant-block plane
+# formulas; only the chroma block index changes per layout: 4:4:0 reads
+# (x//8, y//16) (columns full-res, rows halved) and 4:1:1 reads
+# (x//32, y//8) (rows full-res, columns quartered).
+JPEG_SAMPLING_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 29 + 3*i AS w, 21 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         CAST(8 + 2*((7*d.i + 3*(ux.x // 8) + 5*(uy.y // 8)) % 120) AS DOUBLE) AS yv,
+         17.0e0 * (((11*d.i + (CASE WHEN d.i < 4 THEN ux.x // 8 ELSE ux.x // 32 END)
+                     + 2*(CASE WHEN d.i < 4 THEN uy.y // 16 ELSE uy.y // 8 END)) % 15) - 7) AS cbd,
+         17.0e0 * (((13*d.i + 2*(CASE WHEN d.i < 4 THEN ux.x // 8 ELSE ux.x // 32 END)
+                     + (CASE WHEN d.i < 4 THEN uy.y // 16 ELSE uy.y // 8 END)) % 15) - 7) AS crd
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+rgb AS (
+  SELECT i, w, h,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv + 1.402e0*crd + 0.5e0))) AS r,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv - 0.344136e0*cbd - 0.714136e0*crd + 0.5e0))) AS g,
+         LEAST(255e0, GREATEST(0e0, FLOOR(yv + 1.772e0*cbd + 0.5e0))) AS b
+  FROM px
+)
+SELECT CAST(1000 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query(
+    "jpeg_sampling_pixel_stats", survey="llm-multimodal,X6",
+    oracle=JPEG_SAMPLING_STATS_ORACLE,
+)
+def jpeg_sampling_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """4:4:0 and 4:1:1 COLOR JPEG decode, distributed — the remaining
+    common Y-subsampled layouts, through the GENERIC sampling machinery
+    (``encode_jpeg_ycbcr_subsampled`` + the h*v<=8 decode gate): fixtures
+    i<4 are 4:4:0 (one-wide two-tall Y MCUs, row-replication upsample),
+    i>=4 are 4:1:1 (four-wide Y MCUs, 4x column replication). With the
+    4:4:4/4:2:0/4:2:2/progressive queries this puts every supported
+    sampling layout family under an external hash. Constant-block
+    fixtures at the exactness levels; odd fixtures carry DRI markers
+    (same pixel math). Full dense-content matrix incl. the rarer layouts
+    (1x4/4x2/2x4/3x1/1x3): test_jpeg_sampling_matrix."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        encode_jpeg_ycbcr_subsampled,
+        extract_jpeg_color_stats,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * i, 21 + 2 * i
+        sh, sv = (1, 2) if i < 4 else (4, 1)
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        by, bx = np.mgrid[0:nby, 0:nbx]
+        yb = (8 + 2 * ((7 * i + 3 * bx + 5 * by) % 120)).astype(np.uint8)
+        ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+        ncbx, ncby = (cw + 7) // 8, (ch + 7) // 8
+        cby, cbx = np.mgrid[0:ncby, 0:ncbx]
+        cbb = (128 + 17 * (((11 * i + cbx + 2 * cby) % 15) - 7)).astype(np.uint8)
+        crb = (128 + 17 * (((13 * i + 2 * cbx + cby) % 15) - 7)).astype(np.uint8)
+
+        def up(a, hh, ww):
+            return np.kron(a, np.ones((8, 8), np.uint8))[:hh, :ww]
+
+        payload = encode_jpeg_ycbcr_subsampled(
+            up(yb, h, w), up(cbb, ch, cw), up(crb, ch, cw), (sh, sv),
+            restart_interval=(2 if i % 2 else 0),
+        )
+        rows.append((1000 + i, payload, "image/jpeg", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_jpeg_color_stats(media).orderBy("media_id")

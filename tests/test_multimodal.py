@@ -819,13 +819,19 @@ def test_jpeg_color_decode_rejects_out_of_profile():
     assert decode_jpeg_rgb(None) is None
     assert decode_jpeg_rgb(good[:60]) is None  # truncated mid-tables
     sof_at = good.index(b"\xff\xc0")
-    # 4:4:0-style vertical-only luma sampling (0x12) is out of profile
-    # (4:2:0 and 4:2:2 are NOT: they decode via the MCU-interleaved path,
-    # test_jpeg_420_* / test_jpeg_422_*)
+    # Y sampling 3x3 (9 blocks/MCU) exceeds the baseline 10-block MCU
+    # bound with two chroma blocks and is out of profile (every
+    # Y-subsampled layout with h*v <= 8 decodes via the generic
+    # MCU-interleaved path: test_jpeg_420_* / test_jpeg_422_* /
+    # test_jpeg_sampling_matrix); so is SUBSAMPLED CHROMA (0x21 on Cb)
     sub = bytearray(good)
     assert sub[sof_at + 11] == 0x11
-    sub[sof_at + 11] = 0x12
+    sub[sof_at + 11] = 0x33
     assert decode_jpeg_rgb(bytes(sub)) is None
+    sub2 = bytearray(good)
+    assert sub2[sof_at + 14] == 0x11
+    sub2[sof_at + 14] = 0x21  # chroma not 1x1: out of profile
+    assert decode_jpeg_rgb(bytes(sub2)) is None
     # progressive SOF2
     assert decode_jpeg_rgb(good.replace(b"\xff\xc0", b"\xff\xc2", 1)) is None
     # SOF0 declaring width 0
@@ -1495,3 +1501,66 @@ def test_decode_bomb_guards():
         + chunk(b"IDAT", zlib.compress(b"\x00" * 10)) + chunk(b"IEND", b"")
     )
     assert decode_png_rgb(png_dims) is None
+
+
+def test_jpeg_sampling_matrix():
+    """The FULL Y-subsampled layout matrix through the generic encoder
+    (encode_jpeg_ycbcr_subsampled) and the generic decode: for every
+    spec-legal (h, v) with h*v in 2..8 — including 4:4:0 (1,2), 4:1:1
+    (4,1), and the rarer 1x4/4x2/2x4/3x1/1x3 — dense content must equal
+    the per-plane quantize->dequantize->IDCT reference with the per-axis
+    replication upsample; a DRI variant must decode identically. This is
+    what licenses the decoder's generic sampling gate: every accepted
+    layout is pinned, not just the three common ones."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        STD_CHROMA_QUANT,
+        STD_LUMA_QUANT,
+        _dct_matrix,
+        _quantize_plane,
+        decode_jpeg_rgb,
+        encode_jpeg_ycbcr_subsampled,
+    )
+
+    def ref_plane(plane, quant, gh, gw):
+        pad = np.pad(
+            plane, ((0, gh - plane.shape[0]), (0, gw - plane.shape[1])), mode="edge"
+        )
+        mat = _dct_matrix()
+        q = np.asarray(quant, np.float64).reshape(8, 8)
+        out = np.empty((gh, gw), np.uint8)
+        for m, zz in enumerate(_quantize_plane(pad, quant)):
+            s = np.asarray(zz, np.float64).reshape(8, 8) * q
+            px = np.clip(np.rint(mat.T @ s @ mat) + 128, 0, 255).astype(np.uint8)
+            by, bx = divmod(m, gw // 8)
+            out[by * 8 : by * 8 + 8, bx * 8 : bx * 8 + 8] = px
+        return out
+
+    rng = np.random.default_rng(13)
+    h, w = 21, 29  # misaligned against every MCU geometry in the matrix
+    layouts = [(1, 2), (4, 1), (1, 4), (4, 2), (2, 4), (3, 1), (1, 3), (2, 2), (2, 1)]
+    for sh, sv in layouts:
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ch, cw = (h + sv - 1) // sv, (w + sh - 1) // sh
+        cb = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+        cr = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+        dec = decode_jpeg_rgb(encode_jpeg_ycbcr_subsampled(y, cb, cr, (sh, sv)))
+        assert dec is not None and dec.shape == (h, w, 3), (sh, sv)
+        mcux = (w + 8 * sh - 1) // (8 * sh)
+        mcuy = (h + 8 * sv - 1) // (8 * sv)
+        yr = ref_plane(y, STD_LUMA_QUANT, mcuy * 8 * sv, mcux * 8 * sh)[:h, :w]
+
+        def up(a):
+            return np.repeat(np.repeat(a, sv, axis=0), sh, axis=1)[:h, :w]
+
+        cbr = up(ref_plane(cb, STD_CHROMA_QUANT, mcuy * 8, mcux * 8))
+        crr = up(ref_plane(cr, STD_CHROMA_QUANT, mcuy * 8, mcux * 8))
+        assert (dec == _rgb_from_planes(yr, cbr, crr)).all(), (sh, sv)
+        dri = decode_jpeg_rgb(
+            encode_jpeg_ycbcr_subsampled(y, cb, cr, (sh, sv), restart_interval=2)
+        )
+        assert dri is not None and (dri == dec).all(), (sh, sv)
+    with pytest.raises(ValueError, match="y_sampling"):
+        encode_jpeg_ycbcr_subsampled(
+            np.zeros((8, 8), np.uint8), np.zeros((3, 3), np.uint8),
+            np.zeros((3, 3), np.uint8), (3, 3),
+        )

@@ -815,8 +815,8 @@ def box_downsample_pcm(samples, channels: int, factor: int):
     (``add.reduceat`` over the frame axis) — no per-sample Python."""
     import numpy as np
 
-    if factor < 1:
-        raise ValueError("factor must be >= 1")
+    if not isinstance(factor, int) or factor < 1:
+        raise ValueError("factor must be an int >= 1")
     s = np.asarray(samples, dtype=np.int64)
     frames = s.size // channels
     m = s[: frames * channels].reshape(frames, channels)
@@ -838,8 +838,8 @@ def resample_wav_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
     sample rates before feature extraction). ``factor`` is validated
     driver-side so a bad parameter fails fast, not as an executor
     traceback mid-job."""
-    if factor < 1:
-        raise ValueError("factor must be >= 1")
+    if not isinstance(factor, int) or factor < 1:
+        raise ValueError("factor must be an int >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -876,8 +876,8 @@ def box_downsample_rgb(px, factor: int):
     — no per-pixel Python."""
     import numpy as np
 
-    if factor < 1:
-        raise ValueError("factor must be >= 1")
+    if not isinstance(factor, int) or factor < 1:
+        raise ValueError("factor must be an int >= 1")
     h, w, _ = px.shape
     ys = np.arange(0, h, factor)
     xs = np.arange(0, w, factor)
@@ -899,8 +899,8 @@ def resize_image_payloads(df: DataFrame, factor: int = 2) -> DataFrame:
     with real pixels for the PNG profile. ``factor`` is validated
     driver-side so a bad parameter fails fast, not as an executor
     traceback mid-job."""
-    if factor < 1:
-        raise ValueError("factor must be >= 1")
+    if not isinstance(factor, int) or factor < 1:
+        raise ValueError("factor must be an int >= 1")
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
@@ -1448,74 +1448,22 @@ def encode_jpeg_ycbcr_420(
     (T.81 A.2.3 raster order within the MCU). ``y`` is the full-res
     (h, w) plane; ``cb``/``cr`` are the ALREADY-SUBSAMPLED
     (ceil(h/2), ceil(w/2)) planes — fixture formulas pick them directly,
-    mirroring how ``encode_jpeg_ycbcr`` takes transform-domain inputs, so
-    the decoder's replication upsample + color matrix stay the only
-    arithmetic an oracle must restate. Tables as in
-    :func:`encode_jpeg_ycbcr`. Any standard JPEG decoder reads the
-    output."""
+    so the decoder's replication upsample + color matrix stay the only
+    arithmetic an oracle must restate. Delegates to the generic
+    :func:`encode_jpeg_ycbcr_subsampled` at (2, 2) — byte-identical
+    output, pinned by test_jpeg_specialized_encoders_delegate."""
     import numpy as np
 
     yp = np.asarray(y, dtype=np.uint8)
-    cbp = np.asarray(cb, dtype=np.uint8)
-    crp = np.asarray(cr, dtype=np.uint8)
     h, w = yp.shape
     ch, cw = (h + 1) // 2, (w + 1) // 2
-    if cbp.shape != (ch, cw) or crp.shape != (ch, cw):
+    if np.asarray(cb).shape != (ch, cw) or np.asarray(cr).shape != (ch, cw):
         raise ValueError(
             f"4:2:0 chroma planes must be (ceil(h/2), ceil(w/2)) = {(ch, cw)}"
         )
-    mcux, mcuy = (w + 15) // 16, (h + 15) // 16
-    # pad Y to the 16-aligned MCU grid, chroma to its 8-aligned grid
-    ypad = np.pad(yp, ((0, mcuy * 16 - h), (0, mcux * 16 - w)), mode="edge")
-    cbpad = np.pad(cbp, ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)), mode="edge")
-    crpad = np.pad(crp, ((0, mcuy * 8 - ch), (0, mcux * 8 - cw)), mode="edge")
-    yb = _quantize_plane(ypad, quant_luma)  # raster over a 2*mcux-wide grid
-    cbb = _quantize_plane(cbpad, quant_chroma)
-    crb = _quantize_plane(crpad, quant_chroma)
-    dc_l, ac_l = _huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS)
-    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    bw = _BitWriter()
-    py = pcb = pcr = 0
-    ybx = 2 * mcux  # Y block-grid width
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.restart((m // restart_interval - 1) % 8)
-            py = pcb = pcr = 0
-        my, mx = divmod(m, mcux)
-        for byy in range(2):
-            for bxx in range(2):
-                py = _put_block(
-                    bw, yb[(my * 2 + byy) * ybx + (mx * 2 + bxx)], py, dc_l, ac_l
-                )
-        pcb = _put_block(bw, cbb[my * mcux + mx], pcb, dc_c, ac_c)
-        pcr = _put_block(bw, crb[my * mcux + mx], pcr, dc_c, ac_c)
-    scan = bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
-
-    def zz(quant) -> bytes:
-        flat = np.asarray(quant).reshape(-1)
-        return bytes(int(flat[_ZIGZAG[k]]) for k in range(64))
-
-    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    dqt = seg(0xDB, b"\x00" + zz(quant_luma) + b"\x01" + zz(quant_chroma))
-    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    sof = seg(
-        0xC0,
-        b"\x08" + struct.pack(">HH", h, w) + b"\x03"
-        + b"\x01\x22\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    return encode_jpeg_ycbcr_subsampled(
+        y, cb, cr, (2, 2), quant_luma, quant_chroma, restart_interval
     )
-    dht = seg(
-        0xC4,
-        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
-        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
-        + b"\x01" + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS)
-        + b"\x11" + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS),
-    )
-    sos = seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
-    return b"\xff\xd8" + app0 + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
 
 
 def encode_jpeg_ycbcr_422(
@@ -1529,76 +1477,21 @@ def encode_jpeg_ycbcr_422(
     """Encode a spec-valid BASELINE COLOR JPEG at 4:2:2 — the broadcast/
     video-capture profile: Y sampled 2x1, chroma 1x1 (each Cb/Cr sample
     covers a 2x1 luma region — HORIZONTAL-only subsampling), so each MCU
-    covers 16x8 luma pixels and carries two Y blocks + one Cb + one Cr
-    (T.81 A.2.3 raster order within the MCU). ``y`` is the full-res
-    (h, w) plane; ``cb``/``cr`` are the ALREADY-SUBSAMPLED
-    (h, ceil(w/2)) planes — same transform-domain fixture contract as
-    :func:`encode_jpeg_ycbcr_420`. Tables as in
-    :func:`encode_jpeg_ycbcr`. Any standard JPEG decoder reads the
-    output."""
+    covers 16x8 luma pixels and carries two Y blocks + one Cb + one Cr.
+    ``cb``/``cr`` are the ALREADY-SUBSAMPLED (h, ceil(w/2)) planes.
+    Delegates to the generic :func:`encode_jpeg_ycbcr_subsampled` at
+    (2, 1) — byte-identical output, pinned by
+    test_jpeg_specialized_encoders_delegate."""
     import numpy as np
 
     yp = np.asarray(y, dtype=np.uint8)
-    cbp = np.asarray(cb, dtype=np.uint8)
-    crp = np.asarray(cr, dtype=np.uint8)
     h, w = yp.shape
     cw = (w + 1) // 2
-    if cbp.shape != (h, cw) or crp.shape != (h, cw):
+    if np.asarray(cb).shape != (h, cw) or np.asarray(cr).shape != (h, cw):
         raise ValueError(f"4:2:2 chroma planes must be (h, ceil(w/2)) = {(h, cw)}")
-    mcux, mcuy = (w + 15) // 16, (h + 7) // 8
-    # pad Y to the 16x8-aligned MCU grid, chroma to its 8x8-aligned grid
-    ypad = np.pad(yp, ((0, mcuy * 8 - h), (0, mcux * 16 - w)), mode="edge")
-    cbpad = np.pad(cbp, ((0, mcuy * 8 - h), (0, mcux * 8 - cw)), mode="edge")
-    crpad = np.pad(crp, ((0, mcuy * 8 - h), (0, mcux * 8 - cw)), mode="edge")
-    yb = _quantize_plane(ypad, quant_luma)  # raster over a 2*mcux-wide grid
-    cbb = _quantize_plane(cbpad, quant_chroma)
-    crb = _quantize_plane(crpad, quant_chroma)
-    dc_l, ac_l = _huff_codes(_DC_BITS, _DC_VALS), _huff_codes(_AC_BITS, _AC_VALS)
-    dc_c = _huff_codes(_DC_CHROMA_BITS, _DC_CHROMA_VALS)
-    ac_c = _huff_codes(_AC_CHROMA_BITS, _AC_CHROMA_VALS)
-    bw = _BitWriter()
-    py = pcb = pcr = 0
-    ybx = 2 * mcux  # Y block-grid width
-    for m in range(mcux * mcuy):
-        if restart_interval and m and m % restart_interval == 0:
-            bw.restart((m // restart_interval - 1) % 8)
-            py = pcb = pcr = 0
-        my, mx = divmod(m, mcux)
-        for bxx in range(2):
-            py = _put_block(bw, yb[my * ybx + (mx * 2 + bxx)], py, dc_l, ac_l)
-        pcb = _put_block(bw, cbb[my * mcux + mx], pcb, dc_c, ac_c)
-        pcr = _put_block(bw, crb[my * mcux + mx], pcr, dc_c, ac_c)
-    scan = bw.flush()
-
-    def seg(marker: int, payload: bytes) -> bytes:
-        return bytes((0xFF, marker)) + struct.pack(">H", len(payload) + 2) + payload
-
-    def zz(quant) -> bytes:
-        flat = np.asarray(quant).reshape(-1)
-        return bytes(int(flat[_ZIGZAG[k]]) for k in range(64))
-
-    app0 = seg(0xE0, b"JFIF\x00\x01\x01\x00\x00\x01\x00\x01\x00\x00")
-    dqt = seg(0xDB, b"\x00" + zz(quant_luma) + b"\x01" + zz(quant_chroma))
-    dri = seg(0xDD, struct.pack(">H", restart_interval)) if restart_interval else b""
-    sof = seg(
-        0xC0,
-        b"\x08" + struct.pack(">HH", h, w) + b"\x03"
-        + b"\x01\x21\x00" + b"\x02\x11\x01" + b"\x03\x11\x01",
+    return encode_jpeg_ycbcr_subsampled(
+        y, cb, cr, (2, 1), quant_luma, quant_chroma, restart_interval
     )
-    dht = seg(
-        0xC4,
-        b"\x00" + bytes(_DC_BITS) + bytes(_DC_VALS)
-        + b"\x10" + bytes(_AC_BITS) + bytes(_AC_VALS)
-        + b"\x01" + bytes(_DC_CHROMA_BITS) + bytes(_DC_CHROMA_VALS)
-        + b"\x11" + bytes(_AC_CHROMA_BITS) + bytes(_AC_CHROMA_VALS),
-    )
-    sos = seg(0xDA, b"\x03" + b"\x01\x00" + b"\x02\x11" + b"\x03\x11" + b"\x00\x3f\x00")
-    return b"\xff\xd8" + app0 + dqt + dri + sof + dht + sos + scan + b"\xff\xd9"
-
-
-
-
-
 
 def encode_jpeg_ycbcr_subsampled(
     y,
@@ -2513,7 +2406,8 @@ def decode_jpeg_gray(b: bytes | None):
 
 
 def decode_jpeg_rgb(b: bytes | None):
-    """Full pixel decode of a baseline COLOR JPEG at 4:4:4: the three
+    """Full pixel decode of a COLOR JPEG — baseline or progressive, at
+    any supported sampling: the three
     component planes from ``_decode_jpeg_planes`` (JFIF orders them
     Y, Cb, Cr in SOF) through the CCIR 601 inverse color transform
     (JFIF v1.02 §7):
@@ -2619,8 +2513,9 @@ def extract_jpeg_stats(df: DataFrame, decoder=None) -> DataFrame:
 
 
 def extract_jpeg_color_stats(df: DataFrame, decoder=None) -> DataFrame:
-    """Distributed per-channel pixel statistics over baseline COLOR JPEG
-    payloads (4:4:4, 4:2:0, or 4:2:2) via the REAL interleaved entropy decode +
+    """Distributed per-channel pixel statistics over COLOR JPEG payloads
+    — baseline at any supported sampling (4:4:4 or Y-subsampled:
+    4:2:0/4:2:2/4:4:0/4:1:1/...) AND progressive — via the REAL entropy decode +
     CCIR 601 inverse transform (``decode_jpeg_rgb``) inside Arrow-batched
     mapInPandas: per-image RGB sums and means, the color twin of
     ``extract_pixel_stats`` (same output schema, so PNG and JPEG color

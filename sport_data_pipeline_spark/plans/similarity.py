@@ -1073,7 +1073,9 @@ def _epoch_cell_index(
     within one second (st_mtime_ns + first/last-file content sample close
     the seconds-granularity hole), and (b) two differently-filtered
     corpora over the same table can never share an index entry.
-    ``$SPARK_GRAFT_CELL_INDEX_REBUILD`` forces a rebuild. Concurrent
+    ``$SPARK_GRAFT_CELL_INDEX_REBUILD`` forces a rebuild — built into a
+    tmp dir FIRST and swapped in via rename, so the shared entry is never
+    deleted before its replacement exists. Concurrent
     builders race safely: build into a pid-suffixed dir, atomically
     rename, loser cleans up."""
     import hashlib
@@ -1121,18 +1123,34 @@ def _epoch_cell_index(
     ).hexdigest()
     root = os.environ.get(_CELL_INDEX_CACHE_ENV, "/tmp/sdp_cell_index_cache")
     path = os.path.join(root, key)
-    if os.environ.get(_CELL_INDEX_REBUILD_ENV) and os.path.isdir(path):
-        shutil.rmtree(path, ignore_errors=True)
-    if not os.path.isdir(path):
+    force = bool(os.environ.get(_CELL_INDEX_REBUILD_ENV))
+    if force or not os.path.isdir(path):
         os.makedirs(root, exist_ok=True)
+        # build-into-tmp first in EVERY case: a force-rebuild must never
+        # delete the shared entry before its replacement exists (another
+        # session may be mid-scan on it) — swap via rename, then drop the
+        # displaced tree (open handles on POSIX stay readable).
         tmp = f"{path}.build{os.getpid()}"
         write_semantic_cell_index(
             corpus, tmp, "vec_id", "embedding", n_cells=n_cells, seed=seed
         )
-        try:
-            os.rename(tmp, path)
-        except OSError:  # another process won the race; its index is identical
-            shutil.rmtree(tmp, ignore_errors=True)
+        if force and os.path.isdir(path):
+            old = f"{path}.old{os.getpid()}"
+            try:
+                os.rename(path, old)
+            except OSError:
+                old = None
+            try:
+                os.rename(tmp, path)
+            except OSError:  # concurrent replacement won; theirs is fresh too
+                shutil.rmtree(tmp, ignore_errors=True)
+            if old:
+                shutil.rmtree(old, ignore_errors=True)
+        else:
+            try:
+                os.rename(tmp, path)
+            except OSError:  # another process won the race; its index is identical
+                shutil.rmtree(tmp, ignore_errors=True)
     return read_semantic_cell_index(spark, path)
 
 

@@ -1044,6 +1044,12 @@ def test_resample_and_resize_validate_factor():
         box_downsample_pcm(np.zeros(8, np.int16), 1, 0)
     with pytest.raises(ValueError, match="factor"):
         box_downsample_rgb(np.zeros((8, 8, 3), np.uint8), -2)
+    # non-integer factors fail driver-side too (2.5 >= 1 but would
+    # TypeError inside np.add.reduceat on every executor)
+    with pytest.raises(ValueError, match="factor"):
+        box_downsample_pcm(np.zeros(8, np.int16), 1, 2.5)
+    with pytest.raises(ValueError, match="factor"):
+        box_downsample_rgb(np.zeros((8, 8, 3), np.uint8), 2.5)
 
 
 def test_stat_extractors_accept_injected_decoder(spark):
@@ -1564,3 +1570,32 @@ def test_jpeg_sampling_matrix():
             np.zeros((8, 8), np.uint8), np.zeros((3, 3), np.uint8),
             np.zeros((3, 3), np.uint8), (3, 3),
         )
+
+
+def test_jpeg_specialized_encoders_delegate():
+    """encode_jpeg_ycbcr_420/422 are thin delegates of the generic
+    encode_jpeg_ycbcr_subsampled at (2,2)/(2,1): output must be
+    byte-identical (the pin that licensed collapsing the duplicated
+    MCU-raster/pad/header code into one implementation)."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        encode_jpeg_ycbcr_420,
+        encode_jpeg_ycbcr_422,
+        encode_jpeg_ycbcr_subsampled,
+    )
+
+    rng = np.random.default_rng(8)
+    for h, w in [(16, 16), (21, 29), (17, 17)]:
+        y = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        ch, cw = (h + 1) // 2, (w + 1) // 2
+        cb = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+        cr = rng.integers(0, 256, (ch, cw)).astype(np.uint8)
+        for ri in (0, 2):
+            assert encode_jpeg_ycbcr_420(
+                y, cb, cr, restart_interval=ri
+            ) == encode_jpeg_ycbcr_subsampled(y, cb, cr, (2, 2), restart_interval=ri)
+        cb2 = rng.integers(0, 256, (h, cw)).astype(np.uint8)
+        cr2 = rng.integers(0, 256, (h, cw)).astype(np.uint8)
+        for ri in (0, 3):
+            assert encode_jpeg_ycbcr_422(
+                y, cb2, cr2, restart_interval=ri
+            ) == encode_jpeg_ycbcr_subsampled(y, cb2, cr2, (2, 1), restart_interval=ri)

@@ -10,7 +10,9 @@ the published container formats, no codec library needed), powering
 ``extract_media_dimensions`` and the ``decode_stub=False`` path of
 ``extract_features``; ``decode_png_rgb`` goes all the way to PIXELS for
 PNG (zlib inflate + all five scanline filters — PNG's pixel layer needs
-no codec library), powering ``extract_pixel_stats``; ``decode_wav_pcm``
+no codec library), powering ``extract_pixel_stats``; ``decode_gif_rgb``
+does the same for GIF (real variable-width LZW, interlace de-weave,
+multi-frame via ``decode_gif_frames``); ``decode_wav_pcm``
 goes all the way to SAMPLES for 16-bit PCM WAV (raw little-endian frames
 in the data chunk), powering ``extract_audio_stats``; ``decode_jpeg_gray``
 goes all the way to PIXELS for grayscale JPEG (real huffman+DPCM
@@ -670,6 +672,291 @@ def extract_pixel_stats(df: DataFrame, decoder=None) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# GIF LZW codec: REAL pixel-level decode, pure stdlib + numpy — closes the
+# last header-only still-image format. GIF's pixel layer is variable-width
+# LSB-first LZW (GIF87a/89a Appendix F) over palette indices: no float
+# transforms, so decode is bit-lossless and a SQL oracle can restate pixels
+# straight from palette/index formulas. encode_gif_rgb is the write-time
+# synthesizer (real growing-dictionary LZW with clear-code resets at 4096);
+# decode_gif_frames walks the block stream (extensions skipped, global or
+# per-frame local color tables, 4-pass interlace de-woven) and returns one
+# full-canvas RGB frame per image descriptor. Profile honesty: partial-
+# canvas frames, transparency, and disposal compositing return None —
+# animation semantics beyond stacked full frames are a renderer's job, not
+# a stats engine's. Decode-bomb guard: total pixels across frames capped
+# by _MAX_DECODE_PIXELS.
+# ---------------------------------------------------------------------------
+
+
+def _gif_lzw_encode(indices, mcs: int) -> bytes:
+    """GIF-variant LZW over a flat index sequence: variable code width
+    starting at mcs+1, LSB-first bit packing, CLEAR emitted first and at
+    dictionary ceiling (4096), END terminates. Returns the raw code
+    stream (caller sub-blocks it)."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc |= code << nbits
+        nbits += width
+        while nbits >= 8:
+            out.append(acc & 0xFF)
+            acc >>= 8
+            nbits -= 8
+
+    def fresh():
+        return {bytes((j,)): j for j in range(1 << mcs)}
+
+    table = fresh()
+    next_code = end + 1
+    width = mcs + 1
+    put(clear, width)
+    run = b""
+    for v in indices:
+        cand = run + bytes((int(v),))
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
+        if next_code == 4097:  # dictionary full: reset
+            put(clear, width)
+            table = fresh()
+            next_code = end + 1
+            width = mcs + 1
+        run = bytes((int(v),))
+    if run:
+        put(table[run], width)
+    put(end, width)
+    if nbits:
+        out.append(acc & 0xFF)
+    return bytes(out)
+
+
+def _gif_lzw_decode(data: bytes, mcs: int, expect: int) -> bytearray | None:
+    """Inverse of :func:`_gif_lzw_encode`: decodes exactly ``expect``
+    indices (bounded — a hostile stream cannot overshoot), handling the
+    KwKwK self-reference case and clear-code resets. None on any
+    malformation."""
+    clear, end = 1 << mcs, (1 << mcs) + 1
+    out = bytearray()
+    pos = acc = nbits = 0
+    width = mcs + 1
+    table: list[bytes] = [bytes((j,)) for j in range(1 << mcs)] + [b"", b""]
+    prev: bytes | None = None
+
+    def get() -> int | None:
+        nonlocal pos, acc, nbits
+        while nbits < width:
+            if pos >= len(data):
+                return None
+            acc |= data[pos] << nbits
+            pos += 1
+            nbits += 8
+        code = acc & ((1 << width) - 1)
+        acc >>= width
+        nbits -= width
+        return code
+
+    while True:
+        code = get()
+        if code is None:
+            return None
+        if code == clear:
+            table = [bytes((j,)) for j in range(1 << mcs)] + [b"", b""]
+            width = mcs + 1
+            prev = None
+            continue
+        if code == end:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            table.append(prev + entry[:1])
+        elif code == len(table):  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        if len(table) == (1 << width) and width < 12:
+            width += 1
+        out.extend(entry)
+        if len(out) > expect:
+            return None
+        prev = entry
+    return out if len(out) == expect else None
+
+
+_GIF_INTERLACE_PASSES = ((0, 8), (4, 8), (2, 4), (1, 2))
+
+
+def encode_gif_rgb(indices, palette, interlace: bool = False) -> bytes:
+    """Encode an (h, w) uint8 palette-INDEX array + palette (list of
+    (r, g, b) tuples, length a power of two >= 2) as a spec-valid GIF89a
+    with a global color table and real LZW (growing dictionary, clear-
+    code resets). ``interlace`` stores rows in the 4-pass order so the
+    decoder's de-weave runs. Write-time fixture synthesizer, same
+    discipline as ``encode_png_rgb`` — any standard GIF decoder reads
+    the output."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    h, w = idx.shape
+    p = len(palette)
+    if p < 2 or p > 256 or p & (p - 1):
+        raise ValueError("palette length must be a power of two in 2..256")
+    if int(idx.max(initial=0)) >= p:
+        raise ValueError("index out of palette range")
+    bits = max(1, (p - 1).bit_length())
+    mcs = max(2, bits)
+    rows = idx
+    if interlace:
+        order = [y for start, step in _GIF_INTERLACE_PASSES for y in range(start, h, step)]
+        rows = idx[order]
+    lzw = _gif_lzw_encode(rows.reshape(-1), mcs)
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (bits - 1))  # global color table flag + size
+    out += b"\x00\x00"  # background index, aspect
+    for r, g, b2 in palette:
+        out += bytes((r, g, b2))
+    out += b"\x2c" + struct.pack("<HHHH", 0, 0, w, h)
+    out.append(0x40 if interlace else 0x00)
+    out.append(mcs)
+    for i in range(0, len(lzw), 255):
+        chunk = lzw[i : i + 255]
+        out.append(len(chunk))
+        out += chunk
+    out += b"\x00\x3b"  # block terminator + trailer
+    return bytes(out)
+
+
+def decode_gif_frames(b: bytes | None):
+    """Full pixel decode of a GIF87a/89a: returns a list of (h, w, 3)
+    uint8 RGB frames (one per image descriptor, in stream order), or None
+    outside the profile. Profile: full-canvas opaque frames (left=top=0,
+    frame dims = canvas dims), global and/or per-frame local color
+    tables, interlaced or sequential row order; extensions (GCE without
+    transparency, comments, application blocks) are skipped; GCEs
+    declaring TRANSPARENCY return None (compositing semantics), as do
+    partial-canvas frames. Same null discipline and decode-bomb caps as
+    the other pixel decoders."""
+    import numpy as np
+
+    if not b or b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    try:
+        w, h = struct.unpack("<HH", b[6:10])
+        if w <= 0 or h <= 0 or w * h > _MAX_DECODE_PIXELS:
+            return None
+        flags = b[10]
+        i = 13
+        gct = None
+        if flags & 0x80:
+            n = 2 << (flags & 0x07)
+            gct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+            if gct.shape[0] != n:
+                return None
+            i += 3 * n
+        frames = []
+        total_px = 0
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x3B:  # trailer
+                break
+            if blk == 0x21:  # extension: label + sub-blocks
+                if i + 2 > len(b):
+                    return None
+                label = b[i + 1]
+                i += 2
+                while True:
+                    if i >= len(b):
+                        return None
+                    sz = b[i]
+                    if label == 0xF9 and sz == 4 and b[i + 1] & 0x01:
+                        return None  # transparency: out of profile
+                    i += 1 + sz
+                    if sz == 0:
+                        break
+            elif blk == 0x2C:  # image descriptor
+                if i + 10 > len(b):
+                    return None
+                left, top, fw, fh = struct.unpack("<HHHH", b[i + 1 : i + 9])
+                iflags = b[i + 9]
+                i += 10
+                if (left, top) != (0, 0) or (fw, fh) != (w, h):
+                    return None  # partial-canvas frame: out of profile
+                ct = gct
+                if iflags & 0x80:
+                    n = 2 << (iflags & 0x07)
+                    ct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+                    if ct.shape[0] != n:
+                        return None
+                    i += 3 * n
+                if ct is None:
+                    return None
+                mcs = b[i]
+                i += 1
+                if not 2 <= mcs <= 11:
+                    return None
+                data = bytearray()
+                while True:
+                    if i >= len(b):
+                        return None
+                    sz = b[i]
+                    chunk = b[i + 1 : i + 1 + sz]
+                    if len(chunk) != sz:
+                        return None  # truncated sub-block
+                    data += chunk
+                    i += 1 + sz
+                    if sz == 0:
+                        break
+                total_px += w * h
+                if total_px > _MAX_DECODE_PIXELS:
+                    return None
+                idx = _gif_lzw_decode(bytes(data), mcs, w * h)
+                if idx is None:
+                    return None
+                arr = np.frombuffer(bytes(idx), dtype=np.uint8).reshape(h, w)
+                if int(arr.max(initial=0)) >= ct.shape[0]:
+                    return None
+                if iflags & 0x40:  # interlaced: de-weave the 4-pass order
+                    order = [
+                        y
+                        for start, step in _GIF_INTERLACE_PASSES
+                        for y in range(start, h, step)
+                    ]
+                    de = np.empty_like(arr)
+                    de[order] = arr
+                    arr = de
+                frames.append(ct[arr])
+            else:
+                return None
+        if not frames:
+            return None
+        return frames
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
+def decode_gif_rgb(b: bytes | None):
+    """First-frame pixel decode of a GIF (the still-image stats path —
+    inject into ``extract_pixel_stats`` via its ``decoder=`` seam):
+    (h, w, 3) uint8 RGB, or None outside the profile
+    (:func:`decode_gif_frames`)."""
+    got = decode_gif_frames(b)
+    return None if got is None else got[0]
 
 
 # ---------------------------------------------------------------------------

@@ -13,7 +13,9 @@ produce, so any regression in the byte-level parsers or the mapInPandas
 plumbing breaks the hash-match).
 
 Pixel-level decode is REAL for PNG (``image_pixel_stats`` below: zlib +
-scanline un-filtering, formula-derived oracle), for baseline grayscale
+scanline un-filtering, formula-derived oracle), for GIF
+(``gif_pixel_stats``: variable-width LZW + palette + interlace de-weave,
+riding the ``decoder=`` seam through the PNG stats operator), for baseline grayscale
 JPEG (``jpeg_pixel_stats``: real huffman+DPCM entropy decode + IDCT),
 for baseline COLOR JPEG at all three common samplings — 4:4:4
 (``jpeg_color_pixel_stats``: interleaved three-component decode + CCIR
@@ -1095,3 +1097,73 @@ def jpeg_sampling_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((1000 + i, payload, "image/jpeg", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_jpeg_color_stats(media).orderBy("media_id")
+
+
+# GIF pixel-stats oracle: GIF is LOSSLESS (palette indices through LZW),
+# so the decoded pixel at (x, y) is exactly palette[idx(x, y)] and the
+# oracle restates both closed formulas — no transform exactness contract
+# needed. idx = (x + 2y + 7i) mod 16 depends on y, so the interlaced
+# fixtures (odd i: rows stored in the 4-pass order) break the hash if the
+# de-weave is wrong, not just the row order.
+GIF_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 29 + 3*i AS w, 21 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         (ux.x + 2*uy.y + 7*d.i) % 16 AS j
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+rgb AS (
+  SELECT i, w, h,
+         (3*j + 5) % 256 AS r, (7*j + 1) % 256 AS g, (11*j + 4) % 256 AS b
+  FROM px
+)
+SELECT CAST(1100 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query("gif_pixel_stats", survey="llm-multimodal,X6", oracle=GIF_STATS_ORACLE)
+def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF pixel decode, distributed — variable-width LSB-first LZW
+    over palette indices (GIF87a/89a Appendix F), the last header-only
+    still-image format brought to pixel depth. Runs through the SAME
+    stats operator as PNG via the production-codec seam:
+    ``extract_pixel_stats(media, decoder=decode_gif_rgb)`` — so this row
+    also externally certifies the ``decoder=`` injection path itself.
+
+    Fixtures: 16-color formula palette + per-pixel index formula
+    (lossless codec -> the oracle restates palette[idx] directly); odd
+    fixtures store rows INTERLACED (4-pass order), and the index formula
+    depends on y, so the de-weave is under the hash. LZW dictionaries
+    grow past one width boundary at these sizes; growth-to-4096 resets
+    are unit-pinned (test_gif_lzw_layer_roundtrip_growth_and_reset)."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_gif_rgb,
+        encode_gif_rgb,
+        extract_pixel_stats,
+    )
+
+    pal = [((3 * j + 5) % 256, (7 * j + 1) % 256, (11 * j + 4) % 256) for j in range(16)]
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * i, 21 + 2 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        idx = ((x + 2 * y + 7 * i) % 16).astype(np.uint8)
+        payload = encode_gif_rgb(idx, pal, interlace=bool(i % 2))
+        rows.append((1100 + i, payload, "image/gif", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(media, decoder=decode_gif_rgb).orderBy("media_id")

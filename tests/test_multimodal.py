@@ -1420,10 +1420,12 @@ def test_decoders_survive_random_corruption():
     inflate). Executors ingest untrusted media; a crash or OOM here is a
     job failure, not a NULL row."""
     from sport_data_pipeline_spark.operators.multimodal import (
+        decode_gif_rgb,
         decode_jpeg_gray,
         decode_jpeg_rgb,
         decode_png_rgb,
         decode_wav_pcm,
+        encode_gif_rgb,
         encode_jpeg_gray,
         encode_jpeg_progressive,
         encode_jpeg_ycbcr,
@@ -1437,8 +1439,11 @@ def test_decoders_survive_random_corruption():
     c = [rng.integers(0, 256, (16, 16)).astype(np.uint8) for _ in range(3)]
     sub = [rng.integers(0, 256, (8, 8)).astype(np.uint8) for _ in range(2)]
     wav = rng.integers(-32768, 32768, 256).astype(np.int16)
+    pal = [(j, (5 * j) % 256, (9 * j) % 256) for j in range(16)]
     cases = [
         (decode_png_rgb, encode_png_rgb(np.dstack(c))),
+        (decode_gif_rgb, encode_gif_rgb(
+            rng.integers(0, 16, (16, 16)).astype(np.uint8), pal, interlace=True)),
         (decode_jpeg_gray, encode_jpeg_gray(g, restart_interval=2)),
         (decode_jpeg_rgb, encode_jpeg_ycbcr(*c)),
         (decode_jpeg_rgb, encode_jpeg_ycbcr_420(g, *sub)),
@@ -1599,3 +1604,110 @@ def test_jpeg_specialized_encoders_delegate():
             assert encode_jpeg_ycbcr_422(
                 y, cb2, cr2, restart_interval=ri
             ) == encode_jpeg_ycbcr_subsampled(y, cb2, cr2, (2, 1), restart_interval=ri)
+
+
+def test_gif_lzw_layer_roundtrip_growth_and_reset():
+    """GIF LZW alone: a 20k-symbol small-alphabet sequence forces code
+    widths to grow to 12 bits and the dictionary to hit 4096 (clear-code
+    reset path on BOTH sides); decode must reproduce the sequence exactly
+    and reject overshoot."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    rng = np.random.default_rng(9)
+    seq = rng.integers(0, 4, 20000).astype(np.uint8)
+    enc = _gif_lzw_encode(seq, 2)
+    dec = _gif_lzw_decode(enc, 2, len(seq))
+    assert dec is not None and bytes(dec) == bytes(seq)
+    assert _gif_lzw_decode(enc, 2, len(seq) - 1) is None  # overshoot guard
+
+
+def test_gif_roundtrip_bitexact_matrix():
+    """GIF is lossless: encode(index, palette) -> decode must reproduce
+    palette[index] exactly across palette sizes (2/4/16/256 — different
+    min-code-sizes), dimensions (incl. 1x1), and interlaced storage
+    (4-pass de-weave; index formulas depend on y, so a de-weave bug
+    changes values, not just order)."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_gif_rgb,
+        encode_gif_rgb,
+    )
+
+    rng = np.random.default_rng(9)
+    for p in (2, 4, 16, 256):
+        pal = [((3 * j + 5) % 256, (7 * j + 1) % 256, (11 * j + 4) % 256) for j in range(p)]
+        for h, w in [(1, 1), (7, 13), (21, 29)]:
+            idx = rng.integers(0, p, (h, w)).astype(np.uint8)
+            for inter in (False, True):
+                dec = decode_gif_rgb(encode_gif_rgb(idx, pal, interlace=inter))
+                assert dec is not None and dec.shape == (h, w, 3), (p, h, w, inter)
+                assert (dec == np.array(pal, np.uint8)[idx]).all(), (p, h, w, inter)
+
+
+def test_gif_multiframe_and_out_of_profile():
+    """decode_gif_frames: one RGB frame per image descriptor; profile
+    honesty — transparency GCEs, partial-canvas frames, missing color
+    tables, truncations, and bomb dimensions all yield None."""
+    import struct as _s
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_gif_frames,
+        encode_gif_rgb,
+    )
+
+    rng = np.random.default_rng(11)
+    pal = [(j, (2 * j) % 256, (3 * j) % 256) for j in range(16)]
+    one = encode_gif_rgb(rng.integers(0, 16, (9, 11)).astype(np.uint8), pal)
+    img_at = one.index(b"\x2c")
+    two = one[:-1] + one[img_at:-1] + b"\x3b"
+    fr = decode_gif_frames(two)
+    assert fr is not None and len(fr) == 2 and (fr[0] == fr[1]).all()
+    # transparency GCE: out of profile
+    gce = b"\x21\xf9\x04\x01\x00\x00\x00\x00"
+    assert decode_gif_frames(one[:img_at] + gce + one[img_at:]) is None
+    # opaque GCE is fine (skipped)
+    gce_ok = b"\x21\xf9\x04\x00\x00\x00\x00\x00"
+    ok = decode_gif_frames(one[:img_at] + gce_ok + one[img_at:])
+    assert ok is not None and len(ok) == 1
+    # partial-canvas frame: shrink the descriptor's frame height
+    part = bytearray(one)
+    part[img_at + 7 : img_at + 9] = _s.pack("<H", 5)
+    assert decode_gif_frames(bytes(part)) is None
+    # truncated mid-LZW and no-color-table streams reject
+    assert decode_gif_frames(one[:-6]) is None
+    nogct = bytearray(one)
+    nogct[10] &= 0x7F  # clear GCT flag but leave bytes: descriptor byte garbage
+    assert decode_gif_frames(bytes(nogct)) is None
+    # bomb dims
+    bomb = bytearray(one)
+    bomb[6:10] = _s.pack("<HH", 60000, 60000)
+    assert decode_gif_frames(bytes(bomb)) is None
+
+
+def test_gif_through_pixel_stats_decoder_seam(spark):
+    """The decoder= seam carries GIF through the SAME distributed stats
+    operator as PNG: extract_pixel_stats(df, decoder=decode_gif_rgb)."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        decode_gif_rgb,
+        encode_gif_rgb,
+        extract_pixel_stats,
+    )
+
+    rng = np.random.default_rng(3)
+    pal = [((3 * j + 5) % 256, (7 * j + 1) % 256, (11 * j + 4) % 256) for j in range(16)]
+    rows, want = [], {}
+    for i in range(4):
+        idx = rng.integers(0, 16, (9 + i, 11 + i)).astype(np.uint8)
+        rows.append((i, encode_gif_rgb(idx, pal, interlace=bool(i % 2)), "image/gif", 0, None))
+        want[i] = tuple(
+            int(x) for x in np.array(pal, np.int64)[idx].reshape(-1, 3).sum(axis=0)
+        )
+    rows.append((9, b"GIF89a-garbage", "image/gif", 0, None))
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(3, "media_id")
+    got = {r["media_id"]: r for r in extract_pixel_stats(df, decoder=decode_gif_rgb).collect()}
+    assert got[9]["sum_r"] is None
+    for i, (sr, sg, sb) in want.items():
+        assert (got[i]["sum_r"], got[i]["sum_g"], got[i]["sum_b"]) == (sr, sg, sb)

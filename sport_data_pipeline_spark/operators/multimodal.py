@@ -13,8 +13,9 @@ PNG (zlib inflate + all five scanline filters — PNG's pixel layer needs
 no codec library), powering ``extract_pixel_stats``; ``decode_gif_rgb``
 does the same for GIF (real variable-width LZW, interlace de-weave,
 multi-frame via ``decode_gif_frames``); ``decode_wav_pcm``
-goes all the way to SAMPLES for 16-bit PCM WAV (raw little-endian frames
-in the data chunk), powering ``extract_audio_stats``; ``decode_jpeg_gray``
+goes all the way to SAMPLES for WAV — 16-bit PCM plus the G.711
+telephony formats (u-law/A-law, exact ITU-T integer expansion) —
+powering ``extract_audio_stats``; ``decode_jpeg_gray``
 goes all the way to PIXELS for grayscale JPEG (real huffman+DPCM
 entropy decode + IDCT — see the JPEG section), powering
 ``extract_jpeg_stats``; and ``parse_mp4_samples`` walks the ISO-BMFF
@@ -30,8 +31,8 @@ the rarer mixes; every accepted layout pinned by
 test_jpeg_sampling_matrix). What remains behind the
 documented seam: subsampled-CHROMA layouts,
 arithmetic-coded and hierarchical JPEG, inter-frame video codecs
-(H.26x/VP9/AV1), and compressed audio (MP3/AAC) — genuinely library-grade
-territory. The seam is an INTERFACE, not a comment: every stat extractor
+(H.26x/VP9/AV1), and perceptual compressed audio (MP3/AAC/Opus) — genuinely
+library-grade territory. The seam is an INTERFACE, not a comment: every stat extractor
 takes a ``decoder=`` callable (``bytes|None -> decoded|None``, defaulting
 to the pure decoders here), so production swaps in a native codec behind
 the identical operator shape; the throughput gap that makes that swap
@@ -960,11 +961,13 @@ def decode_gif_rgb(b: bytes | None):
 
 
 # ---------------------------------------------------------------------------
-# WAV PCM codec: REAL sample-level decode, pure stdlib + numpy — the audio
-# twin of the PNG pixel codec above. 16-bit integer PCM is raw
-# little-endian samples inside the RIFF 'data' chunk (no entropy coder),
-# so full waveform reconstruction needs no codec library; compressed
-# audio (MP3/AAC/Opus) stays behind the documented seam with JPEG/MP4.
+# WAV PCM + G.711 codec: REAL sample-level decode, pure stdlib + numpy —
+# the audio twin of the PNG pixel codec above. 16-bit integer PCM is raw
+# little-endian samples inside the RIFF 'data' chunk (no entropy coder);
+# the G.711 telephony pair (u-law format 7 / A-law format 6) expands
+# 8-bit codes through the exact ITU-T integer tables — full waveform
+# reconstruction, no codec library. Perceptual compressed audio
+# (MP3/AAC/Opus) stays behind the documented seam.
 # ---------------------------------------------------------------------------
 
 
@@ -987,11 +990,14 @@ def encode_wav_pcm(samples, sample_rate: int, channels: int) -> bytes:
 
 
 def decode_wav_pcm(b: bytes | None):
-    """Full sample decode of a 16-bit integer-PCM RIFF/WAVE payload:
-    returns (channels, sample_rate, samples) with ``samples`` a flat
-    interleaved int16 numpy array, or None for anything unrecognizable or
-    outside that profile (float/8-bit/24-bit/compressed formats, missing
-    or truncated chunks → None, never a crash). Walks the chunk list with
+    """Full sample decode of a RIFF/WAVE payload at the three supported
+    formats — tag 1 (16-bit integer PCM) and the G.711 telephony pair,
+    tag 7 (u-law) / tag 6 (A-law), whose 8-bit codes expand through the
+    exact ITU-T integer tables (``_g711_tables``) — returning
+    (channels, sample_rate, samples) with ``samples`` a flat interleaved
+    int16 numpy array, or None for anything unrecognizable or outside
+    that profile (float/24-bit/compressed formats, missing or truncated
+    chunks → None, never a crash). Walks the chunk list with
     RIFF word alignment; ignores unknown chunks (LIST/fact/cue)."""
     import numpy as np
 
@@ -1013,11 +1019,80 @@ def decode_wav_pcm(b: bytes | None):
         elif cid == b"data":
             data = payload
         i += 8 + sz + (sz & 1)  # word alignment
-    if fmt_tag != 1 or bits != 16 or not channels or not rate or data is None:
+    if not channels or not rate or data is None:
         return None
-    if len(data) % (channels * 2):
-        return None  # partial frame
-    return channels, rate, np.frombuffer(data, dtype="<i2")
+    if fmt_tag == 1 and bits == 16:
+        if len(data) % (channels * 2):
+            return None  # partial frame
+        return channels, rate, np.frombuffer(data, dtype="<i2")
+    if fmt_tag in (6, 7) and bits == 8:
+        if len(data) % channels:
+            return None  # partial frame
+        table = _ULAW_TO_PCM if fmt_tag == 7 else _ALAW_TO_PCM
+        return channels, rate, table[np.frombuffer(data, dtype=np.uint8)]
+    return None
+
+
+
+def _g711_tables():
+    """The 256-entry G.711 expansion tables, computed from the published
+    integer formulas (ITU-T G.711 / the canonical Sun ulaw.c arithmetic):
+
+    u-law:  u = ~U & 0xFF; t = ((u & 0xF)*8 + 132) << ((u >> 4) & 7);
+            sample = 132 - t if u & 0x80 else t - 132
+    A-law:  a = A ^ 0x55; q = (a & 0xF) << 4; seg = (a >> 4) & 7;
+            t = q + 8 if seg == 0 else (q + 0x108 if seg == 1
+                else (q + 0x108) << (seg - 1));
+            sample = t if a & 0x80 else -t
+
+    Exact integer arithmetic end to end, which is what lets the G.711
+    oracle restate the expansion in SQL."""
+    import numpy as np
+
+    ulaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        u = ~code & 0xFF
+        t = ((u & 0xF) * 8 + 132) << ((u >> 4) & 7)
+        ulaw[code] = 132 - t if u & 0x80 else t - 132
+    alaw = np.empty(256, dtype=np.int16)
+    for code in range(256):
+        a = code ^ 0x55
+        q = (a & 0xF) << 4
+        seg = (a >> 4) & 7
+        if seg == 0:
+            t = q + 8
+        elif seg == 1:
+            t = q + 0x108
+        else:
+            t = (q + 0x108) << (seg - 1)
+        alaw[code] = t if a & 0x80 else -t
+    return ulaw, alaw
+
+
+_ULAW_TO_PCM, _ALAW_TO_PCM = _g711_tables()
+
+
+def encode_wav_g711(codes, sample_rate: int, channels: int, law: str = "ulaw") -> bytes:
+    """Wrap raw 8-bit G.711 code bytes (flat, frame-major interleaved) in
+    a spec-valid RIFF/WAVE container — format tag 7 (u-law) or 6 (A-law),
+    8 bits per sample, the telephony capture format. Write-time fixture
+    synthesizer; any standard WAV reader accepts the layout."""
+    import numpy as np
+
+    c = np.asarray(codes, dtype=np.uint8)
+    tag = {"ulaw": 7, "alaw": 6}.get(law)
+    if tag is None:
+        raise ValueError("law must be 'ulaw' or 'alaw'")
+    data = c.tobytes()
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHH", 16, tag, channels, sample_rate,
+        sample_rate * channels, channels, 8,
+    )
+    body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
+        data += b"\x00"  # RIFF word alignment pad (not part of the chunk)
+        body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data) - 1) + data
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 AUDIO_STATS_SCHEMA = StructType(

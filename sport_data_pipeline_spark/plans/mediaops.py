@@ -26,7 +26,9 @@ MCUs + column-replication upsample) — and for MJPEG
 video frames (``video_frame_stats``: ISO-BMFF sample-table walk +
 per-frame JPEG decode); sample-level decode AND resampling are REAL for
 PCM WAV (``audio_pcm_stats``, ``audio_resample_stats``: frame-wise box
-downsample at rate//2); DRI/RSTn restart-interval JPEG streams are in
+downsample at rate//2) and for G.711 telephony audio
+(``audio_g711_stats``: u-law/A-law expansion, every table entry under
+the hash); DRI/RSTn restart-interval JPEG streams are in
 profile (r10) and ride the ``jpeg_420_pixel_stats`` /
 ``jpeg_422_pixel_stats`` oracles; PROGRESSIVE (SOF2) decode is real too
 (``jpeg_progressive_pixel_stats``: multi-scan Annex-G coefficient
@@ -34,7 +36,7 @@ accumulation), and the sampling gate covers EVERY Y-subsampled layout
 (``jpeg_sampling_pixel_stats``: 4:4:0 + 4:1:1 oracled; the full matrix
 dense-pinned in unit tests). The remaining documented seam:
 subsampled-chroma layouts, arithmetic/hierarchical JPEG,
-inter-frame video codecs, compressed audio.
+inter-frame video codecs, perceptual compressed audio (MP3/AAC/Opus).
 Everything else
 checked here — container walking, dimension/rate/duration extraction,
 frame-sampling arithmetic, Arrow batch shapes, null propagation — is the
@@ -1167,3 +1169,79 @@ def gif_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((1100 + i, payload, "image/gif", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_pixel_stats(media, decoder=decode_gif_rgb).orderBy("media_id")
+
+
+# G.711 telephony-audio oracle: the u-law/A-law expansion is EXACT integer
+# arithmetic (ITU-T G.711), so the oracle restates it verbatim — u-law:
+# u = 255 - C (ones' complement), t = ((u%16)*8 + 132) << ((u//16)%8),
+# sample = 132 - t when u >= 128 else t - 132; A-law: a = xor(C, 85),
+# q = (a%16)*16, seg = (a//16)%8, t = q+8 / q+264 / (q+264)<<(seg-1),
+# sample = t when a >= 128 else -t — then the same waveform stats as the
+# PCM queries. Fixtures k<4 are u-law, k>=4 A-law; the code-byte formula
+# sweeps all 256 codes, so every table entry is under the hash.
+AUDIO_G711_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS k),
+dims AS (
+  SELECT k, 1 + (k % 2) AS channels, (801 + 100*k) * (1 + (k % 2)) AS n_samples
+  FROM idx
+),
+s AS (
+  SELECT d.k, d.channels,
+         (7919 * (u.i + 13*d.k)) % 256 AS c
+  FROM dims d, LATERAL (SELECT unnest(range(d.n_samples)) AS i) u
+),
+v AS (
+  SELECT k, channels,
+         CASE WHEN k < 4 THEN
+           CASE WHEN (255 - c) >= 128
+                THEN 132 - ((((255 - c) % 16) * 8 + 132) << (((255 - c) // 16) % 8))
+                ELSE ((((255 - c) % 16) * 8 + 132) << (((255 - c) // 16) % 8)) - 132
+           END
+         ELSE
+           CASE WHEN xor(c, 85) >= 128 THEN 1 ELSE -1 END *
+           CASE WHEN (xor(c, 85) // 16) % 8 = 0 THEN (xor(c, 85) % 16) * 16 + 8
+                WHEN (xor(c, 85) // 16) % 8 = 1 THEN (xor(c, 85) % 16) * 16 + 264
+                ELSE ((xor(c, 85) % 16) * 16 + 264) << ((xor(c, 85) // 16) % 8 - 1)
+           END
+         END AS pcm
+  FROM s
+)
+SELECT CAST(1200 + k AS BIGINT) AS media_id,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(8000 AS INTEGER) AS sample_rate,
+       CAST(COUNT(*) AS BIGINT) AS n_samples,
+       CAST(SUM(pcm * pcm) AS BIGINT) AS sum_sq,
+       CAST(SUM(ABS(pcm)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(pcm)) AS INTEGER) AS peak,
+       SQRT(CAST(SUM(pcm * pcm) AS DOUBLE) / COUNT(*)) AS rms
+FROM v GROUP BY k, channels ORDER BY media_id
+"""
+
+
+@query("audio_g711_stats", survey="llm-multimodal,X6", oracle=AUDIO_G711_ORACLE)
+def audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL G.711 telephony-audio decode, distributed: u-law (WAV format
+    tag 7, fixtures k<4) and A-law (tag 6, k>=4) 8-bit code streams
+    expand through the exact ITU-T integer tables inside
+    ``decode_wav_pcm`` and flow through the SAME stats operator as
+    16-bit PCM — the decode path a speech/telephony training corpus
+    needs. The code-byte formula (7919*(i+13k) mod 256) sweeps all 256
+    codes in every fixture, so the entire expansion table of BOTH laws
+    is under the oracle hash; the oracle restates the published integer
+    expansion verbatim (see AUDIO_G711_ORACLE). Unit twins pin the
+    spec anchor values and sign symmetry (test_g711_*)."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_wav_g711, extract_audio_stats
+
+    rows = []
+    for k in range(_N_PER_KIND):
+        channels = 1 + (k % 2)
+        n_samples = (801 + 100 * k) * channels
+        i = np.arange(n_samples, dtype=np.int64)
+        codes = ((7919 * (i + 13 * k)) % 256).astype(np.uint8)
+        law = "ulaw" if k < 4 else "alaw"
+        payload = encode_wav_g711(codes, 8000, channels, law)
+        rows.append((1200 + k, payload, "audio/basic", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_audio_stats(media).orderBy("media_id")

@@ -1711,3 +1711,63 @@ def test_gif_through_pixel_stats_decoder_seam(spark):
     assert got[9]["sum_r"] is None
     for i, (sr, sg, sb) in want.items():
         assert (got[i]["sum_r"], got[i]["sum_g"], got[i]["sum_b"]) == (sr, sg, sb)
+
+
+def test_g711_expansion_tables_anchors_and_symmetry():
+    """The G.711 expansion tables against the published anchor values
+    (ITU-T G.711: u-law 0x00/0x80 are the +-32124 extremes and 0xFF/0x7F
+    the zeros; A-law 0x2A/0xAA are the +-32256 extremes, 0xD5/0x55 the
+    +-8 minima) and the sign-bit symmetry both laws guarantee."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        _ALAW_TO_PCM,
+        _ULAW_TO_PCM,
+    )
+
+    assert _ULAW_TO_PCM[0x00] == -32124 and _ULAW_TO_PCM[0x80] == 32124
+    assert _ULAW_TO_PCM[0xFF] == 0 and _ULAW_TO_PCM[0x7F] == 0
+    assert _ALAW_TO_PCM[0x2A] == -32256 and _ALAW_TO_PCM[0xAA] == 32256
+    assert _ALAW_TO_PCM[0xD5] == 8 and _ALAW_TO_PCM[0x55] == -8
+    c = np.arange(256)
+    assert (_ULAW_TO_PCM[c] == -_ULAW_TO_PCM[c ^ 0x80].astype(np.int32)).all()
+    assert (_ALAW_TO_PCM[c] == -_ALAW_TO_PCM[c ^ 0x80].astype(np.int32)).all()
+    # monotone decreasing over each law's positive code ramp
+    assert (np.diff(_ULAW_TO_PCM[0x80:0x100].astype(np.int32)) <= 0).all()
+
+
+def test_g711_wav_roundtrip_and_distributed_stats(spark):
+    """Formats 6/7 through the full WAV plumbing: every code byte decodes
+    to its table value, and the DISTRIBUTED stats operator consumes G.711
+    payloads unchanged (the expansion yields int16, the operator's native
+    domain). 16-bit PCM format-1 behavior is untouched."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        _ALAW_TO_PCM,
+        _ULAW_TO_PCM,
+        decode_wav_pcm,
+        encode_wav_g711,
+        extract_audio_stats,
+    )
+
+    codes = np.arange(256, dtype=np.uint8)
+    for law, table in (("ulaw", _ULAW_TO_PCM), ("alaw", _ALAW_TO_PCM)):
+        ch, rate, s = decode_wav_pcm(encode_wav_g711(np.tile(codes, 2), 8000, 2, law))
+        assert (ch, rate) == (2, 8000) and (s == np.tile(table[codes], 2)).all()
+    # odd byte count: RIFF pad byte must not corrupt the sample count
+    ch, _, s = decode_wav_pcm(encode_wav_g711(codes[:255], 8000, 1, "ulaw"))
+    assert s.size == 255
+    rows = [
+        (1, encode_wav_g711(codes, 8000, 1, "ulaw"), "audio/basic", 0, None),
+        (2, encode_wav_g711(codes, 8000, 1, "alaw"), "audio/basic", 0, None),
+        (3, b"RIFFxxxxNOPE", "audio/basic", 0, None),
+    ]
+    df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(2, "media_id")
+    got = {r["media_id"]: r for r in extract_audio_stats(df).collect()}
+    v = _ULAW_TO_PCM[codes].astype(np.int64)
+    assert got[1]["sum_sq"] == int((v * v).sum()) and got[1]["peak"] == 32124
+    a = _ALAW_TO_PCM[codes].astype(np.int64)
+    assert got[2]["sum_abs"] == int(np.abs(a).sum()) and got[2]["peak"] == 32256
+    assert got[3]["sum_sq"] is None

@@ -2947,13 +2947,17 @@ def _full_box(typ: bytes, payload: bytes, version: int = 0, flags: int = 0) -> b
     return _box(typ, bytes((version,)) + flags.to_bytes(3, "big") + payload)
 
 
-def build_mp4_mjpeg(frames, timescale: int = 1000, frame_dur: int = 500) -> bytes:
+def build_mp4_mjpeg(
+    frames, timescale: int = 1000, frame_dur: int = 500, use_co64: bool = False
+) -> bytes:
     """Assemble a spec-shaped MJPEG mp4: ftyp + moov(mvhd, trak(tkhd,
     mdia(mdhd, hdlr, minf(stbl(stsd 'jpeg', stts, stsc, stsz, stco)))))
     + mdat holding each frame's JPEG bytes as one sample. stco carries the
     real absolute mdat payload offset (moov is built twice: the offset
-    field is fixed-width, so the second pass only fills the number in).
-    Write-time fixture synthesizer, same discipline as ``encode_png_rgb``."""
+    field is fixed-width, so the second pass only fills the number in);
+    ``use_co64`` stores it as the 64-bit co64 variant instead (what real
+    muxers emit for >4 GB files). Write-time fixture synthesizer, same
+    discipline as ``encode_png_rgb``."""
     frames = [bytes(f) for f in frames]
     n = len(frames)
     duration = n * frame_dur
@@ -2981,7 +2985,10 @@ def build_mp4_mjpeg(frames, timescale: int = 1000, frame_dur: int = 500) -> byte
             b"stsz",
             struct.pack(">II", 0, n) + b"".join(struct.pack(">I", len(f)) for f in frames),
         )
-        stco = _full_box(b"stco", struct.pack(">II", 1, chunk_off))
+        if use_co64:
+            stco = _full_box(b"co64", struct.pack(">IQ", 1, chunk_off))
+        else:
+            stco = _full_box(b"stco", struct.pack(">II", 1, chunk_off))
         stbl = _box(b"stbl", stsd + stts + stsc + stsz + stco)
         minf = _box(b"minf", stbl)
         mdia = _box(b"mdia", mdhd + hdlr + minf)
@@ -2998,8 +3005,10 @@ def build_mp4_mjpeg(frames, timescale: int = 1000, frame_dur: int = 500) -> byte
 
 def parse_mp4_samples(b: bytes | None):
     """Walk the ISO-BMFF box tree to the first video track's sample table
-    and return [(absolute_offset, size)] for every sample. Profile: 32-bit
-    box sizes, stsz with a per-sample size list or a fixed size, samples
+    and return [(absolute_offset, size)] for every sample. Profile:
+    32-bit and ``largesize`` (size==1, 64-bit) boxes, chunk offsets from
+    stco (32-bit) or co64 (64-bit — what muxers emit past 4 GB), stsz
+    with a per-sample size list or a fixed size, samples
     laid sequentially per chunk (the stsc map is applied chunk by chunk).
     Returns None for anything unrecognizable — same null discipline as the
     other parsers."""
@@ -3012,9 +3021,15 @@ def parse_mp4_samples(b: bytes | None):
         while i + 8 <= hi:
             (size,) = struct.unpack(">I", b[i : i + 4])
             typ = b[i + 4 : i + 8]
-            if size < 8 or i + size > hi:
+            hdr = 8
+            if size == 1:  # largesize: 64-bit size follows the type
+                if i + 16 > hi:
+                    return None
+                (size,) = struct.unpack(">Q", b[i + 8 : i + 16])
+                hdr = 16
+            if size < hdr or i + size > hi:
                 return None
-            out.append((typ, i + 8, i + size))
+            out.append((typ, i + hdr, i + size))
             i += size
         return out
 
@@ -3038,7 +3053,9 @@ def parse_mp4_samples(b: bytes | None):
         tables = {}
         for typ, clo, chi in children(*stbl) or []:
             tables[typ] = (clo, chi)
-        if b"stsz" not in tables or b"stco" not in tables or b"stsc" not in tables:
+        if b"stsz" not in tables or b"stsc" not in tables:
+            return None
+        if b"stco" not in tables and b"co64" not in tables:
             return None
         # Untrusted declared counts: every table read is bounded by its own
         # box end (``hi``) so a corrupt count can neither read neighboring
@@ -3057,12 +3074,14 @@ def parse_mp4_samples(b: bytes | None):
                 struct.unpack(">I", b[lo + 12 + 4 * k : lo + 16 + 4 * k])[0]
                 for k in range(count)
             ]
-        lo, hi = tables[b"stco"]
+        wid = 4 if b"stco" in tables else 8
+        lo, hi = tables[b"stco"] if wid == 4 else tables[b"co64"]
         (n_chunks,) = struct.unpack(">I", b[lo + 4 : lo + 8])
-        if lo + 8 + 4 * n_chunks > hi:
+        if lo + 8 + wid * n_chunks > hi:
             return None
+        fmt = ">I" if wid == 4 else ">Q"
         offsets = [
-            struct.unpack(">I", b[lo + 8 + 4 * k : lo + 12 + 4 * k])[0]
+            struct.unpack(fmt, b[lo + 8 + wid * k : lo + 8 + wid * (k + 1)])[0]
             for k in range(n_chunks)
         ]
         lo, hi = tables[b"stsc"]

@@ -554,7 +554,11 @@ def video_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             by, bx = np.mgrid[0:nby, 0:nbx]
             bv = (8 + 2 * ((7 * i + 11 * f + 3 * bx + 5 * by) % 120)).astype(np.uint8)
             frames.append(encode_jpeg_gray(np.kron(bv, np.ones((8, 8), np.uint8))[:h, :w]))
-        rows.append((400 + i, build_mp4_mjpeg(frames), "video/mp4", 0, None))
+        # odd fixtures store chunk offsets as 64-bit co64 (the >4 GB muxer
+        # layout) — identical frames, so the same hash covers both tables
+        rows.append(
+            (400 + i, build_mp4_mjpeg(frames, use_co64=bool(i % 2)), "video/mp4", 0, None)
+        )
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_video_frame_stats(media).orderBy("media_id")
 

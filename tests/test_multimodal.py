@@ -1771,3 +1771,42 @@ def test_g711_wav_roundtrip_and_distributed_stats(spark):
     a = _ALAW_TO_PCM[codes].astype(np.int64)
     assert got[2]["sum_abs"] == int(np.abs(a).sum()) and got[2]["peak"] == 32256
     assert got[3]["sum_sq"] is None
+
+
+def test_mp4_co64_and_largesize_boxes():
+    """ISO-BMFF variants real muxers emit for >4 GB output: co64 (64-bit
+    chunk offsets) must locate exactly the same samples as stco, and a
+    largesize (size==1, 64-bit) mdat header must still resolve — the
+    walker reads the extended size and the samples land at the patched
+    offsets."""
+    import struct as _s
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        build_mp4_mjpeg,
+        decode_jpeg_gray,
+        encode_jpeg_gray,
+        parse_mp4_samples,
+    )
+
+    frames = [encode_jpeg_gray(np.full((16, 16), 40 + 8 * i, np.uint8)) for i in range(3)]
+    a = build_mp4_mjpeg(frames)
+    b = build_mp4_mjpeg(frames, use_co64=True)
+    sa, sb = parse_mp4_samples(a), parse_mp4_samples(b)
+    assert sa is not None and sb is not None
+    assert [a[o : o + n] for o, n in sa] == frames
+    assert [b[o : o + n] for o, n in sb] == frames
+    assert decode_jpeg_gray(b[sb[0][0] : sb[0][0] + sb[0][1]]) is not None
+    # rewrap mdat as a largesize box (+8 bytes of header) and patch the
+    # single stco chunk offset to match
+    mdat_at = a.index(b"mdat") - 4
+    (old_size,) = _s.unpack(">I", a[mdat_at : mdat_at + 4])
+    big = (
+        a[:mdat_at]
+        + _s.pack(">I", 1) + b"mdat" + _s.pack(">Q", old_size + 8)
+        + a[mdat_at + 8 :]
+    )
+    stco_at = big.index(b"stco")
+    (off,) = _s.unpack(">I", big[stco_at + 12 : stco_at + 16])
+    big = big[: stco_at + 12] + _s.pack(">I", off + 8) + big[stco_at + 16 :]
+    sc = parse_mp4_samples(big)
+    assert sc is not None and [big[o : o + n] for o, n in sc] == frames

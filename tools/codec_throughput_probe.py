@@ -75,6 +75,21 @@ def fixtures():
         p = [rng.integers(0, 256, (h, w)).astype(np.uint8) for _ in range(3)]
         return encode_jpeg_progressive(*p)
 
+    def gif(h, w):
+        from sport_data_pipeline_spark.operators.multimodal import encode_gif_rgb
+
+        pal = [(j, (5 * j) % 256, (9 * j) % 256) for j in range(256)]
+        return encode_gif_rgb(
+            rng.integers(0, 256, (h, w)).astype(np.uint8), pal, interlace=True
+        )
+
+    def g711(n):
+        from sport_data_pipeline_spark.operators.multimodal import encode_wav_g711
+
+        return encode_wav_g711(
+            rng.integers(0, 256, n).astype(np.uint8), 8000, 2, "ulaw"
+        )
+
     def wav(n):
         return encode_wav_pcm(
             rng.integers(-32768, 32768, n).astype(np.int16), 16000, 2
@@ -89,6 +104,8 @@ def fixtures():
         ("jpeg_444", "128px", [j444(128, 128) for _ in range(8)]),
         ("jpeg_420", "128px", [j420(128, 128) for _ in range(8)]),
         ("jpeg_prog", "128px", [jprog(128, 128) for _ in range(8)]),
+        ("gif", "128px", [gif(128, 128) for _ in range(16)]),
+        ("g711_ulaw", "1s", [g711(16000) for _ in range(64)]),
         ("wav_pcm", "1s", [wav(32000) for _ in range(64)]),
         ("wav_pcm", "10s", [wav(320000) for _ in range(32)]),
     ]
@@ -100,6 +117,8 @@ DECODERS = {
     "jpeg_444": "decode_jpeg_rgb",
     "jpeg_420": "decode_jpeg_rgb",
     "jpeg_prog": "decode_jpeg_rgb",
+    "gif": "decode_gif_rgb",
+    "g711_ulaw": "decode_wav_pcm",
     "wav_pcm": "decode_wav_pcm",
 }
 
@@ -109,6 +128,8 @@ OPERATORS = {
     "jpeg_444": "extract_jpeg_color_stats",
     "jpeg_420": "extract_jpeg_color_stats",
     "jpeg_prog": "extract_jpeg_color_stats",
+    "gif": "gif_stats",  # extract_pixel_stats with the decoder= seam
+    "g711_ulaw": "extract_audio_stats",
     "wav_pcm": "extract_audio_stats",
 }
 
@@ -143,7 +164,11 @@ def op_run(spark, codec: str, payloads: list[bytes], target_items: int):
     ]
     df = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(CPUS).cache()
     df.count()  # materialize inputs so the timing is the operator
-    op = getattr(M, OPERATORS[codec])
+    if OPERATORS[codec] == "gif_stats":
+        def op(d):
+            return M.extract_pixel_stats(d, decoder=M.decode_gif_rgb)
+    else:
+        op = getattr(M, OPERATORS[codec])
     t0 = time.perf_counter()
     n = op(df).count()
     dt = time.perf_counter() - t0

@@ -9,8 +9,9 @@ decoder of the PNG/JPEG/GIF container headers (signature + dimensions —
 the published container formats, no codec library needed), powering
 ``extract_media_dimensions`` and the ``decode_stub=False`` path of
 ``extract_features``; ``decode_png_rgb`` goes all the way to PIXELS for
-PNG (zlib inflate + all five scanline filters — PNG's pixel layer needs
-no codec library), powering ``extract_pixel_stats``; ``decode_gif_rgb``
+PNG at the three alpha-free color types — truecolor, grayscale, indexed
+(zlib inflate + all five scanline filters at bpp 3 or 1 — PNG's pixel
+layer needs no codec library), powering ``extract_pixel_stats``; ``decode_gif_rgb``
 does the same for GIF (real variable-width LZW, interlace de-weave,
 multi-frame via ``decode_gif_frames``); ``decode_wav_pcm``
 goes all the way to SAMPLES for WAV — 16-bit PCM plus the G.711
@@ -433,10 +434,11 @@ def extract_features(df: DataFrame, decode_stub: bool = True, batch_hint: int | 
 # PNG pixel codec: REAL pixel-level decode, pure stdlib + numpy.
 #
 # PNG's pixel layer is zlib + five per-scanline byte filters (RFC 2083 /
-# the W3C PNG spec) — no codec library needed, unlike JPEG/MP4 whose
-# entropy coders stay behind the documented seam. decode_png_rgb walks the
-# chunk list, inflates the concatenated IDAT stream, and un-filters every
-# scanline (None/Sub/Up/Average/Paeth); encode_png_rgb is the write-time
+# the W3C PNG spec) — no codec library needed. decode_png_rgb walks the
+# chunk list, inflates the concatenated IDAT stream, un-filters every
+# scanline (None/Sub/Up/Average/Paeth) at the color type's byte
+# displacement, and materializes truecolor directly, grayscale by
+# replication, indexed through the PLTE table; encode_png_rgb is the write-time
 # synthesizer (spec-valid files, real CRCs) used by the oracled query,
 # which cycles ALL five filter types across rows so each unfilter path is
 # exercised on every image. Reference parity: the reference pipeline
@@ -468,39 +470,37 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def encode_png_rgb(pixels, filters=None) -> bytes:
-    """Encode an (h, w, 3) uint8 array as a spec-valid PNG (8-bit truecolor,
-    non-interlaced, real chunk CRCs). ``filters`` picks the per-row filter
-    type (int, or a callable row→type; default: cycle 0..4 so decoders see
-    every filter). Write-time utility — synthesizes query fixtures; a real
-    ingest would land camera/scraper bytes instead."""
+def _png_encode(raw, bpp: int, color: int, plte: bytes | None, filters) -> bytes:
+    """Shared PNG writer: per-row filter application (type from
+    ``filters``: int, callable row->type, or None to cycle 0..4) over an
+    (h, stride) int32 sample matrix, then IHDR/PLTE/IDAT/IEND with real
+    CRCs. ``bpp`` is the filter displacement (bytes per pixel)."""
     import zlib
 
     import numpy as np
 
-    px = np.asarray(pixels, dtype=np.uint8)
-    h, w, _ = px.shape
-    raw = px.astype(np.int32)
+    h, stride = raw.shape
+    w = stride // bpp
     lines = bytearray()
     for y in range(h):
         f = filters(y) if callable(filters) else (y % 5 if filters is None else filters)
-        row = raw[y].reshape(-1)  # stride = 3w bytes
-        up = raw[y - 1].reshape(-1) if y else np.zeros_like(row)
+        row = raw[y]
+        up = raw[y - 1] if y else np.zeros_like(row)
         if f == 0:
             filt = row
         elif f == 1:
-            left = np.concatenate([np.zeros(_PNG_BPP, np.int32), row[:-_PNG_BPP]])
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
             filt = row - left
         elif f == 2:
             filt = row - up
         elif f == 3:
-            left = np.concatenate([np.zeros(_PNG_BPP, np.int32), row[:-_PNG_BPP]])
+            left = np.concatenate([np.zeros(bpp, np.int32), row[:-bpp]])
             filt = row - (left + up) // 2
         elif f == 4:
             filt = np.empty_like(row)
             for i in range(row.size):
-                a = int(row[i - _PNG_BPP]) if i >= _PNG_BPP else 0
-                c = int(up[i - _PNG_BPP]) if i >= _PNG_BPP else 0
+                a = int(row[i - bpp]) if i >= bpp else 0
+                c = int(up[i - bpp]) if i >= bpp else 0
                 filt[i] = row[i] - _paeth(a, int(up[i]), c)
         else:
             raise ValueError(f"unknown PNG filter type {f}")
@@ -511,22 +511,63 @@ def encode_png_rgb(pixels, filters=None) -> bytes:
         crc = zlib.crc32(typ + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
-    return (
-        _PNG_SIG
-        + chunk(b"IHDR", ihdr)
-        + chunk(b"IDAT", zlib.compress(bytes(lines)))
-        + chunk(b"IEND", b"")
-    )
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    out = _PNG_SIG + chunk(b"IHDR", ihdr)
+    if plte is not None:
+        out += chunk(b"PLTE", plte)
+    return out + chunk(b"IDAT", zlib.compress(bytes(lines))) + chunk(b"IEND", b"")
+
+
+def encode_png_rgb(pixels, filters=None) -> bytes:
+    """Encode an (h, w, 3) uint8 array as a spec-valid PNG (8-bit truecolor,
+    non-interlaced, real chunk CRCs). ``filters`` picks the per-row filter
+    type (int, or a callable row→type; default: cycle 0..4 so decoders see
+    every filter). Write-time utility — synthesizes query fixtures; a real
+    ingest would land camera/scraper bytes instead."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    return _png_encode(px.astype(np.int32).reshape(h, 3 * w), 3, 2, None, filters)
+
+
+def encode_png_gray(pixels, filters=None) -> bytes:
+    """Encode an (h, w) uint8 array as a spec-valid 8-bit GRAYSCALE PNG
+    (color type 0) — filter displacement bpp=1, so the same five filters
+    recur over single-byte pixels. Same fixture discipline as
+    :func:`encode_png_rgb`."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    return _png_encode(px.astype(np.int32), 1, 0, None, filters)
+
+
+def encode_png_indexed(indices, palette, filters=None) -> bytes:
+    """Encode an (h, w) uint8 palette-INDEX array + palette (list of
+    (r, g, b), length 1..256) as a spec-valid 8-bit INDEXED PNG (color
+    type 3 with a PLTE chunk) — the screenshot/diagram layout. Same
+    fixture discipline as :func:`encode_png_rgb`."""
+    import numpy as np
+
+    idx = np.asarray(indices, dtype=np.uint8)
+    if not 1 <= len(palette) <= 256:
+        raise ValueError("palette length must be 1..256")
+    if int(idx.max(initial=0)) >= len(palette):
+        raise ValueError("index out of palette range")
+    plte = b"".join(bytes(c) for c in palette)
+    return _png_encode(idx.astype(np.int32), 1, 3, plte, filters)
 
 
 def decode_png_rgb(b: bytes | None):
-    """Full pixel decode of an 8-bit truecolor non-interlaced PNG: returns
-    an (h, w, 3) uint8 numpy array, or None for anything unrecognizable or
-    outside that profile (palette/alpha/16-bit/interlaced → None, never a
-    crash — same null discipline as the header parsers). Filters 0 and 2
-    un-apply vectorized, 1 via per-lane cumulative sum; 3/4 walk bytes
-    (their recurrences are inherently sequential within a scanline)."""
+    """Full pixel decode of an 8-bit non-interlaced PNG at the three
+    alpha-free color types — truecolor (2), GRAYSCALE (0, replicated to
+    RGB), and INDEXED (3, PLTE lookup) — returning an (h, w, 3) uint8
+    numpy array, or None for anything unrecognizable or outside that
+    profile (alpha color types, tRNS transparency, 16-bit, interlaced →
+    None, never a crash — same null discipline as the header parsers).
+    Filters 0 and 2 un-apply vectorized, 1 via per-lane cumulative sum;
+    3/4 walk bytes (their recurrences are inherently sequential within a
+    scanline); the filter displacement is the color type's bpp (3 or 1)."""
     import zlib
 
     import numpy as np
@@ -535,6 +576,8 @@ def decode_png_rgb(b: bytes | None):
         return None
     i, n = 8, len(b)
     w = h = -1
+    color = -1
+    plte = None
     idat = bytearray()
     try:
         while i + 8 <= n:
@@ -547,8 +590,20 @@ def decode_png_rgb(b: bytes | None):
                 w, h, depth, color, comp, filt, interlace = struct.unpack(
                     ">IIBBBBB", data
                 )
-                if depth != 8 or color != 2 or comp != 0 or filt != 0 or interlace != 0:
+                if (
+                    depth != 8
+                    or color not in (0, 2, 3)
+                    or comp != 0
+                    or filt != 0
+                    or interlace != 0
+                ):
                     return None
+            elif typ == b"PLTE":
+                if ln % 3 or not 3 <= ln <= 768:
+                    return None
+                plte = np.frombuffer(data, dtype=np.uint8).reshape(-1, 3)
+            elif typ == b"tRNS":
+                return None  # transparency: out of profile
             elif typ == b"IDAT":
                 idat.extend(data)
             elif typ == b"IEND":
@@ -556,7 +611,10 @@ def decode_png_rgb(b: bytes | None):
             i += 12 + ln  # length + type + data + CRC
         if w <= 0 or h <= 0 or not idat or w * h > _MAX_DECODE_PIXELS:
             return None
-        stride = w * _PNG_BPP
+        bpp = 3 if color == 2 else 1
+        if color == 3 and plte is None:
+            return None
+        stride = w * bpp
         expect = h * (stride + 1)
         # bounded inflate: ask for at most expect+1 bytes so a zip-bomb
         # IDAT is detected by the length check without ever materializing
@@ -576,7 +634,7 @@ def decode_png_rgb(b: bytes | None):
             recon = filt
         elif f == 1:
             recon = (
-                np.cumsum(filt.reshape(w, _PNG_BPP), axis=0, dtype=np.int64).reshape(-1)
+                np.cumsum(filt.reshape(w, bpp), axis=0, dtype=np.int64).reshape(-1)
                 % 256
             ).astype(np.int32)
         elif f == 2:
@@ -584,19 +642,27 @@ def decode_png_rgb(b: bytes | None):
         elif f == 3:
             recon = np.empty(stride, dtype=np.int32)
             for i in range(stride):
-                left = recon[i - _PNG_BPP] if i >= _PNG_BPP else 0
+                left = recon[i - bpp] if i >= bpp else 0
                 recon[i] = (filt[i] + (left + prev[i]) // 2) % 256
         elif f == 4:
             recon = np.empty(stride, dtype=np.int32)
             for i in range(stride):
-                a = int(recon[i - _PNG_BPP]) if i >= _PNG_BPP else 0
-                c = int(prev[i - _PNG_BPP]) if i >= _PNG_BPP else 0
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
                 recon[i] = (filt[i] + _paeth(a, int(prev[i]), c)) % 256
         else:
             return None
         out[y] = recon
         prev = recon
-    return out.reshape(h, w, _PNG_BPP).astype(np.uint8)
+    if color == 2:
+        return out.reshape(h, w, 3).astype(np.uint8)
+    if color == 0:
+        g = out.reshape(h, w).astype(np.uint8)
+        return np.repeat(g[:, :, None], 3, axis=2)
+    idx = out.reshape(h, w).astype(np.uint8)
+    if int(idx.max(initial=0)) >= plte.shape[0]:
+        return None
+    return plte[idx]
 
 
 PIXEL_STATS_SCHEMA = StructType(

@@ -12,8 +12,10 @@ formulas (the same verdict-row pattern as ``ivf_topk_recall`` /
 produce, so any regression in the byte-level parsers or the mapInPandas
 plumbing breaks the hash-match).
 
-Pixel-level decode is REAL for PNG (``image_pixel_stats`` below: zlib +
-scanline un-filtering, formula-derived oracle), for GIF
+Pixel-level decode is REAL for PNG at all three alpha-free color types
+(``image_pixel_stats``: truecolor; ``png_typed_pixel_stats``: indexed +
+grayscale at bpp=1 filter displacement; zlib + scanline un-filtering,
+formula-derived oracles), for GIF
 (``gif_pixel_stats``: variable-width LZW + palette + interlace de-weave,
 riding the ``decoder=`` seam through the PNG stats operator), for baseline grayscale
 JPEG (``jpeg_pixel_stats``: real huffman+DPCM entropy decode + IDCT),
@@ -1249,3 +1251,80 @@ def audio_g711_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((1200 + k, payload, "audio/basic", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_audio_stats(media).orderBy("media_id")
+
+
+# Indexed/grayscale-PNG oracle: both color types are lossless, so the
+# oracle restates the pixel formulas directly — fixtures i<4 are INDEXED
+# (PLTE lookup: same 16-color formula palette as the GIF oracle; idx =
+# (2x + 3y + 5i) mod 16), i>=4 are GRAYSCALE (replicated to RGB, so
+# r = g = b = (4x + 9y + 6i) mod 256). The default filter cycling stores
+# every row under a different filter type (0..4) at bpp=1, putting the
+# single-byte-displacement un-filter paths under the driver hash.
+PNG_TYPED_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 29 + 3*i AS w, 21 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         CASE WHEN d.i < 4 THEN (2*ux.x + 3*uy.y + 5*d.i) % 16 END AS j,
+         CASE WHEN d.i >= 4 THEN (4*ux.x + 9*uy.y + 6*d.i) % 256 END AS g0
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+rgb AS (
+  SELECT i, w, h,
+         CASE WHEN i < 4 THEN (3*j + 5) % 256 ELSE g0 END AS r,
+         CASE WHEN i < 4 THEN (7*j + 1) % 256 ELSE g0 END AS g,
+         CASE WHEN i < 4 THEN (11*j + 4) % 256 ELSE g0 END AS b
+  FROM px
+)
+SELECT CAST(1300 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query("png_typed_pixel_stats", survey="llm-multimodal,X6", oracle=PNG_TYPED_ORACLE)
+def png_typed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEXED (color type 3, PLTE lookup — the screenshot/diagram
+    layout) and GRAYSCALE (type 0, replicated to RGB) PNG decode,
+    distributed — widening the truecolor-only profile of
+    ``image_pixel_stats`` to the two remaining alpha-free color types.
+    Both run at filter displacement bpp=1, where 'left' in the five
+    scanline filters is the previous BYTE — arithmetic the 3-byte
+    truecolor fixtures cannot reach. Same stats operator
+    (``extract_pixel_stats``, default decoder); fixtures cycle all five
+    filter types by row as the truecolor query does, so every bpp=1
+    un-filter path is under the hash. Lossless codec -> the oracle
+    restates palette[idx] / the gray formula directly. Unit twins:
+    test_png_gray_and_indexed_roundtrip / test_png_out_of_profile_*."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        encode_png_gray,
+        encode_png_indexed,
+        extract_pixel_stats,
+    )
+
+    pal = [((3 * j + 5) % 256, (7 * j + 1) % 256, (11 * j + 4) % 256) for j in range(16)]
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * i, 21 + 2 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        if i < 4:
+            idx = ((2 * x + 3 * y + 5 * i) % 16).astype(np.uint8)
+            payload = encode_png_indexed(idx, pal)
+        else:
+            g = ((4 * x + 9 * y + 6 * i) % 256).astype(np.uint8)
+            payload = encode_png_gray(g)
+        rows.append((1300 + i, payload, "image/png", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(media).orderBy("media_id")

@@ -1810,3 +1810,74 @@ def test_mp4_co64_and_largesize_boxes():
     big = big[: stco_at + 12] + _s.pack(">I", off + 8) + big[stco_at + 16 :]
     sc = parse_mp4_samples(big)
     assert sc is not None and [big[o : o + n] for o, n in sc] == frames
+
+
+def test_png_gray_and_indexed_roundtrip():
+    """PNG color types 0 (grayscale, replicated to RGB) and 3 (PLTE
+    lookup) decode bit-exactly with the filter displacement at bpp=1 —
+    the default filter cycling exercises all five un-filter paths on
+    single-byte pixels, where 'left' is the previous BYTE, not the
+    previous 3-byte pixel."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_gray,
+        encode_png_indexed,
+    )
+
+    rng = np.random.default_rng(12)
+    for h, w in [(5, 1), (23, 31), (6, 7)]:
+        g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        dec = decode_png_rgb(encode_png_gray(g))
+        assert dec is not None and (dec == np.repeat(g[:, :, None], 3, axis=2)).all()
+    pal = [((3 * j + 5) % 256, (7 * j + 1) % 256, (11 * j + 4) % 256) for j in range(16)]
+    for h, w in [(17, 13), (8, 40)]:
+        idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+        dec = decode_png_rgb(encode_png_indexed(idx, pal))
+        assert dec is not None and (dec == np.array(pal, np.uint8)[idx]).all()
+
+
+def test_png_out_of_profile_color_types():
+    """Profile honesty: alpha color types (4/6), tRNS transparency,
+    indexed streams without PLTE, and indices past the palette end all
+    yield None."""
+    import struct as _s
+    import zlib
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_gray,
+        encode_png_indexed,
+    )
+
+    g = np.full((8, 8), 77, np.uint8)
+    good = encode_png_gray(g)
+    ihdr_at = good.index(b"IHDR")
+    for ct in (4, 6):  # gray+alpha, RGBA
+        bad = bytearray(good)
+        bad[ihdr_at + 13] = ct
+        assert decode_png_rgb(bytes(bad)) is None
+
+    def chunk(typ, data):
+        return (
+            _s.pack(">I", len(data)) + typ + data
+            + _s.pack(">I", zlib.crc32(typ + data))
+        )
+
+    # splice a tRNS chunk before IDAT
+    idat_at = good.index(b"IDAT") - 4
+    with_trns = good[:idat_at] + chunk(b"tRNS", b"\x00") + good[idat_at:]
+    assert decode_png_rgb(with_trns) is None
+    # indexed without PLTE
+    pal = [(j, j, j) for j in range(4)]
+    idxed = encode_png_indexed(np.zeros((4, 4), np.uint8), pal)
+    plte_at = idxed.index(b"PLTE") - 4
+    (plen,) = _s.unpack(">I", idxed[plte_at : plte_at + 4])
+    no_plte = idxed[:plte_at] + idxed[plte_at + 12 + plen :]
+    assert decode_png_rgb(no_plte) is None
+    # index beyond palette: rebuild IDAT with an out-of-range index
+    big = encode_png_indexed(np.full((2, 2), 3, np.uint8), pal)
+    raw = b"".join(b"\x00" + bytes([9, 9]) for _ in range(2))  # idx 9 >= 4
+    new_idat = chunk(b"IDAT", zlib.compress(raw))
+    i_at = big.index(b"IDAT") - 4
+    (ilen,) = _s.unpack(">I", big[i_at : i_at + 4])
+    assert decode_png_rgb(big[:i_at] + new_idat + big[i_at + 12 + ilen :]) is None

@@ -1056,8 +1056,10 @@ def encode_wav_pcm(samples, sample_rate: int, channels: int) -> bytes:
 
 
 def decode_wav_pcm(b: bytes | None):
-    """Full sample decode of a RIFF/WAVE payload at the three supported
-    formats — tag 1 (16-bit integer PCM) and the G.711 telephony pair,
+    """Full sample decode of a RIFF/WAVE payload at the supported
+    formats — tag 1 integer PCM at 16-bit (native) or 8-bit (unsigned,
+    expanded to int16 full scale as (v-128)<<8, the SoX/ffmpeg
+    convention) and the G.711 telephony pair,
     tag 7 (u-law) / tag 6 (A-law), whose 8-bit codes expand through the
     exact ITU-T integer tables (``_g711_tables``) — returning
     (channels, sample_rate, samples) with ``samples`` a flat interleaved
@@ -1091,6 +1093,15 @@ def decode_wav_pcm(b: bytes | None):
         if len(data) % (channels * 2):
             return None  # partial frame
         return channels, rate, np.frombuffer(data, dtype="<i2")
+    if fmt_tag == 1 and bits == 8:
+        # 8-bit PCM is UNSIGNED with a 128 offset (the WAV spec quirk);
+        # expand to int16 full scale as (v - 128) << 8 — the SoX/ffmpeg
+        # u8 -> s16 convention — so downstream stats/resampling see one
+        # sample domain regardless of source width.
+        if len(data) % channels:
+            return None  # partial frame
+        v = np.frombuffer(data, dtype=np.uint8).astype(np.int16)
+        return channels, rate, ((v - 128) << 8).astype(np.int16)
     if fmt_tag in (6, 7) and bits == 8:
         if len(data) % channels:
             return None  # partial frame

@@ -30,7 +30,7 @@ per-frame JPEG decode); sample-level decode AND resampling are REAL for
 PCM WAV (``audio_pcm_stats``, ``audio_resample_stats``: frame-wise box
 downsample at rate//2) and for G.711 telephony audio
 (``audio_g711_stats``: u-law/A-law expansion, every table entry under
-the hash); DRI/RSTn restart-interval JPEG streams are in
+the hash) plus 8-bit unsigned PCM (unit-pinned full-scale expansion); DRI/RSTn restart-interval JPEG streams are in
 profile (r10) and ride the ``jpeg_420_pixel_stats`` /
 ``jpeg_422_pixel_stats`` oracles; PROGRESSIVE (SOF2) decode is real too
 (``jpeg_progressive_pixel_stats``: multi-scan Annex-G coefficient

@@ -404,7 +404,7 @@ def test_wav_pcm_decode_rejects_out_of_profile():
     bad_fmt[20] = 3  # format tag 3 = IEEE float, not PCM
     assert decode_wav_pcm(bytes(bad_fmt)) is None
     bad_bits = bytearray(good)
-    bad_bits[34] = 8  # 8-bit profile not supported
+    bad_bits[34] = 24  # 24-bit stays out of profile (8/16-bit decode)
     assert decode_wav_pcm(bytes(bad_bits)) is None
     # stereo with a partial frame (odd sample count): reject
     assert decode_wav_pcm(encode_wav_pcm(np.zeros(65, dtype=np.int16), 8000, 2)) is None
@@ -1881,3 +1881,29 @@ def test_png_out_of_profile_color_types():
     i_at = big.index(b"IDAT") - 4
     (ilen,) = _s.unpack(">I", big[i_at : i_at + 4])
     assert decode_png_rgb(big[:i_at] + new_idat + big[i_at + 12 + ilen :]) is None
+
+
+def test_wav_8bit_pcm_decodes_to_full_scale_int16():
+    """WAV format 1 at 8 bits: unsigned samples with the spec's 128
+    offset expand to int16 full scale as (v - 128) << 8 (the SoX/ffmpeg
+    u8->s16 convention), so stats/resampling operate in one domain."""
+    import struct as _s
+
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import decode_wav_pcm
+
+    v = np.arange(256, dtype=np.uint8)
+    data = v.tobytes()
+    fmt = b"fmt " + _s.pack("<IHHIIHH", 16, 1, 2, 8000, 8000 * 2, 2, 8)
+    body = b"WAVE" + fmt + b"data" + _s.pack("<I", len(data)) + data
+    wav = b"RIFF" + _s.pack("<I", len(body)) + body
+    ch, rate, s = decode_wav_pcm(wav)
+    assert (ch, rate) == (2, 8000)
+    assert s.dtype == np.int16
+    exp = ((v.astype(np.int16) - 128) << 8).astype(np.int16)
+    assert (s == exp).all()
+    assert s.min() == -32768 and s.max() == 32512 and s[128] == 0
+    # partial frame (odd byte count at 2 channels) rejects
+    bad_body = b"WAVE" + fmt + b"data" + _s.pack("<I", 3) + data[:3]
+    assert decode_wav_pcm(b"RIFF" + _s.pack("<I", len(bad_body)) + bad_body) is None

@@ -165,6 +165,27 @@ def query(
 #: heavy_hitters_sketch/incident_window_attribution, llm-index via the
 #: two in-window BPE trainer queries whose first iteration IS the pair
 #: stats).
+#: r11 rotation (6 swaps): IN came the six media queries registered in
+#: r10 after the r10 rotation (COVERAGE.md "r11 candidates", each
+#: verified bit-exact at sf0.01 with tools/oracle_check.py when
+#: registered and re-verified by the r10 judge): jpeg_422_pixel_stats,
+#: jpeg_sampling_pixel_stats, jpeg_progressive_pixel_stats,
+#: gif_pixel_stats, audio_g711_stats, png_typed_pixel_stats. OUT went
+#: the six r10 first-row holders, each keeping its green
+#: CORRECTNESS_r10 history and local oracle: jpeg_color_pixel_stats +
+#: jpeg_420_pixel_stats (4:4:4 and 4:2:0 color decode stay under the
+#: hash via jpeg_sampling_pixel_stats' generic h,v matrix and
+#: jpeg_422_pixel_stats' interleaved-chroma MCUs), image_resize_stats
+#: (truecolor PNG decode stays via png_typed_pixel_stats' shared
+#: decode path; box resize stays locally oracled),
+#: audio_resample_stats (WAV PCM decode stays via audio_g711_stats
+#: which decodes int16 PCM alongside both G.711 laws; resample stays
+#: locally oracled), video_frame_stats (per-frame grayscale JPEG decode
+#: stays via jpeg_sampling/progressive; multi-frame media via
+#: gif_pixel_stats' frame walk; the MP4 walker stays locally oracled),
+#: and status_transitions_batch (T6 batch twin — its r10 row
+#: hash-certified the shared _fold_transitions; T6 stays represented by
+#: stream_session_equivalence).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
@@ -220,13 +241,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_session_equivalence",
     "stream_join_equivalence",
     # multimodal pixel/sample-level decode rows
-    "image_resize_stats",
-    "video_frame_stats",
-    "jpeg_color_pixel_stats",
-    "jpeg_420_pixel_stats",
-    "audio_resample_stats",
-    # stateful per-key operator, batch twin (T6)
-    "status_transitions_batch",
+    "jpeg_422_pixel_stats",
+    "jpeg_sampling_pixel_stats",
+    "jpeg_progressive_pixel_stats",
+    "gif_pixel_stats",
+    "audio_g711_stats",
+    "png_typed_pixel_stats",
 )
 
 

@@ -40,26 +40,34 @@ from sport_data_pipeline_spark.plans import all_queries
 from sport_data_pipeline_spark.session import get_session
 
 
-def cotenant_jvms() -> list[str]:
+def cotenant_jvms() -> list[str] | str:
     """Pre-flight quiet-box check: command lines of java processes already
     running when the bench starts (leaked pytest sessions, a concurrent
     build). Run BEFORE creating our own session, so anything found is a
-    co-tenant that will contend for CPU and inflate every timing."""
+    co-tenant that will contend for CPU and inflate every timing.
+
+    Returns the (possibly empty) list on a readable /proc; the sentinel
+    string "unsupported" when /proc cannot be scanned at all, so an empty
+    list always means a genuinely verified-quiet box, never a blind one.
+    A JVM counts when any argv token's path basename is "java" (covers
+    wrapper launchers whose argv0 is the wrapper, not the JVM binary)."""
     out: list[str] = []
     try:
-        for pid in os.listdir("/proc"):
-            if not pid.isdigit():
-                continue
-            try:
-                with open(f"/proc/{pid}/cmdline", "rb") as fh:
-                    cmd = fh.read().replace(b"\0", b" ").decode(errors="replace")
-            except OSError:
-                continue
-            head = cmd.split(" ", 1)[0]
-            if head.endswith("java"):
-                out.append(f"{pid}: {cmd[:120].strip()}")
+        pids = os.listdir("/proc")
     except OSError:
-        pass
+        return "unsupported"
+    for pid in pids:
+        if not pid.isdigit():
+            continue
+        try:
+            with open(f"/proc/{pid}/cmdline", "rb") as fh:
+                raw = fh.read()
+        except OSError:
+            continue
+        argv = [a.decode(errors="replace") for a in raw.split(b"\0") if a]
+        if any(os.path.basename(a) == "java" for a in argv):
+            cmd = " ".join(argv)
+            out.append(f"{pid}: {cmd[:120].strip()}")
     return out
 
 

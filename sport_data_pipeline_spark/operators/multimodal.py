@@ -850,8 +850,9 @@ def _gif_lzw_decode(data: bytes, mcs: int, expect: int) -> bytearray | None:
             entry = table[code]
         elif code < len(table):
             entry = table[code]
-            table.append(prev + entry[:1])
-        elif code == len(table):  # KwKwK
+            if len(table) < 4096:  # table frozen at 12-bit capacity
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4096:  # KwKwK
             entry = prev + prev[:1]
             table.append(entry)
         else:
@@ -1110,7 +1111,6 @@ def decode_wav_pcm(b: bytes | None):
     return None
 
 
-
 def _g711_tables():
     """The 256-entry G.711 expansion tables, computed from the published
     integer formulas (ITU-T G.711 / the canonical Sun ulaw.c arithmetic):
@@ -1196,7 +1196,7 @@ def extract_audio_stats(df: DataFrame, decoder=None) -> DataFrame:
     abs() in int16). ``decoder`` is the
     production-codec seam: a callable ``bytes|None -> decoded|None`` with
     the same contract as the pure default — a native library (e.g. a
-    libjpeg/libpng binding) slots in behind the identical operator shape,
+    libsndfile or ffmpeg binding) slots in behind the identical operator shape,
     schema, and null discipline (throughput gap quantified in SCALE.md
     §8i)."""
     import numpy as np
@@ -1931,6 +1931,7 @@ def encode_jpeg_ycbcr_422(
     return encode_jpeg_ycbcr_subsampled(
         y, cb, cr, (2, 1), quant_luma, quant_chroma, restart_interval
     )
+
 
 def encode_jpeg_ycbcr_subsampled(
     y,

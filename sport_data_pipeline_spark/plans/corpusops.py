@@ -1266,28 +1266,30 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_tok_kept").alias("n_tok_clean"),
             F.md5(F.col("text_clean").cast("binary")).alias("clean_fp"),
         )
-        rows = (
+        result = (
             routing.join(cleaned, "doc_id", "left")
             .select(
-                "doc_id",
+                F.col("doc_id").cast("long").alias("doc_id"),
                 "status",
-                "match_id",
-                "n_tok",
-                F.when(F.col("status") == "kept", F.col("n_tok_clean")).alias(
-                    "n_tok_clean"
-                ),
+                F.col("match_id").cast("long").alias("match_id"),
+                F.col("n_tok").cast("long").alias("n_tok"),
+                F.when(F.col("status") == "kept", F.col("n_tok_clean"))
+                .cast("long")
+                .alias("n_tok_clean"),
                 F.when(F.col("status") == "kept", F.col("clean_fp")).alias("clean_fp"),
             )
             .orderBy("doc_id")
-            .collect()
         )
+        # Materialize DISTRIBUTED (executor block storage) before `finally`
+        # deletes the tmp snapshot dirs the lineage reads from. This keeps
+        # the routing table off the driver — formerly a .collect() +
+        # createDataFrame round-trip, a linear driver allocation at a 100×
+        # daily batch. localCheckpoint severs the lineage eagerly; blocks
+        # live on executors for the session (local mode: in-process), the
+        # right trade vs. shipping every row through the driver.
+        return result.localCheckpoint(eager=True)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(
-        rows,
-        "doc_id long, status string, match_id long, n_tok long,"
-        " n_tok_clean long, clean_fp string",
-    )
 
 
 # ---------------------------------------------------------------------------

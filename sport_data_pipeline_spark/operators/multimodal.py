@@ -1028,11 +1028,13 @@ def decode_gif_rgb(b: bytes | None):
 
 
 # ---------------------------------------------------------------------------
-# WAV PCM + G.711 codec: REAL sample-level decode, pure stdlib + numpy —
-# the audio twin of the PNG pixel codec above. 16-bit integer PCM is raw
-# little-endian samples inside the RIFF 'data' chunk (no entropy coder);
-# the G.711 telephony pair (u-law format 7 / A-law format 6) expands
-# 8-bit codes through the exact ITU-T integer tables — full waveform
+# WAV PCM + G.711 + IMA ADPCM codec: REAL sample-level decode, pure
+# stdlib + numpy — the audio twin of the PNG pixel codec above. 16-bit
+# integer PCM is raw little-endian samples inside the RIFF 'data' chunk
+# (no entropy coder); the G.711 telephony pair (u-law format 7 / A-law
+# format 6) expands 8-bit codes through the exact ITU-T integer tables;
+# IMA/DVI ADPCM (format 0x11, the classic 4-bit block codec) runs the
+# published step-table predictor per block — full waveform
 # reconstruction, no codec library. Perceptual compressed audio
 # (MP3/AAC/Opus) stays behind the documented seam.
 # ---------------------------------------------------------------------------
@@ -1060,13 +1062,14 @@ def decode_wav_pcm(b: bytes | None):
     """Full sample decode of a RIFF/WAVE payload at the supported
     formats — tag 1 integer PCM at 16-bit (native) or 8-bit (unsigned,
     expanded to int16 full scale as (v-128)<<8, the SoX/ffmpeg
-    convention) and the G.711 telephony pair,
+    convention), the G.711 telephony pair,
     tag 7 (u-law) / tag 6 (A-law), whose 8-bit codes expand through the
-    exact ITU-T integer tables (``_g711_tables``) — returning
-    (channels, sample_rate, samples) with ``samples`` a flat interleaved
-    int16 numpy array, or None for anything unrecognizable or outside
-    that profile (float/24-bit/compressed formats, missing or truncated
-    chunks → None, never a crash). Walks the chunk list with
+    exact ITU-T integer tables (``_g711_tables``), and IMA/DVI ADPCM
+    (tag 0x11 at 4 bits, block-predictive — ``_decode_ima_adpcm``) —
+    returning (channels, sample_rate, samples) with ``samples`` a flat
+    interleaved int16 numpy array, or None for anything unrecognizable
+    or outside that profile (float/24-bit/perceptual formats, missing or
+    truncated chunks → None, never a crash). Walks the chunk list with
     RIFF word alignment; ignores unknown chunks (LIST/fact/cue)."""
     import numpy as np
 
@@ -1074,6 +1077,7 @@ def decode_wav_pcm(b: bytes | None):
         return None
     i, n = 12, len(b)
     channels = rate = bits = fmt_tag = None
+    block_align = spb = None
     data = None
     while i + 8 <= n:
         cid = b[i : i + 4]
@@ -1082,9 +1086,14 @@ def decode_wav_pcm(b: bytes | None):
         if len(payload) < sz:
             return None  # declared size runs past the buffer: truncated
         if cid == b"fmt " and sz >= 16:
-            fmt_tag, channels, rate, _, _, bits = struct.unpack(
+            fmt_tag, channels, rate, _, block_align, bits = struct.unpack(
                 "<HHIIHH", payload[:16]
             )
+            # IMA ADPCM carries wSamplesPerBlock in the extended fmt
+            # (cbSize >= 2); out-of-range values fail the block-geometry
+            # check below rather than crashing here.
+            if sz >= 20:
+                (spb,) = struct.unpack("<H", payload[18:20])
         elif cid == b"data":
             data = payload
         i += 8 + sz + (sz & 1)  # word alignment
@@ -1108,7 +1117,192 @@ def decode_wav_pcm(b: bytes | None):
             return None  # partial frame
         table = _ULAW_TO_PCM if fmt_tag == 7 else _ALAW_TO_PCM
         return channels, rate, table[np.frombuffer(data, dtype=np.uint8)]
+    if fmt_tag == 0x11 and bits == 4:
+        samples = _decode_ima_adpcm(data, channels, block_align, spb)
+        return None if samples is None else (channels, rate, samples)
     return None
+
+
+# IMA/DVI ADPCM step-size table (89 entries) and index-adjust table for
+# the low 3 bits of a nibble — the published constants from the IMA
+# "Recommended Practices for Enhancing Digital Audio Compatibility"
+# (rev 3.00), identical in the Microsoft WAVE format-0x11 registration.
+_ADPCM_STEPS = (
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767,
+)
+_ADPCM_INDEX_ADJ = (-1, -1, -1, -1, 2, 4, 6, 8)
+
+
+def _adpcm_step(pred: int, index: int, nibble: int) -> tuple[int, int]:
+    """One IMA ADPCM decode step: (predictor, index) -> updated pair.
+    The diff reconstruction uses the exact bit-tested shift sum (not the
+    (2n+1)*step/8 approximation), so encoder and decoder share one
+    arithmetic and the reconstruction is deterministic."""
+    step = _ADPCM_STEPS[index]
+    diff = step >> 3
+    if nibble & 1:
+        diff += step >> 2
+    if nibble & 2:
+        diff += step >> 1
+    if nibble & 4:
+        diff += step
+    if nibble & 8:
+        diff = -diff
+    pred = min(32767, max(-32768, pred + diff))
+    index = min(88, max(0, index + _ADPCM_INDEX_ADJ[nibble & 7]))
+    return pred, index
+
+
+def _decode_ima_adpcm(data: bytes, channels, block_align, spb):
+    """Decode an IMA ADPCM (WAV format 0x11) data chunk into a flat
+    interleaved int16 array, or None outside the profile: mono/stereo,
+    whole blocks only, block geometry consistent with wSamplesPerBlock
+    (spb = (block_align - 4*channels) * 2 / channels + 1 — the standard
+    layout where every data byte holds two nibbles of one channel and
+    stereo interleaves 4-byte channel words). Per-block: a 4-byte header
+    per channel (int16 seed predictor, step index, reserved), then
+    nibbles low-first; the seed is emitted as the block's first sample,
+    the standard header-counts-as-sample-one convention."""
+    import numpy as np
+
+    if channels not in (1, 2) or not block_align or spb is None or spb < 1:
+        return None
+    body_len = block_align - 4 * channels
+    if body_len <= 0 or (channels == 2 and body_len % 8):
+        return None  # stereo 4-byte channel words must fill exactly
+    if spb != body_len * 2 // channels + 1:
+        return None
+    if not data or len(data) % block_align:
+        return None  # whole blocks only
+    out = np.empty(len(data) // block_align * spb * channels, dtype=np.int16)
+    w = 0
+    for base in range(0, len(data), block_align):
+        block = data[base : base + block_align]
+        preds, idxs = [], []
+        for ch in range(channels):
+            (p,) = struct.unpack_from("<h", block, 4 * ch)
+            ix = block[4 * ch + 2]
+            if ix > 88:
+                return None
+            preds.append(p)
+            idxs.append(ix)
+            out[w + ch] = p
+        w += channels
+        body = block[4 * channels :]
+        if channels == 1:
+            decoded = 0
+            for byte in body:
+                for nib in (byte & 0xF, byte >> 4):
+                    if decoded >= spb - 1:
+                        break  # trailing pad nibble(s)
+                    preds[0], idxs[0] = _adpcm_step(preds[0], idxs[0], nib)
+                    out[w] = preds[0]
+                    w += 1
+                    decoded += 1
+        else:
+            # stereo: alternating 4-byte words, 8 nibbles per channel
+            decoded = [0, 0]
+            for word in range(0, len(body), 8):
+                for ch in (0, 1):
+                    for j in range(4):
+                        byte = body[word + 4 * ch + j]
+                        for nib in (byte & 0xF, byte >> 4):
+                            if decoded[ch] >= spb - 1:
+                                break
+                            preds[ch], idxs[ch] = _adpcm_step(
+                                preds[ch], idxs[ch], nib
+                            )
+                            out[w + 2 * decoded[ch] + ch] = preds[ch]
+                            decoded[ch] += 1
+            w += 2 * (spb - 1)
+    return out
+
+
+def encode_wav_adpcm(samples, sample_rate: int, channels: int, spb: int = 505) -> bytes:
+    """Encode interleaved int16 samples as IMA ADPCM (WAV format 0x11):
+    the standard greedy nibble quantizer over `_adpcm_step`'s exact
+    arithmetic, step index carried across blocks, each block seeded with
+    its first actual sample. Lossy against the input but deterministic —
+    decode(encode(x)) equals the encoder's internal reconstruction
+    bit-exactly, which is what the round-trip tests pin. The frame count
+    must fill whole blocks (spb odd keeps nibble pairs byte-aligned).
+    Write-time fixture synthesizer, same discipline as
+    ``encode_wav_pcm``; any standard reader (ffmpeg, SoX) accepts the
+    layout."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype=np.int16)
+    if channels not in (1, 2) or spb < 2 or spb % 2 == 0:
+        raise ValueError("channels must be 1/2 and spb an odd >= 3")
+    if channels == 2 and (spb - 1) % 8:
+        raise ValueError("stereo needs spb - 1 divisible by 8 (word interleave)")
+    if s.size % channels or (s.size // channels) % spb:
+        raise ValueError("sample count must fill whole blocks")
+    block_align = 4 * channels + (spb - 1) * channels // 2
+    frames = s.reshape(-1, channels)
+    idxs = [0] * channels
+    blocks = bytearray()
+    for b0 in range(0, len(frames), spb):
+        chunk = frames[b0 : b0 + spb]
+        preds = [int(chunk[0, ch]) for ch in range(channels)]
+        for ch in range(channels):
+            blocks += struct.pack("<hBB", preds[ch], idxs[ch], 0)
+        nibs: list[list[int]] = [[] for _ in range(channels)]
+        for row in chunk[1:]:
+            for ch in range(channels):
+                step = _ADPCM_STEPS[idxs[ch]]
+                delta = int(row[ch]) - preds[ch]
+                nib = 0
+                if delta < 0:
+                    nib = 8
+                    delta = -delta
+                if delta >= step:
+                    nib |= 4
+                    delta -= step
+                if delta >= step >> 1:
+                    nib |= 2
+                    delta -= step >> 1
+                if delta >= step >> 2:
+                    nib |= 1
+                preds[ch], idxs[ch] = _adpcm_step(preds[ch], idxs[ch], nib)
+                nibs[ch].append(nib)
+        # spb odd -> spb - 1 nibbles per channel, already byte/word exact
+        if channels == 1:
+            for j in range(0, spb - 1, 2):
+                blocks.append(nibs[0][j] | (nibs[0][j + 1] << 4))
+        else:
+            for w0 in range(0, spb - 1, 8):
+                for ch in (0, 1):
+                    for j in range(w0, w0 + 8, 2):
+                        blocks.append(nibs[ch][j] | (nibs[ch][j + 1] << 4))
+    return wrap_wav_adpcm(bytes(blocks), sample_rate, channels, block_align, spb)
+
+
+def wrap_wav_adpcm(
+    blocks: bytes, sample_rate: int, channels: int, block_align: int, spb: int
+) -> bytes:
+    """Wrap raw IMA ADPCM block bytes in a spec-valid RIFF/WAVE container
+    (format tag 0x11, 4 bits/sample, extended fmt carrying
+    wSamplesPerBlock, plus the 'fact' chunk the spec requires for
+    compressed formats). Split out of :func:`encode_wav_adpcm` so oracle
+    fixtures can assemble closed-form nibble streams directly."""
+    n_blocks = len(blocks) // block_align
+    byte_rate = sample_rate * block_align // spb
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHHH", 20, 0x11, channels, sample_rate, byte_rate,
+        block_align, 4, 2, spb,
+    )
+    fact = b"fact" + struct.pack("<II", 4, n_blocks * spb)
+    body = b"WAVE" + fmt + fact + b"data" + struct.pack("<I", len(blocks)) + blocks
+    if len(blocks) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
 def _g711_tables():

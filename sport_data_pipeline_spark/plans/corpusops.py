@@ -1625,3 +1625,107 @@ def bpe_vocab_after_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "token")
         .limit(20)
     )
+
+
+def _bpe_encode_oracle(n_merges: int) -> str:
+    """Merge training prefix + the encode half: distinct words encoded
+    through the learned replaces, joined back to (doc, pos) and
+    reassembled per doc under an md5."""
+    enc_chain = "".join(
+        f""",
+e{k} AS (
+  SELECT w, replace(s, '<' || m.l || '><' || m.r || '>', '<' || m.l || m.r || '>') AS s
+  FROM e{k - 1}, m{k} m
+)"""
+        for k in range(1, n_merges + 1)
+    )
+    return (
+        _bpe_oracle_prefix(n_merges)
+        + r""",
+dw AS (
+  SELECT doc_id, pos, w FROM (
+    SELECT doc_id, generate_subscripts(arr, 1) AS pos, unnest(arr) AS w
+    FROM (SELECT doc_id, regexp_split_to_array(lower(trim(text)), '\s+') AS arr
+          FROM documents)
+  ) WHERE regexp_matches(w, '^[a-z]{2,}$')
+),
+e0 AS (
+  SELECT w, regexp_replace(w, '(.)', '<\1>', 'g') AS s
+  FROM (SELECT DISTINCT w FROM dw)
+)"""
+        + enc_chain
+        + f"""
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(COUNT(*) AS BIGINT) AS n_words,
+       CAST(SUM(len(str_split(s[2:-2], '><'))) AS BIGINT) AS n_tok,
+       CAST(SUM(len(list_filter(str_split(s[2:-2], '><'), t -> length(t) >= 2)))
+            AS BIGINT) AS n_merged_tok,
+       md5(string_agg(s, ' ' ORDER BY pos)) AS enc_fp
+FROM dw JOIN e{n_merges} USING (w)
+GROUP BY doc_id ORDER BY doc_id"""
+    )
+
+
+BPE_ENCODE_ORACLE = _bpe_encode_oracle(_BPE_MERGES)
+
+
+@query("bpe_encode_corpus", survey="A5,llm-index,iterative", oracle=BPE_ENCODE_ORACLE)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODE the corpus with the trained tokenizer: per-document token
+    sequences after the five learned BPE merges — the inference half of
+    tokenizer training (ref: the reference's tokenize-on-ingest step;
+    Sennrich et al. 2016 §3 "apply the learned operations").
+
+    Scale shape (the word-cache trick production tokenizers use): each
+    DISTINCT word is encoded exactly once — five vocabulary-sized
+    literal replaces on the sentinel representation — then joined back
+    to corpus (doc, pos) word occurrences, so the per-token work is
+    vocabulary-bound while the corpus-sized pass is one explode + one
+    equi-join + one grouped reassembly. Per doc: encodable word count,
+    post-merge token count, merged-token (len >= 2) count, and the md5
+    of the full position-ordered encoded stream — the fingerprint pins
+    the exact token sequence of every document, not just its length."""
+    merges, _ = _bpe_train(spark, sf_dir, _BPE_MERGES)
+    docs = (
+        _t(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "w"),
+        )
+        .filter(F.col("w").rlike("^[a-z]{2,}$"))
+    )
+    enc = (
+        docs.select("w")
+        .distinct()
+        .select("w", F.regexp_replace("w", "(.)", "<$1>").alias("s"))
+    )
+    for _step, l_, r_, _merged, _n in merges:
+        enc = enc.select(
+            "w",
+            F.replace(F.col("s"), F.lit(f"<{l_}><{r_}>"), F.lit(f"<{l_}{r_}>")).alias(
+                "s"
+            ),
+        )
+    syms = F.split(F.regexp_replace("s", "^<|>$", ""), "><")
+    enc = enc.select(
+        "w",
+        "s",
+        F.size(syms).alias("wt"),
+        F.size(F.filter(syms, lambda t: F.length(t) >= 2)).alias("wm"),
+    )
+    ordered = F.sort_array(F.collect_list(F.struct("pos", "s")))
+    return (
+        docs.join(enc, "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("wt").cast("long").alias("n_tok"),
+            F.sum("wm").cast("long").alias("n_merged_tok"),
+            F.md5(
+                F.concat_ws(
+                    " ", F.transform(ordered, lambda x: x["s"])
+                ).cast("binary")
+            ).alias("enc_fp"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1328,3 +1328,120 @@ def png_typed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((1300 + i, payload, "image/png", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_pixel_stats(media).orderBy("media_id")
+
+
+# IMA ADPCM + 8-bit PCM oracle: the block codec is sequential, but the
+# fixtures are built from the two nibble streams whose decode has a
+# CLOSED FORM — (a) all-zero nibbles at step index 0 hold the header
+# seed exactly for the whole block (step 7 >> 3 == 0), and (b) all-zero
+# nibbles at step index 88 ramp by the descending step//8 sequence with
+# the index walking down to its 0 floor and the predictor clamping at
+# 32767 (monotone non-negative diffs make clamp-during-accumulation
+# equal a final LEAST) — so the oracle restates the published 89-entry
+# step table verbatim and reproduces every sample with a windowed sum.
+# Fixtures k>=8 are 8-bit unsigned PCM ((v-128)<<8 full-scale expansion),
+# putting the last unit-only decode branch under an external-grade hash.
+AUDIO_ADPCM_ORACLE = """
+WITH steps(st) AS (SELECT [7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37, 41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173, 190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658, 724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066, 2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894, 6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289, 16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767]),
+ramp AS (
+  SELECT j, SUM(st[GREATEST(90 - j, 1)] // 8)
+             OVER (ORDER BY j ROWS UNBOUNDED PRECEDING) AS cum
+  FROM (SELECT unnest(range(1, 161)) AS j), steps
+),
+par AS (
+  SELECT k, 1 + (k % 2) AS channels, 8000 + 1000*(k % 3) AS rate,
+         2 + (k % 3) AS nb
+  FROM (SELECT unnest(range(8)) AS k)
+),
+adpcm AS (
+  SELECT p.k, p.channels, p.rate, p.nb * 161 * p.channels AS n_samples,
+         CASE WHEN p.k < 4
+              THEN ((211*p.k + 97*ub.b + 53*uc.ch) % 60000) - 30000
+              WHEN uj.j = 0
+              THEN 100 + 37*p.k + 11*ub.b + 7*uc.ch
+              ELSE LEAST(100 + 37*p.k + 11*ub.b + 7*uc.ch + r.cum, 32767)
+         END AS v
+  FROM par p,
+       LATERAL (SELECT unnest(range(p.nb)) AS b) ub,
+       LATERAL (SELECT unnest(range(p.channels)) AS ch) uc,
+       LATERAL (SELECT unnest(range(161)) AS j) uj
+       LEFT JOIN ramp r ON r.j = uj.j
+),
+u8 AS (
+  SELECT k, 1 + (k % 2) AS channels, 11025 AS rate,
+         (701 + 100*k) * (1 + (k % 2)) AS n_samples,
+         (((7919 * (u.i + 29*k)) % 256) - 128) * 256 AS v
+  FROM (SELECT unnest([8, 9]) AS k) ks,
+       LATERAL (SELECT unnest(range((701 + 100*k) * (1 + (k % 2)))) AS i) u
+),
+s AS (
+  SELECT k, channels, rate, n_samples, v FROM adpcm
+  UNION ALL
+  SELECT k, channels, rate, n_samples, v FROM u8
+)
+SELECT CAST(1400 + k AS BIGINT) AS media_id,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+       SQRT(CAST(SUM(v * v) AS DOUBLE) / n_samples) AS rms
+FROM s GROUP BY k, channels, rate, n_samples ORDER BY media_id
+"""
+
+
+@query("audio_adpcm_stats", survey="llm-multimodal,X6", oracle=AUDIO_ADPCM_ORACLE)
+def audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL IMA/DVI ADPCM decode (WAV format 0x11 — the classic 4-bit
+    block-predictive codec), distributed, plus 8-bit unsigned PCM:
+    payloads flow through the SAME stats operator as every other audio
+    format (``extract_audio_stats`` -> ``decode_wav_pcm``), exercising
+    the RIFF extended-fmt walk (wSamplesPerBlock, fact chunk), per-block
+    header seeding, nibble expansion, the step-index floor at 0, and the
+    predictor clamp at 32767.
+
+    Fixture families: k<4 hold each block constant at its header seed
+    (index 0, zero nibbles); k in 4..7 ramp from index 88 through the
+    full descending step table into the clamp (mono/stereo, 2-4 blocks);
+    k>=8 are 8-bit PCM full-scale expansions — the one decode branch the
+    r10 round left unit-only, now under the driver-grade hash. The
+    general (non-closed-form) nibble arithmetic is pinned by the
+    encoder-reconstruction round-trip units (test_adpcm_*)."""
+    import numpy as np
+
+    from ..operators.multimodal import extract_audio_stats, wrap_wav_adpcm
+
+    rows = []
+    for k in range(_N_PER_KIND):
+        channels = 1 + (k % 2)
+        rate = 8000 + 1000 * (k % 3)
+        nb = 2 + (k % 3)
+        spb, ba = 161, 84 * channels
+        blocks = bytearray()
+        for b in range(nb):
+            for ch in range(channels):
+                if k < 4:
+                    seed = ((211 * k + 97 * b + 53 * ch) % 60000) - 30000
+                    blocks += struct.pack("<hBB", seed, 0, 0)
+                else:
+                    seed = 100 + 37 * k + 11 * b + 7 * ch
+                    blocks += struct.pack("<hBB", seed, 88, 0)
+            blocks += bytes(80 * channels)  # all-zero nibble body
+        payload = wrap_wav_adpcm(bytes(blocks), rate, channels, ba, spb)
+        rows.append((1400 + k, payload, "audio/wav", len(payload), None))
+    for k in (8, 9):
+        channels = 1 + (k % 2)
+        n = (701 + 100 * k) * channels
+        i = np.arange(n, dtype=np.int64)
+        data = ((7919 * (i + 29 * k)) % 256).astype(np.uint8).tobytes()
+        fmt = b"fmt " + struct.pack(
+            "<IHHIIHH", 16, 1, channels, 11025, 11025 * channels, channels, 8
+        )
+        body = b"WAVE" + fmt + b"data" + struct.pack("<I", len(data)) + data
+        if len(data) & 1:
+            body += b"\x00"
+        payload = b"RIFF" + struct.pack("<I", len(body)) + body
+        rows.append((1400 + k, payload, "audio/wav", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_audio_stats(media).orderBy("media_id")

@@ -1907,3 +1907,108 @@ def test_wav_8bit_pcm_decodes_to_full_scale_int16():
     # partial frame (odd byte count at 2 channels) rejects
     bad_body = b"WAVE" + fmt + b"data" + _s.pack("<I", 3) + data[:3]
     assert decode_wav_pcm(b"RIFF" + _s.pack("<I", len(bad_body)) + bad_body) is None
+
+
+def test_adpcm_roundtrip_matches_encoder_reconstruction():
+    """IMA ADPCM is lossy against the input but decode(encode(x)) must
+    equal the encoder's internal reconstruction bit-exactly (mono and
+    stereo, step index carried across blocks) — encoder and decoder
+    share `_adpcm_step`'s exact shift-sum arithmetic, so an independent
+    per-sample simulation pins both."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        _ADPCM_STEPS,
+        _adpcm_step,
+        decode_wav_pcm,
+        encode_wav_adpcm,
+    )
+
+    def simulate(chan_samples, spb):
+        out, idx = [], 0
+        for b0 in range(0, len(chan_samples), spb):
+            blk = chan_samples[b0 : b0 + spb]
+            pred = int(blk[0])
+            out.append(pred)
+            for v in blk[1:]:
+                step = _ADPCM_STEPS[idx]
+                delta, nib = int(v) - pred, 0
+                if delta < 0:
+                    nib, delta = 8, -delta
+                if delta >= step:
+                    nib, delta = nib | 4, delta - step
+                if delta >= step >> 1:
+                    nib, delta = nib | 2, delta - (step >> 1)
+                if delta >= step >> 2:
+                    nib |= 1
+                pred, idx = _adpcm_step(pred, idx, nib)
+                out.append(pred)
+        return np.array(out, dtype=np.int16)
+
+    rng = np.random.default_rng(41)
+    spb = 505
+    mono = rng.normal(0, 7000, spb * 3).astype(np.int16)
+    ch, rate, got = decode_wav_pcm(encode_wav_adpcm(mono, 8000, 1, spb))
+    assert (ch, rate) == (1, 8000)
+    assert np.array_equal(got, simulate(mono, spb))
+
+    stereo = rng.normal(0, 11000, 2 * spb * 2).astype(np.int16)
+    ch, rate, got2 = decode_wav_pcm(encode_wav_adpcm(stereo, 16000, 2, spb))
+    assert (ch, rate) == (2, 16000)
+    frames = stereo.reshape(-1, 2)
+    assert np.array_equal(got2[0::2], simulate(frames[:, 0], spb))
+    assert np.array_equal(got2[1::2], simulate(frames[:, 1], spb))
+
+
+def test_adpcm_clamps_and_known_vector():
+    """Spec anchors: all-zero nibbles at index 0 hold the seed exactly
+    (step 7 >> 3 == 0); at index 88 they ramp by the descending
+    step >> 3 sequence, clamp the predictor at 32767, and floor the
+    index at 0 — the closed forms the SQL oracle restates."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        _ADPCM_STEPS,
+        decode_wav_pcm,
+        wrap_wav_adpcm,
+    )
+
+    spb, ba = 161, 84  # mono: 4-byte header + 80 zero bytes
+    flat = struct.pack("<hBB", -12345, 0, 0) + bytes(80)
+    ch, rate, s = decode_wav_pcm(wrap_wav_adpcm(flat, 8000, 1, ba, spb))
+    assert (ch, rate, len(s)) == (1, 8000, spb)
+    assert (s == -12345).all()
+
+    ramp = struct.pack("<hBB", 100, 88, 0) + bytes(80)
+    _, _, r = decode_wav_pcm(wrap_wav_adpcm(ramp, 8000, 1, ba, spb))
+    cum, exp = 0, [100]
+    for j in range(spb - 1):
+        cum += _ADPCM_STEPS[max(88 - j, 0)] >> 3
+        exp.append(min(100 + cum, 32767))
+    assert np.array_equal(r, np.array(exp, dtype=np.int16))
+    assert r[-1] == 32767  # predictor clamp reached
+    assert _ADPCM_STEPS[0] >> 3 == 0  # index floor: flatline after 88
+
+
+def test_adpcm_out_of_profile_rejects():
+    """Malformed ADPCM payloads return None, never crash: partial
+    blocks, step index > 88, inconsistent wSamplesPerBlock, stereo body
+    not filling 4-byte channel words."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_adpcm,
+        wrap_wav_adpcm,
+    )
+
+    good = encode_wav_adpcm(np.zeros(505, dtype=np.int16), 8000, 1, 505)
+    assert decode_wav_pcm(good) is not None
+    assert decode_wav_pcm(good[:-5]) is None  # truncated data chunk
+    bad_idx = struct.pack("<hBB", 0, 89, 0) + bytes(80)
+    assert decode_wav_pcm(wrap_wav_adpcm(bad_idx, 8000, 1, 84, 161)) is None
+    ok = struct.pack("<hBB", 0, 0, 0) + bytes(80)
+    assert decode_wav_pcm(wrap_wav_adpcm(ok, 8000, 1, 84, 160)) is None  # spb lies
+    # stereo block whose body is not a multiple of 8 bytes
+    st = struct.pack("<hBB", 0, 0, 0) * 2 + bytes(4)
+    assert decode_wav_pcm(wrap_wav_adpcm(st, 8000, 2, 12, 5)) is None

@@ -109,13 +109,15 @@ DIMENSIONS_SCHEMA = StructType(
 
 def parse_image_header(b: bytes | None) -> tuple[str, int, int] | None:
     """Header-only image decode: (format, width, height) from the container
-    bytes, or None when the payload is not a recognizable PNG/JPEG/GIF.
+    bytes, or None when the payload is not a recognizable PNG/JPEG/GIF/BMP.
 
     Pure stdlib ``struct`` over the published container layouts:
     PNG — 8-byte signature, then the IHDR chunk holds two big-endian
     uint32 dimensions at offsets 16/20; GIF — 'GIF87a'/'GIF89a', then two
-    little-endian uint16; JPEG — walk the marker segments from SOI to the
-    first SOFn, whose payload is [precision u8, height u16be, width u16be].
+    little-endian uint16; BMP — 'BM', then two little-endian int32 at
+    offsets 18/22 (negative height = top-down storage); JPEG — walk the
+    marker segments from SOI to the first SOFn, whose payload is
+    [precision u8, height u16be, width u16be].
     """
     if not b:
         return None
@@ -125,6 +127,9 @@ def parse_image_header(b: bytes | None) -> tuple[str, int, int] | None:
     if b[:6] in (b"GIF87a", b"GIF89a") and len(b) >= 10:
         w, h = struct.unpack("<HH", b[6:10])
         return ("gif", w, h)
+    if b[:2] == b"BM" and len(b) >= 26:
+        w, h = struct.unpack("<ii", b[18:26])
+        return ("bmp", w, abs(h))
     if b[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         n = len(b)
@@ -1025,6 +1030,115 @@ def decode_gif_rgb(b: bytes | None):
     (:func:`decode_gif_frames`)."""
     got = decode_gif_frames(b)
     return None if got is None else got[0]
+
+
+# ---------------------------------------------------------------------------
+# BMP codec: REAL pixel decode of the Windows bitmap format (the
+# screenshot/export format crawls surface constantly) — uncompressed
+# BI_RGB only, which is a pure layout transform: 24-bit BGR or 8-bit
+# palettized rows, 4-byte row stride, bottom-up (or top-down via
+# negative height). No entropy coder, so numpy does the whole decode
+# vectorized; RLE8/RLE4/bitfield variants stay behind the seam.
+# ---------------------------------------------------------------------------
+
+
+def encode_bmp_rgb(rgb, top_down: bool = False) -> bytes:
+    """Encode an (h, w, 3) uint8 RGB array as a spec-valid 24-bit BI_RGB
+    BMP (BITMAPINFOHEADER, BGR byte order, 4-byte row stride, bottom-up
+    unless ``top_down``). Write-time fixture synthesizer, same
+    discipline as ``encode_png_rgb`` — any standard viewer reads it."""
+    import numpy as np
+
+    a = np.asarray(rgb, dtype=np.uint8)
+    h, w, _ = a.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, : w * 3] = a[:, :, ::-1].reshape(h, w * 3)  # RGB -> BGR
+    if not top_down:
+        rows = rows[::-1]
+    data = rows.tobytes()
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0,
+        len(data), 2835, 2835, 0, 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", 14 + 40 + len(data), 0, 0, 14 + 40)
+    return header + info + data
+
+
+def encode_bmp_indexed(indices, palette, top_down: bool = False) -> bytes:
+    """Encode an (h, w) uint8 palette-INDEX array + palette (list of
+    (r, g, b), length <= 256) as an 8-bit BI_RGB BMP with a BGRX color
+    table. Write-time fixture synthesizer."""
+    import numpy as np
+
+    a = np.asarray(indices, dtype=np.uint8)
+    h, w = a.shape
+    stride = (w + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    rows[:, :w] = a
+    if not top_down:
+        rows = rows[::-1]
+    data = rows.tobytes()
+    table = b"".join(bytes((b_, g, r, 0)) for r, g, b_ in palette)
+    off = 14 + 40 + len(table)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 8, 0,
+        len(data), 2835, 2835, len(palette), 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return header + info + table + data
+
+
+def decode_bmp_rgb(b: bytes | None):
+    """Full pixel decode of a BMP payload at the supported profile —
+    BITMAPINFOHEADER (or longer v4/v5 headers, which embed it as a
+    prefix), BI_RGB compression, 24-bit BGR or 8-bit palettized, bottom-
+    up or top-down — returning (h, w, 3) uint8 RGB, or None for anything
+    unrecognizable or outside that profile (RLE/bitfields/1/4/16/32-bit,
+    truncated rows or color table → None, never a crash). Decode-bomb
+    guarded by ``_MAX_DECODE_PIXELS`` like every decoder here."""
+    import numpy as np
+
+    if not b or len(b) < 54 or b[:2] != b"BM":
+        return None
+    (off,) = struct.unpack_from("<I", b, 10)
+    (isz,) = struct.unpack_from("<I", b, 14)
+    if isz < 40 or len(b) < 14 + isz:
+        return None
+    w, h_raw, planes, bits, comp = struct.unpack_from("<iiHHI", b, 18)
+    (clr_used,) = struct.unpack_from("<I", b, 46)
+    if planes != 1 or comp != 0 or w <= 0 or h_raw == 0:
+        return None
+    top_down = h_raw < 0
+    h = -h_raw if top_down else h_raw
+    if w * h > _MAX_DECODE_PIXELS:
+        return None
+    if bits == 24:
+        stride = (w * 3 + 3) & ~3
+        if off + stride * h > len(b):
+            return None  # truncated pixel rows
+        rows = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+        rows = rows.reshape(h, stride)[:, : w * 3].reshape(h, w, 3)
+        rgb = rows[:, :, ::-1]  # BGR -> RGB
+        return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+    if bits == 8:
+        n_colors = clr_used or 256
+        tbl_at = 14 + isz
+        if n_colors > 256 or tbl_at + 4 * n_colors > len(b):
+            return None  # truncated color table
+        table = np.frombuffer(
+            b, dtype=np.uint8, count=4 * n_colors, offset=tbl_at
+        ).reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
+        stride = (w + 3) & ~3
+        if off + stride * h > len(b):
+            return None
+        idx = np.frombuffer(b, dtype=np.uint8, count=stride * h, offset=off)
+        idx = idx.reshape(h, stride)[:, :w]
+        if int(idx.max()) >= n_colors:
+            return None  # index past the color table
+        rgb = table[idx]
+        return np.ascontiguousarray(rgb if top_down else rgb[::-1])
+    return None
 
 
 # ---------------------------------------------------------------------------

@@ -1445,3 +1445,89 @@ def audio_adpcm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((1400 + k, payload, "audio/wav", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_audio_stats(media).orderBy("media_id")
+
+
+# BMP oracle: BI_RGB is lossless and layout-only, so the oracle restates
+# the pixel formulas directly — even fixtures are 24-bit truecolor
+# (r/g/b formulas of x, y, i), odd fixtures 8-bit palettized (the same
+# 16-color formula palette as the GIF/PNG oracles; idx = (3x+y+5i)%16).
+# Storage alternates bottom-up/top-down by (i//2)%2 and widths sweep all
+# four row-stride pad counts, so the de-flip and the 4-byte stride walk
+# are both under the hash.
+BMP_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 30 + 3*i AS w, 22 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         CASE WHEN d.i % 2 = 1 THEN (3*ux.x + uy.y + 5*d.i) % 16 END AS j,
+         ux.x AS x, uy.y AS y
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+rgb AS (
+  SELECT i, w, h,
+         CASE WHEN i % 2 = 0 THEN (2*x + 5*y + 3*i) % 256 ELSE (3*j + 5) % 256 END AS r,
+         CASE WHEN i % 2 = 0 THEN (3*x + y + 7*i) % 256 ELSE (7*j + 1) % 256 END AS g,
+         CASE WHEN i % 2 = 0 THEN (x + 4*y + 11*i) % 256 ELSE (11*j + 4) % 256 END AS b
+  FROM px
+)
+SELECT CAST(1500 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query("bmp_pixel_stats", survey="llm-multimodal,X6", oracle=BMP_STATS_ORACLE)
+def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP pixel decode, distributed — the uncompressed Windows
+    bitmap layout (24-bit BGR truecolor and 8-bit palettized, 4-byte row
+    stride, bottom-up AND top-down storage), the screenshot/export
+    format a crawl corpus carries alongside PNG/GIF/JPEG. Runs through
+    the SAME stats operator via the production-codec seam:
+    ``extract_pixel_stats(media, decoder=decode_bmp_rgb)``.
+
+    Fixtures sweep all four stride pad counts (w = 30 + 3i) and
+    alternate color depth by parity and scan direction by (i//2)%2;
+    lossless codec -> the oracle restates the pixel/palette formulas
+    directly. Unit twins: test_bmp_roundtrip_bitexact_matrix /
+    test_bmp_out_of_profile_rejects."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_indexed,
+        encode_bmp_rgb,
+        extract_pixel_stats,
+    )
+
+    pal = [((3 * j + 5) % 256, (7 * j + 1) % 256, (11 * j + 4) % 256) for j in range(16)]
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 30 + 3 * i, 22 + 2 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        td = bool((i // 2) % 2)
+        if i % 2 == 0:
+            img = np.stack(
+                [
+                    (2 * x + 5 * y + 3 * i) % 256,
+                    (3 * x + y + 7 * i) % 256,
+                    (x + 4 * y + 11 * i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payload = encode_bmp_rgb(img, top_down=td)
+        else:
+            idx = ((3 * x + y + 5 * i) % 16).astype(np.uint8)
+            payload = encode_bmp_indexed(idx, pal, top_down=td)
+        rows.append((1500 + i, payload, "image/bmp", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(media, decoder=decode_bmp_rgb).orderBy("media_id")

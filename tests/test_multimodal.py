@@ -2012,3 +2012,79 @@ def test_adpcm_out_of_profile_rejects():
     # stereo block whose body is not a multiple of 8 bytes
     st = struct.pack("<hBB", 0, 0, 0) * 2 + bytes(4)
     assert decode_wav_pcm(wrap_wav_adpcm(st, 8000, 2, 12, 5)) is None
+
+
+def test_bmp_roundtrip_bitexact_matrix():
+    """BMP BI_RGB is lossless: encode -> decode must reproduce the pixels
+    exactly across 24-bit truecolor and 8-bit palettized, bottom-up and
+    top-down storage, and widths whose row stride needs 0-3 pad bytes."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_indexed,
+        encode_bmp_rgb,
+    )
+
+    rng = np.random.default_rng(17)
+    pal = [((3 * j + 5) % 256, (7 * j + 1) % 256, (11 * j + 4) % 256) for j in range(16)]
+    for h, w in [(1, 1), (5, 7), (21, 29), (16, 32), (11, 30), (9, 31)]:
+        for td in (False, True):
+            img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+            assert np.array_equal(decode_bmp_rgb(encode_bmp_rgb(img, td)), img)
+            idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+            exp = np.array(pal, dtype=np.uint8)[idx]
+            got = decode_bmp_rgb(encode_bmp_indexed(idx, pal, td))
+            assert np.array_equal(got, exp)
+
+
+def test_bmp_out_of_profile_rejects():
+    """Malformed/out-of-profile BMPs return None, never crash: truncated
+    rows, truncated color table, palette index past the table, RLE
+    compression, unsupported bit depths, absurd dimensions."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_indexed,
+        encode_bmp_rgb,
+    )
+
+    good = encode_bmp_rgb(np.zeros((5, 7, 3), dtype=np.uint8))
+    assert decode_bmp_rgb(good) is not None
+    assert decode_bmp_rgb(None) is None
+    assert decode_bmp_rgb(good[:-4]) is None  # truncated pixel rows
+    pal = [(i, i, i) for i in range(8)]
+    assert (
+        decode_bmp_rgb(encode_bmp_indexed(np.full((4, 4), 7, np.uint8), pal))
+        is not None
+    )
+    assert (
+        decode_bmp_rgb(encode_bmp_indexed(np.full((4, 4), 8 % 8 + 7, np.uint8), pal[:7]))
+        is None
+    )  # index past the color table
+    rle = bytearray(good)
+    struct.pack_into("<I", rle, 30, 1)  # biCompression = BI_RLE8
+    assert decode_bmp_rgb(bytes(rle)) is None
+    deep = bytearray(good)
+    struct.pack_into("<H", deep, 28, 32)  # 32-bit: out of profile
+    assert decode_bmp_rgb(bytes(deep)) is None
+    bomb = bytearray(good)
+    struct.pack_into("<ii", bomb, 18, 1 << 13, 1 << 13)  # 64M px > cap
+    assert decode_bmp_rgb(bytes(bomb)) is None
+
+
+def test_bmp_header_sniff():
+    """parse_image_header recognizes BMP alongside PNG/GIF/JPEG and
+    reports |height| for top-down (negative height) storage."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        encode_bmp_rgb,
+        parse_image_header,
+    )
+
+    img = np.zeros((9, 13, 3), dtype=np.uint8)
+    assert parse_image_header(encode_bmp_rgb(img)) == ("bmp", 13, 9)
+    assert parse_image_header(encode_bmp_rgb(img, top_down=True)) == ("bmp", 13, 9)
+    assert parse_image_header(b"BMxx") is None

@@ -107,6 +107,19 @@ DIMENSIONS_SCHEMA = StructType(
 )
 
 
+def _typed_frame(rows, names, dtypes) -> pd.DataFrame:
+    """Row tuples -> pandas frame with EXPLICIT nullable dtypes per
+    column. Plain ``pd.DataFrame(rows)`` infers a mixed int/None column
+    as float64, which silently rounds int64 magnitudes past 2^53 before
+    Arrow casts back to long — at corpus scale one undecodable payload
+    in a batch would corrupt its neighbors' 64-bit stats. Every stats
+    extractor below builds its output through this helper."""
+    cols = list(zip(*rows)) if rows else [[] for _ in names]
+    return pd.DataFrame(
+        {n: pd.array(list(c), dtype=d) for n, c, d in zip(names, cols, dtypes)}
+    )
+
+
 def parse_image_header(b: bytes | None) -> tuple[str, int, int] | None:
     """Header-only image decode: (format, width, height) from the container
     bytes, or None when the payload is not a recognizable PNG/JPEG/GIF/BMP.
@@ -727,20 +740,12 @@ def extract_pixel_stats(df: DataFrame, decoder=None) -> DataFrame:
                         s[2] / n,
                     )
                 )
-            yield pd.DataFrame(
+            yield _typed_frame(
                 rows,
-                columns=[
-                    "media_id",
-                    "width",
-                    "height",
-                    "n_px",
-                    "sum_r",
-                    "sum_g",
-                    "sum_b",
-                    "mean_r",
-                    "mean_g",
-                    "mean_b",
-                ],
+                ["media_id", "width", "height", "n_px", "sum_r", "sum_g",
+                 "sum_b", "mean_r", "mean_g", "mean_b"],
+                ["int64", "Int32", "Int32", "Int64", "Int64", "Int64",
+                 "Int64", "Float64", "Float64", "Float64"],
             )
 
     return df.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
@@ -1535,18 +1540,12 @@ def extract_audio_stats(df: DataFrame, decoder=None) -> DataFrame:
                         (sum_sq / n) ** 0.5,
                     )
                 )
-            yield pd.DataFrame(
+            yield _typed_frame(
                 rows,
-                columns=[
-                    "media_id",
-                    "channels",
-                    "sample_rate",
-                    "n_samples",
-                    "sum_sq",
-                    "sum_abs",
-                    "peak",
-                    "rms",
-                ],
+                ["media_id", "channels", "sample_rate", "n_samples",
+                 "sum_sq", "sum_abs", "peak", "rms"],
+                ["int64", "Int32", "Int32", "Int64", "Int64", "Int64",
+                 "Int32", "Float64"],
             )
 
     return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
@@ -3243,18 +3242,12 @@ def extract_jpeg_stats(df: DataFrame, decoder=None) -> DataFrame:
                 rows.append(
                     (mid, w, h, n, total, int(px.min()), int(px.max()), total / n)
                 )
-            yield pd.DataFrame(
+            yield _typed_frame(
                 rows,
-                columns=[
-                    "media_id",
-                    "width",
-                    "height",
-                    "n_px",
-                    "sum_v",
-                    "min_v",
-                    "max_v",
-                    "mean_v",
-                ],
+                ["media_id", "width", "height", "n_px", "sum_v", "min_v",
+                 "max_v", "mean_v"],
+                ["int64", "Int32", "Int32", "Int64", "Int64", "Int32",
+                 "Int32", "Float64"],
             )
 
     return df.mapInPandas(run, schema=JPEG_STATS_SCHEMA)
@@ -3295,20 +3288,12 @@ def extract_jpeg_color_stats(df: DataFrame, decoder=None) -> DataFrame:
                 rows.append(
                     (mid, w, h, n, int(s[0]), int(s[1]), int(s[2]), s[0] / n, s[1] / n, s[2] / n)
                 )
-            yield pd.DataFrame(
+            yield _typed_frame(
                 rows,
-                columns=[
-                    "media_id",
-                    "width",
-                    "height",
-                    "n_px",
-                    "sum_r",
-                    "sum_g",
-                    "sum_b",
-                    "mean_r",
-                    "mean_g",
-                    "mean_b",
-                ],
+                ["media_id", "width", "height", "n_px", "sum_r", "sum_g",
+                 "sum_b", "mean_r", "mean_g", "mean_b"],
+                ["int64", "Int32", "Int32", "Int64", "Int64", "Int64",
+                 "Int64", "Float64", "Float64", "Float64"],
             )
 
     return df.mapInPandas(run, schema=PIXEL_STATS_SCHEMA)
@@ -3556,19 +3541,167 @@ def extract_video_frame_stats(df: DataFrame) -> DataFrame:
                 rows.append(
                     (mid, len(samples), w, h, n_px, total, vmin, vmax, total / n_px)
                 )
-            yield pd.DataFrame(
+            yield _typed_frame(
                 rows,
-                columns=[
-                    "media_id",
-                    "n_frames",
-                    "width",
-                    "height",
-                    "n_px",
-                    "sum_v",
-                    "min_v",
-                    "max_v",
-                    "mean_v",
-                ],
+                ["media_id", "n_frames", "width", "height", "n_px",
+                 "sum_v", "min_v", "max_v", "mean_v"],
+                ["int64", "Int32", "Int32", "Int32", "Int64", "Int64",
+                 "Int32", "Int32", "Float64"],
             )
 
     return df.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image hashing (dHash): the image-side near-duplicate key —
+# resize-robust 64-bit gradient fingerprint over the REAL pixel decode,
+# composing the codec layer above with the dedup machinery
+# (operators/dedup.py): decode -> dHash -> banded 16-bit LSH equi-join ->
+# exact hamming verify, the same pigeonhole shape as SimHash text dedup
+# (hamming <= 3 across 4 bands guarantees one equal band — lossless).
+# ---------------------------------------------------------------------------
+
+
+def dhash64(rgb):
+    """The classic difference hash over an (h, w, 3) uint8 RGB array:
+    integer grayscale (sum // 3), floor-partition pooling to an 8x9 grid
+    (pixel (x, y) belongs to cell ((x*9)//w, (y*8)//h); cell value =
+    floor mean), one bit per horizontally-adjacent cell pair
+    (right > left), packed LSB-first at position 8*y + x. Returns
+    (dhash, b0, b1, b2, b3) — the hash as a SIGNED int64 (bit 63 wraps,
+    matching SQL BIGINT arithmetic) plus the four 16-bit band chunks the
+    LSH join keys on — or None for images smaller than the grid.
+    Pure integer arithmetic end to end, which is what lets the oracle
+    restate the hash in SQL from fixture pixel formulas."""
+    import numpy as np
+
+    a = np.asarray(rgb, dtype=np.int64)
+    h, w = a.shape[0], a.shape[1]
+    if h < 8 or w < 9:
+        return None
+    gray = a.sum(axis=2) // 3
+    yb = (np.arange(h) * 8) // h
+    xb = (np.arange(w) * 9) // w
+    sums = np.zeros((8, 9), dtype=np.int64)
+    np.add.at(sums, (yb[:, None], xb[None, :]), gray)
+    counts = np.bincount(yb, minlength=8)[:, None] * np.bincount(
+        xb, minlength=9
+    )[None, :]
+    cells = sums // counts
+    bits = (cells[:, 1:] > cells[:, :-1]).flatten()  # position 8*y + x
+    chunks = [
+        int(sum(1 << k for k in range(16) if bits[16 * b + k]))
+        for b in range(4)
+    ]
+    dh = chunks[0] | (chunks[1] << 16) | (chunks[2] << 32) | (chunks[3] << 48)
+    if dh >= 1 << 63:
+        dh -= 1 << 64  # signed int64 wrap, same as BIGINT composition
+    return dh, *chunks
+
+
+DHASH_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("dhash", LongType(), True),
+        StructField("b0", IntegerType(), True),
+        StructField("b1", IntegerType(), True),
+        StructField("b2", IntegerType(), True),
+        StructField("b3", IntegerType(), True),
+    ]
+)
+
+
+def extract_image_dhash(df: DataFrame, decoder=None) -> DataFrame:
+    """Distributed perceptual hashing: (media_id, width, height, dhash,
+    b0..b3) per payload via the REAL pixel decode + :func:`dhash64`
+    inside Arrow-batched mapInPandas. Undecodable or sub-grid payloads
+    yield NULL hash columns. O(images) rows out — pixels never leave the
+    executor pass. ``decoder`` is the production-codec seam (same
+    contract as :func:`extract_pixel_stats`)."""
+
+    decoder = decoder or decode_png_rgb
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decoder(None if payload is None else bytes(payload))
+                got = None if dec is None else dhash64(dec)
+                if got is None:
+                    rows.append((int(mid), None, None, None, None, None, None, None))
+                else:
+                    dh, b0, b1, b2, b3 = got
+                    rows.append(
+                        (
+                            int(mid),
+                            int(dec.shape[1]),
+                            int(dec.shape[0]),
+                            dh,
+                            b0,
+                            b1,
+                            b2,
+                            b3,
+                        )
+                    )
+            yield _typed_frame(
+                rows,
+                [f.name for f in DHASH_SCHEMA.fields],
+                ["int64", "Int32", "Int32", "Int64", "Int32", "Int32",
+                 "Int32", "Int32"],
+            )
+
+    return df.mapInPandas(run, schema=DHASH_SCHEMA)
+
+
+def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """Image near-duplicate pairs by banded dHash LSH: unpivot the four
+    16-bit bands, equi-join on (band, chunk) with id_a < id_b (one-sided,
+    never all-pairs), then exact-verify hamming(dhash_a, dhash_b) <=
+    max_hamming with a JVM-side bit_count(xor). Pigeonhole: hamming <= 3
+    differing bits cannot touch all 4 bands, so at least one band
+    collides — the candidate set is LOSSLESS for max_hamming <= 3, the
+    same guarantee as the SimHash chunk blocking in operators/dedup.py.
+    Output: (id_a, id_b, hamming), distinct. At corpus scale the join
+    shuffles on (band, chunk) — band cardinality 4 x 65536 spreads load;
+    a pathological single-chunk pileup is the same skew surface as any
+    LSH bucket join and takes the same salting/cap treatment."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("banded 4x16 LSH is lossless only for max_hamming <= 3")
+    from pyspark.sql import functions as F
+
+    bands = hashes.filter(F.col("dhash").isNotNull()).select(
+        F.col("media_id"),
+        F.col("dhash"),
+        F.stack(
+            F.lit(4),
+            F.lit(0), F.col("b0"),
+            F.lit(1), F.col("b1"),
+            F.lit(2), F.col("b2"),
+            F.lit(3), F.col("b3"),
+        ).alias("band", "chunk"),
+    )
+    left = bands.select(
+        F.col("media_id").alias("id_a"),
+        F.col("dhash").alias("dh_a"),
+        "band",
+        "chunk",
+    )
+    right = bands.select(
+        F.col("media_id").alias("id_b"),
+        F.col("dhash").alias("dh_b"),
+        "band",
+        "chunk",
+    )
+    return (
+        left.join(right, ["band", "chunk"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("dh_a").bitwiseXOR(F.col("dh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )

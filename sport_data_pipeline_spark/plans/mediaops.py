@@ -1531,3 +1531,119 @@ def bmp_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((1500 + i, payload, "image/bmp", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_pixel_stats(media, decoder=decode_bmp_rgb).orderBy("media_id")
+
+
+# dHash near-dup oracle: every stage of the perceptual pipeline is exact
+# integer arithmetic (grayscale sum//3 on r=g=b fixtures, floor-partition
+# 8x9 pooling, right>left gradient bits, 16-bit band chunks, signed-BIGINT
+# hash composition, banded self-join + bit_count(xor) verify), so the
+# whole decode->hash->LSH->verify chain is restated in SQL from the pixel
+# formulas. Perturbed copies add +40 inside exactly one pooled cell, so a
+# near-dup differs in <= 2 bits — inside the pigeonhole-lossless band
+# guarantee (3 differing bits cannot touch all 4 bands).
+DHASH_NEARDUP_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+imgs AS (
+  SELECT i, kind, CASE WHEN kind = 0 THEN 1600 + i ELSE 1620 + i END AS media_id,
+         36 + 4*i AS w, 24 + 4*i AS h
+  FROM idx, (SELECT unnest([0, 1]) AS kind)
+),
+gray AS (
+  SELECT m.media_id, (ux.x*9)//m.w AS cx, (uy.y*8)//m.h AS cy,
+         ((2 + m.i)*ux.x + (3 + 2*m.i)*uy.y + 7*m.i) % 200
+         + CASE WHEN m.kind = 1 AND (ux.x*9)//m.w = 4 AND (uy.y*8)//m.h = 3
+                THEN 40 ELSE 0 END AS g
+  FROM imgs m,
+       LATERAL (SELECT unnest(range(m.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(m.h)) AS y) uy
+),
+cells AS (
+  SELECT media_id, cy, cx, SUM(g) // COUNT(*) AS c
+  FROM gray GROUP BY media_id, cy, cx
+),
+bits AS (
+  SELECT l.media_id, l.cy AS y, l.cx AS x,
+         CASE WHEN r.c > l.c THEN 1 ELSE 0 END AS bit
+  FROM cells l
+  JOIN cells r ON r.media_id = l.media_id AND r.cy = l.cy AND r.cx = l.cx + 1
+  WHERE l.cx < 8
+),
+chunks AS (
+  SELECT media_id, (8*y + x) // 16 AS band,
+         CAST(SUM(bit * (1 << ((8*y + x) % 16))) AS BIGINT) AS chunk
+  FROM bits GROUP BY media_id, (8*y + x) // 16
+),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN band = 0 THEN chunk
+                       WHEN band = 1 THEN chunk * 65536
+                       WHEN band = 2 THEN chunk * 4294967296
+                       ELSE (chunk - CASE WHEN chunk >= 32768 THEN 65536 ELSE 0 END)
+                            * 281474976710656 END) AS BIGINT) AS dhash
+  FROM chunks GROUP BY media_id
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM chunks a
+  JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+               AND a.media_id < b.media_id
+)
+SELECT CAST(cand.id_a AS BIGINT) AS id_a,
+       CAST(cand.id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(ha.dhash, hb.dhash)) AS INTEGER) AS hamming
+FROM cand
+JOIN hashes ha ON ha.media_id = cand.id_a
+JOIN hashes hb ON hb.media_id = cand.id_b
+WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "image_dhash_neardup",
+    survey="llm-multimodal,dedup-simhash,X6",
+    oracle=DHASH_NEARDUP_ORACLE,
+)
+def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image NEAR-DUPLICATE detection, end to end and
+    distributed: REAL BMP pixel decode (the ``decoder=`` seam) -> 64-bit
+    dHash (8x9 floor-pooled gradient bits, ``operators/multimodal.
+    dhash64``) -> banded 16-bit LSH equi-join -> exact
+    bit_count(xor) <= 3 verify (``dhash_neardup_pairs``) — the image
+    twin of the SimHash text pipeline, sharing its pigeonhole-lossless
+    blocking guarantee. This is the dedup shape an image training corpus
+    needs: candidates come from 4 shuffle-friendly band keys, never an
+    all-pairs compare.
+
+    Fixtures: 8 gradient bases + 8 perturbed copies (+40 inside exactly
+    one pooled cell -> hamming <= 2) + one corrupt payload (exercises
+    the NULL-hash drop); the oracle restates decode-to-verify in SQL.
+    Unit twins: test_dhash_*."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_bmp_rgb,
+        dhash_neardup_pairs,
+        encode_bmp_rgb,
+        extract_image_dhash,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 36 + 4 * i, 24 + 4 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        g = ((2 + i) * x + (3 + 2 * i) * y + 7 * i) % 200
+        base = np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+        rows.append((1600 + i, encode_bmp_rgb(base), "image/bmp", 0, None))
+        mask = ((x * 9) // w == 4) & ((y * 8) // h == 3)
+        pert = np.repeat((g + 40 * mask)[:, :, None], 3, axis=2).astype(np.uint8)
+        rows.append((1620 + i, encode_bmp_rgb(pert), "image/bmp", 0, None))
+    rows.append((1640, b"BM\x00corrupt", "image/bmp", 0, None))
+    rows = [(mid, p, m, len(p), j) for mid, p, m, _, j in rows]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    hashes = extract_image_dhash(media, decoder=decode_bmp_rgb)
+    return (
+        dhash_neardup_pairs(hashes, max_hamming=3)
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

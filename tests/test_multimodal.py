@@ -2088,3 +2088,102 @@ def test_bmp_header_sniff():
     assert parse_image_header(encode_bmp_rgb(img)) == ("bmp", 13, 9)
     assert parse_image_header(encode_bmp_rgb(img, top_down=True)) == ("bmp", 13, 9)
     assert parse_image_header(b"BMxx") is None
+
+
+def test_stats_preserve_int64_past_float53_next_to_undecodable(spark):
+    """A batch mixing an undecodable payload with a decodable one whose
+    stat exceeds 2^53 must keep the int64 exact: plain pandas inference
+    would coerce the mixed int/None column through float64 and silently
+    round (the bug _typed_frame exists to prevent). sum_sq here is
+    9e6 * 2^30 + 9, chosen so the float64 rounding WOULD be visible."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        encode_wav_pcm,
+        extract_audio_stats,
+    )
+
+    n = 9_000_000
+    v = np.full(n, -32768, dtype=np.int16)
+    v[0] = 3
+    expected = (n - 1) * (1 << 30) + 9
+    assert expected > 2**53 and float(expected) != expected
+    payload = encode_wav_pcm(v, 16000, 1)
+    rows = [
+        (1, payload, "audio/wav", len(payload), None),
+        (2, b"RIFFcorrupt", "audio/wav", 11, None),
+    ]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(1)
+    got = {r.media_id: r for r in extract_audio_stats(media).collect()}
+    assert got[1].sum_sq == expected
+    assert got[2].sum_sq is None
+
+
+def test_dhash64_grid_and_band_composition():
+    """dhash64 invariants: images under the 8x9 grid return None; the
+    signed 64-bit hash equals the 4x16-bit band composition (int16 wrap
+    on the top band); a +delta inside ONE pooled cell flips at most the
+    two bits that compare that cell to its neighbors."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import dhash64
+
+    assert dhash64(np.zeros((7, 20, 3), np.uint8)) is None
+    assert dhash64(np.zeros((20, 8, 3), np.uint8)) is None
+
+    x, y = np.meshgrid(np.arange(40), np.arange(32))
+    g = ((3 * x + 5 * y) % 199).astype(np.uint8)
+    img = np.repeat(g[:, :, None], 3, axis=2)
+    dh, b0, b1, b2, b3 = dhash64(img)
+    comp = b0 | (b1 << 16) | (b2 << 32) | (b3 << 48)
+    if comp >= 1 << 63:
+        comp -= 1 << 64
+    assert dh == comp
+    mask = ((x * 9) // 40 == 5) & ((y * 8) // 32 == 2)
+    img2 = np.repeat((g + 25 * mask).astype(np.uint8)[:, :, None], 3, axis=2)
+    dh2 = dhash64(img2)[0]
+    assert bin((dh ^ dh2) & ((1 << 64) - 1)).count("1") <= 2
+
+
+def test_dhash_neardup_pairs_lossless_and_bounded(spark):
+    """The banded join is pigeonhole-lossless at hamming <= 3 (any such
+    pair shares a band) and the verify drops pairs beyond the bound;
+    max_hamming > 3 is rejected (the 4x16 bands no longer guarantee a
+    collision)."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        dhash_neardup_pairs,
+    )
+
+    def row(mid, dh):
+        u = dh & ((1 << 64) - 1)
+        return {
+            "media_id": mid,
+            "width": 9,
+            "height": 8,
+            "dhash": dh if dh < 1 << 63 else dh - (1 << 64),
+            "b0": u & 0xFFFF,
+            "b1": (u >> 16) & 0xFFFF,
+            "b2": (u >> 32) & 0xFFFF,
+            "b3": (u >> 48) & 0xFFFF,
+        }
+
+    base = 0x0123456789ABCDEF
+    fixtures = [
+        row(1, base),
+        row(2, base ^ 0b111),            # hamming 3, all in band 0 -> kept
+        row(3, base ^ (1 | 1 << 20 | 1 << 40 | 1 << 60)),  # hamming 4 -> dropped
+        row(4, base ^ ((1 << 16) | (1 << 33))),  # hamming 2 across bands -> kept
+    ]
+    hashes = spark.createDataFrame(pd.DataFrame(fixtures))
+    got = {
+        (r.id_a, r.id_b): r.hamming
+        for r in dhash_neardup_pairs(hashes, 3).collect()
+    }
+    assert got[(1, 2)] == 3 and got[(1, 4)] == 2
+    assert (1, 3) not in got
+    with _pytest.raises(ValueError):
+        dhash_neardup_pairs(hashes, 4)

@@ -95,6 +95,19 @@ def fixtures():
             rng.integers(-32768, 32768, n).astype(np.int16), 16000, 2
         )
 
+    def adpcm(frames):
+        from sport_data_pipeline_spark.operators.multimodal import encode_wav_adpcm
+
+        n = (frames // 505) * 505  # whole 505-sample blocks
+        return encode_wav_adpcm(
+            rng.normal(0, 8000, 2 * n).astype(np.int16), 16000, 2, 505
+        )
+
+    def bmp(h, w):
+        from sport_data_pipeline_spark.operators.multimodal import encode_bmp_rgb
+
+        return encode_bmp_rgb(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
+
     return [
         ("png", "query", [png(35, 44) for _ in range(64)]),
         ("png", "128px", [png(128, 128) for _ in range(64)]),
@@ -106,6 +119,9 @@ def fixtures():
         ("jpeg_prog", "128px", [jprog(128, 128) for _ in range(8)]),
         ("gif", "128px", [gif(128, 128) for _ in range(16)]),
         ("g711_ulaw", "1s", [g711(16000) for _ in range(64)]),
+        ("adpcm", "1s", [adpcm(16160) for _ in range(32)]),
+        ("bmp", "query", [bmp(35, 44) for _ in range(64)]),
+        ("bmp", "128px", [bmp(128, 128) for _ in range(64)]),
         ("wav_pcm", "1s", [wav(32000) for _ in range(64)]),
         ("wav_pcm", "10s", [wav(320000) for _ in range(32)]),
     ]
@@ -119,6 +135,8 @@ DECODERS = {
     "jpeg_prog": "decode_jpeg_rgb",
     "gif": "decode_gif_rgb",
     "g711_ulaw": "decode_wav_pcm",
+    "adpcm": "decode_wav_pcm",
+    "bmp": "decode_bmp_rgb",
     "wav_pcm": "decode_wav_pcm",
 }
 
@@ -130,6 +148,8 @@ OPERATORS = {
     "jpeg_prog": "extract_jpeg_color_stats",
     "gif": "gif_stats",  # extract_pixel_stats with the decoder= seam
     "g711_ulaw": "extract_audio_stats",
+    "adpcm": "extract_audio_stats",
+    "bmp": "bmp_stats",  # extract_pixel_stats with the decoder= seam
     "wav_pcm": "extract_audio_stats",
 }
 
@@ -167,6 +187,9 @@ def op_run(spark, codec: str, payloads: list[bytes], target_items: int):
     if OPERATORS[codec] == "gif_stats":
         def op(d):
             return M.extract_pixel_stats(d, decoder=M.decode_gif_rgb)
+    elif OPERATORS[codec] == "bmp_stats":
+        def op(d):
+            return M.extract_pixel_stats(d, decoder=M.decode_bmp_rgb)
     else:
         op = getattr(M, OPERATORS[codec])
     t0 = time.perf_counter()

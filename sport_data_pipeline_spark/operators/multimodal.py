@@ -3655,8 +3655,12 @@ def extract_image_dhash(df: DataFrame, decoder=None) -> DataFrame:
     return df.mapInPandas(run, schema=DHASH_SCHEMA)
 
 
-def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """Image near-duplicate pairs by banded dHash LSH: unpivot the four
+def dhash_neardup_pairs(
+    hashes: DataFrame, max_hamming: int = 3, hash_col: str = "dhash"
+) -> DataFrame:
+    """Near-duplicate pairs by banded 64-bit hamming LSH (``hash_col`` +
+    band chunks b0..b3 — dHash for images, the energy-contour
+    fingerprint for audio): unpivot the four
     16-bit bands, equi-join on (band, chunk) with id_a < id_b (one-sided,
     never all-pairs), then exact-verify hamming(dhash_a, dhash_b) <=
     max_hamming with a JVM-side bit_count(xor). Pigeonhole: hamming <= 3
@@ -3671,9 +3675,9 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         raise ValueError("banded 4x16 LSH is lossless only for max_hamming <= 3")
     from pyspark.sql import functions as F
 
-    bands = hashes.filter(F.col("dhash").isNotNull()).select(
+    bands = hashes.filter(F.col(hash_col).isNotNull()).select(
         F.col("media_id"),
-        F.col("dhash"),
+        F.col(hash_col).alias("dhash"),
         F.stack(
             F.lit(4),
             F.lit(0), F.col("b0"),
@@ -3705,3 +3709,86 @@ def dhash_neardup_pairs(hashes: DataFrame, max_hamming: int = 3) -> DataFrame:
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )
+
+
+def audio_fingerprint64(samples):
+    """Energy-contour fingerprint of a decoded sample stream (the audio
+    twin of :func:`dhash64`): the flat interleaved int16 array is floor-
+    partitioned into 65 windows (sample j belongs to window
+    (j*65)//n, the same partition rule as the dHash grid), each window
+    reduces to its int64 sum of |x|, and one bit per adjacent-window
+    pair (right > left) packs LSB-first into a signed 64-bit key plus
+    four 16-bit band chunks. Duration/level-robust in the way dHash is
+    resize/brightness-robust: the CONTOUR of the energy envelope is the
+    signal, not absolute values. Returns (fp, b0, b1, b2, b3), or None
+    for streams shorter than 65 samples. Exact integer arithmetic, so a
+    SQL oracle can restate it from fixture formulas."""
+    import numpy as np
+
+    s = np.asarray(samples)
+    n = s.shape[0]
+    if n < 65:
+        return None
+    mag = np.abs(s.astype(np.int64))
+    wb = (np.arange(n, dtype=np.int64) * 65) // n
+    sums = np.zeros(65, dtype=np.int64)
+    np.add.at(sums, wb, mag)
+    bits = sums[1:] > sums[:-1]
+    chunks = [
+        int(sum(1 << k for k in range(16) if bits[16 * b + k]))
+        for b in range(4)
+    ]
+    fp = chunks[0] | (chunks[1] << 16) | (chunks[2] << 32) | (chunks[3] << 48)
+    if fp >= 1 << 63:
+        fp -= 1 << 64
+    return fp, *chunks
+
+
+AUDIO_FP_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("channels", IntegerType(), True),
+        StructField("n_samples", LongType(), True),
+        StructField("fp", LongType(), True),
+        StructField("b0", IntegerType(), True),
+        StructField("b1", IntegerType(), True),
+        StructField("b2", IntegerType(), True),
+        StructField("b3", IntegerType(), True),
+    ]
+)
+
+
+def extract_audio_fingerprint(df: DataFrame, decoder=None) -> DataFrame:
+    """Distributed audio fingerprinting: (media_id, channels, n_samples,
+    fp, b0..b3) per payload via the REAL sample decode
+    (``decode_wav_pcm`` or any ``decoder=`` seam injection) +
+    :func:`audio_fingerprint64` inside Arrow-batched mapInPandas.
+    Undecodable or sub-window payloads yield NULL fingerprint columns;
+    O(files) rows out. Feed the result to :func:`dhash_neardup_pairs`
+    (hash_col="fp") for the banded near-dup join."""
+
+    decoder = decoder or decode_wav_pcm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decoder(None if payload is None else bytes(payload))
+                got = None if dec is None else audio_fingerprint64(dec[2])
+                if got is None:
+                    rows.append(
+                        (int(mid), None, None, None, None, None, None, None)
+                    )
+                else:
+                    fp, b0, b1, b2, b3 = got
+                    rows.append(
+                        (int(mid), int(dec[0]), len(dec[2]), fp, b0, b1, b2, b3)
+                    )
+            yield _typed_frame(
+                rows,
+                [f.name for f in AUDIO_FP_SCHEMA.fields],
+                ["int64", "Int32", "Int64", "Int64", "Int32", "Int32",
+                 "Int32", "Int32"],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)

@@ -1647,3 +1647,115 @@ def image_dhash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+# Audio fingerprint near-dup oracle: the energy-contour fingerprint is
+# exact integer arithmetic end to end (|x| window sums over the
+# (j*65)//n floor partition, right>left contour bits, band chunks,
+# signed-BIGINT composition, banded join + bit_count(xor) verify), so the
+# whole decode->fingerprint->LSH->verify chain is restated in SQL from
+# the PCM sample formulas. Perturbed copies shift exactly one window's
+# samples (+1500), touching only that window's two adjacent contour
+# comparisons -> hamming <= 2, inside the pigeonhole-lossless band
+# guarantee.
+AUDIO_FP_NEARDUP_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+auds AS (
+  SELECT i, kind, CASE WHEN kind = 0 THEN 1700 + i ELSE 1720 + i END AS media_id,
+         (6500 + 130*i) * (1 + (i % 2)) AS n
+  FROM idx, (SELECT unnest([0, 1]) AS kind)
+),
+samp AS (
+  SELECT a.media_id, (uj.j*65)//a.n AS wb,
+         ((7919 * (uj.j + 13*a.i)) % 4000) - 2000
+         + CASE WHEN a.kind = 1 AND (uj.j*65)//a.n = 20 THEN 1500 ELSE 0 END AS v
+  FROM auds a, LATERAL (SELECT unnest(range(a.n)) AS j) uj
+),
+wsum AS (
+  SELECT media_id, wb, CAST(SUM(ABS(v)) AS BIGINT) AS s
+  FROM samp GROUP BY media_id, wb
+),
+bits AS (
+  SELECT l.media_id, l.wb AS k,
+         CASE WHEN r.s > l.s THEN 1 ELSE 0 END AS bit
+  FROM wsum l JOIN wsum r ON r.media_id = l.media_id AND r.wb = l.wb + 1
+  WHERE l.wb < 64
+),
+chunks AS (
+  SELECT media_id, k // 16 AS band,
+         CAST(SUM(bit * (1 << (k % 16))) AS BIGINT) AS chunk
+  FROM bits GROUP BY media_id, k // 16
+),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN band = 0 THEN chunk
+                       WHEN band = 1 THEN chunk * 65536
+                       WHEN band = 2 THEN chunk * 4294967296
+                       ELSE (chunk - CASE WHEN chunk >= 32768 THEN 65536 ELSE 0 END)
+                            * 281474976710656 END) AS BIGINT) AS fp
+  FROM chunks GROUP BY media_id
+),
+cand AS (
+  SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+  FROM chunks a
+  JOIN chunks b ON a.band = b.band AND a.chunk = b.chunk
+               AND a.media_id < b.media_id
+)
+SELECT CAST(cand.id_a AS BIGINT) AS id_a,
+       CAST(cand.id_b AS BIGINT) AS id_b,
+       CAST(bit_count(xor(ha.fp, hb.fp)) AS INTEGER) AS hamming
+FROM cand
+JOIN hashes ha ON ha.media_id = cand.id_a
+JOIN hashes hb ON hb.media_id = cand.id_b
+WHERE bit_count(xor(ha.fp, hb.fp)) <= 3
+ORDER BY id_a, id_b
+"""
+
+
+@query(
+    "audio_fingerprint_neardup",
+    survey="llm-multimodal,dedup-simhash,X6",
+    oracle=AUDIO_FP_NEARDUP_ORACLE,
+)
+def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio NEAR-DUPLICATE detection, end to end and distributed: REAL
+    PCM decode -> 64-bit energy-contour fingerprint
+    (``audio_fingerprint64``: |x| sums over 65 floor-partitioned
+    windows, one bit per adjacent-window comparison) -> the SAME banded
+    hamming LSH + bit_count(xor) verify as the image dHash pipeline
+    (``dhash_neardup_pairs(hash_col="fp")``) — re-encoded/re-leveled
+    audio dedup for a speech/music training corpus, never an all-pairs
+    compare.
+
+    Fixtures: 8 PCM bases (mono/stereo alternating) + 8 near-dups
+    (+1500 inside exactly one contour window -> hamming <= 2) + one
+    corrupt payload (NULL-fingerprint drop); the oracle restates
+    decode-to-verify in SQL. Unit twins: test_audio_fingerprint_*."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        dhash_neardup_pairs,
+        encode_wav_pcm,
+        extract_audio_fingerprint,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        channels = 1 + (i % 2)
+        n = (6500 + 130 * i) * channels
+        j = np.arange(n, dtype=np.int64)
+        v = ((7919 * (j + 13 * i)) % 4000) - 2000
+        base = v.astype(np.int16)
+        rows.append((1700 + i, encode_wav_pcm(base, 8000, channels), "audio/wav"))
+        wb = (j * 65) // n
+        pert = (v + 1500 * (wb == 20)).astype(np.int16)
+        rows.append((1720 + i, encode_wav_pcm(pert, 8000, channels), "audio/wav"))
+    rows.append((1740, b"RIFFcorrupt", "audio/wav"))
+    rows = [(mid, p, m, len(p), None) for mid, p, m in rows]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    fps = extract_audio_fingerprint(media)
+    return (
+        dhash_neardup_pairs(fps, max_hamming=3, hash_col="fp")
+        .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
+        .orderBy("id_a", "id_b")
+    )

@@ -2187,3 +2187,30 @@ def test_dhash_neardup_pairs_lossless_and_bounded(spark):
     assert (1, 3) not in got
     with _pytest.raises(ValueError):
         dhash_neardup_pairs(hashes, 4)
+
+
+def test_audio_fingerprint64_window_and_composition():
+    """audio_fingerprint64 invariants: streams under 65 samples return
+    None; the signed key equals the band composition; perturbing ONE
+    contour window flips at most its two adjacent comparisons; the
+    contour is level-robust (scaling all samples 2x preserves it)."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint64,
+    )
+
+    assert audio_fingerprint64(np.zeros(64, np.int16)) is None
+    rng = np.random.default_rng(23)
+    x = rng.integers(-3000, 3000, 2000).astype(np.int16)
+    fp, b0, b1, b2, b3 = audio_fingerprint64(x)
+    comp = b0 | (b1 << 16) | (b2 << 32) | (b3 << 48)
+    if comp >= 1 << 63:
+        comp -= 1 << 64
+    assert fp == comp
+    wb = (np.arange(2000) * 65) // 2000
+    y = x.astype(np.int64)
+    y[wb == 30] = np.abs(y[wb == 30]) + 5000  # boost one window's energy
+    fp2 = audio_fingerprint64(y)[0]
+    assert bin((fp ^ fp2) & ((1 << 64) - 1)).count("1") <= 2
+    assert audio_fingerprint64(x.astype(np.int64) * 2)[0] == fp  # level-robust

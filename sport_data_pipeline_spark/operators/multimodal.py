@@ -3552,6 +3552,79 @@ def extract_video_frame_stats(df: DataFrame) -> DataFrame:
     return df.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)
 
 
+SCENE_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("n_cuts", IntegerType(), True),
+        StructField("first_cut", IntegerType(), True),
+        StructField("sum_diff", LongType(), True),
+        StructField("max_diff", LongType(), True),
+    ]
+)
+
+
+def extract_video_scene_changes(df: DataFrame, mean_diff_gt: int = 8) -> DataFrame:
+    """Distributed SCENE-CHANGE detection over MJPEG mp4 payloads — the
+    shot-boundary pass a video training corpus runs before frame
+    sampling, so sampled frames cover scenes instead of duplicating one:
+    every adjacent frame pair reduces to its total absolute luminance
+    difference (int64, exact), and frame t is a CUT when
+    diff_t > mean_diff_gt * n_px (an integer compare, no float
+    thresholds). Per video: decoded frame count, cut count, first cut
+    index (NULL when the video is one scene), and the sum/max of the
+    per-transition diffs. Sequential frame decode per video inside
+    Arrow-batched mapInPandas (frame t needs t-1 — the recurrence stays
+    inside one item, so videos still parallelize freely); any
+    undecodable or shape-shifting frame voids the row (NULL stats, never
+    a partial answer). O(videos) rows out; pixels never leave the
+    executor."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = parse_mp4_samples(None if payload is None else bytes(payload))
+                if not samples:
+                    rows.append((int(mid), None, None, None, None, None))
+                    continue
+                raw = bytes(payload)
+                prev = None
+                n_cuts, first_cut = 0, None
+                sum_diff = max_diff = 0
+                ok = True
+                for f, (off, size) in enumerate(samples):
+                    px = decode_jpeg_gray(raw[off : off + size])
+                    if px is None or (prev is not None and px.shape != prev.shape):
+                        ok = False
+                        break
+                    cur = px.astype(np.int64)
+                    if prev is not None:
+                        d = int(np.abs(cur - prev).sum())
+                        sum_diff += d
+                        max_diff = max(max_diff, d)
+                        if d > mean_diff_gt * cur.size:
+                            n_cuts += 1
+                            if first_cut is None:
+                                first_cut = f
+                    prev = cur
+                if not ok:
+                    rows.append((int(mid), None, None, None, None, None))
+                    continue
+                rows.append(
+                    (int(mid), len(samples), n_cuts, first_cut, sum_diff, max_diff)
+                )
+            yield _typed_frame(
+                rows,
+                ["media_id", "n_frames", "n_cuts", "first_cut", "sum_diff",
+                 "max_diff"],
+                ["int64", "Int32", "Int32", "Int32", "Int64", "Int64"],
+            )
+
+    return df.mapInPandas(run, schema=SCENE_SCHEMA)
+
+
 # ---------------------------------------------------------------------------
 # Perceptual image hashing (dHash): the image-side near-duplicate key —
 # resize-robust 64-bit gradient fingerprint over the REAL pixel decode,

@@ -1759,3 +1759,89 @@ def audio_fingerprint_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("id_a", "id_b", F.col("hamming").cast("int").alias("hamming"))
         .orderBy("id_a", "id_b")
     )
+
+
+# Scene-change oracle: fixture frames are per-block constants that are
+# STATIC within a scene (value depends on scene id s = f//3, not f), so
+# in-scene transitions diff to exactly 0 and scene boundaries diff by
+# the formula level jump — the oracle restates the per-pixel values,
+# LAGs across frames, and applies the same integer cut rule
+# diff > 8 * n_px. Even levels keep the JPEG round-trip bit-exact, so
+# the Spark side's decoded frames equal the formula exactly.
+SCENE_CHANGES_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+vids AS (SELECT i, 4 + i AS n_frames, 29 + 3*(i % 4) AS w, 21 + 2*(i % 4) AS h FROM idx),
+px AS (
+  SELECT v.i, v.n_frames, v.w, v.h, uf.f, ux.x, uy.y,
+         8 + 2*((7*v.i + 3*(ux.x // 8) + 5*(uy.y // 8) + 31*(uf.f // 3)) % 120) AS val
+  FROM vids v,
+       LATERAL (SELECT unnest(range(v.n_frames)) AS f) uf,
+       LATERAL (SELECT unnest(range(v.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(v.h)) AS y) uy
+),
+diffs AS (
+  SELECT a.i, a.n_frames, a.w, a.h, a.f,
+         SUM(ABS(a.val - b.val)) AS d
+  FROM px a
+  JOIN px b ON b.i = a.i AND b.f = a.f - 1 AND b.x = a.x AND b.y = a.y
+  GROUP BY a.i, a.n_frames, a.w, a.h, a.f
+),
+cuts AS (
+  SELECT i, n_frames,
+         COUNT(*) FILTER (WHERE d > 8 * w * h) AS n_cuts,
+         MIN(f) FILTER (WHERE d > 8 * w * h) AS first_cut,
+         SUM(d) AS sum_diff, MAX(d) AS max_diff
+  FROM diffs GROUP BY i, n_frames
+)
+SELECT CAST(1800 + i AS BIGINT) AS media_id,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       CAST(n_cuts AS INTEGER) AS n_cuts,
+       CAST(first_cut AS INTEGER) AS first_cut,
+       CAST(sum_diff AS BIGINT) AS sum_diff,
+       CAST(max_diff AS BIGINT) AS max_diff
+FROM cuts ORDER BY media_id
+"""
+
+
+@query("video_scene_changes", survey="llm-multimodal,X6", oracle=SCENE_CHANGES_ORACLE)
+def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCENE-CHANGE (shot boundary) detection over REAL video decode,
+    distributed: the ISO-BMFF sample walk slices MJPEG frames, the JPEG
+    codec reconstructs pixels, and adjacent frames reduce to exact int64
+    absolute-difference sums with an integer cut rule
+    (diff > 8 * n_px) — the pass a video corpus runs before frame
+    sampling so samples cover scenes rather than duplicating one
+    (``extract_video_scene_changes``).
+
+    Fixtures: 4..11 frames per video, per-block constants STATIC within
+    each 3-frame scene (in-scene diffs exactly 0) with formula level
+    jumps at scene boundaries; even levels keep the JPEG round-trip
+    bit-exact, so the oracle restates pixels -> LAG diffs -> cut rule
+    verbatim. Unit twins: test_scene_changes_*."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        build_mp4_mjpeg,
+        encode_jpeg_gray,
+        extract_video_scene_changes,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * (i % 4), 21 + 2 * (i % 4)
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        frames = []
+        for f in range(4 + i):
+            by, bx = np.mgrid[0:nby, 0:nbx]
+            bv = (8 + 2 * ((7 * i + 3 * bx + 5 * by + 31 * (f // 3)) % 120)).astype(
+                np.uint8
+            )
+            frames.append(
+                encode_jpeg_gray(np.kron(bv, np.ones((8, 8), np.uint8))[:h, :w])
+            )
+        rows.append(
+            (1800 + i, build_mp4_mjpeg(frames, use_co64=bool(i % 2)), "video/mp4", 0, None)
+        )
+    rows = [(mid, p, m, len(p), j) for mid, p, m, _, j in rows]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_video_scene_changes(media).orderBy("media_id")

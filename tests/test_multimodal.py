@@ -2214,3 +2214,37 @@ def test_audio_fingerprint64_window_and_composition():
     fp2 = audio_fingerprint64(y)[0]
     assert bin((fp ^ fp2) & ((1 << 64) - 1)).count("1") <= 2
     assert audio_fingerprint64(x.astype(np.int64) * 2)[0] == fp  # level-robust
+
+
+def test_scene_changes_cut_rule_and_voiding(spark):
+    """Scene-change operator invariants: a static video has zero cuts
+    and zero diffs; a level jump at a known frame is reported as
+    first_cut with the exact |delta| * n_px diff; a video with one
+    corrupt frame voids the WHOLE row (no partial answers); a single-
+    frame video has no transitions (n_cuts 0, first_cut NULL)."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        build_mp4_mjpeg,
+        encode_jpeg_gray,
+        extract_video_scene_changes,
+    )
+
+    w, h = 24, 16
+    flat = encode_jpeg_gray(np.full((h, w), 100, np.uint8))
+    bright = encode_jpeg_gray(np.full((h, w), 140, np.uint8))
+    rows = [
+        (1, build_mp4_mjpeg([flat, flat, flat]), "video/mp4"),
+        (2, build_mp4_mjpeg([flat, flat, bright, bright]), "video/mp4"),
+        (3, build_mp4_mjpeg([flat, b"\xff\xd8junk", flat]), "video/mp4"),
+        (4, build_mp4_mjpeg([bright]), "video/mp4"),
+    ]
+    rows = [(mid, p, m, len(p), None) for mid, p, m in rows]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(1)
+    got = {r.media_id: r for r in extract_video_scene_changes(media).collect()}
+    assert (got[1].n_cuts, got[1].first_cut, got[1].sum_diff) == (0, None, 0)
+    assert (got[2].n_cuts, got[2].first_cut) == (1, 2)
+    assert got[2].sum_diff == got[2].max_diff == 40 * w * h
+    assert got[3].n_frames is None and got[3].n_cuts is None
+    assert (got[4].n_frames, got[4].n_cuts, got[4].first_cut) == (1, 0, None)

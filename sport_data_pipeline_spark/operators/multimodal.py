@@ -3865,3 +3865,66 @@ def extract_audio_fingerprint(df: DataFrame, decoder=None) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=AUDIO_FP_SCHEMA)
+
+
+def media_neardup_route(
+    batch: DataFrame,
+    corpus: DataFrame,
+    max_hamming: int = 3,
+    hash_col: str = "dhash",
+) -> DataFrame:
+    """Route a NEW media batch against an EXISTING corpus fingerprint
+    index — the steady-state ingestion shape (the media twin of
+    ``operators/dedup.incremental_dedup``): both inputs carry
+    (media_id, ``hash_col``, b0..b3) rows (from
+    :func:`extract_image_dhash` / :func:`extract_audio_fingerprint`, or
+    read back from a persisted index table). ONE-SIDED banded join
+    (batch bands x corpus bands on (band, chunk) — never a corpus
+    self-join), exact bit_count(xor) <= max_hamming verify, then each
+    batch item resolves to its smallest-id corpus match
+    (deterministic) or stays kept. Undecodable batch rows (NULL hash)
+    route to ``undecodable`` — at ingest they go to quarantine, not
+    silently into the corpus. Output: (media_id, status
+    kept|dup_near|undecodable, match_id, hamming)."""
+    if not 0 <= max_hamming <= 3:
+        raise ValueError("banded 4x16 LSH is lossless only for max_hamming <= 3")
+    from pyspark.sql import functions as F
+
+    def bands(df: DataFrame, prefix: str) -> DataFrame:
+        return df.filter(F.col(hash_col).isNotNull()).select(
+            F.col("media_id").alias(f"{prefix}_id"),
+            F.col(hash_col).alias(f"{prefix}_hash"),
+            F.stack(
+                F.lit(4),
+                F.lit(0), F.col("b0"),
+                F.lit(1), F.col("b1"),
+                F.lit(2), F.col("b2"),
+                F.lit(3), F.col("b3"),
+            ).alias("band", "chunk"),
+        )
+
+    matches = (
+        bands(batch, "batch")
+        .join(bands(corpus, "corpus"), ["band", "chunk"])
+        .select(
+            "batch_id",
+            "corpus_id",
+            F.bit_count(
+                F.col("batch_hash").bitwiseXOR(F.col("corpus_hash"))
+            ).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .groupBy("batch_id")
+        .agg(F.min(F.struct("corpus_id", "hamming")).alias("m"))
+    )
+    return batch.select(
+        "media_id", F.col(hash_col).isNull().alias("_bad")
+    ).join(matches, F.col("media_id") == F.col("batch_id"), "left").select(
+        "media_id",
+        F.when(F.col("_bad"), F.lit("undecodable"))
+        .when(F.col("m").isNotNull(), F.lit("dup_near"))
+        .otherwise(F.lit("kept"))
+        .alias("status"),
+        F.col("m.corpus_id").alias("match_id"),
+        F.col("m.hamming").alias("hamming"),
+    )

@@ -1845,3 +1845,152 @@ def video_scene_changes(spark: SparkSession, sf_dir: str) -> DataFrame:
     rows = [(mid, p, m, len(p), j) for mid, p, m, _, j in rows]
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_video_scene_changes(media).orderBy("media_id")
+
+
+# Incremental media-dedup oracle: corpus hashes (8 gradient bases),
+# batch hashes (4 perturbed near-dups + 2 fresh-formula images), the
+# ONE-SIDED banded join, the hamming verify, and the min-corpus-id match
+# resolution are all restated in SQL from the pixel formulas; the
+# corrupt batch payload joins the result as a literal `undecodable` row
+# (SQL has no decode to fail).
+INCR_MEDIA_ORACLE = """
+WITH imgs AS (
+  SELECT 1900 + i AS media_id, 0 AS kind, i, 36 + 4*i AS w, 24 + 4*i AS h
+  FROM (SELECT unnest(range(8)) AS i)
+  UNION ALL
+  SELECT 1950 + i, 1, i, 36 + 4*i, 24 + 4*i FROM (SELECT unnest(range(4)) AS i)
+  UNION ALL
+  SELECT 1950 + i, 2, i, 36 + 4*i, 24 + 4*i FROM (SELECT unnest([4, 5]) AS i)
+),
+gray AS (
+  SELECT m.media_id, m.kind, (ux.x*9)//m.w AS cx, (uy.y*8)//m.h AS cy,
+         CASE WHEN m.kind = 2
+              THEN (5*ux.x + 2*uy.y + 13*m.i) % 190
+              ELSE ((2 + m.i)*ux.x + (3 + 2*m.i)*uy.y + 7*m.i) % 200
+                   + CASE WHEN m.kind = 1 AND (ux.x*9)//m.w = 4
+                               AND (uy.y*8)//m.h = 3 THEN 40 ELSE 0 END
+         END AS g
+  FROM imgs m,
+       LATERAL (SELECT unnest(range(m.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(m.h)) AS y) uy
+),
+cells AS (
+  SELECT media_id, kind, cy, cx, SUM(g) // COUNT(*) AS c
+  FROM gray GROUP BY media_id, kind, cy, cx
+),
+bits AS (
+  SELECT l.media_id, l.kind, l.cy AS y, l.cx AS x,
+         CASE WHEN r.c > l.c THEN 1 ELSE 0 END AS bit
+  FROM cells l
+  JOIN cells r ON r.media_id = l.media_id AND r.cy = l.cy AND r.cx = l.cx + 1
+  WHERE l.cx < 8
+),
+chunks AS (
+  SELECT media_id, kind, (8*y + x) // 16 AS band,
+         CAST(SUM(bit * (1 << ((8*y + x) % 16))) AS BIGINT) AS chunk
+  FROM bits GROUP BY media_id, kind, (8*y + x) // 16
+),
+hashes AS (
+  SELECT media_id, kind,
+         CAST(SUM(CASE WHEN band = 0 THEN chunk
+                       WHEN band = 1 THEN chunk * 65536
+                       WHEN band = 2 THEN chunk * 4294967296
+                       ELSE (chunk - CASE WHEN chunk >= 32768 THEN 65536 ELSE 0 END)
+                            * 281474976710656 END) AS BIGINT) AS dhash
+  FROM chunks GROUP BY media_id, kind
+),
+cand AS (
+  SELECT DISTINCT b.media_id AS batch_id, c.media_id AS corpus_id
+  FROM chunks b
+  JOIN chunks c ON c.kind = 0 AND b.kind != 0
+               AND c.band = b.band AND c.chunk = b.chunk
+),
+verified AS (
+  SELECT cand.batch_id, cand.corpus_id,
+         bit_count(xor(hb.dhash, hc.dhash)) AS hamming
+  FROM cand
+  JOIN hashes hb ON hb.media_id = cand.batch_id AND hb.kind != 0
+  JOIN hashes hc ON hc.media_id = cand.corpus_id AND hc.kind = 0
+  WHERE bit_count(xor(hb.dhash, hc.dhash)) <= 3
+),
+resolved AS (
+  SELECT batch_id, MIN(corpus_id) AS match_id FROM verified GROUP BY batch_id
+)
+SELECT CAST(b.media_id AS BIGINT) AS media_id,
+       CASE WHEN r.match_id IS NOT NULL THEN 'dup_near' ELSE 'kept' END AS status,
+       CAST(r.match_id AS BIGINT) AS match_id,
+       CAST(v.hamming AS INTEGER) AS hamming
+FROM (SELECT media_id FROM imgs WHERE kind != 0) b
+LEFT JOIN resolved r ON r.batch_id = b.media_id
+LEFT JOIN verified v ON v.batch_id = b.media_id AND v.corpus_id = r.match_id
+UNION ALL
+SELECT 1956, 'undecodable', NULL, NULL
+ORDER BY media_id
+"""
+
+
+@query(
+    "incremental_media_dedup",
+    survey="llm-multimodal,dedup-simhash,dedup-incremental,X6",
+    oracle=INCR_MEDIA_ORACLE,
+)
+def incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MEDIA ingestion dedup — the steady-state corpus shape,
+    composing the perceptual-hash layer with the one-sided routing
+    contract of ``incremental_dedup``: a new media batch's dHashes join
+    a persisted corpus fingerprint index on the 4x16-bit bands (batch x
+    corpus only, NEVER a corpus self-join), exact-verify at
+    hamming <= 3, and each batch item routes to dup_near (smallest-id
+    match, deterministic), kept, or undecodable (quarantine, never
+    silent ingestion) via ``media_neardup_route``.
+
+    Fixtures: 8-image corpus; batch of 4 perturbed near-dups + 2
+    fresh-formula images + 1 corrupt payload. The oracle restates
+    decode -> hash -> one-sided LSH -> verify -> min-id resolution from
+    the pixel formulas. Unit twins: test_media_neardup_route_*."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rgb,
+        extract_image_dhash,
+        media_neardup_route,
+    )
+
+    def gradient(i, pert=False):
+        w, h = 36 + 4 * i, 24 + 4 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        g = ((2 + i) * x + (3 + 2 * i) * y + 7 * i) % 200
+        if pert:
+            g = g + 40 * (((x * 9) // w == 4) & ((y * 8) // h == 3))
+        return np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+
+    def fresh(i):
+        w, h = 36 + 4 * i, 24 + 4 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        g = (5 * x + 2 * y + 13 * i) % 190
+        return np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+
+    corpus_rows = [
+        (1900 + i, encode_bmp_rgb(gradient(i)), "image/bmp") for i in range(8)
+    ]
+    batch_rows = (
+        [(1950 + i, encode_bmp_rgb(gradient(i, pert=True)), "image/bmp") for i in range(4)]
+        + [(1950 + i, encode_bmp_rgb(fresh(i)), "image/bmp") for i in (4, 5)]
+        + [(1956, b"BM\x00corrupt", "image/bmp")]
+    )
+    as_media = lambda rows: spark.createDataFrame(
+        [(mid, p, m, len(p), None) for mid, p, m in rows], MEDIA_SCHEMA
+    ).repartition(4, "media_id")
+    corpus = extract_image_dhash(as_media(corpus_rows), decoder=decode_bmp_rgb)
+    batch = extract_image_dhash(as_media(batch_rows), decoder=decode_bmp_rgb)
+    return (
+        media_neardup_route(batch, corpus, max_hamming=3)
+        .select(
+            "media_id",
+            "status",
+            "match_id",
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+        .orderBy("media_id")
+    )

@@ -2248,3 +2248,51 @@ def test_scene_changes_cut_rule_and_voiding(spark):
     assert got[2].sum_diff == got[2].max_diff == 40 * w * h
     assert got[3].n_frames is None and got[3].n_cuts is None
     assert (got[4].n_frames, got[4].n_cuts, got[4].first_cut) == (1, 0, None)
+
+
+def test_media_neardup_route_one_sided(spark):
+    """media_neardup_route contract: batch items route to dup_near
+    (smallest-id corpus match), kept, or undecodable; corpus-internal
+    duplicates are NEVER reported (one-sided join); max_hamming > 3
+    rejected."""
+    import pandas as pd
+    import pytest as _pytest
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        media_neardup_route,
+    )
+
+    def row(mid, dh):
+        u = dh & ((1 << 64) - 1) if dh is not None else None
+        return {
+            "media_id": mid,
+            "width": 9,
+            "height": 8,
+            "dhash": dh,
+            "b0": u & 0xFFFF if dh is not None else None,
+            "b1": (u >> 16) & 0xFFFF if dh is not None else None,
+            "b2": (u >> 32) & 0xFFFF if dh is not None else None,
+            "b3": (u >> 48) & 0xFFFF if dh is not None else None,
+        }
+
+    base = 0x00112233445566
+    # corpus contains an internal exact pair (10, 11) — must not appear
+    corpus = spark.createDataFrame(
+        pd.DataFrame([row(10, base), row(11, base), row(12, base ^ 0xFF00000)]).astype(
+            {"dhash": "Int64", "b0": "Int32", "b1": "Int32", "b2": "Int32", "b3": "Int32"}
+        )
+    )
+    batch = spark.createDataFrame(
+        pd.DataFrame(
+            [row(20, base ^ 0b11), row(21, 0x7F00AA0000BB00), row(22, None)]
+        ).astype(
+            {"dhash": "Int64", "b0": "Int32", "b1": "Int32", "b2": "Int32", "b3": "Int32"}
+        )
+    )
+    got = {r.media_id: r for r in media_neardup_route(batch, corpus).collect()}
+    assert len(got) == 3  # batch rows only — never corpus-internal pairs
+    assert (got[20].status, got[20].match_id, got[20].hamming) == ("dup_near", 10, 2)
+    assert (got[21].status, got[21].match_id) == ("kept", None)
+    assert (got[22].status, got[22].match_id) == ("undecodable", None)
+    with _pytest.raises(ValueError):
+        media_neardup_route(batch, corpus, max_hamming=5)

@@ -1994,3 +1994,225 @@ def incremental_media_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+def _stream_media_oracle(n_batches: int) -> str:
+    """Unrolled WITH-chain for the streaming media ingest: the dHash
+    machinery over every fixture image (corpus family A, streamed fresh
+    family F, perturbed copies), then per-batch fold c{k} -> r{k} ->
+    c{k+1} mirroring the foreachBatch state appends — batch k's dup item
+    copies batch k-1's KEPT item, so the chain only matches if the
+    evolving-state fold is right. The corrupt payload joins the final
+    union as a literal `undecodable` row."""
+    parts = [
+        """WITH imgs AS (
+  SELECT 2100 + i AS media_id, i AS fam, 0 AS ftype, 0 AS pert
+  FROM (SELECT unnest(range(8)) AS i)
+  UNION ALL
+  SELECT 2200, 0, 0, 1
+  UNION ALL
+  SELECT 2200 + 10*k, k - 1, 1, 1 FROM (SELECT unnest(range(1, %d)) AS k)
+  UNION ALL
+  SELECT 2201 + 10*k, k, 1, 0 FROM (SELECT unnest(range(%d)) AS k)
+),
+dims AS (
+  SELECT media_id, fam, ftype, pert,
+         CASE WHEN ftype = 0 THEN 36 + 4*fam ELSE 40 + 4*fam END AS w,
+         CASE WHEN ftype = 0 THEN 24 + 4*fam ELSE 28 + 4*fam END AS h
+  FROM imgs
+),
+gray AS (
+  SELECT m.media_id, (ux.x*9)//m.w AS cx, (uy.y*8)//m.h AS cy,
+         CASE WHEN m.ftype = 0
+              THEN ((2 + m.fam)*ux.x + (3 + 2*m.fam)*uy.y + 7*m.fam) %% 200
+              ELSE (5*ux.x + 2*uy.y + 13*m.fam) %% 190
+         END
+         + CASE WHEN m.pert = 1 AND (ux.x*9)//m.w = 4 AND (uy.y*8)//m.h = 3
+                THEN 40 ELSE 0 END AS g
+  FROM dims m,
+       LATERAL (SELECT unnest(range(m.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(m.h)) AS y) uy
+),
+cells AS (
+  SELECT media_id, cy, cx, SUM(g) // COUNT(*) AS c
+  FROM gray GROUP BY media_id, cy, cx
+),
+bits AS (
+  SELECT l.media_id, l.cy AS y, l.cx AS x,
+         CASE WHEN r.c > l.c THEN 1 ELSE 0 END AS bit
+  FROM cells l
+  JOIN cells r ON r.media_id = l.media_id AND r.cy = l.cy AND r.cx = l.cx + 1
+  WHERE l.cx < 8
+),
+chunks AS (
+  SELECT media_id, (8*y + x) // 16 AS band,
+         CAST(SUM(bit * (1 << ((8*y + x) %% 16))) AS BIGINT) AS chunk
+  FROM bits GROUP BY media_id, (8*y + x) // 16
+),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN band = 0 THEN chunk
+                       WHEN band = 1 THEN chunk * 65536
+                       WHEN band = 2 THEN chunk * 4294967296
+                       ELSE (chunk - CASE WHEN chunk >= 32768 THEN 65536 ELSE 0 END)
+                            * 281474976710656 END) AS BIGINT) AS dhash
+  FROM chunks GROUP BY media_id
+),
+c0 AS (SELECT media_id FROM imgs WHERE media_id < 2200)"""
+        % (n_batches, n_batches)
+    ]
+    for k in range(n_batches):
+        parts.append(
+            f""",
+b{k} AS (SELECT unnest([{2200 + 10 * k}, {2201 + 10 * k}]) AS media_id),
+m{k} AS (
+  SELECT v.bid AS media_id, MIN(v.cid) AS match_id
+  FROM (
+    SELECT DISTINCT bb.media_id AS bid, cb.media_id AS cid
+    FROM chunks bb
+    JOIN chunks cb ON cb.band = bb.band AND cb.chunk = bb.chunk
+    WHERE bb.media_id IN (SELECT media_id FROM b{k})
+      AND cb.media_id IN (SELECT media_id FROM c{k})
+  ) v
+  JOIN hashes hb ON hb.media_id = v.bid
+  JOIN hashes hc ON hc.media_id = v.cid
+  WHERE bit_count(xor(hb.dhash, hc.dhash)) <= 3
+  GROUP BY v.bid
+),
+r{k} AS (
+  SELECT b.media_id,
+         CASE WHEN m.match_id IS NULL THEN 'kept' ELSE 'dup_near' END AS status,
+         m.match_id
+  FROM b{k} b LEFT JOIN m{k} m USING (media_id)
+),
+c{k + 1} AS (
+  SELECT media_id FROM c{k}
+  UNION ALL
+  SELECT media_id FROM r{k} WHERE status = 'kept'
+)"""
+        )
+    union = "\nUNION ALL\n".join(
+        f"SELECT CAST(media_id AS BIGINT) AS media_id, status,"
+        f" CAST(match_id AS BIGINT) AS match_id FROM r{k}"
+        for k in range(n_batches)
+    )
+    parts.append(
+        f"\n{union}\nUNION ALL\nSELECT 2229, 'undecodable', NULL\nORDER BY media_id"
+    )
+    return "".join(parts)
+
+
+STREAM_MEDIA_INGEST_ORACLE = _stream_media_oracle(4)
+
+
+@query(
+    "stream_media_ingest_dedup",
+    survey="llm-multimodal,dedup-simhash,dedup-incremental,T1,X3",
+    oracle=STREAM_MEDIA_INGEST_ORACLE,
+)
+def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Route 4 streamed MEDIA micro-batches against an evolving corpus
+    fingerprint index — the media twin of
+    ``stream_semantic_ingest_dedup``. Real StreamingQuery (file source,
+    1 file per micro-batch, arrival order pinned by mtime); every batch
+    decodes (REAL BMP decode), hashes (``extract_image_dhash``), routes
+    one-sided against the persisted index (``media_neardup_route``),
+    and folds its KEPT fingerprints back APPEND-ONLY — batch k's dup
+    item is a perturbed copy of batch k-1's kept item, so the result
+    only matches the oracle if the state evolution is right. Corrupt
+    payloads route to `undecodable` quarantine and never enter the
+    index. Returns the full (media_id, status, match_id) routing
+    table."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rgb,
+        extract_image_dhash,
+        media_neardup_route,
+    )
+
+    def gradient(i, pert=False):
+        w, h = 36 + 4 * i, 24 + 4 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        g = ((2 + i) * x + (3 + 2 * i) * y + 7 * i) % 200
+        if pert:
+            g = g + 40 * (((x * 9) // w == 4) & ((y * 8) // h == 3))
+        return np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+
+    def fresh(k, pert=False):
+        w, h = 40 + 4 * k, 28 + 4 * k
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        g = (5 * x + 2 * y + 13 * k) % 190
+        if pert:
+            g = g + 40 * (((x * 9) // w == 4) & ((y * 8) // h == 3))
+        return np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+
+    def media_rows(rows):
+        return [(mid, p, "image/bmp", len(p), None) for mid, p in rows]
+
+    tmp = tempfile.mkdtemp(prefix="sdp_media_ingest_")
+    try:
+        in_dir, state_dir, routed_dir, ckpt = (
+            f"{tmp}/in", f"{tmp}/state", f"{tmp}/routed", f"{tmp}/ckpt",
+        )
+        corpus = spark.createDataFrame(
+            media_rows([(2100 + i, encode_bmp_rgb(gradient(i))) for i in range(8)]),
+            MEDIA_SCHEMA,
+        )
+        extract_image_dhash(corpus, decoder=decode_bmp_rgb).write.parquet(state_dir)
+
+        for k in range(4):
+            if k:
+                _time.sleep(1.1)  # strictly increasing mtime -> batch order
+            dup = (
+                (2200, encode_bmp_rgb(gradient(0, pert=True)))
+                if k == 0
+                else (2200 + 10 * k, encode_bmp_rgb(fresh(k - 1, pert=True)))
+            )
+            batch = [dup, (2201 + 10 * k, encode_bmp_rgb(fresh(k)))]
+            if k == 2:
+                batch.append((2229, b"BM\x00corrupt"))
+            spark.createDataFrame(media_rows(batch), MEDIA_SCHEMA).coalesce(
+                1
+            ).write.mode("append").parquet(in_dir)
+
+        schema = spark.read.parquet(in_dir).schema
+
+        def route_batch(batch: DataFrame, _epoch: int) -> None:
+            hashes = extract_image_dhash(batch, decoder=decode_bmp_rgb)
+            state = spark.read.parquet(state_dir)
+            routed = media_neardup_route(hashes, state).localCheckpoint(eager=True)
+            routed.select("media_id", "status", "match_id").write.mode(
+                "append"
+            ).parquet(routed_dir)
+            hashes.join(
+                routed.filter(F.col("status") == "kept"), "media_id", "left_semi"
+            ).write.mode("append").parquet(state_dir)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(route_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        # distributed materialization (r11, same reasoning as the
+        # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
+        # the tmp dirs `finally` deletes, keeping the routing table on
+        # executors instead of shipping every row through the driver.
+        return (
+            spark.read.parquet(routed_dir)
+            .select("media_id", "status", "match_id")
+            .orderBy("media_id")
+            .localCheckpoint(eager=True)
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -923,17 +923,25 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
             corpus, "doc_id", "text", ["lang", "source"], shingle_n=3
         ).write.parquet(f"{tmp}/index")
         index = spark.read.parquet(f"{tmp}/index")
-        rows = (
+        # distributed materialization (r11, same reasoning as the
+        # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
+        # the tmp dirs `finally` deletes, keeping the routing table on
+        # executors instead of shipping every row through the driver.
+        return (
             incremental_dedup(
                 batch, index, "doc_id", "text",
                 block_cols=["lang", "source"], threshold=0.5, shingle_n=3,
             )
+            .select(
+                F.col("doc_id").cast("long").alias("doc_id"),
+                "status",
+                F.col("match_id").cast("long").alias("match_id"),
+            )
             .orderBy("doc_id")
-            .collect()  # materialize before the index files vanish
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-    return spark.createDataFrame(rows, "doc_id long, status string, match_id long")
 
 
 # ---------------------------------------------------------------------------
@@ -1469,16 +1477,18 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        rows = (
+        # distributed materialization (r11, same reasoning as the
+        # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
+        # the tmp dirs `finally` deletes, keeping the routing table on
+        # executors instead of shipping every row through the driver.
+        return (
             spark.read.parquet(routed_dir)
             .select("doc_id", "status", "match_id")
             .orderBy("doc_id")
-            .collect()
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-
-    return spark.createDataFrame(rows, "doc_id long, status string, match_id long")
 
 
 # ---------------------------------------------------------------------------
@@ -1720,13 +1730,15 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
-        rows = (
+        # distributed materialization (r11, same reasoning as the
+        # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
+        # the tmp dirs `finally` deletes, keeping the routing table on
+        # executors instead of shipping every row through the driver.
+        return (
             spark.read.parquet(routed_dir)
             .select("vec_id", "status", "match_id")
             .orderBy("vec_id")
-            .collect()
+            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
-
-    return spark.createDataFrame(rows, "vec_id long, status string, match_id long")

@@ -99,6 +99,15 @@ def _wav(channels: int, rate: int, bits: int, data_bytes: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _bmp(w: int, h: int, top_down: bool) -> bytes:
+    """Header-only BMP (BITMAPINFOHEADER; negative height = top-down);
+    the dimension sniff reads offsets 18/22, no pixel rows needed."""
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, -h if top_down else h, 1, 24, 0, 0, 2835, 2835, 0, 0
+    )
+    return struct.pack("<2sIHHI", b"BM", 14 + 40, 0, 0, 14 + 40) + info
+
+
 def _mp4(timescale: int, duration: int) -> bytes:
     ftyp = struct.pack(">I", 16) + b"ftyp" + b"isom" + b"\x00\x00\x02\x00"
     mvhd_payload = (
@@ -128,6 +137,7 @@ def _synthesize_media_rows() -> list[tuple]:
         dur_ms = 1500 + 250 * i
         add(300 + i, _wav(ch, rate, 16, rate * ch * 2 * dur_ms // 1000), "audio/wav")
         add(400 + i, _mp4(1000, 1500 + 250 * i), "video/mp4")
+        add(500 + i, _bmp(30 + 3 * i, 22 + 2 * i, top_down=bool(i % 2)), "image/bmp")
     return rows
 
 
@@ -162,6 +172,11 @@ SELECT * FROM (
   SELECT CAST(400 + i AS BIGINT), 'mp4', NULL, NULL, NULL,
          NULL, NULL, NULL, CAST(4 + i // 2 AS INTEGER)
   FROM idx
+  UNION ALL
+  SELECT CAST(500 + i AS BIGINT), 'bmp', 'bmp',
+         CAST(30 + 3*i AS INTEGER), CAST(22 + 2*i AS INTEGER),
+         NULL, NULL, NULL, NULL
+  FROM idx
 )
 ORDER BY media_id
 """
@@ -169,7 +184,7 @@ ORDER BY media_id
 
 @query("multimodal_meta", survey="llm-multimodal,X6", oracle=MULTIMODAL_ORACLE)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unified media-metadata extraction over all five container kinds.
+    """Unified media-metadata extraction over all six container kinds.
 
     One row per synthesized medium: images report (format, width, height)
     from the header decode, WAVs report (channels, sample_rate,
@@ -199,7 +214,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("media_id") < 200, "jpeg")
         .when(F.col("media_id") < 300, "gif")
         .when(F.col("media_id") < 400, "wav")
-        .otherwise("mp4")
+        .when(F.col("media_id") < 500, "mp4")
+        .otherwise("bmp")
     )
     return (
         dims.join(audio, "media_id")

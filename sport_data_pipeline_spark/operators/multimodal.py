@@ -3928,3 +3928,145 @@ def media_neardup_route(
         F.col("m.corpus_id").alias("match_id"),
         F.col("m.hamming").alias("hamming"),
     )
+
+
+# ---------------------------------------------------------------------------
+# TIFF codec: REAL pixel decode of baseline uncompressed TIFF (the
+# scanned-document/archival format) — a genuine structured-container
+# parse (byte-order-polymorphic IFD walk, inline-vs-offset tag values,
+# strip reassembly) over memcpy-class pixel data. Compression 1 only;
+# LZW/PackBits/JPEG-in-TIFF stay behind the seam.
+# ---------------------------------------------------------------------------
+
+_TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _tiff_pack_ifd(entries, order: str, data_offset: int):
+    """(tag -> (type, [values])) dict -> (ifd_bytes, out_of_line_bytes).
+    Values that fit in 4 bytes inline; larger arrays spill to
+    data_offset onward (the spec's value-or-offset rule)."""
+    e = "<" if order == "II" else ">"
+    fmt = {1: "B", 3: "H", 4: "I"}
+    ifd = struct.pack(e + "H", len(entries))
+    spill = b""
+    for tag in sorted(entries):
+        typ, vals = entries[tag]
+        raw = b"".join(struct.pack(e + fmt[typ], v) for v in vals)
+        if len(raw) <= 4:
+            val = raw + b"\x00" * (4 - len(raw))
+        else:
+            val = struct.pack(e + "I", data_offset + len(spill))
+            spill += raw
+        ifd += struct.pack(e + "HHI", tag, typ, len(vals)) + val
+    ifd += struct.pack(e + "I", 0)  # no next IFD
+    return ifd, spill
+
+
+def encode_tiff(px, order: str = "II", rows_per_strip: int | None = None) -> bytes:
+    """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
+    spec-valid baseline TIFF 6.0 (uncompressed, chunky, strip layout,
+    'II' little- or 'MM' big-endian). Write-time fixture synthesizer —
+    any standard reader (libtiff, viewers) accepts the layout."""
+    import numpy as np
+
+    a = np.asarray(px, dtype=np.uint8)
+    gray = a.ndim == 2
+    h, w = a.shape[0], a.shape[1]
+    spp = 1 if gray else 3
+    rps = rows_per_strip or h
+    e = "<" if order == "II" else ">"
+    row_bytes = w * spp
+    strips = [
+        a[y0 : y0 + rps].tobytes() for y0 in range(0, h, rps)
+    ]
+    n = len(strips)
+    # layout: 8-byte header | pixel strips | IFD | out-of-line tag values
+    strip_offsets, off = [], 8
+    for s_ in strips:
+        strip_offsets.append(off)
+        off += len(s_)
+    ifd_offset = off
+    entries = {
+        256: (4, [w]),
+        257: (4, [h]),
+        258: (3, [8] * spp),
+        259: (3, [1]),  # no compression
+        262: (3, [1 if gray else 2]),  # BlackIsZero / RGB
+        273: (4, strip_offsets),
+        277: (3, [spp]),
+        278: (4, [rps]),
+        279: (4, [len(s_) for s_ in strips]),
+    }
+    # IFD size: 2 + 12*n_entries + 4 (known before packing)
+    ifd_size = 2 + 12 * len(entries) + 4
+    ifd, spill = _tiff_pack_ifd(entries, order, ifd_offset + ifd_size)
+    header = (order.encode() + struct.pack(e + "HI", 42, ifd_offset))
+    return header + b"".join(strips) + ifd + spill
+
+
+def decode_tiff_rgb(b: bytes | None):
+    """Full pixel decode of a TIFF payload at the supported profile —
+    baseline TIFF 6.0, either byte order, compression 1 (none), 8 bits
+    per sample, chunky grayscale (replicated to RGB) or RGB, strip
+    layout — returning (h, w, 3) uint8, or None for anything
+    unrecognizable or outside that profile (LZW/PackBits, planar,
+    tiles, 1/4/16-bit, truncated strips → None, never a crash). Walks
+    the first IFD with the spec's value-or-offset rule; decode-bomb
+    guarded by ``_MAX_DECODE_PIXELS``."""
+    import numpy as np
+
+    if not b or len(b) < 8 or b[:2] not in (b"II", b"MM"):
+        return None
+    e = "<" if b[:2] == b"II" else ">"
+    magic, ifd_off = struct.unpack_from(e + "HI", b, 2)
+    if magic != 42 or ifd_off + 2 > len(b):
+        return None
+    (n_entries,) = struct.unpack_from(e + "H", b, ifd_off)
+    if ifd_off + 2 + 12 * n_entries + 4 > len(b):
+        return None
+    tags: dict[int, list[int]] = {}
+    fmt = {1: "B", 3: "H", 4: "I"}
+    for k in range(n_entries):
+        at = ifd_off + 2 + 12 * k
+        tag, typ, cnt = struct.unpack_from(e + "HHI", b, at)
+        if typ not in _TIFF_TYPE_SIZES:
+            continue  # rational/ascii metadata tags: irrelevant here
+        size = _TIFF_TYPE_SIZES[typ] * cnt
+        src = at + 8
+        if size > 4:
+            (src,) = struct.unpack_from(e + "I", b, at + 8)
+        if src + size > len(b):
+            return None
+        tags[tag] = list(
+            struct.unpack_from(e + str(cnt) + fmt[typ], b, src)
+        )
+    try:
+        w, h = tags[256][0], tags[257][0]
+        offsets, counts = tags[273], tags[279]
+        spp = tags.get(277, [1])[0]
+        photo = tags[262][0]
+        rps = tags.get(278, [h])[0]
+    except (KeyError, IndexError):
+        return None
+    if tags.get(259, [1])[0] != 1 or tags.get(284, [1])[0] != 1:
+        return None  # compressed or planar: out of profile
+    if tags.get(258, [8])[:spp] != [8] * spp:
+        return None
+    if (photo, spp) not in ((1, 1), (2, 3)):
+        return None
+    if w <= 0 or h <= 0 or w * h > _MAX_DECODE_PIXELS or rps <= 0:
+        return None
+    if len(offsets) != len(counts) or len(offsets) != (h + rps - 1) // rps:
+        return None
+    row_bytes = w * spp
+    data = bytearray()
+    for i, (off, cnt) in enumerate(zip(offsets, counts)):
+        rows = min(rps, h - i * rps)
+        if cnt != rows * row_bytes or off + cnt > len(b):
+            return None
+        data += b[off : off + cnt]
+    px = np.frombuffer(bytes(data), dtype=np.uint8)
+    if spp == 1:
+        g = px.reshape(h, w)
+        return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
+    return np.ascontiguousarray(px.reshape(h, w, 3))

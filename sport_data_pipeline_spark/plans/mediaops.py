@@ -2232,3 +2232,81 @@ def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+# TIFF oracle: baseline TIFF is lossless and layout-only, so the oracle
+# restates the pixel formulas directly — even fixtures RGB (three
+# formulas of x, y, i), odd fixtures grayscale replicated to RGB. Byte
+# order flips at i >= 4 (II -> MM) and every fixture stores multiple
+# strips (rows_per_strip 5, ragged final strip), so the IFD walk, the
+# endianness polymorphism, and strip reassembly are all under the hash.
+TIFF_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 28 + 3*i AS w, 19 + 2*i AS h FROM idx),
+rgb AS (
+  SELECT d.i, d.w, d.h,
+         CASE WHEN d.i % 2 = 0 THEN (3*ux.x + 2*uy.y + 5*d.i) % 256
+              ELSE (6*ux.x + 5*uy.y + 9*d.i) % 256 END AS r,
+         CASE WHEN d.i % 2 = 0 THEN (ux.x + 7*uy.y + 11*d.i) % 256
+              ELSE (6*ux.x + 5*uy.y + 9*d.i) % 256 END AS g,
+         CASE WHEN d.i % 2 = 0 THEN (5*ux.x + 3*uy.y + 2*d.i) % 256
+              ELSE (6*ux.x + 5*uy.y + 9*d.i) % 256 END AS b
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+)
+SELECT CAST(2300 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query("tiff_pixel_stats", survey="llm-multimodal,X6", oracle=TIFF_STATS_ORACLE)
+def tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL baseline-TIFF pixel decode, distributed — the scanned-
+    document/archival container: byte-order-polymorphic IFD walk
+    (little-endian 'II' fixtures i<4, big-endian 'MM' i>=4), the spec's
+    inline-vs-offset tag value rule, and multi-strip reassembly (ragged
+    final strip), over uncompressed chunky grayscale (odd i, replicated
+    to RGB) and RGB (even i) at 8 bits. Runs through the SAME stats
+    operator via the production-codec seam:
+    ``extract_pixel_stats(media, decoder=decode_tiff_rgb)``; LZW/
+    PackBits/tiled TIFF stay behind the seam. Lossless codec -> the
+    oracle restates the pixel formulas directly. Unit twins:
+    test_tiff_roundtrip_bitexact_matrix / test_tiff_out_of_profile_*."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_tiff_rgb,
+        encode_tiff,
+        extract_pixel_stats,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 28 + 3 * i, 19 + 2 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        order = "II" if i < 4 else "MM"
+        if i % 2 == 0:
+            img = np.stack(
+                [
+                    (3 * x + 2 * y + 5 * i) % 256,
+                    (x + 7 * y + 11 * i) % 256,
+                    (5 * x + 3 * y + 2 * i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+        else:
+            img = ((6 * x + 5 * y + 9 * i) % 256).astype(np.uint8)
+        payload = encode_tiff(img, order=order, rows_per_strip=5)
+        rows.append((2300 + i, payload, "image/tiff", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(media, decoder=decode_tiff_rgb).orderBy("media_id")

@@ -2296,3 +2296,67 @@ def test_media_neardup_route_one_sided(spark):
     assert (got[22].status, got[22].match_id) == ("undecodable", None)
     with _pytest.raises(ValueError):
         media_neardup_route(batch, corpus, max_hamming=5)
+
+
+def test_tiff_roundtrip_bitexact_matrix():
+    """Baseline TIFF is lossless: encode -> decode reproduces pixels
+    exactly across byte orders (II/MM), grayscale and RGB, single- and
+    multi-strip layouts (including a ragged final strip), and 1x1."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_tiff_rgb,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(31)
+    for order in ("II", "MM"):
+        for rps in (None, 1, 4, 7):
+            for h, w in [(1, 1), (9, 13), (21, 29)]:
+                img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+                got = decode_tiff_rgb(encode_tiff(img, order, rps))
+                assert np.array_equal(got, img), (order, rps, h, w)
+                g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+                got_g = decode_tiff_rgb(encode_tiff(g, order, rps))
+                assert np.array_equal(got_g, np.repeat(g[:, :, None], 3, axis=2))
+
+
+def test_tiff_out_of_profile_rejects():
+    """Out-of-profile TIFFs return None, never crash: truncation, LZW
+    compression, planar config, 16-bit samples, strip-count mismatch,
+    decode bombs."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_tiff_rgb,
+        encode_tiff,
+    )
+
+    img = np.zeros((8, 8, 3), dtype=np.uint8)
+    good = encode_tiff(img, "II", 4)
+    assert decode_tiff_rgb(good) is not None
+    assert decode_tiff_rgb(None) is None
+    assert decode_tiff_rgb(good[:-6]) is None  # truncated last strip/IFD
+
+    def tag_edit(payload, tag, new_vals):
+        import struct as _s
+
+        b = bytearray(payload)
+        (ifd_off,) = _s.unpack_from("<I", b, 4)
+        (n,) = _s.unpack_from("<H", b, ifd_off)
+        for k in range(n):
+            at = ifd_off + 2 + 12 * k
+            t, typ, cnt = _s.unpack_from("<HHI", b, at)
+            if t == tag:
+                fmt = {3: "H", 4: "I"}[typ]
+                for j, v in enumerate(new_vals):
+                    _s.pack_into("<" + fmt, b, at + 8 + _s.calcsize(fmt) * j, v)
+        return bytes(b)
+
+    assert decode_tiff_rgb(tag_edit(good, 259, [5])) is None  # LZW
+    assert decode_tiff_rgb(tag_edit(good, 258, [16, 16, 16])) is None  # 16-bit
+    assert decode_tiff_rgb(tag_edit(good, 262, [3])) is None  # palette photometric
+    assert decode_tiff_rgb(tag_edit(good, 278, [8])) is None  # strip-count mismatch
+    assert decode_tiff_rgb(tag_edit(good, 256, [1 << 13]) ) is None  # byte counts now lie
+    bomb = tag_edit(tag_edit(good, 256, [1 << 13]), 257, [1 << 13])
+    assert decode_tiff_rgb(bomb) is None  # 64M px > cap (checked pre-strips)

@@ -122,13 +122,16 @@ def _typed_frame(rows, names, dtypes) -> pd.DataFrame:
 
 def parse_image_header(b: bytes | None) -> tuple[str, int, int] | None:
     """Header-only image decode: (format, width, height) from the container
-    bytes, or None when the payload is not a recognizable PNG/JPEG/GIF/BMP.
+    bytes, or None when the payload is not a recognizable
+    PNG/JPEG/GIF/BMP/TIFF.
 
     Pure stdlib ``struct`` over the published container layouts:
     PNG — 8-byte signature, then the IHDR chunk holds two big-endian
     uint32 dimensions at offsets 16/20; GIF — 'GIF87a'/'GIF89a', then two
     little-endian uint16; BMP — 'BM', then two little-endian int32 at
-    offsets 18/22 (negative height = top-down storage); JPEG — walk the
+    offsets 18/22 (negative height = top-down storage); TIFF — 'II'/'MM'
+    byte-order mark, magic 42, then ImageWidth/ImageLength (tags 256/257)
+    from the first IFD; JPEG — walk the
     marker segments from SOI to the first SOFn, whose payload is
     [precision u8, height u16be, width u16be].
     """
@@ -143,6 +146,25 @@ def parse_image_header(b: bytes | None) -> tuple[str, int, int] | None:
     if b[:2] == b"BM" and len(b) >= 26:
         w, h = struct.unpack("<ii", b[18:26])
         return ("bmp", w, abs(h))
+    if b[:2] in (b"II", b"MM") and len(b) >= 8:
+        e = "<" if b[:2] == b"II" else ">"
+        magic, ifd = struct.unpack(e + "HI", b[2:8])
+        if magic != 42 or ifd + 2 > len(b):
+            return None
+        (n,) = struct.unpack_from(e + "H", b, ifd)
+        dims = {}
+        for k in range(n):
+            at = ifd + 2 + 12 * k
+            if at + 12 > len(b):
+                return None
+            tag, typ, _cnt = struct.unpack_from(e + "HHI", b, at)
+            if tag in (256, 257) and typ in (3, 4):
+                (dims[tag],) = struct.unpack_from(
+                    e + ("H" if typ == 3 else "I"), b, at + 8
+                )
+        if 256 in dims and 257 in dims:
+            return ("tiff", dims[256], dims[257])
+        return None
     if b[:2] == b"\xff\xd8":  # JPEG SOI
         i = 2
         n = len(b)

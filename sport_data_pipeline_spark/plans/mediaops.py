@@ -99,6 +99,17 @@ def _wav(channels: int, rate: int, bits: int, data_bytes: int) -> bytes:
     return b"RIFF" + struct.pack("<I", len(body)) + body
 
 
+def _tiff(w: int, h: int, order: str) -> bytes:
+    """Header-only TIFF (IFD with just the two dimension tags); the
+    sniff walks tags 256/257, no pixel strips needed."""
+    e = "<" if order == "II" else ">"
+    ifd = struct.pack(e + "H", 2)
+    ifd += struct.pack(e + "HHI", 256, 4, 1) + struct.pack(e + "I", w)
+    ifd += struct.pack(e + "HHI", 257, 4, 1) + struct.pack(e + "I", h)
+    ifd += struct.pack(e + "I", 0)
+    return order.encode() + struct.pack(e + "HI", 42, 8) + ifd
+
+
 def _bmp(w: int, h: int, top_down: bool) -> bytes:
     """Header-only BMP (BITMAPINFOHEADER; negative height = top-down);
     the dimension sniff reads offsets 18/22, no pixel rows needed."""
@@ -138,6 +149,7 @@ def _synthesize_media_rows() -> list[tuple]:
         add(300 + i, _wav(ch, rate, 16, rate * ch * 2 * dur_ms // 1000), "audio/wav")
         add(400 + i, _mp4(1000, 1500 + 250 * i), "video/mp4")
         add(500 + i, _bmp(30 + 3 * i, 22 + 2 * i, top_down=bool(i % 2)), "image/bmp")
+        add(600 + i, _tiff(26 + 3 * i, 17 + 2 * i, "II" if i % 2 == 0 else "MM"), "image/tiff")
     return rows
 
 
@@ -177,6 +189,11 @@ SELECT * FROM (
          CAST(30 + 3*i AS INTEGER), CAST(22 + 2*i AS INTEGER),
          NULL, NULL, NULL, NULL
   FROM idx
+  UNION ALL
+  SELECT CAST(600 + i AS BIGINT), 'tiff', 'tiff',
+         CAST(26 + 3*i AS INTEGER), CAST(17 + 2*i AS INTEGER),
+         NULL, NULL, NULL, NULL
+  FROM idx
 )
 ORDER BY media_id
 """
@@ -184,7 +201,7 @@ ORDER BY media_id
 
 @query("multimodal_meta", survey="llm-multimodal,X6", oracle=MULTIMODAL_ORACLE)
 def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Unified media-metadata extraction over all six container kinds.
+    """Unified media-metadata extraction over all seven container kinds.
 
     One row per synthesized medium: images report (format, width, height)
     from the header decode, WAVs report (channels, sample_rate,
@@ -215,7 +232,8 @@ def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         .when(F.col("media_id") < 300, "gif")
         .when(F.col("media_id") < 400, "wav")
         .when(F.col("media_id") < 500, "mp4")
-        .otherwise("bmp")
+        .when(F.col("media_id") < 600, "bmp")
+        .otherwise("tiff")
     )
     return (
         dims.join(audio, "media_id")

@@ -2360,3 +2360,20 @@ def test_tiff_out_of_profile_rejects():
     assert decode_tiff_rgb(tag_edit(good, 256, [1 << 13]) ) is None  # byte counts now lie
     bomb = tag_edit(tag_edit(good, 256, [1 << 13]), 257, [1 << 13])
     assert decode_tiff_rgb(bomb) is None  # 64M px > cap (checked pre-strips)
+
+
+def test_tiff_header_sniff():
+    """parse_image_header recognizes TIFF in both byte orders via the
+    IFD dimension tags, alongside PNG/GIF/JPEG/BMP."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        encode_tiff,
+        parse_image_header,
+    )
+
+    img = np.zeros((9, 13, 3), dtype=np.uint8)
+    assert parse_image_header(encode_tiff(img, "II")) == ("tiff", 13, 9)
+    assert parse_image_header(encode_tiff(img, "MM")) == ("tiff", 13, 9)
+    assert parse_image_header(b"II\x2a\x00") is None  # no IFD reachable
+    assert parse_image_header(b"MM\x00\x13rest") is None  # wrong magic

@@ -108,6 +108,13 @@ def fixtures():
 
         return encode_bmp_rgb(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
 
+    def tiff(h, w):
+        from sport_data_pipeline_spark.operators.multimodal import encode_tiff
+
+        return encode_tiff(
+            rng.integers(0, 256, (h, w, 3)).astype(np.uint8), "MM", 16
+        )
+
     return [
         ("png", "query", [png(35, 44) for _ in range(64)]),
         ("png", "128px", [png(128, 128) for _ in range(64)]),
@@ -122,6 +129,7 @@ def fixtures():
         ("adpcm", "1s", [adpcm(16160) for _ in range(32)]),
         ("bmp", "query", [bmp(35, 44) for _ in range(64)]),
         ("bmp", "128px", [bmp(128, 128) for _ in range(64)]),
+        ("tiff", "128px", [tiff(128, 128) for _ in range(64)]),
         ("wav_pcm", "1s", [wav(32000) for _ in range(64)]),
         ("wav_pcm", "10s", [wav(320000) for _ in range(32)]),
     ]
@@ -137,6 +145,7 @@ DECODERS = {
     "g711_ulaw": "decode_wav_pcm",
     "adpcm": "decode_wav_pcm",
     "bmp": "decode_bmp_rgb",
+    "tiff": "decode_tiff_rgb",
     "wav_pcm": "decode_wav_pcm",
 }
 
@@ -150,6 +159,7 @@ OPERATORS = {
     "g711_ulaw": "extract_audio_stats",
     "adpcm": "extract_audio_stats",
     "bmp": "bmp_stats",  # extract_pixel_stats with the decoder= seam
+    "tiff": "tiff_stats",
     "wav_pcm": "extract_audio_stats",
 }
 
@@ -190,6 +200,9 @@ def op_run(spark, codec: str, payloads: list[bytes], target_items: int):
     elif OPERATORS[codec] == "bmp_stats":
         def op(d):
             return M.extract_pixel_stats(d, decoder=M.decode_bmp_rgb)
+    elif OPERATORS[codec] == "tiff_stats":
+        def op(d):
+            return M.extract_pixel_stats(d, decoder=M.decode_tiff_rgb)
     else:
         op = getattr(M, OPERATORS[codec])
     t0 = time.perf_counter()

@@ -400,3 +400,93 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = _t(spark, sf_dir, "documents")
     return winnow_fingerprints_portable(d, "doc_id", "text", k=_WINNOW_K, window=_WINNOW_W)
+
+
+# Encoding-health oracle: every signal is a character-exact replace-diff
+# count over deterministically injected artifacts (both engines count
+# Unicode codepoints with length(); DuckDB strlen() = UTF-8 bytes =
+# Spark octet_length), so the gate is restated verbatim. The injected
+# artifacts are the three classic corpus-poisoners: U+FFFD replacement
+# characters (a lossy transcode happened), UTF-8-read-as-Latin-1
+# mojibake sequences ('Ã', 'â€¦'-style), and C0 control bytes.
+ENCODING_GATE_ORACLE = """
+WITH t AS (
+  SELECT doc_id,
+         CASE doc_id % 5
+           WHEN 1 THEN text || ' �' || text
+           WHEN 2 THEN 'cafÃ© ' || text
+           WHEN 3 THEN text || chr(1) || 'tail' || chr(8)
+           WHEN 4 THEN 'â€œ' || text || 'â€'
+           ELSE text
+         END AS s
+  FROM documents
+),
+sig AS (
+  SELECT doc_id,
+         CAST(length(s) AS BIGINT) AS n_chars,
+         CAST(strlen(s) AS BIGINT) AS n_bytes,
+         CAST(length(s) - length(replace(s, '�', '')) AS INTEGER) AS n_repl,
+         CAST((length(s) - length(replace(s, 'â€', '')))//2
+              + length(s) - length(replace(s, 'Ã', '')) AS INTEGER) AS n_moji,
+         CAST(length(s) - length(replace(replace(s, chr(1), ''), chr(8), ''))
+              AS INTEGER) AS n_ctrl
+  FROM t
+)
+SELECT doc_id, n_chars, n_bytes, n_repl, n_moji, n_ctrl,
+       CASE WHEN n_repl > 0 OR n_moji > 0 THEN 'bad_encoding'
+            WHEN n_ctrl > 0 THEN 'suspect'
+            ELSE 'ok' END AS status
+FROM sig ORDER BY doc_id
+"""
+
+
+@query("encoding_quality_gate", survey="F2,llm-quality,P8", oracle=ENCODING_GATE_ORACLE)
+def encoding_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health gate — the byte-level quality pass a web-crawl
+    corpus runs before any tokenizer sees the text: per document, counts
+    of U+FFFD replacement characters (evidence of a lossy transcode),
+    UTF-8-read-as-Latin-1 mojibake marker sequences (the 'Ã'/'â€¦'
+    family), and C0 control characters, plus codepoint and UTF-8 byte
+    lengths; documents route to bad_encoding / suspect / ok. All signals
+    are character-exact replace-diff counts — JVM-side expressions, no
+    UDFs. The synthetic corpus is clean ASCII, so the query injects the
+    artifacts deterministically by doc_id (the media-fixture
+    discipline) and the oracle restates injection + gate verbatim."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    s = (
+        F.when(F.col("doc_id") % 5 == 1, F.concat(F.col("text"), F.lit(" �"), F.col("text")))
+        .when(F.col("doc_id") % 5 == 2, F.concat(F.lit("cafÃ© "), F.col("text")))
+        .when(
+            F.col("doc_id") % 5 == 3,
+            F.concat(F.col("text"), F.lit("\x01tail\x08")),
+        )
+        .when(
+            F.col("doc_id") % 5 == 4,
+            F.concat(F.lit("â€œ"), F.col("text"), F.lit("â€")),
+        )
+        .otherwise(F.col("text"))
+    )
+    occ = lambda col, lit_: F.length(col) - F.length(F.replace(col, F.lit(lit_)))
+    sig = d.select(
+        "doc_id",
+        F.length(s).cast("long").alias("n_chars"),
+        F.octet_length(s).cast("long").alias("n_bytes"),
+        occ(s, "�").cast("int").alias("n_repl"),
+        (
+            (occ(s, "â€") / 2).cast("int")
+            + occ(s, "Ã").cast("int")
+        ).alias("n_moji"),
+        (occ(s, "\x01") + occ(s, "\x08")).cast("int").alias("n_ctrl"),
+    )
+    return sig.select(
+        "doc_id",
+        "n_chars",
+        "n_bytes",
+        "n_repl",
+        "n_moji",
+        "n_ctrl",
+        F.when((F.col("n_repl") > 0) | (F.col("n_moji") > 0), "bad_encoding")
+        .when(F.col("n_ctrl") > 0, "suspect")
+        .otherwise("ok")
+        .alias("status"),
+    ).orderBy("doc_id")

@@ -133,3 +133,153 @@ def test_chunk_count_formula_covers_all_tokens(n_tok):
     assert last_start + CHUNK >= n_tok  # full coverage
     if nc > 1:  # minimality: nc-1 chunks would stop short
         assert (nc - 2) * STRIDE + CHUNK < n_tok
+
+
+img_dims = st.integers(min_value=1, max_value=40)
+
+
+@given(
+    w=img_dims,
+    h=img_dims,
+    td=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_bmp_roundtrip_property(w, h, td, seed):
+    """BMP BI_RGB encode -> decode is the identity for ANY uint8 RGB
+    array, any dimensions, either scan direction."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rgb,
+    )
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    assert np.array_equal(decode_bmp_rgb(encode_bmp_rgb(img, td)), img)
+
+
+@given(
+    w=img_dims,
+    h=img_dims,
+    order=st.sampled_from(["II", "MM"]),
+    rps=st.integers(min_value=1, max_value=45),
+    gray=st.booleans(),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_roundtrip_property(w, h, order, rps, gray, seed):
+    """Baseline TIFF encode -> decode is the identity for ANY uint8
+    gray/RGB array, either byte order, any strip height."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_tiff_rgb,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    if gray:
+        g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        exp = np.repeat(g[:, :, None], 3, axis=2)
+        assert np.array_equal(decode_tiff_rgb(encode_tiff(g, order, rps)), exp)
+    else:
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_tiff_rgb(encode_tiff(img, order, rps)), img)
+
+
+@given(
+    channels=st.sampled_from([1, 2]),
+    n_blocks=st.integers(min_value=1, max_value=3),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_adpcm_reconstruction_property(channels, n_blocks, seed):
+    """IMA ADPCM decode(encode(x)) equals an independent per-sample
+    simulation of the shared step arithmetic for ANY int16 input."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        _ADPCM_STEPS,
+        _adpcm_step,
+        decode_wav_pcm,
+        encode_wav_adpcm,
+    )
+
+    spb = 505
+    rng = np.random.default_rng(seed)
+    x = rng.integers(-32768, 32768, channels * spb * n_blocks).astype(np.int16)
+    ch, rate, got = decode_wav_pcm(encode_wav_adpcm(x, 8000, channels, spb))
+    assert (ch, rate) == (channels, 8000)
+
+    def sim(cs):
+        out, idx = [], 0
+        for b0 in range(0, len(cs), spb):
+            blk = cs[b0 : b0 + spb]
+            pred = int(blk[0])
+            out.append(pred)
+            for v in blk[1:]:
+                step = _ADPCM_STEPS[idx]
+                delta, nib = int(v) - pred, 0
+                if delta < 0:
+                    nib, delta = 8, -delta
+                if delta >= step:
+                    nib, delta = nib | 4, delta - step
+                if delta >= step >> 1:
+                    nib, delta = nib | 2, delta - (step >> 1)
+                if delta >= step >> 2:
+                    nib |= 1
+                pred, idx = _adpcm_step(pred, idx, nib)
+                out.append(pred)
+        return np.array(out, dtype=np.int16)
+
+    frames = x.reshape(-1, channels)
+    for c in range(channels):
+        assert np.array_equal(got[c::channels], sim(frames[:, c]))
+
+
+@given(
+    w=st.integers(min_value=9, max_value=50),
+    h=st.integers(min_value=8, max_value=50),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_dhash_band_composition_property(w, h, seed):
+    """dhash64's signed 64-bit key always equals its 4x16-bit band
+    composition (int16 wrap on the top band), for ANY image."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import dhash64
+
+    img = np.random.default_rng(seed).integers(0, 256, (h, w, 3)).astype(np.uint8)
+    dh, b0, b1, b2, b3 = dhash64(img)
+    comp = b0 | (b1 << 16) | (b2 << 32) | (b3 << 48)
+    if comp >= 1 << 63:
+        comp -= 1 << 64
+    assert dh == comp
+    assert all(0 <= c <= 0xFFFF for c in (b0, b1, b2, b3))
+
+
+@given(
+    n=st.integers(min_value=65, max_value=3000),
+    scale=st.integers(min_value=1, max_value=4),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_audio_fingerprint_level_robust_property(n, scale, seed):
+    """The energy-contour fingerprint is invariant under positive level
+    scaling (the contour, not absolute energy, is the signal) and its
+    key always equals the band composition."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        audio_fingerprint64,
+    )
+
+    x = np.random.default_rng(seed).integers(-8000, 8000, n).astype(np.int64)
+    fp, b0, b1, b2, b3 = audio_fingerprint64(x)
+    comp = b0 | (b1 << 16) | (b2 << 32) | (b3 << 48)
+    if comp >= 1 << 63:
+        comp -= 1 << 64
+    assert fp == comp
+    assert audio_fingerprint64(x * scale)[0] == fp

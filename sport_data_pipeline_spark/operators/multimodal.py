@@ -4092,3 +4092,81 @@ def decode_tiff_rgb(b: bytes | None):
         g = px.reshape(h, w)
         return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))
     return np.ascontiguousarray(px.reshape(h, w, 3))
+
+
+KEYFRAME_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("n_frames", IntegerType(), True),
+        StructField("n_keyframes", IntegerType(), True),
+        StructField("keyframe_idx", ArrayType(IntegerType()), True),
+        StructField("kf_sum_v", LongType(), True),
+        StructField("kf_min_v", IntegerType(), True),
+        StructField("kf_max_v", IntegerType(), True),
+    ]
+)
+
+
+def extract_keyframe_stats(df: DataFrame, mean_diff_gt: int = 8) -> DataFrame:
+    """Scene-aware KEYFRAME extraction — the sampling pass that follows
+    shot-boundary detection: frame 0 plus the first frame of every new
+    scene (a cut by the same integer rule as
+    :func:`extract_video_scene_changes`: adjacent-frame |diff| >
+    mean_diff_gt * n_px) become the video's keyframes, and the
+    luminance stats aggregate over KEYFRAMES ONLY — one representative
+    frame per scene instead of fps-uniform frames that oversample long
+    static shots. Per video: frame count, keyframe count, the keyframe
+    index list, and sum/min/max over keyframe pixels. Same voiding
+    discipline as the other video extractors (any undecodable frame ->
+    NULL row). O(videos) rows out."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                samples = parse_mp4_samples(None if payload is None else bytes(payload))
+                if not samples:
+                    rows.append((int(mid), None, None, None, None, None, None))
+                    continue
+                raw = bytes(payload)
+                prev = None
+                kf_idx: list[int] = []
+                total = 0
+                vmin, vmax = 256, -1
+                ok = True
+                for f, (off, size) in enumerate(samples):
+                    px = decode_jpeg_gray(raw[off : off + size])
+                    if px is None or (prev is not None and px.shape != prev.shape):
+                        ok = False
+                        break
+                    cur = px.astype(np.int64)
+                    is_kf = f == 0 or (
+                        int(np.abs(cur - prev).sum()) > mean_diff_gt * cur.size
+                    )
+                    if is_kf:
+                        kf_idx.append(f)
+                        total += int(cur.sum())
+                        vmin = min(vmin, int(px.min()))
+                        vmax = max(vmax, int(px.max()))
+                    prev = cur
+                if not ok:
+                    rows.append((int(mid), None, None, None, None, None, None))
+                    continue
+                rows.append(
+                    (int(mid), len(samples), len(kf_idx), kf_idx, total, vmin, vmax)
+                )
+            names = [f.name for f in KEYFRAME_SCHEMA.fields]
+            cols = list(zip(*rows)) if rows else [[] for _ in names]
+            frame = {
+                n: pd.array(list(c), dtype=d)
+                for n, c, d in zip(
+                    names, cols,
+                    ["int64", "Int32", "Int32", None, "Int64", "Int32", "Int32"],
+                )
+                if d is not None
+            }
+            frame["keyframe_idx"] = pd.Series(cols[3], dtype="object")
+            yield pd.DataFrame(frame)[names]
+
+    return df.mapInPandas(run, schema=KEYFRAME_SCHEMA)

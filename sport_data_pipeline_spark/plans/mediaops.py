@@ -2328,3 +2328,109 @@ def tiff_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((2300 + i, payload, "image/tiff", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_pixel_stats(media, decoder=decode_tiff_rgb).orderBy("media_id")
+
+
+# Keyframe oracle: shares the scene fixtures' closed forms — cuts from
+# the LAG-diff rule, keyframes = {0} + cuts, and the stats aggregate
+# keyframe pixels only; the keyframe list is compared as a canonical
+# comma-joined string (order-pinned), so the exact index SET is under
+# the hash, not just its size.
+KEYFRAME_STATS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+vids AS (SELECT i, 4 + i AS n_frames, 29 + 3*(i % 4) AS w, 21 + 2*(i % 4) AS h FROM idx),
+px AS (
+  SELECT v.i, v.n_frames, v.w, v.h, uf.f, ux.x, uy.y,
+         8 + 2*((7*v.i + 3*(ux.x // 8) + 5*(uy.y // 8) + 31*(uf.f // 3)) % 120) AS val
+  FROM vids v,
+       LATERAL (SELECT unnest(range(v.n_frames)) AS f) uf,
+       LATERAL (SELECT unnest(range(v.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(v.h)) AS y) uy
+),
+diffs AS (
+  SELECT a.i, a.f, SUM(ABS(a.val - b.val)) AS d, a.w, a.h
+  FROM px a
+  JOIN px b ON b.i = a.i AND b.f = a.f - 1 AND b.x = a.x AND b.y = a.y
+  GROUP BY a.i, a.f, a.w, a.h
+),
+kf AS (
+  SELECT i, 0 AS f FROM idx
+  UNION ALL
+  SELECT i, f FROM diffs WHERE d > 8 * w * h
+),
+stats AS (
+  SELECT p.i, v.n_frames,
+         COUNT(DISTINCT p.f) AS nk_px_frames,
+         SUM(p.val) AS kf_sum_v, MIN(p.val) AS kf_min_v, MAX(p.val) AS kf_max_v
+  FROM px p JOIN kf ON kf.i = p.i AND kf.f = p.f
+  JOIN vids v ON v.i = p.i
+  GROUP BY p.i, v.n_frames
+),
+lists AS (
+  SELECT i, COUNT(*) AS n_keyframes, string_agg(f, ',' ORDER BY f) AS kf_csv
+  FROM kf GROUP BY i
+)
+SELECT CAST(2400 + s.i AS BIGINT) AS media_id,
+       CAST(s.n_frames AS INTEGER) AS n_frames,
+       CAST(l.n_keyframes AS INTEGER) AS n_keyframes,
+       l.kf_csv,
+       CAST(s.kf_sum_v AS BIGINT) AS kf_sum_v,
+       CAST(s.kf_min_v AS INTEGER) AS kf_min_v,
+       CAST(s.kf_max_v AS INTEGER) AS kf_max_v
+FROM stats s JOIN lists l ON l.i = s.i
+ORDER BY media_id
+"""
+
+
+@query("video_keyframe_stats", survey="llm-multimodal,X6", oracle=KEYFRAME_STATS_ORACLE)
+def video_keyframe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-aware KEYFRAME extraction over REAL video decode — the
+    sampling pass that composes with shot-boundary detection: frame 0
+    plus the first frame of each new scene become the video's
+    keyframes (one representative per scene, instead of fps-uniform
+    frames oversampling long static shots), and luminance stats
+    aggregate over keyframes only (``extract_keyframe_stats``). The
+    keyframe index list is emitted as a canonical comma-joined string,
+    so the oracle hash pins the exact SET of chosen frames, not just
+    the count. Same scene-structured fixtures and closed forms as
+    ``video_scene_changes``."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        build_mp4_mjpeg,
+        encode_jpeg_gray,
+        extract_keyframe_stats,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 29 + 3 * (i % 4), 21 + 2 * (i % 4)
+        nbx, nby = (w + 7) // 8, (h + 7) // 8
+        frames = []
+        for f in range(4 + i):
+            by, bx = np.mgrid[0:nby, 0:nbx]
+            bv = (8 + 2 * ((7 * i + 3 * bx + 5 * by + 31 * (f // 3)) % 120)).astype(
+                np.uint8
+            )
+            frames.append(
+                encode_jpeg_gray(np.kron(bv, np.ones((8, 8), np.uint8))[:h, :w])
+            )
+        rows.append(
+            (2400 + i, build_mp4_mjpeg(frames, use_co64=bool(i % 2)), "video/mp4", 0, None)
+        )
+    rows = [(mid, p, m, len(p), j) for mid, p, m, _, j in rows]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return (
+        extract_keyframe_stats(media)
+        .select(
+            "media_id",
+            "n_frames",
+            "n_keyframes",
+            F.concat_ws(
+                ",", F.transform(F.col("keyframe_idx"), lambda x: x.cast("string"))
+            ).alias("kf_csv"),
+            "kf_sum_v",
+            "kf_min_v",
+            "kf_max_v",
+        )
+        .orderBy("media_id")
+    )

@@ -2377,3 +2377,35 @@ def test_tiff_header_sniff():
     assert parse_image_header(encode_tiff(img, "MM")) == ("tiff", 13, 9)
     assert parse_image_header(b"II\x2a\x00") is None  # no IFD reachable
     assert parse_image_header(b"MM\x00\x13rest") is None  # wrong magic
+
+
+def test_keyframe_extraction_matches_cut_structure(spark):
+    """Keyframe operator invariants: a static video keeps only frame 0;
+    a cut adds the first frame of the new scene; stats cover keyframe
+    pixels only; corrupt frames void the row."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        build_mp4_mjpeg,
+        encode_jpeg_gray,
+        extract_keyframe_stats,
+    )
+
+    w, h = 24, 16
+    a = encode_jpeg_gray(np.full((h, w), 100, np.uint8))
+    b = encode_jpeg_gray(np.full((h, w), 140, np.uint8))
+    rows = [
+        (1, build_mp4_mjpeg([a, a, a, a]), "video/mp4"),
+        (2, build_mp4_mjpeg([a, a, b, b, a]), "video/mp4"),
+        (3, build_mp4_mjpeg([a, b"\xff\xd8junk"]), "video/mp4"),
+    ]
+    rows = [(mid, p, m, len(p), None) for mid, p, m in rows]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(1)
+    got = {r.media_id: r for r in extract_keyframe_stats(media).collect()}
+    assert (got[1].n_keyframes, list(got[1].keyframe_idx)) == (1, [0])
+    assert got[1].kf_sum_v == 100 * w * h
+    assert (got[2].n_keyframes, list(got[2].keyframe_idx)) == (3, [0, 2, 4])
+    assert got[2].kf_sum_v == (100 + 140 + 100) * w * h
+    assert (got[2].kf_min_v, got[2].kf_max_v) == (100, 140)
+    assert got[3].n_keyframes is None

@@ -3953,14 +3953,174 @@ def media_neardup_route(
 
 
 # ---------------------------------------------------------------------------
-# TIFF codec: REAL pixel decode of baseline uncompressed TIFF (the
-# scanned-document/archival format) — a genuine structured-container
-# parse (byte-order-polymorphic IFD walk, inline-vs-offset tag values,
-# strip reassembly) over memcpy-class pixel data. Compression 1 only;
-# LZW/PackBits/JPEG-in-TIFF stay behind the seam.
+# TIFF codec: REAL pixel decode of the scanned-document/archival format —
+# a genuine structured-container parse (byte-order-polymorphic IFD walk,
+# inline-vs-offset tag values, strip reassembly) over three compressions:
+# 1 (none, memcpy-class), 32773 (PackBits run-length, TIFF 6.0 §9), and
+# 5 (TIFF LZW, TIFF 6.0 §13 — MSB-first bit packing, 9->12-bit codes
+# with the EARLY-CHANGE width rule, per-strip streams). JPEG-in-TIFF and
+# the exotic compressions stay behind the seam.
 # ---------------------------------------------------------------------------
 
 _TIFF_TYPE_SIZES = {1: 1, 3: 2, 4: 4}  # BYTE, SHORT, LONG
+
+
+def _packbits_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §9 PackBits: repeat runs as (257-n, byte), literal runs
+    as (n-1, bytes); literals break at any 3-byte repeat. Write-time
+    fixture compressor."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n:
+        j = i
+        while j < n - 1 and data[j] == data[j + 1] and j - i < 127:
+            j += 1
+        if j > i:
+            out.append((257 - (j - i + 1)) & 0xFF)
+            out.append(data[i])
+            i = j + 1
+            continue
+        j = i
+        while j < n and j - i < 128:
+            if j < n - 2 and data[j] == data[j + 1] == data[j + 2]:
+                break
+            j += 1
+        out.append(j - i - 1)
+        out += data[i:j]
+        i = j
+    return bytes(out)
+
+
+def _packbits_decode(data: bytes, expect: int) -> bytes | None:
+    """Inverse of :func:`_packbits_encode`: decodes exactly ``expect``
+    bytes (bounded — a hostile run count cannot overshoot); None on any
+    truncation or length mismatch. Control byte 128 is the spec noop."""
+    out = bytearray()
+    i, n = 0, len(data)
+    while i < n and len(out) < expect:
+        c = data[i]
+        i += 1
+        if c < 128:
+            if i + c + 1 > n:
+                return None
+            out += data[i : i + c + 1]
+            i += c + 1
+        elif c > 128:
+            if i >= n:
+                return None
+            out += bytes([data[i]]) * (257 - c)
+            i += 1
+    return bytes(out) if len(out) == expect else None
+
+
+def _tiff_lzw_encode(data: bytes) -> bytes:
+    """TIFF 6.0 §13 LZW: MSB-first bit packing, Clear=256 / EOI=257,
+    codes grow 9->12 bits under the EARLY-CHANGE rule (width bumps when
+    the next free code reaches 2^w - 1, one before the boundary — the
+    convention every TIFF writer uses), table reset via Clear before the
+    12-bit space fills. Write-time fixture compressor."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    acc = nbits = 0
+
+    def put(code: int, width: int) -> None:
+        nonlocal acc, nbits
+        acc = (acc << width) | code
+        nbits += width
+        while nbits >= 8:
+            out.append((acc >> (nbits - 8)) & 0xFF)
+            nbits -= 8
+
+    table = {bytes([j]): j for j in range(256)}
+    next_code, width = 258, 9
+    put(clear, width)
+    run = b""
+    for byte in data:
+        cand = run + bytes([byte])
+        if cand in table:
+            run = cand
+            continue
+        put(table[run], width)
+        table[cand] = next_code
+        next_code += 1
+        if next_code == (1 << width) - 1 and width < 12:
+            width += 1  # early change
+        if next_code >= 4094:  # spec: writers clear before the space fills
+            put(clear, width)
+            table = {bytes([j]): j for j in range(256)}
+            next_code, width = 258, 9
+        run = bytes([byte])
+    if run:
+        put(table[run], width)
+    put(eoi, width)
+    if nbits:
+        out.append((acc << (8 - nbits)) & 0xFF)
+    return bytes(out)
+
+
+def _tiff_lzw_decode(data: bytes, expect: int) -> bytes | None:
+    """Inverse of :func:`_tiff_lzw_encode` (decodes exactly ``expect``
+    bytes, None on malformation): MSB-first reads, KwKwK, Clear resets.
+    The decoder's table runs ONE entry behind the encoder's, so the
+    early-change width bump fires at len(table) == 2^w - 2 — the
+    classic off-by-one every TIFF LZW implementation must get right."""
+    clear, eoi = 256, 257
+    out = bytearray()
+    pos_bits, total_bits = 0, len(data) * 8
+    width = 9
+
+    def get() -> int | None:
+        nonlocal pos_bits
+        if pos_bits + width > total_bits:
+            return None
+        end = pos_bits + width
+        val = int.from_bytes(
+            data[pos_bits >> 3 : (end + 7) >> 3], "big"
+        ) >> ((-end) % 8)
+        val &= (1 << width) - 1
+        pos_bits = end
+        return val
+
+    table = [bytes([j]) for j in range(256)] + [b"", b""]
+    prev = None
+    while True:
+        code = get()
+        if code is None:
+            return None
+        if code == clear:
+            table = [bytes([j]) for j in range(256)] + [b"", b""]
+            width = 9
+            prev = None
+            continue
+        if code == eoi:
+            break
+        if prev is None:
+            if code >= len(table):
+                return None
+            entry = table[code]
+        elif code < len(table):
+            entry = table[code]
+            if len(table) < 4094:
+                table.append(prev + entry[:1])
+        elif code == len(table) and len(table) < 4094:  # KwKwK
+            entry = prev + prev[:1]
+            table.append(entry)
+        else:
+            return None
+        if len(table) == (1 << width) - 2 and width < 12:
+            width += 1  # early change, one entry behind the encoder
+        out += entry
+        if len(out) > expect:
+            return None
+        prev = entry
+    return bytes(out) if len(out) == expect else None
+
+
+_TIFF_STRIP_CODECS = {
+    1: (lambda raw: raw, lambda raw, expect: raw if len(raw) == expect else None),
+    5: (_tiff_lzw_encode, _tiff_lzw_decode),
+    32773: (_packbits_encode, _packbits_decode),
+}
 
 
 def _tiff_pack_ifd(entries, order: str, data_offset: int):
@@ -3984,11 +4144,15 @@ def _tiff_pack_ifd(entries, order: str, data_offset: int):
     return ifd, spill
 
 
-def encode_tiff(px, order: str = "II", rows_per_strip: int | None = None) -> bytes:
+def encode_tiff(
+    px, order: str = "II", rows_per_strip: int | None = None, compression: int = 1
+) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
-    spec-valid baseline TIFF 6.0 (uncompressed, chunky, strip layout,
-    'II' little- or 'MM' big-endian). Write-time fixture synthesizer —
-    any standard reader (libtiff, viewers) accepts the layout."""
+    spec-valid TIFF 6.0 (chunky, strip layout, 'II' little- or 'MM'
+    big-endian; ``compression`` 1 = none, 5 = LZW, 32773 = PackBits,
+    applied per strip as the spec requires). Write-time fixture
+    synthesizer — any standard reader (libtiff, viewers) accepts the
+    layout."""
     import numpy as np
 
     a = np.asarray(px, dtype=np.uint8)
@@ -3997,11 +4161,12 @@ def encode_tiff(px, order: str = "II", rows_per_strip: int | None = None) -> byt
     spp = 1 if gray else 3
     rps = rows_per_strip or h
     e = "<" if order == "II" else ">"
-    row_bytes = w * spp
+    if compression not in _TIFF_STRIP_CODECS:
+        raise ValueError("compression must be 1 (none), 5 (LZW), or 32773 (PackBits)")
+    enc = _TIFF_STRIP_CODECS[compression][0]
     strips = [
-        a[y0 : y0 + rps].tobytes() for y0 in range(0, h, rps)
+        enc(a[y0 : y0 + rps].tobytes()) for y0 in range(0, h, rps)
     ]
-    n = len(strips)
     # layout: 8-byte header | pixel strips | IFD | out-of-line tag values
     strip_offsets, off = [], 8
     for s_ in strips:
@@ -4012,7 +4177,7 @@ def encode_tiff(px, order: str = "II", rows_per_strip: int | None = None) -> byt
         256: (4, [w]),
         257: (4, [h]),
         258: (3, [8] * spp),
-        259: (3, [1]),  # no compression
+        259: (3, [compression]),
         262: (3, [1 if gray else 2]),  # BlackIsZero / RGB
         273: (4, strip_offsets),
         277: (3, [spp]),
@@ -4028,13 +4193,14 @@ def encode_tiff(px, order: str = "II", rows_per_strip: int | None = None) -> byt
 
 def decode_tiff_rgb(b: bytes | None):
     """Full pixel decode of a TIFF payload at the supported profile —
-    baseline TIFF 6.0, either byte order, compression 1 (none), 8 bits
-    per sample, chunky grayscale (replicated to RGB) or RGB, strip
-    layout — returning (h, w, 3) uint8, or None for anything
-    unrecognizable or outside that profile (LZW/PackBits, planar,
-    tiles, 1/4/16-bit, truncated strips → None, never a crash). Walks
-    the first IFD with the spec's value-or-offset rule; decode-bomb
-    guarded by ``_MAX_DECODE_PIXELS``."""
+    TIFF 6.0, either byte order, compression 1 (none) / 5 (LZW, early-
+    change) / 32773 (PackBits), 8 bits per sample, chunky grayscale
+    (replicated to RGB) or RGB, strip layout — returning (h, w, 3)
+    uint8, or None for anything unrecognizable or outside that profile
+    (JPEG-in-TIFF, planar, tiles, 1/4/16-bit, truncated or
+    wrong-length strips → None, never a crash). Walks the first IFD
+    with the spec's value-or-offset rule; decode-bomb guarded by
+    ``_MAX_DECODE_PIXELS`` and exact per-strip expected lengths."""
     import numpy as np
 
     if not b or len(b) < 8 or b[:2] not in (b"II", b"MM"):
@@ -4070,8 +4236,9 @@ def decode_tiff_rgb(b: bytes | None):
         rps = tags.get(278, [h])[0]
     except (KeyError, IndexError):
         return None
-    if tags.get(259, [1])[0] != 1 or tags.get(284, [1])[0] != 1:
-        return None  # compressed or planar: out of profile
+    compression = tags.get(259, [1])[0]
+    if compression not in _TIFF_STRIP_CODECS or tags.get(284, [1])[0] != 1:
+        return None  # unsupported compression or planar: out of profile
     if tags.get(258, [8])[:spp] != [8] * spp:
         return None
     if (photo, spp) not in ((1, 1), (2, 3)):
@@ -4081,12 +4248,16 @@ def decode_tiff_rgb(b: bytes | None):
     if len(offsets) != len(counts) or len(offsets) != (h + rps - 1) // rps:
         return None
     row_bytes = w * spp
+    dec = _TIFF_STRIP_CODECS[compression][1]
     data = bytearray()
     for i, (off, cnt) in enumerate(zip(offsets, counts)):
         rows = min(rps, h - i * rps)
-        if cnt != rows * row_bytes or off + cnt > len(b):
+        if off + cnt > len(b):
             return None
-        data += b[off : off + cnt]
+        strip = dec(b[off : off + cnt], rows * row_bytes)
+        if strip is None:
+            return None
+        data += strip
     px = np.frombuffer(bytes(data), dtype=np.uint8)
     if spp == 1:
         g = px.reshape(h, w)

@@ -2434,3 +2434,78 @@ def video_keyframe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# Compressed-TIFF oracle: LZW and PackBits are lossless, so the oracle
+# is still just the pixel formulas — everything under test (the
+# MSB-first early-change LZW decoder, PackBits run expansion, per-strip
+# stream boundaries, both byte orders) must reproduce them exactly or
+# the hash breaks. The (x//4) term gives rows 4-pixel runs so PackBits
+# emits real repeat packets and LZW builds multi-symbol entries.
+TIFF_COMPRESSED_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 27 + 3*i AS w, 18 + 2*i AS h FROM idx),
+rgb AS (
+  SELECT d.i, d.w, d.h,
+         (3*(ux.x // 4) + 2*uy.y + 5*d.i) % 256 AS r,
+         (7*(ux.x // 4) + uy.y + 11*d.i) % 256 AS g,
+         (2*(ux.x // 4) + 5*uy.y + 3*d.i) % 256 AS b
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+)
+SELECT CAST(2500 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query(
+    "tiff_compressed_pixel_stats",
+    survey="llm-multimodal,X6",
+    oracle=TIFF_COMPRESSED_ORACLE,
+)
+def tiff_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COMPRESSED TIFF pixel decode, distributed — the two compressions
+    real scanned-document corpora actually carry: PackBits run-length
+    (even fixtures) and TIFF LZW with the early-change code-width rule
+    (odd fixtures), per-strip streams (rows_per_strip 4, ragged final
+    strip), little-endian i<4 / big-endian i>=4. Same stats operator
+    via the seam (``decode_tiff_rgb`` dispatches on tag 259). Lossless
+    codecs -> the oracle restates the pixel formulas; the (x//4) run
+    structure makes both compressions do real work. Unit twins:
+    test_tiff_compressed_roundtrip_and_rejects."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_tiff_rgb,
+        encode_tiff,
+        extract_pixel_stats,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 27 + 3 * i, 18 + 2 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        img = np.stack(
+            [
+                (3 * (x // 4) + 2 * y + 5 * i) % 256,
+                (7 * (x // 4) + y + 11 * i) % 256,
+                (2 * (x // 4) + 5 * y + 3 * i) % 256,
+            ],
+            axis=-1,
+        ).astype(np.uint8)
+        comp = 32773 if i % 2 == 0 else 5
+        order = "II" if i < 4 else "MM"
+        payload = encode_tiff(img, order=order, rows_per_strip=4, compression=comp)
+        rows.append((2500 + i, payload, "image/tiff", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(media, decoder=decode_tiff_rgb).orderBy("media_id")

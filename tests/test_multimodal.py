@@ -2409,3 +2409,46 @@ def test_keyframe_extraction_matches_cut_structure(spark):
     assert got[2].kf_sum_v == (100 + 140 + 100) * w * h
     assert (got[2].kf_min_v, got[2].kf_max_v) == (100, 140)
     assert got[3].n_keyframes is None
+
+
+def test_tiff_compressed_roundtrip_and_rejects():
+    """LZW (early-change) and PackBits TIFF round-trip bit-exactly across
+    byte orders, strip heights, and content classes (random bytes force
+    LZW width growth; long runs exercise PackBits repeats); corrupt
+    streams and wrong-length strips return None."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        _packbits_decode,
+        _packbits_encode,
+        _tiff_lzw_decode,
+        _tiff_lzw_encode,
+        decode_tiff_rgb,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(43)
+    for comp in (5, 32773):
+        for order in ("II", "MM"):
+            img = rng.integers(0, 256, (23, 31, 3)).astype(np.uint8)
+            assert np.array_equal(
+                decode_tiff_rgb(encode_tiff(img, order, 4, comp)), img
+            )
+            runs = np.repeat(rng.integers(0, 5, (9, 7)), 5, axis=1).astype(np.uint8)
+            exp = np.repeat(runs[:, :, None], 3, axis=2)
+            assert np.array_equal(
+                decode_tiff_rgb(encode_tiff(runs, order, None, comp)), exp
+            )
+    # codec-layer: a 70k small-alphabet stream forces LZW to 12-bit codes
+    # and through at least one Clear reset
+    seq = bytes(rng.integers(0, 4, 70000).astype(np.uint8))
+    enc = _tiff_lzw_encode(seq)
+    assert _tiff_lzw_decode(enc, len(seq)) == seq
+    assert _tiff_lzw_decode(enc, len(seq) - 1) is None  # overshoot guard
+    assert _tiff_lzw_decode(enc[:-3], len(seq)) is None  # truncation
+    pb = _packbits_encode(seq[:1000])
+    assert _packbits_decode(pb, 1000) == seq[:1000]
+    assert _packbits_decode(pb[:-2], 1000) is None
+    # wrong-length strip payload rejects at the container layer
+    good = encode_tiff(np.zeros((8, 8, 3), np.uint8), "II", 4, 32773)
+    assert decode_tiff_rgb(good[:-1]) is None

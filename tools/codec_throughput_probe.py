@@ -108,11 +108,11 @@ def fixtures():
 
         return encode_bmp_rgb(rng.integers(0, 256, (h, w, 3)).astype(np.uint8))
 
-    def tiff(h, w):
+    def tiff(h, w, comp=1):
         from sport_data_pipeline_spark.operators.multimodal import encode_tiff
 
         return encode_tiff(
-            rng.integers(0, 256, (h, w, 3)).astype(np.uint8), "MM", 16
+            rng.integers(0, 256, (h, w, 3)).astype(np.uint8), "MM", 16, comp
         )
 
     return [
@@ -130,6 +130,7 @@ def fixtures():
         ("bmp", "query", [bmp(35, 44) for _ in range(64)]),
         ("bmp", "128px", [bmp(128, 128) for _ in range(64)]),
         ("tiff", "128px", [tiff(128, 128) for _ in range(64)]),
+        ("tiff_lzw", "128px", [tiff(128, 128, 5) for _ in range(16)]),
         ("wav_pcm", "1s", [wav(32000) for _ in range(64)]),
         ("wav_pcm", "10s", [wav(320000) for _ in range(32)]),
     ]
@@ -146,6 +147,7 @@ DECODERS = {
     "adpcm": "decode_wav_pcm",
     "bmp": "decode_bmp_rgb",
     "tiff": "decode_tiff_rgb",
+    "tiff_lzw": "decode_tiff_rgb",
     "wav_pcm": "decode_wav_pcm",
 }
 
@@ -160,6 +162,7 @@ OPERATORS = {
     "adpcm": "extract_audio_stats",
     "bmp": "bmp_stats",  # extract_pixel_stats with the decoder= seam
     "tiff": "tiff_stats",
+    "tiff_lzw": "tiff_stats",
     "wav_pcm": "extract_audio_stats",
 }
 

@@ -1116,14 +1116,91 @@ def encode_bmp_indexed(indices, palette, top_down: bool = False) -> bytes:
     return header + info + table + data
 
 
+def encode_bmp_rle8(indices, palette) -> bytes:
+    """Encode an (h, w) uint8 palette-INDEX array + palette as an 8-bit
+    BI_RLE8 BMP (run packets + end-of-line/end-of-bitmap escapes,
+    bottom-up as the spec requires for RLE). Write-time fixture
+    synthesizer; any standard viewer reads the output."""
+    import numpy as np
+
+    a = np.asarray(indices, dtype=np.uint8)
+    h, w = a.shape
+    out = bytearray()
+    for y in range(h - 1, -1, -1):  # bottom-up row order
+        x = 0
+        row = a[y]
+        while x < w:
+            run = 1
+            while x + run < w and row[x + run] == row[x] and run < 255:
+                run += 1
+            out += bytes((run, int(row[x])))
+            x += run
+        out += b"\x00\x00"  # end of line
+    out += b"\x00\x01"  # end of bitmap
+    data = bytes(out)
+    table = b"".join(bytes((b_, g, r, 0)) for r, g, b_ in palette)
+    off = 14 + 40 + len(table)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, len(palette), 0,
+    )
+    header = struct.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off)
+    return header + info + table + data
+
+
+def _bmp_rle8_decode(data: bytes, w: int, h: int):
+    """BI_RLE8 stream -> (h, w) uint8 index array (bottom-up storage
+    unwound to top-down), or None on malformation. Handles all four
+    escape forms: end-of-line, end-of-bitmap, delta (skipped pixels
+    stay 0, the spec's 'undefined' rendered as most decoders do), and
+    absolute mode with its 2-byte alignment padding. Cursor is bounds-
+    checked on every packet — a hostile stream cannot write outside
+    the (h, w) canvas."""
+    import numpy as np
+
+    px = np.zeros((h, w), dtype=np.uint8)  # row 0 = BOTTOM scanline
+    x = y = i = 0
+    n = len(data)
+    while i + 1 < n:
+        c, v = data[i], data[i + 1]
+        i += 2
+        if c > 0:  # run packet
+            if y >= h or x + c > w:
+                return None
+            px[y, x : x + c] = v
+            x += c
+            continue
+        if v == 0:  # end of line
+            x, y = 0, y + 1
+            continue
+        if v == 1:  # end of bitmap
+            return px[::-1]  # unwind bottom-up to top-down
+        if v == 2:  # delta
+            if i + 2 > n:
+                return None
+            x, y = x + data[i], y + data[i + 1]
+            i += 2
+            if x > w or y > h:
+                return None
+            continue
+        # absolute mode: v literal bytes, word-aligned
+        if y >= h or x + v > w or i + v > n:
+            return None
+        px[y, x : x + v] = np.frombuffer(data, np.uint8, count=v, offset=i)
+        x += v
+        i += v + (v & 1)
+    return None  # ran out of bytes before end-of-bitmap
+
+
 def decode_bmp_rgb(b: bytes | None):
     """Full pixel decode of a BMP payload at the supported profile —
     BITMAPINFOHEADER (or longer v4/v5 headers, which embed it as a
-    prefix), BI_RGB compression, 24-bit BGR or 8-bit palettized, bottom-
-    up or top-down — returning (h, w, 3) uint8 RGB, or None for anything
-    unrecognizable or outside that profile (RLE/bitfields/1/4/16/32-bit,
-    truncated rows or color table → None, never a crash). Decode-bomb
-    guarded by ``_MAX_DECODE_PIXELS`` like every decoder here."""
+    prefix), BI_RGB (24-bit BGR or 8-bit palettized, bottom-up or
+    top-down) plus BI_RLE8 (8-bit run-length, bottom-up, all four
+    escape forms) — returning (h, w, 3) uint8 RGB, or None for anything
+    unrecognizable or outside that profile (RLE4/bitfields/1/4/16/
+    32-bit, truncated rows or color table → None, never a crash).
+    Decode-bomb guarded by ``_MAX_DECODE_PIXELS`` like every decoder
+    here; the RLE cursor is bounds-checked per packet."""
     import numpy as np
 
     if not b or len(b) < 54 or b[:2] != b"BM":
@@ -1134,8 +1211,10 @@ def decode_bmp_rgb(b: bytes | None):
         return None
     w, h_raw, planes, bits, comp = struct.unpack_from("<iiHHI", b, 18)
     (clr_used,) = struct.unpack_from("<I", b, 46)
-    if planes != 1 or comp != 0 or w <= 0 or h_raw == 0:
+    if planes != 1 or comp not in (0, 1) or w <= 0 or h_raw == 0:
         return None
+    if comp == 1 and (bits != 8 or h_raw < 0):
+        return None  # RLE8 is 8-bit bottom-up only (spec)
     top_down = h_raw < 0
     h = -h_raw if top_down else h_raw
     if w * h > _MAX_DECODE_PIXELS:
@@ -1156,6 +1235,11 @@ def decode_bmp_rgb(b: bytes | None):
         table = np.frombuffer(
             b, dtype=np.uint8, count=4 * n_colors, offset=tbl_at
         ).reshape(n_colors, 4)[:, 2::-1]  # BGRX -> RGB
+        if comp == 1:
+            idx = _bmp_rle8_decode(b[off:], w, h)
+            if idx is None or int(idx.max()) >= n_colors:
+                return None
+            return np.ascontiguousarray(table[idx])
         stride = (w + 3) & ~3
         if off + stride * h > len(b):
             return None

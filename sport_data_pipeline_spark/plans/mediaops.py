@@ -2509,3 +2509,68 @@ def tiff_compressed_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((2500 + i, payload, "image/tiff", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_pixel_stats(media, decoder=decode_tiff_rgb).orderBy("media_id")
+
+
+# RLE8-BMP oracle: run-length is lossless, so the oracle restates the
+# index/palette formulas; the (x//5) run structure makes the RLE emit
+# real multi-pixel run packets on every row; the encoder's 255-pixel
+# packet cap is pinned separately by a unit round-trip on a 300-wide
+# constant row.
+BMP_RLE_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 26 + 41*i AS w, 15 + 2*i AS h FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         ((ux.x // 5) + 2*uy.y + 3*d.i) % 16 AS j
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+rgb AS (
+  SELECT i, w, h,
+         (3*j + 5) % 256 AS r, (7*j + 1) % 256 AS g, (11*j + 4) % 256 AS b
+  FROM px
+)
+SELECT CAST(2600 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query("bmp_rle_pixel_stats", survey="llm-multimodal,X6", oracle=BMP_RLE_ORACLE)
+def bmp_rle_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BI_RLE8 BMP decode, distributed — the run-length variant legacy
+    screenshot/icon corpora carry: run packets + end-of-line/bitmap
+    escapes, bottom-up as the spec requires, per-packet bounds checks
+    (``_bmp_rle8_decode``); same stats operator via the seam
+    (``decode_bmp_rgb`` dispatches on biCompression). Fixtures widen to
+    w = 313 so every scanline carries dozens of packets; lossless ->
+    the oracle restates index/palette formulas. Unit
+    twins hand-craft absolute-mode and delta escapes
+    (test_bmp_rle8_escapes_and_rejects)."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rle8,
+        extract_pixel_stats,
+    )
+
+    pal = [((3 * j + 5) % 256, (7 * j + 1) % 256, (11 * j + 4) % 256) for j in range(16)]
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 26 + 41 * i, 15 + 2 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        idx = (((x // 5) + 2 * y + 3 * i) % 16).astype(np.uint8)
+        payload = encode_bmp_rle8(idx, pal)
+        rows.append((2600 + i, payload, "image/bmp", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(media, decoder=decode_bmp_rgb).orderBy("media_id")

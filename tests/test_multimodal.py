@@ -2452,3 +2452,65 @@ def test_tiff_compressed_roundtrip_and_rejects():
     # wrong-length strip payload rejects at the container layer
     good = encode_tiff(np.zeros((8, 8, 3), np.uint8), "II", 4, 32773)
     assert decode_tiff_rgb(good[:-1]) is None
+
+
+def test_bmp_rle8_escapes_and_rejects():
+    """BI_RLE8 decode handles all four escape forms — hand-crafted
+    streams exercise absolute mode (with its word-alignment pad) and
+    delta skips (skipped pixels render 0) — and bounds-checks every
+    packet: runs past the row edge, indices past the color table, and
+    missing end-of-bitmap all return None."""
+    import struct as _s
+
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_bmp_rgb,
+        encode_bmp_rle8,
+    )
+
+    pal = [(j, 2 * j, 3 * j) for j in range(8)]
+
+    def wrap(data, w, h, n_colors=8):
+        table = b"".join(bytes((b_, g, r, 0)) for r, g, b_ in pal[:n_colors])
+        off = 14 + 40 + len(table)
+        info = _s.pack(
+            "<IiiHHIIiiII", 40, w, h, 1, 8, 1, len(data), 2835, 2835, n_colors, 0
+        )
+        return _s.pack("<2sIHHI", b"BM", off + len(data), 0, 0, off) + info + table + data
+
+    # 4x3, bottom-up: row y=2 (bottom) run of 4 zeros; row y=1 absolute
+    # [1,2,3] + run 1 of 4; row y=0 (top) delta skip (2,0) then run 2 of 5
+    stream = (
+        b"\x04\x00" + b"\x00\x00"                      # bottom row + EOL
+        + b"\x00\x03" + bytes([1, 2, 3]) + b"\x00"     # absolute 3 + pad
+        + b"\x01\x04" + b"\x00\x00"                    # run 1 of idx 4 + EOL
+        + b"\x00\x02" + bytes([2, 0]) + b"\x02\x05"    # delta (2,0), run 2 of 5
+        + b"\x00\x01"                                  # end of bitmap
+    )
+    got = decode_bmp_rgb(wrap(stream, 4, 3))
+    exp_idx = np.array(
+        [[0, 0, 5, 5],   # top row: delta left pixels 0, then run of 5
+         [1, 2, 3, 4],   # middle: absolute + run
+         [0, 0, 0, 0]],  # bottom
+        dtype=np.uint8,
+    )
+    assert np.array_equal(got, np.array(pal, np.uint8)[exp_idx])
+
+    # encoder round-trip at an awkward width
+    rng = np.random.default_rng(3)
+    idx = rng.integers(0, 8, (6, 31)).astype(np.uint8)
+    assert np.array_equal(
+        decode_bmp_rgb(encode_bmp_rle8(idx, pal)), np.array(pal, np.uint8)[idx]
+    )
+    # a 300-pixel constant row crosses the encoder's 255-run packet cap
+    wide = np.full((2, 300), 6, dtype=np.uint8)
+    assert np.array_equal(
+        decode_bmp_rgb(encode_bmp_rle8(wide, pal)), np.array(pal, np.uint8)[wide]
+    )
+    # run past the row edge
+    assert decode_bmp_rgb(wrap(b"\x05\x01" + b"\x00\x01", 4, 1)) is None
+    # index past the color table (run of idx 7 with a 7-color table)
+    assert decode_bmp_rgb(wrap(b"\x01\x07" + b"\x00\x01", 1, 1, n_colors=7)) is None
+    # missing end-of-bitmap
+    assert decode_bmp_rgb(wrap(b"\x04\x00" + b"\x00\x00", 4, 1)) is None

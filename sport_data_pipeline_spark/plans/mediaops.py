@@ -2574,3 +2574,140 @@ def bmp_rle_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((2600 + i, payload, "image/bmp", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_pixel_stats(media, decoder=decode_bmp_rgb).orderBy("media_id")
+
+
+# Media near-dup CLUSTERS oracle: the dHash machinery (shared CTE shape
+# with the pair oracles) feeds a recursive-CTE transitive closure, so
+# the banded candidate generation, the hamming verify, AND the
+# iterative min-label propagation must all agree for the hash to match.
+# Fixtures form CHAINS (base, base+p1, base+p1+p2): adjacent members are
+# <= 2 bits apart but chain ends may exceed the pairing bound, so the
+# closure is doing real work — a-b and b-c land in one cluster even
+# when a-c was never a direct pair.
+MEDIA_CLUSTERS_ORACLE = """
+WITH RECURSIVE imgs AS (
+  SELECT 2700 + 10*i + m AS media_id, i, m, 36 + 4*i AS w, 24 + 4*i AS h
+  FROM (SELECT unnest(range(4)) AS i), (SELECT unnest(range(3)) AS m)
+  UNION ALL
+  SELECT 2740 + i, 8 + i, 0, 40 + 4*i, 28 + 4*i
+  FROM (SELECT unnest(range(2)) AS i)
+),
+gray AS (
+  SELECT g.media_id, (ux.x*9)//g.w AS cx, (uy.y*8)//g.h AS cy,
+         CASE WHEN g.i >= 8
+              THEN (5*ux.x + 2*uy.y + 13*g.i) % 190
+              ELSE ((2 + g.i)*ux.x + (3 + 2*g.i)*uy.y + 7*g.i) % 200
+                   + CASE WHEN g.m >= 1 AND (ux.x*9)//g.w = 4
+                               AND (uy.y*8)//g.h = 3 THEN 40 ELSE 0 END
+                   + CASE WHEN g.m >= 2 AND (ux.x*9)//g.w = 2
+                               AND (uy.y*8)//g.h = 5 THEN 40 ELSE 0 END
+         END AS v
+  FROM imgs g,
+       LATERAL (SELECT unnest(range(g.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(g.h)) AS y) uy
+),
+cells AS (
+  SELECT media_id, cy, cx, SUM(v) // COUNT(*) AS c
+  FROM gray GROUP BY media_id, cy, cx
+),
+bits AS (
+  SELECT l.media_id, l.cy AS y, l.cx AS x,
+         CASE WHEN r.c > l.c THEN 1 ELSE 0 END AS bit
+  FROM cells l
+  JOIN cells r ON r.media_id = l.media_id AND r.cy = l.cy AND r.cx = l.cx + 1
+  WHERE l.cx < 8
+),
+chunks AS (
+  SELECT media_id, (8*y + x) // 16 AS band,
+         CAST(SUM(bit * (1 << ((8*y + x) % 16))) AS BIGINT) AS chunk
+  FROM bits GROUP BY media_id, (8*y + x) // 16
+),
+hashes AS (
+  SELECT media_id,
+         CAST(SUM(CASE WHEN band = 0 THEN chunk
+                       WHEN band = 1 THEN chunk * 65536
+                       WHEN band = 2 THEN chunk * 4294967296
+                       ELSE (chunk - CASE WHEN chunk >= 32768 THEN 65536 ELSE 0 END)
+                            * 281474976710656 END) AS BIGINT) AS dhash
+  FROM chunks GROUP BY media_id
+),
+pairs AS (
+  SELECT v.id_a, v.id_b FROM (
+    SELECT DISTINCT a.media_id AS id_a, b.media_id AS id_b
+    FROM chunks a
+    JOIN chunks b ON b.band = a.band AND b.chunk = a.chunk
+                 AND a.media_id < b.media_id
+  ) v
+  JOIN hashes ha ON ha.media_id = v.id_a
+  JOIN hashes hb ON hb.media_id = v.id_b
+  WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3
+),
+edges AS (
+  SELECT id_a AS src, id_b AS dst FROM pairs
+  UNION ALL
+  SELECT id_b AS src, id_a AS dst FROM pairs
+),
+reach AS (
+  SELECT DISTINCT src AS id, src AS root FROM edges
+  UNION
+  SELECT e.dst AS id, r.root FROM reach r JOIN edges e ON e.src = r.id
+)
+SELECT CAST(id AS BIGINT) AS media_id, CAST(MIN(root) AS BIGINT) AS cluster_id
+FROM reach GROUP BY id ORDER BY media_id
+"""
+
+
+@query(
+    "media_neardup_clusters",
+    survey="llm-multimodal,dedup-simhash,dedup-clusters,iterative,X6",
+    oracle=MEDIA_CLUSTERS_ORACLE,
+)
+def media_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Media near-duplicate CLUSTERS — pairs made transitive: REAL BMP
+    decode -> dHash -> banded hamming pairs (``dhash_neardup_pairs``)
+    -> iterative min-label propagation (``operators/graph.
+    connected_components``), the same pairs->components composition the
+    text pipeline uses, so multi-way duplicate groups resolve to ONE
+    keeper even when chain ends were never a direct pair. Fixtures are
+    three-member perturbation chains (base, +cell(4,3), +both cells):
+    adjacent members sit <= 2 bits apart, chain ends may exceed the
+    hamming bound — the closure is observable in the result. Two
+    fresh-formula singletons prove non-members stay out."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_bmp_rgb,
+        dhash_neardup_pairs,
+        encode_bmp_rgb,
+        extract_image_dhash,
+    )
+    from ..operators.graph import connected_components
+
+    rows = []
+    for i in range(4):
+        w, h = 36 + 4 * i, 24 + 4 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        g0 = ((2 + i) * x + (3 + 2 * i) * y + 7 * i) % 200
+        p1 = 40 * (((x * 9) // w == 4) & ((y * 8) // h == 3))
+        p2 = 40 * (((x * 9) // w == 2) & ((y * 8) // h == 5))
+        for m, g in enumerate((g0, g0 + p1, g0 + p1 + p2)):
+            img = np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+            rows.append((2700 + 10 * i + m, encode_bmp_rgb(img), "image/bmp"))
+    for i in range(2):
+        w, h = 40 + 4 * i, 28 + 4 * i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        g = (5 * x + 2 * y + 13 * (8 + i)) % 190
+        img = np.repeat(g[:, :, None], 3, axis=2).astype(np.uint8)
+        rows.append((2740 + i, encode_bmp_rgb(img), "image/bmp"))
+    rows = [(mid, p, m, len(p), None) for mid, p, m in rows]
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    hashes = extract_image_dhash(media, decoder=decode_bmp_rgb)
+    pairs = dhash_neardup_pairs(hashes, max_hamming=3)
+    return (
+        connected_components(pairs, "id_a", "id_b")
+        .select(
+            F.col("id").cast("long").alias("media_id"),
+            F.col("component").cast("long").alias("cluster_id"),
+        )
+        .orderBy("media_id")
+    )

@@ -1289,7 +1289,9 @@ def decode_wav_pcm(b: bytes | None):
     expanded to int16 full scale as (v-128)<<8, the SoX/ffmpeg
     convention), the G.711 telephony pair,
     tag 7 (u-law) / tag 6 (A-law), whose 8-bit codes expand through the
-    exact ITU-T integer tables (``_g711_tables``), and IMA/DVI ADPCM
+    exact ITU-T integer tables (``_g711_tables``), IEEE float PCM
+    (tag 3 at 32 bits, scaled/clipped to int16 by the f32 -> s16
+    convention; NaN/Inf payloads are out of profile), and IMA/DVI ADPCM
     (tag 0x11 at 4 bits, block-predictive — ``_decode_ima_adpcm``) —
     returning (channels, sample_rate, samples) with ``samples`` a flat
     interleaved int16 numpy array, or None for anything unrecognizable
@@ -1342,6 +1344,17 @@ def decode_wav_pcm(b: bytes | None):
             return None  # partial frame
         table = _ULAW_TO_PCM if fmt_tag == 7 else _ALAW_TO_PCM
         return channels, rate, table[np.frombuffer(data, dtype=np.uint8)]
+    if fmt_tag == 3 and bits == 32:
+        # IEEE float PCM: nominal [-1, 1) scales by 32768 and clips to
+        # int16 (the SoX/ffmpeg f32 -> s16 convention), keeping every
+        # downstream stat in one sample domain.
+        if len(data) % (channels * 4):
+            return None  # partial frame
+        f = np.frombuffer(data, dtype="<f4").astype(np.float64)
+        if not np.isfinite(f).all():
+            return None  # NaN/Inf: out of profile
+        scaled = np.floor(f * 32768.0 + 0.5)
+        return channels, rate, np.clip(scaled, -32768, 32767).astype(np.int16)
     if fmt_tag == 0x11 and bits == 4:
         samples = _decode_ima_adpcm(data, channels, block_align, spb)
         return None if samples is None else (channels, rate, samples)
@@ -1526,6 +1539,26 @@ def wrap_wav_adpcm(
     fact = b"fact" + struct.pack("<II", 4, n_blocks * spb)
     body = b"WAVE" + fmt + fact + b"data" + struct.pack("<I", len(blocks)) + blocks
     if len(blocks) & 1:
+        body += b"\x00"
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def encode_wav_float32(samples, sample_rate: int, channels: int) -> bytes:
+    """Encode interleaved float samples (flat, frame-major, nominal
+    [-1, 1)) as a spec-valid RIFF/WAVE file (IEEE float format 3,
+    32-bit), with the fact chunk the spec requires for non-PCM formats.
+    Write-time fixture synthesizer."""
+    import numpy as np
+
+    s = np.asarray(samples, dtype="<f4")
+    data = s.tobytes()
+    block = channels * 4
+    fmt = b"fmt " + struct.pack(
+        "<IHHIIHHH", 18, 3, channels, sample_rate, sample_rate * block, block, 32, 0
+    )
+    fact = b"fact" + struct.pack("<II", 4, s.size // channels)
+    body = b"WAVE" + fmt + fact + b"data" + struct.pack("<I", len(data)) + data
+    if len(data) & 1:
         body += b"\x00"
     return b"RIFF" + struct.pack("<I", len(body)) + body
 

@@ -2711,3 +2711,57 @@ def media_neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# Float-WAV oracle: fixtures store k * 2^-15 (k integer, exactly
+# representable in float32), so the decoder's scale-by-32768 +
+# round-half-up + clip lands on exact integers and the oracle is pure
+# integer arithmetic — GREATEST/LEAST restate the clip; k sweeps past
+# both rails so the clamp is under the hash.
+AUDIO_FLOAT_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS k),
+dims AS (
+  SELECT k, 1 + (k % 2) AS channels, (901 + 100*k) * (1 + (k % 2)) AS n_samples
+  FROM idx
+),
+s AS (
+  SELECT d.k, d.channels, d.n_samples,
+         GREATEST(LEAST(((7919 * (u.i + 17*d.k)) % 90000) - 45000, 32767), -32768) AS v
+  FROM dims d, LATERAL (SELECT unnest(range(d.n_samples)) AS i) u
+)
+SELECT CAST(2800 + k AS BIGINT) AS media_id,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(22050 AS INTEGER) AS sample_rate,
+       CAST(n_samples AS BIGINT) AS n_samples,
+       CAST(SUM(v * v) AS BIGINT) AS sum_sq,
+       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+       CAST(MAX(ABS(v)) AS INTEGER) AS peak,
+       SQRT(CAST(SUM(v * v) AS DOUBLE) / n_samples) AS rms
+FROM s GROUP BY k, channels, n_samples ORDER BY media_id
+"""
+
+
+@query("audio_float_stats", survey="llm-multimodal,X6", oracle=AUDIO_FLOAT_ORACLE)
+def audio_float_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IEEE-float WAV decode (format 3 at 32 bits — the DAW/export
+    format), distributed: payloads scale by 32768 with round-half-up
+    and clip to int16, then flow through the SAME stats operator as
+    every other audio format. Fixtures store k * 2^-15 with k swept
+    past both int16 rails, so the conversion is integer-exact and the
+    CLAMP itself is under the oracle hash (GREATEST/LEAST restate it).
+    Unit twin: test_wav_float32_decodes_with_scale_and_clip."""
+    import numpy as np
+
+    from ..operators.multimodal import encode_wav_float32, extract_audio_stats
+
+    rows = []
+    for k in range(_N_PER_KIND):
+        channels = 1 + (k % 2)
+        n = (901 + 100 * k) * channels
+        i = np.arange(n, dtype=np.int64)
+        kk = ((7919 * (i + 17 * k)) % 90000) - 45000
+        f = (kk.astype(np.float64) * 2.0**-15).astype(np.float32)
+        payload = encode_wav_float32(f, 22050, channels)
+        rows.append((2800 + k, payload, "audio/wav", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_audio_stats(media).orderBy("media_id")

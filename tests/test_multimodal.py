@@ -2514,3 +2514,28 @@ def test_bmp_rle8_escapes_and_rejects():
     assert decode_bmp_rgb(wrap(b"\x01\x07" + b"\x00\x01", 1, 1, n_colors=7)) is None
     # missing end-of-bitmap
     assert decode_bmp_rgb(wrap(b"\x04\x00" + b"\x00\x00", 4, 1)) is None
+
+
+def test_wav_float32_decodes_with_scale_and_clip():
+    """WAV format 3 (IEEE float, 32-bit): samples scale by 32768 with
+    round-half-up and clip to int16 (the f32 -> s16 convention);
+    exactly-representable fixtures (k * 2^-15) make the conversion
+    integer-exact. NaN/Inf payloads and partial frames reject."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_wav_pcm,
+        encode_wav_float32,
+    )
+
+    k = np.array([0, 1, -1, 16384, 32767, -32768, 40000, -40000], dtype=np.int64)
+    f = (k.astype(np.float64) * 2.0**-15).astype(np.float32)
+    ch, rate, s = decode_wav_pcm(encode_wav_float32(f, 22050, 2))
+    assert (ch, rate) == (2, 22050)
+    assert np.array_equal(s, np.clip(k, -32768, 32767).astype(np.int16))
+    assert (
+        decode_wav_pcm(encode_wav_float32(np.array([0.1, np.inf], np.float32), 8000, 1))
+        is None
+    )
+    payload = encode_wav_float32(f, 8000, 2)
+    assert decode_wav_pcm(payload[:-2]) is None  # truncated data chunk

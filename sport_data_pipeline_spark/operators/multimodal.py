@@ -157,8 +157,11 @@ def parse_image_header(b: bytes | None) -> tuple[str, int, int] | None:
             at = ifd + 2 + 12 * k
             if at + 12 > len(b):
                 return None
-            tag, typ, _cnt = struct.unpack_from(e + "HHI", b, at)
-            if tag in (256, 257) and typ in (3, 4):
+            tag, typ, cnt = struct.unpack_from(e + "HHI", b, at)
+            # count must be 1 for a scalar dimension; with cnt != 1 the
+            # value field holds a file offset, not the dimension — treat
+            # such (nonstandard) tags as absent rather than misread them
+            if tag in (256, 257) and typ in (3, 4) and cnt == 1:
                 (dims[tag],) = struct.unpack_from(
                     e + ("H" if typ == 3 else "I"), b, at + 8
                 )
@@ -1295,9 +1298,9 @@ def decode_wav_pcm(b: bytes | None):
     (tag 0x11 at 4 bits, block-predictive — ``_decode_ima_adpcm``) —
     returning (channels, sample_rate, samples) with ``samples`` a flat
     interleaved int16 numpy array, or None for anything unrecognizable
-    or outside that profile (float/24-bit/perceptual formats, missing or
-    truncated chunks → None, never a crash). Walks the chunk list with
-    RIFF word alignment; ignores unknown chunks (LIST/fact/cue)."""
+    or outside that profile (float64/24-bit/perceptual formats, missing
+    or truncated chunks → None, never a crash). Walks the chunk list
+    with RIFF word alignment; ignores unknown chunks (LIST/fact/cue)."""
     import numpy as np
 
     if not b or len(b) < 12 or b[:4] != b"RIFF" or b[8:12] != b"WAVE":

@@ -402,10 +402,12 @@ def doc_winnow_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return winnow_fingerprints_portable(d, "doc_id", "text", k=_WINNOW_K, window=_WINNOW_W)
 
 
-# Encoding-health oracle: every signal is a character-exact replace-diff
-# count over deterministically injected artifacts (both engines count
-# Unicode codepoints with length(); DuckDB strlen() = UTF-8 bytes =
-# Spark octet_length), so the gate is restated verbatim. The injected
+# Encoding-health oracle: every signal is a character-exact count
+# (replace-diffs + one anchored regexp count) over deterministically
+# injected artifacts (both engines count Unicode codepoints with
+# length(); DuckDB strlen() = UTF-8 bytes = Spark octet_length; both
+# regex engines count non-overlapping codepoint-class matches), so the
+# gate is restated verbatim. The injected
 # artifacts are the three classic corpus-poisoners: U+FFFD replacement
 # characters (a lossy transcode happened), UTF-8-read-as-Latin-1
 # mojibake sequences ('Ã', 'â€¦'-style), and C0 control bytes.
@@ -427,7 +429,7 @@ sig AS (
          CAST(strlen(s) AS BIGINT) AS n_bytes,
          CAST(length(s) - length(replace(s, '�', '')) AS INTEGER) AS n_repl,
          CAST((length(s) - length(replace(s, 'â€', '')))//2
-              + length(s) - length(replace(s, 'Ã', '')) AS INTEGER) AS n_moji,
+              + len(regexp_extract_all(s, 'Ã[\u0080-\u00bf]')) AS INTEGER) AS n_moji,
          CAST(length(s) - length(replace(replace(s, chr(1), ''), chr(8), ''))
               AS INTEGER) AS n_ctrl
   FROM t
@@ -448,8 +450,10 @@ def encoding_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     UTF-8-read-as-Latin-1 mojibake marker sequences (the 'Ã'/'â€¦'
     family), and C0 control characters, plus codepoint and UTF-8 byte
     lengths; documents route to bad_encoding / suspect / ok. All signals
-    are character-exact replace-diff counts — JVM-side expressions, no
-    UDFs. The synthetic corpus is clean ASCII, so the query injects the
+    are character-exact counts — replace-diffs plus one anchored regexp
+    count (a bare 'Ã' is legitimate text; the mojibake signature is 'Ã'
+    followed by a Latin-1 continuation-range character) — JVM-side
+    expressions, no UDFs. The synthetic corpus is clean ASCII, so the query injects the
     artifacts deterministically by doc_id (the media-fixture
     discipline) and the oracle restates injection + gate verbatim."""
     d = _t(spark, sf_dir, "documents").select("doc_id", "text")
@@ -474,7 +478,10 @@ def encoding_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         occ(s, "�").cast("int").alias("n_repl"),
         (
             (occ(s, "â€") / 2).cast("int")
-            + occ(s, "Ã").cast("int")
+            # a bare 'Ã' is legitimate text (Portuguese proper nouns);
+            # the UTF-8-as-Latin-1 signature is 'Ã' followed by a
+            # continuation-range character, so anchor on the pair
+            + F.regexp_count(s, F.lit("Ã[\u0080-\u00bf]")).cast("int")
         ).alias("n_moji"),
         (occ(s, "\x01") + occ(s, "\x08")).cast("int").alias("n_ctrl"),
     )

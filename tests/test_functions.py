@@ -80,3 +80,29 @@ def test_lang_id(spark):
     markers = {"en": ["the", "and"], "de": ["der", "und"], "es": ["el", "y"]}
     assert one(spark, "the cat and the dog", lang_id("s", markers)) == "en"
     assert one(spark, "der hund und die katze", lang_id("s", markers)) == "de"
+
+
+def test_mojibake_marker_requires_continuation_range(spark):
+    # The encoding gate's mojibake signal anchors on 'Ã' + a Latin-1
+    # continuation-range character (the UTF-8-read-as-Latin-1 signature).
+    # A bare 'Ã' in legitimate text (Portuguese proper nouns) must NOT count.
+    import duckdb
+    from pyspark.sql import functions as F
+
+    pat = "Ã[\u0080-\u00bf]"
+    rows = [("SÃO PAULO",), ("cafÃ© bar",), ("maçÃ£ and cafÃ©",), ("plain",)]
+    df = spark.createDataFrame([(i, s) for i, (s,) in enumerate(rows)], "i int, s string")
+    got = [
+        r["n"]
+        for r in df.select("i", F.regexp_count("s", F.lit(pat)).alias("n"))
+        .orderBy("i")
+        .collect()
+    ]
+    assert got == [0, 1, 2, 0]
+    # DuckDB restatement (the oracle's formulation) agrees character-exactly
+    con = duckdb.connect()
+    duck = [
+        con.execute("SELECT len(regexp_extract_all(?, ?))", [s, pat]).fetchone()[0]
+        for (s,) in rows
+    ]
+    assert duck == got

@@ -71,6 +71,26 @@ def test_header_parser_on_real_container_bytes():
     assert parse_image_header(b"\xff\xd8\x00\x00") is None  # desynced JPEG
 
 
+def test_header_parser_rejects_tiff_array_valued_dimension_tags():
+    # A (nonstandard) ImageWidth tag with count != 1 stores a file OFFSET in
+    # the value field, not the dimension; the sniff must treat it as absent
+    # rather than report the offset as a width.
+    import struct as st
+
+    from sport_data_pipeline_spark.operators.multimodal import parse_image_header
+
+    def tiff(width_count: int) -> bytes:
+        head = b"II" + st.pack("<HI", 42, 8)
+        entries = [
+            st.pack("<HHI", 256, 3, width_count) + st.pack("<HH", 640, 0),
+            st.pack("<HHI", 257, 3, 1) + st.pack("<HH", 480, 0),
+        ]
+        return head + st.pack("<H", len(entries)) + b"".join(entries) + st.pack("<I", 0)
+
+    assert parse_image_header(tiff(1)) == ("tiff", 640, 480)
+    assert parse_image_header(tiff(2)) is None  # width tag ignored -> no dims
+
+
 def test_extract_media_dimensions_distributed(spark):
     from sport_data_pipeline_spark.operators.multimodal import extract_media_dimensions
 

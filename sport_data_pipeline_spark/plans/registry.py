@@ -186,6 +186,30 @@ def query(
 #: and status_transitions_batch (T6 batch twin — its r10 row
 #: hash-certified the shared _fold_transitions; T6 stays represented by
 #: stream_session_equivalence).
+#: r12 rotation (11 swaps): IN came eleven of the fifteen queries
+#: registered in r11 after the r11 rotation (COVERAGE.md "r12
+#: candidates", each re-verified bit-exact at sf0.01 with
+#: tools/oracle_check.py immediately before the swap):
+#: bpe_encode_corpus (the ENCODE leg of the tokenizer family),
+#: encoding_quality_gate, audio_adpcm_stats, bmp_pixel_stats,
+#: tiff_pixel_stats, image_dhash_neardup, audio_fingerprint_neardup,
+#: video_scene_changes, incremental_media_dedup,
+#: stream_media_ingest_dedup, and media_neardup_clusters (returning
+#: dedup-clusters to the window). The four remaining candidates are
+#: family-siblings of incoming rows (tiff_compressed_pixel_stats,
+#: bmp_rle_pixel_stats, video_keyframe_stats, audio_float_stats) and
+#: defer to the r13 rotation. OUT went eleven green-row holders whose
+#: tags stay in-window with no new accepted exceptions: the six r11
+#: media first-row holders (jpeg_422/jpeg_sampling/jpeg_progressive/
+#: gif/audio_g711/png_typed pixel stats — llm-multimodal/X6 stays via
+#: the nine incoming media rows), simhash_neardup (dedup-simhash via
+#: the hamming-LSH media near-dup family), stream_semantic_ingest_dedup
+#: (dedup-semantic via incremental_semantic_dedup_ivf; T1/X3/
+#: dedup-incremental via stream_media_ingest_dedup),
+#: bpe_train_merges + bpe_vocab_after_merges (A5/llm-index/iterative
+#: via bpe_encode_corpus, whose oracle replays the trainer's merge
+#: chain), and length_percentile_gate (llm-quality via
+#: encoding_quality_gate; A7/W2 via global_exact_quantiles).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
@@ -202,20 +226,18 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "trend_forecast",
     # distributed quantile / rank family
     "global_exact_quantiles",
-    "length_percentile_gate",
     "systematic_token_sample",
-    # text / parsing
+    # text / parsing / encoding health
     "json_extract_stats",
     "string_normalize_slug",
     "parse_functions",
     "field_coverage",
     "doc_winnow_fingerprint",
+    "encoding_quality_gate",
     # similarity / dedup / ANN
     "fuzzy_entity_match_blocked",
     "minhash_jaccard_neardup",
-    "simhash_neardup",
     "incremental_semantic_dedup_ivf",
-    "stream_semantic_ingest_dedup",
     "dedup_spans_rewrite",
     "embedding_cosine_neardup",
     "lang_embedding_centroid",
@@ -228,25 +250,28 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "heavy_hitters_sketch",
     # e2e: bronze snapshots -> DataSource read -> refine -> gate -> dedup
     "e2e_daily_pipeline",
-    # LLM corpus prep + tokenizer training
+    # LLM corpus prep + tokenizer family (encode leg; the trainer's merge
+    # chain is replayed inside its oracle)
     "pii_redaction",
     "contamination_overlap",
     "corpus_train_shards",
-    "bpe_train_merges",
-    "bpe_vocab_after_merges",
+    "bpe_encode_corpus",
     # event analytics + streaming
     "incident_window_attribution",
     "snapshot_table_diff",
     "stream_batch_equivalence",
     "stream_session_equivalence",
     "stream_join_equivalence",
-    # multimodal pixel/sample-level decode rows
-    "jpeg_422_pixel_stats",
-    "jpeg_sampling_pixel_stats",
-    "jpeg_progressive_pixel_stats",
-    "gif_pixel_stats",
-    "audio_g711_stats",
-    "png_typed_pixel_stats",
+    # multimodal decode + media near-dup / dedup family
+    "audio_adpcm_stats",
+    "bmp_pixel_stats",
+    "tiff_pixel_stats",
+    "image_dhash_neardup",
+    "audio_fingerprint_neardup",
+    "video_scene_changes",
+    "incremental_media_dedup",
+    "stream_media_ingest_dedup",
+    "media_neardup_clusters",
 )
 
 

@@ -128,11 +128,8 @@ def test_window_covers_all_survey_ops():
         # and content fingerprinting via doc_winnow_fingerprint;
         # doc_fingerprint carried dedup-exact green r8.
         "dedup-exact",
-        # connected components over near-dup pairs: pair generation stays
-        # in-window (minhash_jaccard_neardup) and the iterative
-        # collect-and-refine loop shape via bpe_train_merges;
-        # neardup_clusters carried dedup-clusters green r7–r8.
-        "dedup-clusters",
+        # (dedup-clusters was accepted here r9–r11; the r12 rotation
+        # returned it to the window via media_neardup_clusters.)
         # vector compression error contract: the codebook-quantization
         # sibling pq_topk_recall (PQ IS the compressed-ANN path) stays
         # in-window, int8 quantization via lang_embedding_centroid's

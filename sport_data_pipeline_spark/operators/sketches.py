@@ -1,0 +1,258 @@
+"""Deterministic, cross-engine-portable summary sketches.
+
+The reference keeps running aggregates over full history tables
+(analytics/analytics_service.py player/team aggregate loops, SURVEY §2.4
+A2/A5); at 100 TB the exact versions of "how many distinct users" and
+"how often did X occur" shuffle every key. The classic answers are
+mergeable sketches — HyperLogLog for distinct counts, Count-Min for
+frequencies — and Spark ships approximate built-ins
+(``approx_count_distinct``, exercised by ``sketch_profile``). What the
+built-ins cannot give is a CROSS-ENGINE BIT-EXACT artifact: their
+register layouts and hash functions are implementation-private, so the
+strongest oracle available is an error-bound boolean.
+
+This module implements both sketches deterministically over md5-derived
+hashes (the same portability trick as ``dedup.simhash_portable``: the top
+15 hex chars of md5 = 60 unsigned bits that any SQL engine reconstructs
+identically), with all arithmetic integer until one final double
+division. The sketch REGISTERS themselves hash-compare across engines —
+a far stronger contract than "estimate within bound":
+
+- ``hll_registers``: per-group HLL register table (register index, max
+  rho) at precision p. One ``groupBy(group, register).max(rho)`` — the
+  partial max combines map-side, the shuffle carries at most
+  groups × 2^p rows regardless of input size, and merging two sketches
+  IS the same max (demonstrated by ``merge_hll_registers``). rho uses
+  ``length(bin(w))`` for bit-length — integer-only, no log2 rounding
+  hazard.
+- ``hll_estimate_expr``: the raw HLL estimator alpha·m²/Σ2^-rho with the
+  sum kept exact in a BIGINT (every 2^-rho term scaled by 2^(W+1); the
+  numerator constant is folded into ONE double literal so the only
+  floating-point operation is the final division — bit-identical in any
+  IEEE engine).
+- ``cms_cells`` / ``cms_point_estimates``: Count-Min over d independent
+  md5-derived row hashes; cells are plain BIGINT counts (cell-wise SUM
+  is the merge), point estimates are min-over-rows — all integers.
+
+Scale: both sketches reduce unbounded key cardinality to fixed-size
+state (m registers / d·w cells) in one map-side-combinable pass; that is
+the entire point vs exact COUNT(DISTINCT)/per-key counts at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+#: bit width of the portable md5-derived hash (15 hex chars, sign-safe).
+HASH_BITS = 60
+
+
+def portable_hash60(col: Column, salt: str | None = None) -> Column:
+    """60-bit unsigned hash both Spark and any SQL engine compute
+    identically: conv(substring(md5(string), 1, 15), 16, 10).
+
+    ``salt`` prepends "<salt>:" — used by Count-Min for its d independent
+    row hashes. The hashed bytes are the UTF-8 of the value's canonical
+    string form, so the oracle side is CAST(x AS VARCHAR)."""
+    s = col.cast("string")
+    if salt is not None:
+        s = F.concat(F.lit(f"{salt}:"), s)
+    return F.conv(F.substring(F.md5(s.cast("binary")), 1, 15), 16, 10).cast("long")
+
+
+# ---------------------------------------------------------------------------
+# HyperLogLog (Flajolet et al. 2007), deterministic variant
+# ---------------------------------------------------------------------------
+
+
+def hll_registers(
+    df: DataFrame,
+    group_cols: list[str],
+    value_col: str,
+    p: int = 8,
+) -> DataFrame:
+    """Per-group HLL register table: (group..., reg, rho).
+
+    reg = low ``p`` bits of the 60-bit hash; rho = 1 + leading zeros of
+    the remaining W = 60-p bits (rho = W+1 when they are all zero).
+    Registers never observed by any value are simply absent (their rho
+    is 0 by convention — ``hll_estimate_expr`` accounts for them).
+
+    Duplicate values hash to the same (reg, rho), so the max-aggregate
+    absorbs them without a distinct pass — the shuffle after the
+    map-side partial max is at most |groups|·2^p rows.
+    """
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    h = portable_hash60(F.col(value_col))
+    reg = (h % m).cast("int")
+    w = F.shiftright(h, p)
+    # integer bit-length via the binary string: bin(5) = '101' in Spark
+    # and DuckDB alike; w = 0 never reaches length() (guarded to rho=W+1)
+    rho = F.when(w > 0, F.lit(w_bits + 1) - F.length(F.bin(w))).otherwise(
+        F.lit(w_bits + 1)
+    )
+    return (
+        df.select(*group_cols, reg.alias("reg"), rho.cast("int").alias("rho"))
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def merge_hll_registers(
+    a: DataFrame, b: DataFrame, group_cols: list[str]
+) -> DataFrame:
+    """Union-merge two register tables: per (group, reg) the max rho.
+
+    This IS HLL's mergeability — sketch(A ∪ B) = elementwise max — and
+    it is the same shape as the build aggregate, so a tree of merges
+    stays one exchange of ≤ |groups|·m rows per level."""
+    return (
+        a.unionByName(b)
+        .groupBy(*group_cols, "reg")
+        .agg(F.max("rho").alias("rho"))
+    )
+
+
+def hll_constants(p: int = 8) -> tuple[float, int]:
+    """(numerator literal C, scale exponent) for ``hll_estimate_expr``.
+
+    C = alpha_m · m² · 2^(W+1) folded into one double so estimate =
+    C / S needs exactly one floating-point operation. alpha_m is the
+    standard bias constant 0.7213/(1 + 1.079/m) for m ≥ 128."""
+    m = 1 << p
+    w_bits = HASH_BITS - p
+    alpha = 0.7213 / (1.0 + 1.079 / m)
+    return alpha * (m * m) * float(1 << (w_bits + 1)), w_bits + 1
+
+
+def hll_estimate_expr(p: int = 8):
+    """Aggregate expressions over a register table grouped by group_cols:
+    returns (S bigint column expr, estimate double column expr builder).
+
+    S = Σ_present 2^(W+1-rho) + (m - n_present)·2^(W+1) — exact in int64
+    (max 2^p · 2^(W+1) = 2^(61) for p=8... actually bounded by
+    m·2^(W+1) = 2^(p+W+1) = 2^61, inside int64). The estimate is the
+    raw HLL formula C/S; no small-range linear-counting branch (ln is
+    not bit-portable across engines) — the queries assert the 5σ error
+    bound instead, and at the cardinalities the corpus tables carry the
+    raw regime is the operative one anyway."""
+    m_scale, shift = hll_constants(p)
+    term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - rho)")
+    return term, m_scale
+
+
+def hll_sketch_summary(
+    registers: DataFrame,
+    group_cols: list[str],
+    p: int = 8,
+) -> DataFrame:
+    """Collapse a register table to one row per group:
+    (group..., n_registers, sketch_csv, hll_s, est).
+
+    sketch_csv is the canonical "reg:rho" list ordered by register — the
+    cross-engine artifact a hash-compare pins bit-for-bit."""
+    m = 1 << p
+    term, c_lit = hll_estimate_expr(p)
+    shift = HASH_BITS - p + 1
+    agg = registers.groupBy(*group_cols).agg(
+        F.count(F.lit(1)).cast("int").alias("n_registers"),
+        F.concat_ws(
+            ",",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("reg", "rho"))),
+                lambda s: F.concat_ws(":", s["reg"].cast("string"), s["rho"].cast("string")),
+            ),
+        ).alias("sketch_csv"),
+        F.sum(term).alias("__s_present"),
+    )
+    s_total = (
+        F.col("__s_present")
+        + (F.lit(m) - F.col("n_registers")).cast("long")
+        * F.lit(1 << shift).cast("long")
+    )
+    return agg.select(
+        *group_cols,
+        "n_registers",
+        "sketch_csv",
+        s_total.alias("hll_s"),
+        (F.lit(c_lit) / s_total.cast("double")).alias("est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Count-Min (Cormode & Muthukrishnan 2005)
+# ---------------------------------------------------------------------------
+
+
+def cms_cells(
+    df: DataFrame,
+    value_col: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Count-Min cell table (row, cell, cnt) over one pass of the input.
+
+    Row i's hash is the portable 60-bit hash of "<i>:<value>" mod w.
+    The explode multiplies map-side rows by d, but the partial count
+    combines to ≤ d·w rows per partition before the (only) exchange.
+    Merging two sketches is cell-wise SUM — same aggregate, so
+    incremental maintenance is a union + re-count."""
+    rows = F.explode(F.sequence(F.lit(0), F.lit(d - 1))).alias("row")
+    exploded = df.select(F.col(value_col).alias("__v")).select("__v", rows)
+    # the salt is the row index — a column, so the concat is inlined here
+    # rather than going through portable_hash60's literal salt
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("row").cast("string"), F.lit(":"), F.col("__v").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    return (
+        exploded.select("row", (h % w).cast("int").alias("cell"))
+        .groupBy("row", "cell")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def cms_point_estimates(
+    cells: DataFrame,
+    probes: DataFrame,
+    probe_col: str,
+    d: int = 4,
+    w: int = 512,
+) -> DataFrame:
+    """Point-frequency estimates for the probe values: min over the d
+    rows of the probed cells. Broadcast-joins the (≤ d·w row) cell table
+    side against the probes — no shuffle of the probe side."""
+    p = probes.select(F.col(probe_col).alias("__p")).withColumn(
+        "row", F.explode(F.sequence(F.lit(0), F.lit(d - 1)))
+    )
+    h = F.conv(
+        F.substring(
+            F.md5(
+                F.concat(
+                    F.col("row").cast("string"), F.lit(":"), F.col("__p").cast("string")
+                ).cast("binary")
+            ),
+            1,
+            15,
+        ),
+        16,
+        10,
+    ).cast("long")
+    probed = p.select("__p", "row", (h % w).cast("int").alias("cell"))
+    est = (
+        probed.join(F.broadcast(cells), ["row", "cell"], "left")
+        .fillna({"cnt": 0})
+        .groupBy("__p")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(F.col("__p").alias(probe_col), "cms_est")

@@ -364,3 +364,258 @@ def snapshot_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("old_row.c_acctbal").alias("old_bal"),
         F.col("new_row.c_acctbal").alias("new_bal"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic mergeable sketches (operators/sketches.py): unlike
+# sketch_profile's built-in HLL++/GK (whose registers are implementation-
+# private, so the oracle can only check error-bound booleans), these
+# sketches are built from md5-derived hashes with integer-only arithmetic,
+# so the REGISTER TABLES themselves hash-compare bit-exactly against the
+# DuckDB restatement — the strongest oracle a sketch can carry. The merge
+# operator (elementwise max / cell-wise sum) is exercised inside each
+# query and pinned by the same hash.
+# ---------------------------------------------------------------------------
+
+from ..operators.sketches import (  # noqa: E402  (plan modules import late)
+    cms_cells,
+    cms_point_estimates,
+    hll_constants,
+    hll_registers,
+    hll_sketch_summary,
+    merge_hll_registers,
+)
+
+_HLL_P = 8
+_HLL_C, _HLL_SHIFT = hll_constants(_HLL_P)
+_HLL_M = 1 << _HLL_P
+#: 5 sigma at rsd = 1.04/sqrt(m): generous enough to be deterministic on
+#: real data, tight enough that a broken register breaks the boolean too
+#: (and the register CSV hash breaks first anyway).
+_HLL_5SIGMA = 5 * 1.04 / 16
+
+#: lineitem row keys (orderkey:linenumber) give every group a cardinality
+#: safely inside the raw-estimator regime at EVERY test SF (~2k at
+#: sf0.001 to ~200k at sf0.1 per return flag; raw HLL needs n >~ 2.5m =
+#: 640) — the events table's 150 distinct users would sit in the
+#: linear-counting regime, whose ln() is not bit-portable across engines.
+_HLL_REG_SQL = """
+  SELECT l_returnflag,
+         CAST(h % {m} AS INTEGER) AS reg,
+         CAST(CASE WHEN (h // {m}) > 0
+                   THEN {shift} - length(bin(h // {m}))
+                   ELSE {shift} END AS INTEGER) AS rho
+  FROM (SELECT l_returnflag,
+               ('0x' || substr(md5(l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR),
+                               1, 15))::BIGINT AS h
+        FROM lineitem{half})
+"""
+
+HLL_SKETCH_ORACLE = f"""
+WITH regs AS (
+  SELECT l_returnflag, reg, MAX(rho) AS rho
+  FROM ({_HLL_REG_SQL.format(m=_HLL_M, shift=_HLL_SHIFT, half="")})
+  GROUP BY 1, 2
+),
+regs_even AS (
+  SELECT l_returnflag, reg, MAX(rho) AS rho
+  FROM ({_HLL_REG_SQL.format(m=_HLL_M, shift=_HLL_SHIFT, half=" WHERE (l_orderkey + l_linenumber) % 2 = 0")})
+  GROUP BY 1, 2
+),
+regs_odd AS (
+  SELECT l_returnflag, reg, MAX(rho) AS rho
+  FROM ({_HLL_REG_SQL.format(m=_HLL_M, shift=_HLL_SHIFT, half=" WHERE (l_orderkey + l_linenumber) % 2 = 1")})
+  GROUP BY 1, 2
+),
+merged AS (
+  SELECT l_returnflag, reg, MAX(rho) AS rho
+  FROM (SELECT * FROM regs_even UNION ALL SELECT * FROM regs_odd)
+  GROUP BY 1, 2
+),
+summ AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS INTEGER) AS n_registers,
+         string_agg(reg || ':' || rho, ',' ORDER BY reg) AS csv,
+         CAST(SUM(1::BIGINT << ({_HLL_SHIFT} - rho))
+              + ({_HLL_M} - COUNT(*)) * (1::BIGINT << {_HLL_SHIFT}) AS BIGINT) AS s
+  FROM regs GROUP BY 1
+),
+msumm AS (
+  SELECT l_returnflag, string_agg(reg || ':' || rho, ',' ORDER BY reg) AS mcsv
+  FROM merged GROUP BY 1
+),
+exact AS (
+  SELECT l_returnflag,
+         CAST(COUNT(DISTINCT l_orderkey::VARCHAR || ':' || l_linenumber::VARCHAR) AS BIGINT)
+           AS exact_keys
+  FROM lineitem GROUP BY 1
+)
+SELECT s.l_returnflag,
+       e.exact_keys,
+       s.n_registers,
+       md5(s.csv) AS sketch_md5,
+       s.s AS hll_s,
+       {_HLL_C!r} / CAST(s.s AS DOUBLE) AS est_keys,
+       abs({_HLL_C!r} / CAST(s.s AS DOUBLE) - e.exact_keys)
+         <= {_HLL_5SIGMA!r} * e.exact_keys AS within_5sigma,
+       s.csv = m.mcsv AS merge_consistent
+FROM summ s
+JOIN exact e USING (l_returnflag)
+JOIN msumm m USING (l_returnflag)
+ORDER BY s.l_returnflag
+"""
+
+
+@query(
+    "hll_distinct_sketch",
+    survey="sketch-distinct,A2(approx)",
+    oracle=HLL_SKETCH_ORACLE,
+)
+def hll_distinct_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic HyperLogLog distinct-key sketch per lineitem return
+    flag, the 100 TB substitute for COUNT(DISTINCT): one
+    groupBy(group, register) max-aggregate — map-side combinable, the
+    exchange carries at most groups x 256 rows however large the input —
+    then the raw HLL estimator with the Sum(2^-rho) kept EXACT in an
+    int64 and the bias constant folded into a single double literal, so
+    the only floating-point operation is one division (bit-identical in
+    any IEEE engine). Mergeability is exercised in-query: the input
+    split by (orderkey+linenumber) parity, sketched per half, merged
+    with elementwise max (operators/sketches.merge_hll_registers), and
+    the merged register CSV must equal the whole-input CSV —
+    hash-pinned, alongside the register table itself (canonical
+    "reg:rho" CSV -> md5) and a 5-sigma error-contract boolean against
+    the exact count (empirically <=16 percent error across sf0.001-0.1;
+    the contract allows 32.5). No linear-counting branch: ln() is not
+    bit-portable across engines, and lineitem row keys keep every group
+    in the raw-estimator regime at every test SF. Reference parity: the
+    distinct-entity dashboards (analytics_service.py player/team
+    aggregate loops, SURVEY §2.4 A2) at a scale where exact distinct is
+    a full shuffle of every key.
+    """
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        "l_orderkey",
+        "l_linenumber",
+        F.concat_ws(":", "l_orderkey", "l_linenumber").alias("__k"),
+    )
+    regs = hll_registers(li, ["l_returnflag"], "__k", p=_HLL_P)
+    summ = hll_sketch_summary(regs, ["l_returnflag"], p=_HLL_P)
+    parity = (F.col("l_orderkey") + F.col("l_linenumber")) % 2
+    even = hll_registers(li.filter(parity == 0), ["l_returnflag"], "__k", p=_HLL_P)
+    odd = hll_registers(li.filter(parity == 1), ["l_returnflag"], "__k", p=_HLL_P)
+    merged = merge_hll_registers(even, odd, ["l_returnflag"])
+    msumm = hll_sketch_summary(merged, ["l_returnflag"], p=_HLL_P).select(
+        "l_returnflag", F.col("sketch_csv").alias("__mcsv")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("__k").alias("exact_keys")
+    )
+    return (
+        summ.join(exact, "l_returnflag")
+        .join(msumm, "l_returnflag")
+        .select(
+            "l_returnflag",
+            "exact_keys",
+            "n_registers",
+            F.md5(F.col("sketch_csv").cast("binary")).alias("sketch_md5"),
+            "hll_s",
+            F.col("est").alias("est_keys"),
+            (
+                F.abs(F.col("est") - F.col("exact_keys"))
+                <= F.lit(_HLL_5SIGMA) * F.col("exact_keys")
+            ).alias("within_5sigma"),
+            (F.col("sketch_csv") == F.col("__mcsv")).alias("merge_consistent"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+#: w = 64 deliberately UNDERSIZES the table against the 150-user key
+#: space so the sketch shows real collision behavior at the larger SFs
+#: (est_err > 0 at sf0.01/0.1) while the Count-Min epsilon bound
+#: est - exact <= (e/w)·N still holds at every SF (checked empirically;
+#: the bound constant e/w is folded into one double literal).
+_CMS_D, _CMS_W = 4, 64
+_CMS_EPS = 2.718281828459045 / _CMS_W
+
+CMS_ORACLE = f"""
+WITH cells AS (
+  SELECT i AS row,
+         CAST(('0x' || substr(md5(i::VARCHAR || ':' || user_id::VARCHAR), 1, 15))::BIGINT
+              % {_CMS_W} AS INTEGER) AS cell,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM events, range({_CMS_D}) t(i)
+  GROUP BY 1, 2
+),
+total AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM events),
+exact AS (
+  SELECT user_id, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM events GROUP BY 1
+),
+probes AS (
+  SELECT user_id, exact_cnt FROM exact ORDER BY exact_cnt DESC, user_id LIMIT 5
+),
+est AS (
+  SELECT p.user_id, p.exact_cnt, MIN(c.cnt) AS cms_est
+  FROM probes p
+  CROSS JOIN range({_CMS_D}) t(i)
+  JOIN cells c
+    ON c.row = t.i
+   AND c.cell = CAST(('0x' || substr(md5(t.i::VARCHAR || ':' || p.user_id::VARCHAR), 1, 15))::BIGINT
+                     % {_CMS_W} AS INTEGER)
+  GROUP BY 1, 2
+)
+SELECT user_id, exact_cnt,
+       CAST(cms_est AS BIGINT) AS cms_est,
+       cms_est >= exact_cnt AS overestimate_ok,
+       CAST(cms_est - exact_cnt AS BIGINT) AS est_err,
+       CAST(cms_est - exact_cnt AS DOUBLE) <= {_CMS_EPS!r} * t.n AS within_eps_n
+FROM est, total t ORDER BY user_id
+"""
+
+
+@query(
+    "cms_event_frequency",
+    survey="sketch-countmin,A5(approx)",
+    oracle=CMS_ORACLE,
+)
+def cms_event_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-Min frequency sketch over event user activity — the bounded-
+    state substitute for exact per-key counts, complementing the
+    in-window Misra-Gries heavy hitters (that one answers "which keys
+    are big", this one answers "how big is key X" for ANY later probe
+    without re-reading the corpus). Build: one pass exploding each event
+    into d=4 (row, md5-derived cell) pairs, partial-count combined
+    map-side to <= d*w = 256 cells before the only exchange; the cell
+    table IS the sketch and merges by cell-wise sum (unit-pinned in
+    tests/test_sketches.py). Probe: the top-5 users by exact count
+    (total order: count desc, user_id) estimated as min-over-rows, all
+    integers -> bit-exact oracle, plus the two CMS guarantees as REAL
+    cross-engine properties: one-sided error (estimate >= exact) and the
+    epsilon bound (overestimate <= (e/w)·N). w is deliberately small so
+    both sides of the contract do work — collisions are real at the
+    larger SFs. Reference parity: per-entity frequency dashboards
+    (analytics_service.py user activity loops, SURVEY §2.4 A5) at 100 TB.
+    """
+    e = load_table(spark, sf_dir, "events")
+    cells = cms_cells(e, "user_id", d=_CMS_D, w=_CMS_W)
+    exact = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    total = e.agg(F.count(F.lit(1)).alias("__n"))
+    probes = exact.orderBy(F.desc("exact_cnt"), "user_id").limit(5)
+    est = cms_point_estimates(cells, probes, "user_id", d=_CMS_D, w=_CMS_W)
+    return (
+        probes.join(est, "user_id")
+        .crossJoin(F.broadcast(total))
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") >= F.col("exact_cnt")).alias("overestimate_ok"),
+            (F.col("cms_est") - F.col("exact_cnt")).alias("est_err"),
+            (
+                (F.col("cms_est") - F.col("exact_cnt")).cast("double")
+                <= F.lit(_CMS_EPS) * F.col("__n")
+            ).alias("within_eps_n"),
+        )
+        .orderBy("user_id")
+    )

@@ -130,6 +130,15 @@ def test_window_covers_all_survey_ops():
         "dedup-exact",
         # (dedup-clusters was accepted here r9–r11; the r12 rotation
         # returned it to the window via media_neardup_clusters.)
+        # --- r12-new deterministic sketch family (r13 rotation
+        # candidates): register-level bit-exact HLL + Count-Min with the
+        # merge operator pinned in-query; the in-window siblings of the
+        # same bounded-state contract shape are heavy_hitters_sketch
+        # (Misra-Gries) and the error-bound pattern sketch_profile
+        # established. Both stay DuckDB-oracled locally until rotated in.
+        "sketch-distinct",
+        "sketch-countmin",
+        "A5(approx)",
         # vector compression error contract: the codebook-quantization
         # sibling pq_topk_recall (PQ IS the compressed-ANN path) stays
         # in-window, int8 quantization via lang_embedding_centroid's

@@ -1,0 +1,124 @@
+"""Deterministic-sketch units: register-level agreement with a pure-Python
+HLL/CMS over the same md5-derived hashes, mergeability, and the estimator's
+error contract on known cardinalities."""
+
+from __future__ import annotations
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+from sport_data_pipeline_spark.operators.sketches import (
+    cms_cells,
+    cms_point_estimates,
+    hll_constants,
+    hll_registers,
+    hll_sketch_summary,
+    merge_hll_registers,
+)
+
+
+def _h60(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:15], 16)
+
+
+def _py_registers(values, p=8):
+    m = 1 << p
+    w_bits = 60 - p
+    regs: dict[int, int] = {}
+    for v in values:
+        h = _h60(str(v))
+        reg = h % m
+        w = h >> p
+        rho = (w_bits + 1) - w.bit_length() if w > 0 else w_bits + 1
+        regs[reg] = max(regs.get(reg, 0), rho)
+    return regs
+
+
+def test_hll_registers_match_pure_python(spark):
+    vals = [f"user{i}" for i in range(500)]
+    df = spark.createDataFrame([(v,) for v in vals], "v string").withColumn(
+        "g", F.lit("all")
+    )
+    got = {
+        r["reg"]: r["rho"]
+        for r in hll_registers(df, ["g"], "v").collect()
+    }
+    assert got == _py_registers(vals)
+
+
+def test_hll_estimate_within_5_sigma_and_exact_s(spark):
+    n = 5000
+    df = spark.createDataFrame([(i % n,) for i in range(3 * n)], "v bigint").withColumn(
+        "g", F.lit("all")
+    )
+    regs = hll_registers(df, ["g"], "v")
+    row = hll_sketch_summary(regs, ["g"]).collect()[0]
+    # S restated from the python registers: exact integer agreement
+    p = 8
+    m, shift = 1 << p, 60 - p + 1
+    pyregs = _py_registers([i % n for i in range(3 * n)])
+    s_py = sum(1 << (shift - r) for r in pyregs.values()) + (m - len(pyregs)) * (
+        1 << shift
+    )
+    assert row["hll_s"] == s_py
+    c, _ = hll_constants(p)
+    assert row["est"] == pytest.approx(c / s_py, abs=0.0)
+    # raw-regime error contract: 5 sigma at rsd = 1.04/sqrt(256)
+    assert abs(row["est"] - n) <= 5 * (1.04 / 16) * n
+
+
+def test_hll_merge_equals_whole(spark):
+    df = spark.createDataFrame([(i,) for i in range(2000)], "v bigint").withColumn(
+        "g", F.lit("all")
+    )
+    whole = hll_registers(df, ["g"], "v")
+    a = hll_registers(df.filter(F.col("v") % 2 == 0), ["g"], "v")
+    b = hll_registers(df.filter(F.col("v") % 2 == 1), ["g"], "v")
+    merged = merge_hll_registers(a, b, ["g"])
+    got_w = {(r["reg"], r["rho"]) for r in whole.collect()}
+    got_m = {(r["reg"], r["rho"]) for r in merged.collect()}
+    assert got_w == got_m
+
+
+def _py_cms(values, d=4, w=512):
+    cells: dict[tuple[int, int], int] = {}
+    for v in values:
+        for i in range(d):
+            c = _h60(f"{i}:{v}") % w
+            cells[(i, c)] = cells.get((i, c), 0) + 1
+    return cells
+
+
+def test_cms_cells_match_pure_python_and_merge_is_sum(spark):
+    vals = [i % 100 for i in range(1000)]
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    got = {(r["row"], r["cell"]): r["cnt"] for r in cms_cells(df, "v").collect()}
+    assert got == _py_cms(vals)
+    # merge = cell-wise sum: two value-disjoint halves sum to the whole
+    a = cms_cells(df.filter(F.col("v") < 50), "v")
+    b = cms_cells(df.filter(F.col("v") >= 50), "v")
+    summed = (
+        a.unionByName(b).groupBy("row", "cell").agg(F.sum("cnt").alias("cnt"))
+    )
+    got_sum = {(r["row"], r["cell"]): r["cnt"] for r in summed.collect()}
+    assert got_sum == got
+
+
+def test_cms_point_estimates_overestimate_only(spark):
+    vals = [i % 37 for i in range(1110)]  # every value occurs 30 times
+    df = spark.createDataFrame([(v,) for v in vals], "v bigint")
+    cells = cms_cells(df, "v")
+    probes = spark.createDataFrame([(v,) for v in range(37)], "v bigint")
+    est = {
+        r["v"]: r["cms_est"]
+        for r in cms_point_estimates(cells, probes, "v").collect()
+    }
+    assert set(est) == set(range(37))
+    for v, e in est.items():
+        assert e >= 30  # CMS never underestimates
+    # absent probe estimates >= 0 and is whatever collided into its cells
+    ghost = spark.createDataFrame([(99999,)], "v bigint")
+    (g,) = cms_point_estimates(cells, ghost, "v").collect()
+    assert g["cms_est"] >= 0

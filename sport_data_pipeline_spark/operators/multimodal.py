@@ -1062,6 +1062,191 @@ def decode_gif_rgb(b: bytes | None):
     return None if got is None else got[0]
 
 
+def encode_gif_animation(size, palette, frames, bg_index: int = 0) -> bytes:
+    """Encode a GIF89a ANIMATION: full logical-screen compositing
+    semantics — each frame a dict with ``indices`` ((fh, fw) uint8
+    palette indices), ``left``/``top`` placement, ``disposal`` (0-3) and
+    optional ``transparent`` index, written as a Graphic Control
+    Extension + (possibly partial-canvas) image descriptor. Write-time
+    fixture synthesizer for :func:`decode_gif_animation`; any standard
+    GIF decoder composites the output identically."""
+    import numpy as np
+
+    w, h = size
+    p = len(palette)
+    if p < 2 or p > 256 or p & (p - 1):
+        raise ValueError("palette length must be a power of two in 2..256")
+    bits = max(1, (p - 1).bit_length())
+    out = bytearray(b"GIF89a")
+    out += struct.pack("<HH", w, h)
+    out.append(0x80 | (bits - 1))
+    out += bytes((bg_index, 0))
+    for r, g, b2 in palette:
+        out += bytes((r, g, b2))
+    for fr in frames:
+        idx = np.asarray(fr["indices"], dtype=np.uint8)
+        fh, fw = idx.shape
+        left, top = int(fr.get("left", 0)), int(fr.get("top", 0))
+        disposal = int(fr.get("disposal", 0))
+        trans = fr.get("transparent")
+        packed = (disposal & 0x07) << 2
+        tidx = 0
+        if trans is not None:
+            packed |= 0x01
+            tidx = int(trans)
+        out += bytes((0x21, 0xF9, 0x04, packed, 0, 0, tidx, 0x00))
+        out += b"\x2c" + struct.pack("<HHHH", left, top, fw, fh)
+        out.append(0x00)
+        mcs = max(2, bits)
+        out.append(mcs)
+        lzw = _gif_lzw_encode(idx.reshape(-1), mcs)
+        for i in range(0, len(lzw), 255):
+            chunk = lzw[i : i + 255]
+            out.append(len(chunk))
+            out += chunk
+        out.append(0x00)
+    out += b"\x3b"
+    return bytes(out)
+
+
+def decode_gif_animation(b: bytes | None):
+    """Full GIF89a ANIMATION decode with compositing: returns the list of
+    composited (h, w, 3) uint8 RGB CANVAS frames (what a viewer shows
+    after each image), or None outside the profile.
+
+    Composites per the GIF89a 23.c/26 semantics the still-frame profile
+    of :func:`decode_gif_frames` deliberately excludes:
+
+    - partial-canvas frames placed at (left, top), bounds-checked;
+    - Graphic Control Extension transparency — pixels equal to the
+      transparent index leave the underlying canvas untouched;
+    - disposal methods 0/1 (leave), 2 (restore the frame's REGION to the
+      global background color — this decoder's documented choice of the
+      spec's underdefined "background" for an RGB output), and
+      3 (restore to the canvas state before the frame was applied).
+
+    The initial canvas is the global background color; a GIF without a
+    global color table is out of profile (no background to composite
+    over). Same decode-bomb caps and null discipline as the other pixel
+    decoders: every emitted canvas counts toward ``_MAX_DECODE_PIXELS``.
+    """
+    import numpy as np
+
+    if not b or b[:6] not in (b"GIF87a", b"GIF89a") or len(b) < 13:
+        return None
+    try:
+        w, h = struct.unpack("<HH", b[6:10])
+        if w <= 0 or h <= 0 or w * h > _MAX_DECODE_PIXELS:
+            return None
+        flags, bg_index = b[10], b[11]
+        i = 13
+        if not flags & 0x80:
+            return None  # no global table: no defined background
+        n = 2 << (flags & 0x07)
+        gct = np.frombuffer(b[i : i + 3 * n], dtype=np.uint8).reshape(n, 3)
+        if gct.shape[0] != n:
+            return None
+        i += 3 * n
+        if bg_index >= n:
+            return None
+        canvas = np.empty((h, w, 3), dtype=np.uint8)
+        canvas[:, :] = gct[bg_index]
+        frames = []
+        total_px = 0
+        disposal, trans = 0, None  # pending GCE state (applies to next image)
+        while i < len(b):
+            blk = b[i]
+            if blk == 0x3B:
+                break
+            if blk == 0x21:
+                if i + 2 > len(b):
+                    return None
+                label = b[i + 1]
+                i += 2
+                while True:
+                    if i >= len(b):
+                        return None
+                    sz = b[i]
+                    if label == 0xF9 and sz == 4:
+                        packed = b[i + 1]
+                        disposal = (packed >> 2) & 0x07
+                        trans = b[i + 4] if packed & 0x01 else None
+                    i += 1 + sz
+                    if sz == 0:
+                        break
+            elif blk == 0x2C:
+                if i + 10 > len(b):
+                    return None
+                left, top, fw, fh = struct.unpack("<HHHH", b[i + 1 : i + 9])
+                iflags = b[i + 9]
+                i += 10
+                if fw <= 0 or fh <= 0 or left + fw > w or top + fh > h:
+                    return None
+                ct = gct
+                if iflags & 0x80:
+                    cn = 2 << (iflags & 0x07)
+                    ct = np.frombuffer(b[i : i + 3 * cn], dtype=np.uint8).reshape(cn, 3)
+                    if ct.shape[0] != cn:
+                        return None
+                    i += 3 * cn
+                mcs = b[i]
+                i += 1
+                if not 2 <= mcs <= 11:
+                    return None
+                data = bytearray()
+                while True:
+                    if i >= len(b):
+                        return None
+                    sz = b[i]
+                    chunk = b[i + 1 : i + 1 + sz]
+                    if len(chunk) != sz:
+                        return None
+                    data += chunk
+                    i += 1 + sz
+                    if sz == 0:
+                        break
+                total_px += w * h + fw * fh
+                if total_px > _MAX_DECODE_PIXELS:
+                    return None
+                idx = _gif_lzw_decode(bytes(data), mcs, fw * fh)
+                if idx is None:
+                    return None
+                arr = np.frombuffer(bytes(idx), dtype=np.uint8).reshape(fh, fw)
+                opaque = (
+                    np.ones((fh, fw), dtype=bool) if trans is None else arr != trans
+                )
+                if int(arr[opaque].max(initial=0)) >= ct.shape[0]:
+                    return None
+                if iflags & 0x40:
+                    order = [
+                        y
+                        for start, step in _GIF_INTERLACE_PASSES
+                        for y in range(start, fh, step)
+                    ]
+                    de = np.empty_like(arr)
+                    de[order] = arr
+                    arr = de
+                    dm = np.empty_like(opaque)
+                    dm[order] = opaque
+                    opaque = dm
+                region = canvas[top : top + fh, left : left + fw]
+                saved = region.copy() if disposal == 3 else None
+                region[opaque] = ct[arr[opaque]]
+                frames.append(canvas.copy())
+                if disposal == 2:
+                    region[:, :] = gct[bg_index]
+                elif disposal == 3:
+                    canvas[top : top + fh, left : left + fw] = saved
+                disposal, trans = 0, None  # GCE scope ends with its image
+            else:
+                return None
+        if not frames:
+            return None
+        return frames
+    except (struct.error, IndexError, ValueError):
+        return None
+
+
 # ---------------------------------------------------------------------------
 # BMP codec: REAL pixel decode of the Windows bitmap format (the
 # screenshot/export format crawls surface constantly) — uncompressed
@@ -3692,6 +3877,67 @@ def extract_video_frame_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=VIDEO_STATS_SCHEMA)
+
+
+ANIMATION_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("frame_idx", IntegerType(), True),
+        StructField("width", IntegerType(), True),
+        StructField("height", IntegerType(), True),
+        StructField("n_px", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_g", LongType(), True),
+        StructField("sum_b", LongType(), True),
+        StructField("mean_r", DoubleType(), True),
+        StructField("mean_g", DoubleType(), True),
+        StructField("mean_b", DoubleType(), True),
+    ]
+)
+
+
+def extract_gif_animation_stats(df: DataFrame) -> DataFrame:
+    """Distributed COMPOSITED-CANVAS statistics over GIF animations: one
+    output row per composited frame (what a viewer shows after each
+    image is applied — partial-canvas placement, GCE transparency, and
+    disposal 0/1/2/3 all resolved by :func:`decode_gif_animation`), with
+    exact int64 RGB channel sums. An undecodable or out-of-profile
+    payload yields ONE row with NULL frame_idx and NULL stats — items
+    are voided whole, never reported partially (the video extractors'
+    discipline). O(sum of frame counts) rows out; pixels never leave
+    the executor."""
+    import numpy as np
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                frames = decode_gif_animation(
+                    None if payload is None else bytes(payload)
+                )
+                if frames is None:
+                    rows.append((int(mid),) + (None,) * 10)
+                    continue
+                for k, fr in enumerate(frames):
+                    h, w, _ = fr.shape
+                    n = w * h
+                    sums = fr.reshape(-1, 3).sum(axis=0, dtype=np.int64)
+                    rows.append(
+                        (
+                            int(mid), k, w, h, n,
+                            int(sums[0]), int(sums[1]), int(sums[2]),
+                            sums[0] / n, sums[1] / n, sums[2] / n,
+                        )
+                    )
+            yield _typed_frame(
+                rows,
+                ["media_id", "frame_idx", "width", "height", "n_px",
+                 "sum_r", "sum_g", "sum_b", "mean_r", "mean_g", "mean_b"],
+                ["int64", "Int32", "Int32", "Int32", "Int64",
+                 "Int64", "Int64", "Int64", "Float64", "Float64", "Float64"],
+            )
+
+    return df.mapInPandas(run, schema=ANIMATION_STATS_SCHEMA)
 
 
 SCENE_SCHEMA = StructType(

@@ -2765,3 +2765,137 @@ def audio_float_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((2800 + k, payload, "audio/wav", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_audio_stats(media).orderBy("media_id")
+
+
+# GIF ANIMATION compositing oracle: compositing is lossless integer
+# work — every composited canvas pixel is palette[j] for an index j the
+# GIF89a rules determine from frame geometry, transparency parity, and
+# the two disposal methods — so the oracle REPLAYS the compositing
+# per-pixel in SQL (the same discipline as the scene-change oracle's
+# LAG replay): frame 0 fills with a, frame 1 lays a checkerboard-
+# transparent patch (opaque iff (x+y+l1+t1) odd), frame 2 paints an
+# overlapping opaque patch after frame 1's region was restored-to-
+# previous on odd fixtures (disposal 3), frame 3 shows frame 2's region
+# restored-to-background on i%3==0 fixtures (disposal 2) plus a 1px
+# background-colored stamp in the far corner. Every branch of the
+# decoder's disposal/transparency state machine moves the hash.
+GIF_ANIMATION_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (
+  SELECT i, 16 + 2*i AS w, 12 + i AS h,
+         1 + (i % 3) AS a, 4 + (i % 2) AS bb,
+         2 + (i % 3) AS l1, 1 + (i % 2) AS t1,
+         7 + (i % 4) AS fw1, 5 + (i % 3) AS fh1,
+         CASE WHEN i % 2 = 1 THEN 3 ELSE 0 END AS d1,
+         5 AS l2, 3 AS t2, 6 + (i % 3) AS fw2, 4 + (i % 2) AS fh2,
+         CASE WHEN i % 3 = 0 THEN 2 ELSE 0 END AS d2
+  FROM idx
+),
+px AS (
+  SELECT d.i, d.w, d.h, d.a, d.bb, d.d1, d.d2, ux.x, uy.y,
+         (ux.x >= d.l1 AND ux.x < d.l1 + d.fw1
+          AND uy.y >= d.t1 AND uy.y < d.t1 + d.fh1
+          AND (ux.x + uy.y + d.l1 + d.t1) % 2 = 1) AS p1v,
+         (ux.x >= d.l2 AND ux.x < d.l2 + d.fw2
+          AND uy.y >= d.t2 AND uy.y < d.t2 + d.fh2) AS in2
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+fr AS (
+  SELECT i, w, h, uk.k,
+         CASE
+           WHEN uk.k = 0 THEN a
+           WHEN uk.k = 1 THEN CASE WHEN p1v THEN bb ELSE a END
+           WHEN uk.k = 2 THEN CASE WHEN in2 THEN 6
+                                   WHEN d1 = 3 THEN a
+                                   WHEN p1v THEN bb ELSE a END
+           ELSE CASE WHEN x = w - 1 AND y = h - 1 THEN 0
+                     WHEN d2 = 2 AND in2 THEN 0
+                     WHEN in2 THEN 6
+                     WHEN d1 = 3 THEN a
+                     WHEN p1v THEN bb ELSE a END
+         END AS j
+  FROM px, LATERAL (SELECT unnest(range(4)) AS k) uk
+),
+rgb AS (
+  SELECT i, w, h, k,
+         (5*j + 3) % 256 AS r, (9*j + 2) % 256 AS g, (13*j + 7) % 256 AS b
+  FROM fr
+)
+SELECT CAST(1800 + i AS BIGINT) AS media_id,
+       CAST(k AS INTEGER) AS frame_idx,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h, k ORDER BY media_id, frame_idx
+"""
+
+
+@query("gif_animation_stats", survey="llm-multimodal,X6", oracle=GIF_ANIMATION_ORACLE)
+def gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF89a ANIMATION decode with full compositing, distributed —
+    the capability the still profile (``gif_pixel_stats``) deliberately
+    excludes: partial-canvas frames placed at (left, top), Graphic
+    Control Extension TRANSPARENCY (transparent pixels leave the canvas
+    untouched), and DISPOSAL methods 1 (leave), 2 (restore region to
+    background) and 3 (restore to previous). Scraped animations are
+    patch streams over a canvas; per-frame training samples only exist
+    after this composite, so the operator emits one row per composited
+    CANVAS state (``extract_gif_animation_stats`` — exact int64 channel
+    sums, Arrow-batched mapInPandas, O(frames) rows out).
+
+    Fixtures sweep the state machine: frame 1's checkerboard-transparent
+    patch pins the transparency mask, odd fixtures dispose it with
+    restore-to-previous (frame 2 must NOT show the patch), i%3==0
+    fixtures dispose frame 2's overlapping opaque patch with restore-to-
+    background (frame 3 shows the background hole), and a 1px corner
+    stamp pins placement arithmetic. The oracle replays the compositing
+    per-pixel in SQL; a wrong disposal branch, transparency polarity, or
+    placement offset moves a channel sum. Decoder caps/fuzz:
+    test_multimodal."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        encode_gif_animation,
+        extract_gif_animation_stats,
+    )
+
+    pal = [((5 * j + 3) % 256, (9 * j + 2) % 256, (13 * j + 7) % 256) for j in range(8)]
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 16 + 2 * i, 12 + i
+        a, b_ix = 1 + (i % 3), 4 + (i % 2)
+        l1, t1 = 2 + (i % 3), 1 + (i % 2)
+        fw1, fh1 = 7 + (i % 4), 5 + (i % 3)
+        l2, t2 = 5, 3
+        fw2, fh2 = 6 + (i % 3), 4 + (i % 2)
+        xl, yl = np.meshgrid(np.arange(fw1), np.arange(fh1))
+        patch1 = np.where((xl + yl) % 2 == 1, b_ix, 7).astype(np.uint8)
+        frames = [
+            {"indices": np.full((h, w), a, np.uint8)},
+            {
+                "indices": patch1,
+                "left": l1,
+                "top": t1,
+                "transparent": 7,
+                "disposal": 3 if i % 2 == 1 else 0,
+            },
+            {
+                "indices": np.full((fh2, fw2), 6, np.uint8),
+                "left": l2,
+                "top": t2,
+                "disposal": 2 if i % 3 == 0 else 0,
+            },
+            {"indices": np.full((1, 1), 0, np.uint8), "left": w - 1, "top": h - 1},
+        ]
+        payload = encode_gif_animation((w, h), pal, frames, bg_index=0)
+        rows.append((1800 + i, payload, "image/gif", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_gif_animation_stats(media).orderBy("media_id", "frame_idx")

@@ -4511,14 +4511,20 @@ def _tiff_pack_ifd(entries, order: str, data_offset: int):
 
 
 def encode_tiff(
-    px, order: str = "II", rows_per_strip: int | None = None, compression: int = 1
+    px,
+    order: str = "II",
+    rows_per_strip: int | None = None,
+    compression: int = 1,
+    predictor: int = 1,
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     spec-valid TIFF 6.0 (chunky, strip layout, 'II' little- or 'MM'
     big-endian; ``compression`` 1 = none, 5 = LZW, 32773 = PackBits,
-    applied per strip as the spec requires). Write-time fixture
-    synthesizer — any standard reader (libtiff, viewers) accepts the
-    layout."""
+    applied per strip as the spec requires; ``predictor`` 2 horizontal-
+    differences each row per sample before compression — TIFF 6.0 §14,
+    the layout libtiff writes for LZW by default — and emits tag 317).
+    Write-time fixture synthesizer — any standard reader (libtiff,
+    viewers) accepts the layout."""
     import numpy as np
 
     a = np.asarray(px, dtype=np.uint8)
@@ -4529,6 +4535,13 @@ def encode_tiff(
     e = "<" if order == "II" else ">"
     if compression not in _TIFF_STRIP_CODECS:
         raise ValueError("compression must be 1 (none), 5 (LZW), or 32773 (PackBits)")
+    if predictor not in (1, 2):
+        raise ValueError("predictor must be 1 (none) or 2 (horizontal differencing)")
+    if predictor == 2:
+        planes = a.reshape(h, w, spp).astype(np.uint8)
+        diff = planes.copy()
+        diff[:, 1:, :] = planes[:, 1:, :] - planes[:, :-1, :]  # uint8 wraps mod 256
+        a = diff.reshape(a.shape)
     enc = _TIFF_STRIP_CODECS[compression][0]
     strips = [
         enc(a[y0 : y0 + rps].tobytes()) for y0 in range(0, h, rps)
@@ -4550,6 +4563,8 @@ def encode_tiff(
         278: (4, [rps]),
         279: (4, [len(s_) for s_ in strips]),
     }
+    if predictor == 2:
+        entries[317] = (3, [2])
     # IFD size: 2 + 12*n_entries + 4 (known before packing)
     ifd_size = 2 + 12 * len(entries) + 4
     ifd, spill = _tiff_pack_ifd(entries, order, ifd_offset + ifd_size)
@@ -4560,13 +4575,16 @@ def encode_tiff(
 def decode_tiff_rgb(b: bytes | None):
     """Full pixel decode of a TIFF payload at the supported profile —
     TIFF 6.0, either byte order, compression 1 (none) / 5 (LZW, early-
-    change) / 32773 (PackBits), 8 bits per sample, chunky grayscale
-    (replicated to RGB) or RGB, strip layout — returning (h, w, 3)
-    uint8, or None for anything unrecognizable or outside that profile
-    (JPEG-in-TIFF, planar, tiles, 1/4/16-bit, truncated or
-    wrong-length strips → None, never a crash). Walks the first IFD
-    with the spec's value-or-offset rule; decode-bomb guarded by
-    ``_MAX_DECODE_PIXELS`` and exact per-strip expected lengths."""
+    change) / 32773 (PackBits), predictor 1 (none) or 2 (horizontal
+    differencing, TIFF 6.0 §14 — rows are per-sample delta streams and
+    the decoder re-accumulates mod 256), 8 bits per sample, chunky
+    grayscale (replicated to RGB) or RGB, strip layout — returning
+    (h, w, 3) uint8, or None for anything unrecognizable or outside
+    that profile (JPEG-in-TIFF, planar, tiles, 1/4/16-bit, other
+    predictors, truncated or wrong-length strips → None, never a
+    crash). Walks the first IFD with the spec's value-or-offset rule;
+    decode-bomb guarded by ``_MAX_DECODE_PIXELS`` and exact per-strip
+    expected lengths."""
     import numpy as np
 
     if not b or len(b) < 8 or b[:2] not in (b"II", b"MM"):
@@ -4605,6 +4623,9 @@ def decode_tiff_rgb(b: bytes | None):
     compression = tags.get(259, [1])[0]
     if compression not in _TIFF_STRIP_CODECS or tags.get(284, [1])[0] != 1:
         return None  # unsupported compression or planar: out of profile
+    predictor = tags.get(317, [1])[0]
+    if predictor not in (1, 2):
+        return None  # floating-point predictor (3) etc.: out of profile
     if tags.get(258, [8])[:spp] != [8] * spp:
         return None
     if (photo, spp) not in ((1, 1), (2, 3)):
@@ -4625,6 +4646,10 @@ def decode_tiff_rgb(b: bytes | None):
             return None
         data += strip
     px = np.frombuffer(bytes(data), dtype=np.uint8)
+    if predictor == 2:
+        # horizontal differencing: each row is a per-sample delta stream;
+        # re-accumulate left-to-right in uint8 (wrap-exact mod 256)
+        px = np.cumsum(px.reshape(h, w, spp), axis=1, dtype=np.uint8).reshape(-1)
     if spp == 1:
         g = px.reshape(h, w)
         return np.ascontiguousarray(np.repeat(g[:, :, None], 3, axis=2))

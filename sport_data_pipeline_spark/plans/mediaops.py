@@ -2899,3 +2899,83 @@ def gif_animation_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((1800 + i, payload, "image/gif", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_gif_animation_stats(media).orderBy("media_id", "frame_idx")
+
+
+# TIFF predictor-2 oracle: horizontal differencing is a lossless,
+# row-local transform (decoder re-accumulates deltas mod 256), so the
+# oracle restates the PIXEL formula directly — if the cumsum is wrong
+# anywhere (wrap handling, per-sample interleave, strip boundaries) a
+# channel sum moves. The (3+i)*x term guarantees per-row constant deltas
+# (the layout predictor 2 exists to create for LZW) AND mod-256 wraps
+# inside every row. Even fixtures grayscale (channel term vanishes), odd
+# RGB with per-channel offsets (the per-SAMPLE differencing is under the
+# hash, not just per-byte).
+TIFF_PREDICTOR_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 19 + 2*i AS w, 13 + i AS h, i % 2 AS rgb FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         (23*uy.y + (3 + d.i)*ux.x + 11*d.i) % 256 AS r,
+         (23*uy.y + (3 + d.i)*ux.x + 11*d.i + 91*d.rgb) % 256 AS g,
+         (23*uy.y + (3 + d.i)*ux.x + 11*d.i + 182*d.rgb) % 256 AS b
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+)
+SELECT CAST(2900 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM px GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query(
+    "tiff_predictor_pixel_stats",
+    survey="llm-multimodal,X6",
+    oracle=TIFF_PREDICTOR_ORACLE,
+)
+def tiff_predictor_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TIFF LZW + PREDICTOR 2 decode, distributed — horizontal
+    differencing (TIFF 6.0 §14, tag 317), the layout libtiff writes for
+    LZW by default, so real scanned-document TIFFs carry it far more
+    often than raw LZW: each row is stored as per-SAMPLE deltas and the
+    decoder re-accumulates left-to-right mod 256 after decompression.
+    Fixtures: per-row constant deltas (what the predictor exists to
+    create) that wrap mod 256 inside every row; even fixtures grayscale,
+    odd RGB (channel-interleaved differencing), both byte orders,
+    multi-strip with a ragged final strip. Same stats operator through
+    the ``decoder=`` seam. Unit twin: test_tiff_predictor2 (round-trips
+    across every compression, wrap case, predictor-3 rejection)."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_tiff_rgb,
+        encode_tiff,
+        extract_pixel_stats,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 19 + 2 * i, 13 + i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        base = 23 * y + (3 + i) * x + 11 * i
+        if i % 2 == 0:
+            img = (base % 256).astype(np.uint8)
+        else:
+            img = np.stack(
+                [(base + 91 * c) % 256 for c in range(3)], axis=-1
+            ).astype(np.uint8)
+        order = "II" if i < 4 else "MM"
+        payload = encode_tiff(
+            img, order=order, rows_per_strip=5, compression=5, predictor=2
+        )
+        rows.append((2900 + i, payload, "image/tiff", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(media, decoder=decode_tiff_rgb).orderBy("media_id")

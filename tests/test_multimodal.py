@@ -2699,3 +2699,34 @@ def test_gif_animation_survives_corruption():
         if got is not None:
             for fr in got:
                 assert fr.ndim == 3 and fr.shape[2] == 3
+
+
+def test_tiff_predictor2():
+    """Predictor-2 (horizontal differencing) round-trips across every
+    supported compression and byte order, re-accumulates mod 256 through
+    wrapping deltas, and unsupported predictor values reject."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_tiff_rgb,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(7)
+    for order in ("II", "MM"):
+        for comp in (1, 5, 32773):
+            for shape in ((13, 17), (11, 9, 3)):
+                a = rng.integers(0, 256, shape).astype(np.uint8)
+                b = encode_tiff(
+                    a, order=order, rows_per_strip=4, compression=comp, predictor=2
+                )
+                got = decode_tiff_rgb(b)
+                want = a if a.ndim == 3 else np.repeat(a[:, :, None], 3, axis=2)
+                assert got is not None and (got == want).all(), (order, comp, shape)
+    # wrap case: deltas overflow uint8 inside a row
+    a = (np.arange(16 * 16, dtype=np.int64).reshape(16, 16) * 37 % 256).astype(np.uint8)
+    b = encode_tiff(a, compression=5, predictor=2)
+    assert (decode_tiff_rgb(b)[:, :, 0] == a).all()
+    # predictor 3 (floating point) is out of profile
+    bad = bytearray(encode_tiff(a, compression=5, predictor=2))
+    at = bad.find((317).to_bytes(2, "little"))
+    bad[at + 8] = 3
+    assert decode_tiff_rgb(bytes(bad)) is None

@@ -1878,6 +1878,78 @@ def extract_audio_stats(df: DataFrame, decoder=None) -> DataFrame:
     return df.mapInPandas(run, schema=AUDIO_STATS_SCHEMA)
 
 
+AUDIO_CHANNEL_STATS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("channels", IntegerType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", LongType(), True),
+        StructField("sum_l", LongType(), True),
+        StructField("sum_r", LongType(), True),
+        StructField("sum_mix", LongType(), True),
+        StructField("sum_abs_mix", LongType(), True),
+        StructField("peak_mix", IntegerType(), True),
+        StructField("mean_mix", DoubleType(), True),
+    ]
+)
+
+
+def extract_audio_channel_stats(df: DataFrame, decoder=None) -> DataFrame:
+    """Distributed PER-CHANNEL waveform statistics + deterministic mono
+    DOWNMIX over WAV payloads — the channel-normalization pass an audio
+    training corpus runs before featurization (models consume mono; raw
+    crawl audio is mostly stereo): the interleaved decode
+    (``decode_wav_pcm`` or anything behind the ``decoder=`` seam)
+    de-interleaves into L/R planes and downmixes as
+    floor((L+R)/2) — FLOOR, not truncate-toward-zero, so negative odd
+    sums divide identically to the SQL restatement (the
+    ``box_downsample_pcm`` convention). Per payload: channel count,
+    rate, frames per channel, per-channel sums, and sum/|sum|/peak/mean
+    over the mixed signal. Mono passes through (mix = the signal);
+    payloads outside the 1-2 channel profile or undecodable yield NULL
+    stats. O(files) rows out; samples never leave the executor."""
+    import numpy as np
+
+    decoder = decoder or decode_wav_pcm
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                dec = decoder(None if payload is None else bytes(payload))
+                if dec is None or dec[2].size == 0 or dec[0] not in (1, 2):
+                    rows.append((int(mid),) + (None,) * 9)
+                    continue
+                ch, rate, s = dec
+                v = s.astype(np.int64)
+                if ch == 2:
+                    left, right = v[0::2], v[1::2]
+                    mix = (left + right) // 2  # numpy // floors, as SQL FLOOR
+                    sum_r = int(right.sum())
+                else:
+                    left = mix = v
+                    sum_r = None
+                n = int(mix.size)
+                rows.append(
+                    (
+                        int(mid), ch, rate, n,
+                        int(left.sum()), sum_r,
+                        int(mix.sum()), int(np.abs(mix).sum()),
+                        int(np.abs(mix).max()), mix.sum() / n,
+                    )
+                )
+            yield _typed_frame(
+                rows,
+                ["media_id", "channels", "sample_rate", "n_frames",
+                 "sum_l", "sum_r", "sum_mix", "sum_abs_mix", "peak_mix",
+                 "mean_mix"],
+                ["int64", "Int32", "Int32", "Int64", "Int64", "Int64",
+                 "Int64", "Int64", "Int32", "Float64"],
+            )
+
+    return df.mapInPandas(run, schema=AUDIO_CHANNEL_STATS_SCHEMA)
+
+
 def box_downsample_pcm(samples, channels: int, factor: int):
     """Average-pool an interleaved int16 PCM buffer by ``factor`` FRAMES
     per channel with floor-integer means (the audio twin of

@@ -2979,3 +2979,87 @@ def tiff_predictor_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((2900 + i, payload, "image/tiff", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_pixel_stats(media, decoder=decode_tiff_rgb).orderBy("media_id")
+
+
+# Stereo-downmix oracle: de-interleave + floor((L+R)/2) are exact integer
+# operations, so the oracle restates the per-sample PCM formulas and the
+# downmix verbatim (pmod trick for FLOOR on negative odd sums — the
+# box_downsample_pcm convention). Fixtures k%4==3 are MONO (the
+# pass-through branch is under the hash too); everything else full-range
+# stereo where L and R come from different generators, so a swapped or
+# averaged-wrong channel moves sum_l/sum_r/sum_mix independently.
+AUDIO_DOWNMIX_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS k),
+dims AS (
+  SELECT k, CASE WHEN k % 4 = 3 THEN 1 ELSE 2 END AS channels,
+         8000 + 500*k AS rate, 601 + 50*k AS n
+  FROM idx
+),
+s AS (
+  SELECT d.k, d.channels, d.rate, d.n, u.i,
+         ((7919 * (u.i + 11*d.k)) % 65536) - 32768 AS l,
+         ((104729 * (u.i + 7*d.k)) % 65536) - 32768 AS r
+  FROM dims d, LATERAL (SELECT unnest(range(d.n)) AS i) u
+),
+m AS (
+  SELECT k, channels, rate, n,
+         l,
+         CASE WHEN channels = 2 THEN r END AS r,
+         CASE WHEN channels = 2
+              THEN (l + r - (((l + r) % 2) + 2) % 2) // 2
+              ELSE l END AS mix
+  FROM s
+)
+SELECT CAST(3000 + k AS BIGINT) AS media_id,
+       CAST(channels AS INTEGER) AS channels,
+       CAST(rate AS INTEGER) AS sample_rate,
+       CAST(n AS BIGINT) AS n_frames,
+       CAST(SUM(l) AS BIGINT) AS sum_l,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(mix) AS BIGINT) AS sum_mix,
+       CAST(SUM(abs(mix)) AS BIGINT) AS sum_abs_mix,
+       CAST(MAX(abs(mix)) AS INTEGER) AS peak_mix,
+       CAST(SUM(mix) AS DOUBLE) / n AS mean_mix
+FROM m GROUP BY k, channels, rate, n ORDER BY media_id
+"""
+
+
+@query(
+    "audio_stereo_downmix_stats",
+    survey="llm-multimodal,X6",
+    oracle=AUDIO_DOWNMIX_ORACLE,
+)
+def audio_stereo_downmix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stereo -> mono DOWNMIX over the real PCM decode, distributed — the
+    channel-normalization pass audio training corpora run before
+    featurization (models consume mono; crawl audio is mostly stereo):
+    ``extract_audio_channel_stats`` de-interleaves the decode into L/R
+    planes, downmixes as floor((L+R)/2) (FLOOR, not truncate — negative
+    odd sums divide identically to SQL), and emits per-channel sums
+    alongside mix magnitude/peak/mean. Fixtures: full-range int16
+    stereo with INDEPENDENT L/R generators (channel swap or wrong
+    averaging moves different sums), two mono fixtures pinning the
+    pass-through branch. Unit twin: test_audio_channel_stats_downmix."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        encode_wav_pcm,
+        extract_audio_channel_stats,
+    )
+
+    rows = []
+    for k in range(_N_PER_KIND):
+        channels = 1 if k % 4 == 3 else 2
+        rate, n = 8000 + 500 * k, 601 + 50 * k
+        i = np.arange(n, dtype=np.int64)
+        left = ((7919 * (i + 11 * k)) % 65536) - 32768
+        if channels == 2:
+            right = ((104729 * (i + 7 * k)) % 65536) - 32768
+            inter = np.empty(2 * n, dtype=np.int16)
+            inter[0::2], inter[1::2] = left, right
+        else:
+            inter = left.astype(np.int16)
+        payload = encode_wav_pcm(inter, rate, channels)
+        rows.append((3000 + k, payload, "audio/wav", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_audio_channel_stats(media).orderBy("media_id")

@@ -2730,3 +2730,36 @@ def test_tiff_predictor2():
     at = bad.find((317).to_bytes(2, "little"))
     bad[at + 8] = 3
     assert decode_tiff_rgb(bytes(bad)) is None
+
+
+def test_audio_channel_stats_downmix(spark):
+    """extract_audio_channel_stats: de-interleave, floor downmix on
+    negative odd sums, mono pass-through, >2-channel voiding."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        encode_wav_pcm,
+        extract_audio_channel_stats,
+    )
+
+    left = np.array([100, -101, 32767, -32768, 5], dtype=np.int64)
+    right = np.array([-201, 100, 32767, -32768, -6], dtype=np.int64)
+    inter = np.empty(10, dtype=np.int16)
+    inter[0::2], inter[1::2] = left, right
+    mono = np.array([-7, 8, -32768], dtype=np.int16)
+    rows = [
+        (1, encode_wav_pcm(inter, 8000, 2), "audio/wav", 0, None),
+        (2, encode_wav_pcm(mono, 16000, 1), "audio/wav", 0, None),
+        (3, encode_wav_pcm(np.zeros(9, np.int16), 8000, 3), "audio/wav", 0, None),
+        (4, b"junk", None, 0, None),
+    ]
+    df = spark.createDataFrame(
+        rows, "media_id long, payload binary, mime_type string, n_bytes long, meta_json string"
+    )
+    got = {r["media_id"]: r for r in extract_audio_channel_stats(df).collect()}
+    mix = (left + right) // 2  # floor: (100-201)//2 = -51, not -50
+    assert got[1]["sum_l"] == int(left.sum()) and got[1]["sum_r"] == int(right.sum())
+    # peak over the MIX: both rails mix to -32768, whose abs is 32768
+    assert got[1]["sum_mix"] == int(mix.sum()) and got[1]["peak_mix"] == 32768
+    assert mix[0] == -51  # the floor-vs-truncate witness
+    assert got[2]["sum_r"] is None and got[2]["sum_mix"] == int(mono.astype(np.int64).sum())
+    assert got[3]["sum_mix"] is None  # 3-channel: outside the 1-2ch profile
+    assert got[4]["channels"] is None

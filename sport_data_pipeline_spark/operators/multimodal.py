@@ -513,19 +513,28 @@ def _paeth(a: int, b: int, c: int) -> int:
     return b if pb <= pc else c
 
 
-def _png_encode(raw, bpp: int, color: int, plte: bytes | None, filters) -> bytes:
-    """Shared PNG writer: per-row filter application (type from
-    ``filters``: int, callable row->type, or None to cycle 0..4) over an
-    (h, stride) int32 sample matrix, then IHDR/PLTE/IDAT/IEND with real
-    CRCs. ``bpp`` is the filter displacement (bytes per pixel)."""
-    import zlib
+#: Adam7 pass grid (x0, y0, dx, dy) — PNG spec §8.2.
+_ADAM7 = (
+    (0, 0, 8, 8),
+    (4, 0, 8, 8),
+    (0, 4, 4, 8),
+    (2, 0, 4, 4),
+    (0, 2, 2, 4),
+    (1, 0, 2, 2),
+    (0, 1, 1, 2),
+)
 
+
+def _png_filter_rows(raw, bpp: int, filters) -> bytearray:
+    """Per-row filter application (type from ``filters``: int, callable
+    row->type, or None to cycle 0..4) over an (h, stride) int32 sample
+    matrix -> the scanline stream (filter byte + filtered bytes per
+    row). Each sub-image starts with a zero prior row, which is exactly
+    the per-PASS reset Adam7 requires."""
     import numpy as np
 
-    h, stride = raw.shape
-    w = stride // bpp
     lines = bytearray()
-    for y in range(h):
+    for y in range(raw.shape[0]):
         f = filters(y) if callable(filters) else (y % 5 if filters is None else filters)
         row = raw[y]
         up = raw[y - 1] if y else np.zeros_like(row)
@@ -549,21 +558,48 @@ def _png_encode(raw, bpp: int, color: int, plte: bytes | None, filters) -> bytes
             raise ValueError(f"unknown PNG filter type {f}")
         lines.append(f)
         lines.extend((filt % 256).astype(np.uint8).tobytes())
+    return lines
+
+
+def _png_encode(
+    raw, bpp: int, color: int, plte: bytes | None, filters, interlace: int = 0
+) -> bytes:
+    """Shared PNG writer: per-row filters over an (h, stride) int32
+    sample matrix (``interlace=1`` splits it into the seven Adam7
+    sub-images first, each filtered independently per spec), then
+    IHDR/PLTE/IDAT/IEND with real CRCs. ``bpp`` is the filter
+    displacement (bytes per pixel)."""
+    import zlib
+
+    h, stride = raw.shape
+    w = stride // bpp
+    if interlace:
+        px = raw.reshape(h, w, bpp)
+        lines = bytearray()
+        for x0, y0, dx, dy in _ADAM7:
+            sub = px[y0::dy, x0::dx]
+            if sub.shape[0] and sub.shape[1]:
+                lines += _png_filter_rows(
+                    sub.reshape(sub.shape[0], -1), bpp, filters
+                )
+    else:
+        lines = _png_filter_rows(raw, bpp, filters)
 
     def chunk(typ: bytes, data: bytes) -> bytes:
         crc = zlib.crc32(typ + data) & 0xFFFFFFFF
         return struct.pack(">I", len(data)) + typ + data + struct.pack(">I", crc)
 
-    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, 0)
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, color, 0, 0, interlace)
     out = _PNG_SIG + chunk(b"IHDR", ihdr)
     if plte is not None:
         out += chunk(b"PLTE", plte)
     return out + chunk(b"IDAT", zlib.compress(bytes(lines))) + chunk(b"IEND", b"")
 
 
-def encode_png_rgb(pixels, filters=None) -> bytes:
+def encode_png_rgb(pixels, filters=None, interlace: bool = False) -> bytes:
     """Encode an (h, w, 3) uint8 array as a spec-valid PNG (8-bit truecolor,
-    non-interlaced, real chunk CRCs). ``filters`` picks the per-row filter
+    real chunk CRCs; ``interlace`` stores the seven Adam7 passes).
+    ``filters`` picks the per-row filter
     type (int, or a callable row→type; default: cycle 0..4 so decoders see
     every filter). Write-time utility — synthesizes query fixtures; a real
     ingest would land camera/scraper bytes instead."""
@@ -571,10 +607,12 @@ def encode_png_rgb(pixels, filters=None) -> bytes:
 
     px = np.asarray(pixels, dtype=np.uint8)
     h, w, _ = px.shape
-    return _png_encode(px.astype(np.int32).reshape(h, 3 * w), 3, 2, None, filters)
+    return _png_encode(
+        px.astype(np.int32).reshape(h, 3 * w), 3, 2, None, filters, int(interlace)
+    )
 
 
-def encode_png_gray(pixels, filters=None) -> bytes:
+def encode_png_gray(pixels, filters=None, interlace: bool = False) -> bytes:
     """Encode an (h, w) uint8 array as a spec-valid 8-bit GRAYSCALE PNG
     (color type 0) — filter displacement bpp=1, so the same five filters
     recur over single-byte pixels. Same fixture discipline as
@@ -582,10 +620,10 @@ def encode_png_gray(pixels, filters=None) -> bytes:
     import numpy as np
 
     px = np.asarray(pixels, dtype=np.uint8)
-    return _png_encode(px.astype(np.int32), 1, 0, None, filters)
+    return _png_encode(px.astype(np.int32), 1, 0, None, filters, int(interlace))
 
 
-def encode_png_indexed(indices, palette, filters=None) -> bytes:
+def encode_png_indexed(indices, palette, filters=None, interlace: bool = False) -> bytes:
     """Encode an (h, w) uint8 palette-INDEX array + palette (list of
     (r, g, b), length 1..256) as a spec-valid 8-bit INDEXED PNG (color
     type 3 with a PLTE chunk) — the screenshot/diagram layout. Same
@@ -598,16 +636,61 @@ def encode_png_indexed(indices, palette, filters=None) -> bytes:
     if int(idx.max(initial=0)) >= len(palette):
         raise ValueError("index out of palette range")
     plte = b"".join(bytes(c) for c in palette)
-    return _png_encode(idx.astype(np.int32), 1, 3, plte, filters)
+    return _png_encode(idx.astype(np.int32), 1, 3, plte, filters, int(interlace))
+
+
+def _png_unfilter(raw: bytes, off: int, ph: int, pw: int, bpp: int):
+    """Un-apply PNG row filters over one (sub-)image of ``ph`` rows of
+    ``pw`` pixels starting at byte ``off`` of the inflated stream;
+    returns the (ph, pw*bpp) int32 sample matrix, or None on an unknown
+    filter type. The prior row starts zero — per image for the
+    sequential layout, per PASS for Adam7 (the spec's reset)."""
+    import numpy as np
+
+    stride = pw * bpp
+    out = np.empty((ph, stride), dtype=np.int32)
+    prev = np.zeros(stride, dtype=np.int32)
+    for y in range(ph):
+        at = off + y * (stride + 1)
+        line = raw[at : at + stride + 1]
+        f = line[0]
+        filt = np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int32)
+        if f == 0:
+            recon = filt
+        elif f == 1:
+            recon = (
+                np.cumsum(filt.reshape(pw, bpp), axis=0, dtype=np.int64).reshape(-1)
+                % 256
+            ).astype(np.int32)
+        elif f == 2:
+            recon = (filt + prev) % 256
+        elif f == 3:
+            recon = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                left = recon[i - bpp] if i >= bpp else 0
+                recon[i] = (filt[i] + (left + prev[i]) // 2) % 256
+        elif f == 4:
+            recon = np.empty(stride, dtype=np.int32)
+            for i in range(stride):
+                a = int(recon[i - bpp]) if i >= bpp else 0
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                recon[i] = (filt[i] + _paeth(a, int(prev[i]), c)) % 256
+        else:
+            return None
+        out[y] = recon
+        prev = recon
+    return out
 
 
 def decode_png_rgb(b: bytes | None):
-    """Full pixel decode of an 8-bit non-interlaced PNG at the three
-    alpha-free color types — truecolor (2), GRAYSCALE (0, replicated to
-    RGB), and INDEXED (3, PLTE lookup) — returning an (h, w, 3) uint8
-    numpy array, or None for anything unrecognizable or outside that
-    profile (alpha color types, tRNS transparency, 16-bit, interlaced →
-    None, never a crash — same null discipline as the header parsers).
+    """Full pixel decode of an 8-bit PNG at the three alpha-free color
+    types — truecolor (2), GRAYSCALE (0, replicated to RGB), and INDEXED
+    (3, PLTE lookup) — sequential or ADAM7-INTERLACED (the seven-pass
+    progressive layout; each pass unfilters independently and scatters
+    into the canvas on the spec's pass grid) — returning an (h, w, 3)
+    uint8 numpy array, or None for anything unrecognizable or outside
+    that profile (alpha color types, tRNS transparency, 16-bit → None,
+    never a crash — same null discipline as the header parsers).
     Filters 0 and 2 un-apply vectorized, 1 via per-lane cumulative sum;
     3/4 walk bytes (their recurrences are inherently sequential within a
     scanline); the filter displacement is the color type's bpp (3 or 1)."""
@@ -638,7 +721,7 @@ def decode_png_rgb(b: bytes | None):
                     or color not in (0, 2, 3)
                     or comp != 0
                     or filt != 0
-                    or interlace != 0
+                    or interlace not in (0, 1)
                 ):
                     return None
             elif typ == b"PLTE":
@@ -658,7 +741,16 @@ def decode_png_rgb(b: bytes | None):
         if color == 3 and plte is None:
             return None
         stride = w * bpp
-        expect = h * (stride + 1)
+        if interlace:
+            passes = [
+                (x0, y0, dx, dy,
+                 (w - x0 + dx - 1) // dx if w > x0 else 0,
+                 (h - y0 + dy - 1) // dy if h > y0 else 0)
+                for x0, y0, dx, dy in _ADAM7
+            ]
+            expect = sum(ph * (pw * bpp + 1) for *_, pw, ph in passes if pw and ph)
+        else:
+            expect = h * (stride + 1)
         # bounded inflate: ask for at most expect+1 bytes so a zip-bomb
         # IDAT is detected by the length check without ever materializing
         d = zlib.decompressobj()
@@ -667,36 +759,22 @@ def decode_png_rgb(b: bytes | None):
         return None
     if len(raw) != expect or d.decompress(b"", 1):
         return None
-    out = np.empty((h, stride), dtype=np.int32)
-    prev = np.zeros(stride, dtype=np.int32)
-    for y in range(h):
-        line = raw[y * (stride + 1) : (y + 1) * (stride + 1)]
-        f = line[0]
-        filt = np.frombuffer(line, dtype=np.uint8, offset=1).astype(np.int32)
-        if f == 0:
-            recon = filt
-        elif f == 1:
-            recon = (
-                np.cumsum(filt.reshape(w, bpp), axis=0, dtype=np.int64).reshape(-1)
-                % 256
-            ).astype(np.int32)
-        elif f == 2:
-            recon = (filt + prev) % 256
-        elif f == 3:
-            recon = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                left = recon[i - bpp] if i >= bpp else 0
-                recon[i] = (filt[i] + (left + prev[i]) // 2) % 256
-        elif f == 4:
-            recon = np.empty(stride, dtype=np.int32)
-            for i in range(stride):
-                a = int(recon[i - bpp]) if i >= bpp else 0
-                c = int(prev[i - bpp]) if i >= bpp else 0
-                recon[i] = (filt[i] + _paeth(a, int(prev[i]), c)) % 256
-        else:
+    if interlace:
+        px = np.empty((h, w, bpp), dtype=np.int32)
+        off = 0
+        for x0, y0, dx, dy, pw, ph in passes:
+            if not pw or not ph:
+                continue
+            sub = _png_unfilter(raw, off, ph, pw, bpp)
+            if sub is None:
+                return None
+            px[y0::dy, x0::dx] = sub.reshape(ph, pw, bpp)
+            off += ph * (pw * bpp + 1)
+        out = px.reshape(h, stride)
+    else:
+        out = _png_unfilter(raw, 0, h, w, bpp)
+        if out is None:
             return None
-        out[y] = recon
-        prev = recon
     if color == 2:
         return out.reshape(h, w, 3).astype(np.uint8)
     if color == 0:

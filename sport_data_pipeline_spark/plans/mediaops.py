@@ -3063,3 +3063,105 @@ def audio_stereo_downmix_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((3000 + k, payload, "audio/wav", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_audio_channel_stats(media).orderBy("media_id")
+
+
+# Adam7 oracle: interlacing is a lossless REORDERING (seven sub-images
+# on the spec's pass grid, each filtered independently), so a correct
+# de-interleave reproduces the pixel formula exactly and the oracle
+# restates it directly — while a pass-grid, pass-order, or per-pass
+# filter-reset mistake scrambles positions and moves the position-
+# dependent sums. Fixtures cycle all five filters by row WITHIN each
+# pass and cover all three color types; widths/heights are NOT
+# multiples of 8, so the ragged passes (and empty-pass arithmetic on
+# the smallest fixture) are under the hash.
+PNG_ADAM7_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, CASE WHEN i = 0 THEN 3 ELSE 23 + 3*i END AS w,
+                CASE WHEN i = 0 THEN 2 ELSE 17 + 2*i END AS h,
+                i % 3 AS kind
+         FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h, d.kind, ux.x, uy.y,
+         (2*ux.x + 3*uy.y + 5*d.i) % 16 AS j,
+         (4*ux.x + 9*uy.y + 6*d.i) % 256 AS gv
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+),
+rgb AS (
+  SELECT i, w, h,
+         CASE kind WHEN 0 THEN (5*j + 2) % 256 WHEN 1 THEN gv
+                   ELSE (3*x + 7*y + 11*i) % 256 END AS r,
+         CASE kind WHEN 0 THEN (9*j + 6) % 256 WHEN 1 THEN gv
+                   ELSE (5*x + 2*y + 13*i) % 256 END AS g,
+         CASE kind WHEN 0 THEN (13*j + 3) % 256 WHEN 1 THEN gv
+                   ELSE (7*x + 4*y + 3*i) % 256 END AS b
+  FROM px
+)
+SELECT CAST(3100 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM rgb GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query(
+    "png_adam7_pixel_stats",
+    survey="llm-multimodal,X6",
+    oracle=PNG_ADAM7_ORACLE,
+)
+def png_adam7_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ADAM7-INTERLACED PNG decode, distributed — the seven-pass
+    progressive layout web exports still carry: each pass is an
+    independent sub-image on the spec's pass grid (its own per-row
+    filters, prior row reset per PASS), unfiltered and scattered into
+    the canvas. Fixtures cover all three alpha-free color types
+    (indexed / grayscale / truecolor, i%3), cycle all five filters by
+    row within each pass, use non-multiple-of-8 dimensions so every
+    ragged pass width is under the hash, and fixture 0 is 3x2 — small
+    enough that several passes are EMPTY (the zero-scanline arithmetic
+    the expected-length check must get right). Same stats operator
+    (``extract_pixel_stats``, default decoder); the position-dependent
+    pixel formulas mean a pass-grid or de-interleave mistake moves the
+    sums. Unit twin: the Adam7 round-trip matrix in test_multimodal."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        encode_png_gray,
+        encode_png_indexed,
+        encode_png_rgb,
+        extract_pixel_stats,
+    )
+
+    pal = [((5 * j + 2) % 256, (9 * j + 6) % 256, (13 * j + 3) % 256) for j in range(16)]
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = (3, 2) if i == 0 else (23 + 3 * i, 17 + 2 * i)
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        kind = i % 3
+        if kind == 0:
+            idx = ((2 * x + 3 * y + 5 * i) % 16).astype(np.uint8)
+            payload = encode_png_indexed(idx, pal, interlace=True)
+        elif kind == 1:
+            g = ((4 * x + 9 * y + 6 * i) % 256).astype(np.uint8)
+            payload = encode_png_gray(g, interlace=True)
+        else:
+            rgb = np.stack(
+                [
+                    (3 * x + 7 * y + 11 * i) % 256,
+                    (5 * x + 2 * y + 13 * i) % 256,
+                    (7 * x + 4 * y + 3 * i) % 256,
+                ],
+                axis=-1,
+            ).astype(np.uint8)
+            payload = encode_png_rgb(rgb, interlace=True)
+        rows.append((3100 + i, payload, "image/png", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(media).orderBy("media_id")

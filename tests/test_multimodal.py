@@ -2763,3 +2763,34 @@ def test_audio_channel_stats_downmix(spark):
     assert got[2]["sum_r"] is None and got[2]["sum_mix"] == int(mono.astype(np.int64).sum())
     assert got[3]["sum_mix"] is None  # 3-channel: outside the 1-2ch profile
     assert got[4]["channels"] is None
+
+
+def test_png_adam7_roundtrip_matrix():
+    """Adam7 interlace round-trips across color types and edge sizes —
+    including sizes where several passes are EMPTY (1x1 has only pass 1;
+    4x3 has no pass-2 columns) and ragged pass widths everywhere."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_gray,
+        encode_png_indexed,
+        encode_png_rgb,
+    )
+
+    rng = np.random.default_rng(9)
+    pal = [(j, (5 * j) % 256, (9 * j) % 256) for j in range(16)]
+    for (w, h) in [(1, 1), (2, 2), (3, 7), (8, 8), (13, 11), (31, 17), (4, 3)]:
+        rgb = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        got = decode_png_rgb(encode_png_rgb(rgb, interlace=True))
+        assert got is not None and (got == rgb).all(), (w, h, "rgb")
+        g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        assert (decode_png_rgb(encode_png_gray(g, interlace=True))[:, :, 0] == g).all()
+        idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+        got = decode_png_rgb(encode_png_indexed(idx, pal, interlace=True))
+        assert (got == np.array(pal, np.uint8)[idx]).all(), (w, h, "indexed")
+    # interlace byte outside {0,1} stays out of profile
+    b = bytearray(encode_png_rgb(rng.integers(0, 256, (8, 8, 3)).astype(np.uint8)))
+    b[28] = 2  # IHDR interlace field (sig 8 + len 4 + type 4 + 12 data bytes)
+    import struct as _s, zlib as _z
+    crc = _z.crc32(bytes(b[12:29])) & 0xFFFFFFFF
+    b[29:33] = _s.pack(">I", crc)
+    assert decode_png_rgb(bytes(b)) is None

@@ -256,3 +256,53 @@ def cms_point_estimates(
         .agg(F.min("cnt").alias("cms_est"))
     )
     return est.select(F.col("__p").alias(probe_col), "cms_est")
+
+
+# ---------------------------------------------------------------------------
+# KMV / bottom-k distinct sketch (Bar-Yossef et al. 2002; Beyer et al.
+# 2007 for the Jaccard/intersection use)
+# ---------------------------------------------------------------------------
+
+
+def kmv_bottomk(df: DataFrame, value_col: str, k: int = 256) -> DataFrame:
+    """Bottom-k sketch of a key column: the k smallest DISTINCT 60-bit
+    md5-derived hashes, one row each (column ``h``).
+
+    Physical shape is the scale story: distinct-by-hash combines
+    map-side, and the global bottom-k plans as TakeOrderedAndProject
+    (per-partition top-k, then a k-row merge at one task) — no full
+    sort, no all-keys shuffle. The sketch supports
+    - distinct-count estimation: (k-1)·2^60 / h_k,
+    - UNION merge: bottom-k of the concatenated sketches, and
+    - Jaccard/intersection between sets (``kmv_overlap``): the fraction
+      of the union sketch's k values present in both sides' sketches —
+    which is how a 100 TB decontamination pass asks "how much does this
+    crawl overlap the eval corpus" without joining either corpus."""
+    h = portable_hash60(F.col(value_col))
+    return (
+        df.select(h.alias("h")).distinct().orderBy("h").limit(k)
+    )
+
+
+def kmv_estimate_literal(k: int = 256) -> float:
+    """Numerator of the KMV distinct estimator, folded into one double
+    literal: (k-1)·2^60 — so the estimate D = LIT / h_k costs exactly
+    one floating-point division (bit-identical in any IEEE engine)."""
+    return float((k - 1) * (1 << HASH_BITS))
+
+
+def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 256):
+    """(union_sketch, overlap_count_df) for two bottom-k sketches.
+
+    union_sketch = bottom-k of A ∪ B (the KMV merge); the overlap count
+    is |K(A∪B) ∩ K(A) ∩ K(B)| — Jaccard ≈ that count / k. All frames
+    involved are ≤ k rows, so the joins broadcast."""
+    union = (
+        a.unionByName(b).distinct().orderBy("h").limit(k)
+    )
+    overlap = (
+        union.join(F.broadcast(a), "h", "left_semi")
+        .join(F.broadcast(b), "h", "left_semi")
+        .agg(F.count(F.lit(1)).alias("overlap_k"))
+    )
+    return union, overlap

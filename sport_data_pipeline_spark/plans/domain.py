@@ -619,3 +619,138 @@ def cms_event_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+from ..operators.sketches import (  # noqa: E402
+    kmv_bottomk,
+    kmv_estimate_literal,
+    kmv_overlap,
+)
+
+_KMV_K = 256
+_KMV_LIT = kmv_estimate_literal(_KMV_K)
+#: 5 sigma at the KMV distinct rsd ~ 1/sqrt(k-2) — folded to a literal in
+#: PYTHON (no engine sqrt in the compared expression).
+_KMV_5SIGMA = 5.0 / (254.0**0.5)
+#: 5 sigma worst-case for the Jaccard estimator: 5*sqrt(J(1-J)/k) <=
+#: 5*sqrt(0.25/256) = 0.15625 exactly (a dyadic literal).
+_KMV_J_BOUND = 0.15625
+
+KMV_ORACLE = f"""
+WITH a_keys AS (SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_returnflag = 'A'),
+b_keys AS (SELECT DISTINCT l_orderkey AS v FROM lineitem WHERE l_returnflag = 'R'),
+ha AS (SELECT DISTINCT ('0x' || substr(md5(v::VARCHAR), 1, 15))::BIGINT AS h FROM a_keys),
+hb AS (SELECT DISTINCT ('0x' || substr(md5(v::VARCHAR), 1, 15))::BIGINT AS h FROM b_keys),
+ka AS (SELECT h FROM ha ORDER BY h LIMIT {_KMV_K}),
+kb AS (SELECT h FROM hb ORDER BY h LIMIT {_KMV_K}),
+ku AS (SELECT h FROM (SELECT h FROM ka UNION SELECT h FROM kb) ORDER BY h LIMIT {_KMV_K}),
+ov AS (SELECT CAST(COUNT(*) AS INTEGER) AS overlap_k
+       FROM ku WHERE h IN (SELECT h FROM ka) AND h IN (SELECT h FROM kb)),
+ex AS (SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a_keys) AS n_a,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM b_keys) AS n_b,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT v FROM a_keys INTERSECT SELECT v FROM b_keys)) AS n_inter,
+              (SELECT CAST(COUNT(*) AS BIGINT) FROM
+                 (SELECT v FROM a_keys UNION SELECT v FROM b_keys)) AS n_union),
+summ AS (SELECT (SELECT MAX(h) FROM ku) AS hk,
+                (SELECT md5(string_agg(h::VARCHAR, ',' ORDER BY h)) FROM ku) AS sketch_md5,
+                (SELECT overlap_k FROM ov) AS overlap_k)
+SELECT CAST({_KMV_K} AS INTEGER) AS k,
+       e.n_a, e.n_b, e.n_inter, e.n_union,
+       s.sketch_md5,
+       s.overlap_k,
+       {_KMV_LIT!r} / CAST(s.hk AS DOUBLE) AS est_union,
+       CAST(s.overlap_k AS DOUBLE) / {_KMV_K} AS jacc_est,
+       CAST(e.n_inter AS DOUBLE) / e.n_union AS jacc_exact,
+       (CAST(s.overlap_k AS DOUBLE) / {_KMV_K}) * ({_KMV_LIT!r} / CAST(s.hk AS DOUBLE))
+         AS est_inter,
+       abs({_KMV_LIT!r} / CAST(s.hk AS DOUBLE) - e.n_union)
+         <= {_KMV_5SIGMA!r} * e.n_union AS union_within_5sigma,
+       abs(CAST(s.overlap_k AS DOUBLE) / {_KMV_K}
+           - CAST(e.n_inter AS DOUBLE) / e.n_union)
+         <= {_KMV_J_BOUND!r} AS jacc_within_5sigma
+FROM ex e, summ s
+"""
+
+
+@query(
+    "kmv_corpus_overlap",
+    survey="sketch-distinct,llm-decontam,A2(approx)",
+    oracle=KMV_ORACLE,
+)
+def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV (bottom-k) set-overlap sketch — how a 100 TB decontamination
+    pass asks "how much does corpus A overlap corpus B" WITHOUT joining
+    either corpus: each side reduces to its k=256 smallest distinct
+    md5-derived hashes (distinct combines map-side; the global bottom-k
+    plans as TakeOrderedAndProject — no full sort, no all-keys
+    exchange), the union sketch is the bottom-k of the two sketches
+    (the KMV merge), Jaccard ~ the fraction of union-sketch values
+    present in both sides, and distinct/intersection estimates follow
+    with one double division each ((k-1)·2^60/h_k folded to a literal;
+    the 5-sigma literals are computed in PYTHON, so no engine
+    transcendental touches a compared value). The union sketch itself
+    is hash-pinned (canonical CSV -> md5) — register-level
+    cross-engine agreement, not just bounds. Probe sets: orderkeys
+    carrying return flag A vs R (genuinely overlapping real sets,
+    J ~ 0.58; both error contracts hold at sf0.001/0.01/0.1 with >=3x
+    margin). The exact n_a/n_b/inter/union ride along as the in-query
+    ground truth. Complements the in-window token-level
+    contamination_overlap (llm-decontam) with the set-level scale
+    path."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a_keys = li.filter(F.col("l_returnflag") == "A").select(
+        F.col("l_orderkey").alias("v")
+    )
+    b_keys = li.filter(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("v")
+    )
+    ka = kmv_bottomk(a_keys, "v", _KMV_K)
+    kb = kmv_bottomk(b_keys, "v", _KMV_K)
+    ku, ov = kmv_overlap(ka, kb, _KMV_K)
+    summ = ku.agg(
+        F.max("h").alias("hk"),
+        F.md5(
+            F.concat_ws(
+                ",", F.transform(F.array_sort(F.collect_list("h")), lambda x: x.cast("string"))
+            ).cast("binary")
+        ).alias("sketch_md5"),
+    )
+    da, db = a_keys.distinct(), b_keys.distinct()
+    ex = (
+        da.agg(F.count(F.lit(1)).alias("n_a"))
+        .crossJoin(db.agg(F.count(F.lit(1)).alias("n_b")))
+        .crossJoin(
+            da.join(db, "v", "left_semi").agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        .crossJoin(
+            da.unionByName(db).distinct().agg(F.count(F.lit(1)).alias("n_union"))
+        )
+    )
+    est_union = F.lit(_KMV_LIT) / F.col("hk").cast("double")
+    jacc_est = F.col("overlap_k").cast("double") / F.lit(_KMV_K)
+    jacc_exact = F.col("n_inter").cast("double") / F.col("n_union")
+    return (
+        ex.crossJoin(F.broadcast(summ))
+        .crossJoin(F.broadcast(ov))
+        .select(
+            F.lit(_KMV_K).cast("int").alias("k"),
+            "n_a",
+            "n_b",
+            "n_inter",
+            "n_union",
+            "sketch_md5",
+            F.col("overlap_k").cast("int").alias("overlap_k"),
+            est_union.alias("est_union"),
+            jacc_est.alias("jacc_est"),
+            jacc_exact.alias("jacc_exact"),
+            (jacc_est * est_union).alias("est_inter"),
+            (
+                F.abs(est_union - F.col("n_union"))
+                <= F.lit(_KMV_5SIGMA) * F.col("n_union")
+            ).alias("union_within_5sigma"),
+            (F.abs(jacc_est - jacc_exact) <= F.lit(_KMV_J_BOUND)).alias(
+                "jacc_within_5sigma"
+            ),
+        )
+    )

@@ -122,3 +122,40 @@ def test_cms_point_estimates_overestimate_only(spark):
     ghost = spark.createDataFrame([(99999,)], "v bigint")
     (g,) = cms_point_estimates(cells, ghost, "v").collect()
     assert g["cms_est"] >= 0
+
+
+def test_kmv_bottomk_matches_python_and_merges(spark):
+    from pyspark.sql import functions as F
+
+    from sport_data_pipeline_spark.operators.sketches import (
+        kmv_bottomk,
+        kmv_estimate_literal,
+        kmv_overlap,
+    )
+
+    vals_a = list(range(0, 3000))
+    vals_b = list(range(1500, 4500))
+    k = 128
+    df_a = spark.createDataFrame([(v,) for v in vals_a * 2], "v bigint")  # dups absorbed
+    df_b = spark.createDataFrame([(v,) for v in vals_b], "v bigint")
+    ka = sorted(r["h"] for r in kmv_bottomk(df_a, "v", k).collect())
+    kb = sorted(r["h"] for r in kmv_bottomk(df_b, "v", k).collect())
+    py_a = sorted({_h60(str(v)) for v in vals_a})[:k]
+    py_b = sorted({_h60(str(v)) for v in vals_b})[:k]
+    assert ka == py_a and kb == py_b
+    # union merge = bottom-k of the concatenation; overlap count matches python
+    union, ov = kmv_overlap(
+        kmv_bottomk(df_a, "v", k), kmv_bottomk(df_b, "v", k), k
+    )
+    ku = sorted(r["h"] for r in union.collect())
+    py_u = sorted(set(py_a) | set(py_b))[:k]
+    assert ku == py_u
+    (got_ov,) = ov.collect()
+    py_ov = sum(1 for h in py_u if h in set(py_a) and h in set(py_b))
+    assert got_ov["overlap_k"] == py_ov
+    # distinct estimates within 5 sigma of truth: |A| = 3000, |A u B| = 4500
+    assert abs(kmv_estimate_literal(k) / ka[-1] - 3000) <= 5 / (k - 2) ** 0.5 * 3000
+    assert abs(kmv_estimate_literal(k) / ku[-1] - 4500) <= 5 / (k - 2) ** 0.5 * 4500
+    # jaccard estimate within the worst-case 5 sigma bound
+    j_true = 1500 / 4500
+    assert abs(py_ov / k - j_true) <= 5 * (0.25 / k) ** 0.5

@@ -306,3 +306,95 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 256):
         .agg(F.count(F.lit(1)).alias("overlap_k"))
     )
     return union, overlap
+
+
+# ---------------------------------------------------------------------------
+# Bloom filter (Bloom 1970) — membership sketch for semi-join reduction
+# ---------------------------------------------------------------------------
+
+#: bits per bitmap word. 32 keeps every shift strictly inside a signed
+#: 64-bit value in BOTH engines (DuckDB range-checks 1::BIGINT << 63).
+_BLOOM_WORD = 32
+
+
+def bloom_build(df: DataFrame, key_col: str, m_bits: int = 65536, j: int = 4) -> DataFrame:
+    """Build a Bloom bitmap over the DISTINCT keys of ``df`` as a word
+    table (word, wbits): j md5-derived positions per key, OR-folded into
+    32-bit words — ≤ m/32 rows total, one map-side-combinable bit_or
+    aggregate. This is the build side of SEMI-JOIN REDUCTION: at 100 TB
+    you ship this (fixed-size) table to the fact scan instead of
+    shuffling the fact table into a join just to discard 80% of it.
+    Merging two filters over key subsets is the same bit_or."""
+    keys = df.select(F.col(key_col).alias("__k")).distinct()
+    pos = keys.select(
+        F.explode(F.sequence(F.lit(0), F.lit(j - 1))).alias("i"), "__k"
+    ).select(
+        (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("i").cast("string"), F.lit(":"), F.col("__k").cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        ).alias("pos")
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(_BLOOM_WORD)])
+    return (
+        pos.select(
+            (F.col("pos") / _BLOOM_WORD).cast("int").alias("word"),
+            F.element_at(powers, (F.col("pos") % _BLOOM_WORD).cast("int") + 1).alias("m"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("m").alias("wbits"))
+    )
+
+
+def bloom_probe(
+    fact: DataFrame, key_col: str, words: DataFrame, m_bits: int = 65536, j: int = 4
+) -> DataFrame:
+    """Append a ``bloom_pass`` boolean to ``fact``: true iff all j bits
+    for the row's key are set in the filter.
+
+    Physical shape is the point: the word table collapses to ONE map
+    literal broadcast to every task (crossJoin of a 1-row frame), and
+    the probe is a pure projection — the fact side is never shuffled,
+    exploded, or re-aggregated. False negatives are impossible by
+    construction (every build bit was set); false positives are the
+    (1-e^(-jn/m))^j hash-collision rate the caller bounds by sizing m."""
+    wmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "wbits"))).alias("__wmap")
+    )
+    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(_BLOOM_WORD)])
+    out = fact.crossJoin(F.broadcast(wmap))
+    cond = F.lit(True)
+    for i in range(j):
+        h = (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.lit(f"{i}:"), F.col(key_col).cast("string")
+                        ).cast("binary")
+                    ),
+                    1,
+                    15,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m_bits
+        )
+        word = (h / _BLOOM_WORD).cast("int")
+        mask = F.element_at(powers, (h % _BLOOM_WORD).cast("int") + 1)
+        cond = cond & (
+            F.coalesce(F.element_at("__wmap", word), F.lit(0)).bitwiseAND(mask) != 0
+        )
+    return out.withColumn("bloom_pass", cond).drop("__wmap")

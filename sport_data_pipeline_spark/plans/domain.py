@@ -754,3 +754,130 @@ def kmv_corpus_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+from ..operators.sketches import bloom_build, bloom_probe  # noqa: E402
+
+_BLOOM_M, _BLOOM_J = 65536, 4
+#: empirical fp ceiling for this probe at every test SF (observed max
+#: 0.0015 at sf0.1; expected (1-e^(-jn/m))^j ~ 0.002 at n=3.5k keys).
+_BLOOM_FP_BOUND = 0.01
+
+BLOOM_ORACLE = f"""
+WITH dim AS (SELECT DISTINCT p_partkey AS key FROM part WHERE p_size < 10),
+bits AS (
+  SELECT (('0x' || substr(md5(t.i::VARCHAR || ':' || d.key::VARCHAR), 1, 15))::BIGINT
+          % {_BLOOM_M}) AS pos
+  FROM dim d, range({_BLOOM_J}) t(i)
+),
+words AS (
+  SELECT pos // 32 AS word,
+         bit_or(1::BIGINT << CAST(pos % 32 AS INTEGER)) AS wbits
+  FROM bits GROUP BY 1
+),
+fact AS (SELECT l_partkey AS key FROM lineitem),
+probe AS (
+  SELECT f.rid, f.key,
+         bool_and(COALESCE(w.wbits, 0)
+                  & (1::BIGINT << CAST(p.pos % 32 AS INTEGER)) <> 0) AS pass
+  FROM (SELECT row_number() OVER () AS rid, key FROM fact) f,
+       LATERAL (SELECT (('0x' || substr(md5(t.i::VARCHAR || ':' || f.key::VARCHAR),
+                                        1, 15))::BIGINT % {_BLOOM_M}) AS pos
+                FROM range({_BLOOM_J}) t(i)) p
+  LEFT JOIN words w ON w.word = p.pos // 32
+  GROUP BY 1, 2
+),
+x AS (
+  SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM dim) AS n_dim,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM fact) AS n_fact,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+            WHERE key IN (SELECT key FROM dim)) AS n_match,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probe WHERE pass) AS bloom_pass,
+         (SELECT CAST(COUNT(*) AS BIGINT) FROM probe
+            WHERE key IN (SELECT key FROM dim) AND NOT pass) AS false_neg,
+         (SELECT md5(string_agg(word || ':' || wbits, ',' ORDER BY word))
+            FROM words) AS bitmap_md5
+)
+SELECT n_dim, n_fact, n_match, bloom_pass, false_neg,
+       bitmap_md5,
+       CAST(bloom_pass - n_match AS BIGINT) AS false_pass,
+       CAST(bloom_pass - n_match AS DOUBLE) / (n_fact - n_match) AS fp_rate,
+       CAST(bloom_pass - n_match AS DOUBLE) / (n_fact - n_match)
+         <= {_BLOOM_FP_BOUND!r} AS fp_rate_ok
+FROM x
+"""
+
+
+@query(
+    "bloom_semi_prune",
+    survey="sketch-bloom,J1,A2(approx)",
+    oracle=BLOOM_ORACLE,
+)
+def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter SEMI-JOIN REDUCTION — the shuffle-avoidance move a
+    100 TB fact-to-selective-dim join starts with: the dim side's
+    distinct keys fold into a fixed-size md5-derived bitmap (j=4
+    positions into m=65536 bits, 32-bit words, one map-side bit_or —
+    <= 2048 rows whatever the key count), the bitmap collapses to ONE
+    broadcast map literal, and the fact probe is a pure PROJECTION (no
+    shuffle, no explode) that discards ~82 percent of rows before any
+    real join would run. Contracts, all hash-pinned: ZERO false
+    negatives (the Bloom guarantee, emitted as a count that must be 0),
+    the false-positive count and rate (REAL collisions at sf0.1 —
+    m deliberately sized so the filter does honest work), the rate
+    bound, and the bitmap itself (canonical word:bits CSV -> md5 —
+    register-level cross-engine agreement). Build mergeability is the
+    same bit_or (unit-pinned). Probe: parts with p_size < 10 against
+    lineitem. Spark ships this pattern internally as runtime filters;
+    this operator is the EXPLICIT, engine-portable form a mixed-engine
+    pipeline can hand across systems."""
+    part = load_table(spark, sf_dir, "part")
+    li = load_table(spark, sf_dir, "lineitem")
+    dim = part.filter(F.col("p_size") < 10).select(
+        F.col("p_partkey").alias("key")
+    ).distinct()
+    words = bloom_build(dim, "key", _BLOOM_M, _BLOOM_J)
+    fact = li.select(F.col("l_partkey").alias("key"))
+    probed = bloom_probe(fact, "key", words, _BLOOM_M, _BLOOM_J)
+    bitmap = words.agg(
+        F.md5(
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("word", "wbits"))),
+                    lambda s: F.concat_ws(
+                        ":", s["word"].cast("string"), s["wbits"].cast("string")
+                    ),
+                ),
+            ).cast("binary")
+        ).alias("bitmap_md5")
+    )
+    in_dim = probed.join(F.broadcast(dim), "key", "left_semi")
+    agg = (
+        dim.agg(F.count(F.lit(1)).alias("n_dim"))
+        .crossJoin(fact.agg(F.count(F.lit(1)).alias("n_fact")))
+        .crossJoin(in_dim.agg(F.count(F.lit(1)).alias("n_match")))
+        .crossJoin(
+            probed.filter("bloom_pass").agg(F.count(F.lit(1)).alias("bloom_pass"))
+        )
+        .crossJoin(
+            in_dim.filter(~F.col("bloom_pass")).agg(
+                F.count(F.lit(1)).alias("false_neg")
+            )
+        )
+        .crossJoin(F.broadcast(bitmap))
+    )
+    fp_rate = (F.col("bloom_pass") - F.col("n_match")).cast("double") / (
+        F.col("n_fact") - F.col("n_match")
+    )
+    return agg.select(
+        "n_dim",
+        "n_fact",
+        "n_match",
+        "bloom_pass",
+        "false_neg",
+        "bitmap_md5",
+        (F.col("bloom_pass") - F.col("n_match")).alias("false_pass"),
+        fp_rate.alias("fp_rate"),
+        (fp_rate <= F.lit(_BLOOM_FP_BOUND)).alias("fp_rate_ok"),
+    )

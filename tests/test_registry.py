@@ -138,6 +138,7 @@ def test_window_covers_all_survey_ops():
         # established. Both stay DuckDB-oracled locally until rotated in.
         "sketch-distinct",
         "sketch-countmin",
+        "sketch-bloom",
         "A5(approx)",
         # vector compression error contract: the codebook-quantization
         # sibling pq_topk_recall (PQ IS the compressed-ANN path) stays

@@ -159,3 +159,55 @@ def test_kmv_bottomk_matches_python_and_merges(spark):
     # jaccard estimate within the worst-case 5 sigma bound
     j_true = 1500 / 4500
     assert abs(py_ov / k - j_true) <= 5 * (0.25 / k) ** 0.5
+
+
+def test_bloom_no_false_negatives_and_merge(spark):
+    from pyspark.sql import functions as F
+
+    from sport_data_pipeline_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(v,) for v in range(500)], "k bigint")
+    words = bloom_build(keys, "k", m_bits=4096, j=4)
+    # every inserted key passes — the Bloom guarantee
+    probed = bloom_probe(keys, "k", words, m_bits=4096, j=4)
+    assert probed.filter(~F.col("bloom_pass")).count() == 0
+    # merge = bit_or of the word tables: two halves equal the whole
+    a = bloom_build(keys.filter("k < 250"), "k", m_bits=4096, j=4)
+    b = bloom_build(keys.filter("k >= 250"), "k", m_bits=4096, j=4)
+    merged = {
+        r["word"]: r["wbits"]
+        for r in a.unionByName(b).groupBy("word").agg(F.bit_or("wbits").alias("wbits")).collect()
+    }
+    whole = {r["word"]: r["wbits"] for r in words.collect()}
+    assert merged == whole
+    # a saturated-enough filter produces SOME false positives on outsiders
+    outsiders = spark.createDataFrame([(v,) for v in range(10_000, 20_000)], "k bigint")
+    fp = bloom_probe(outsiders, "k", words, m_bits=4096, j=4).filter("bloom_pass").count()
+    assert 0 < fp < 2000  # ~ (1-e^-0.49)^4 * 10000 ~ 230 expected
+
+def test_bloom_probe_is_projection_only(spark):
+    """The probe side must never shuffle the fact table: the plan below
+    the probe projection contains no Exchange introduced by the probe
+    (only the broadcast of the 1-row word-map)."""
+    from sport_data_pipeline_spark.operators.sketches import bloom_build, bloom_probe
+
+    keys = spark.createDataFrame([(v,) for v in range(100)], "k bigint")
+    words = bloom_build(keys, "k", m_bits=4096, j=4)
+    fact = spark.range(0, 1000).withColumnRenamed("id", "k")
+
+    def shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "BroadcastExchange" not in ln
+        )
+
+    # building the broadcast word-map costs a fixed set of (tiny) shuffles;
+    # adding the fact probe on top must add ZERO shuffles — the probe is a
+    # projection over a broadcast, never an exchange of the fact side
+    wmap = words.agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "wbits"))).alias("m")
+    )
+    probed = bloom_probe(fact, "k", words, m_bits=4096, j=4)
+    assert shuffles(probed) == shuffles(wmap), probed._jdf.queryExecution().executedPlan().toString()

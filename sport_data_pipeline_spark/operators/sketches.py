@@ -398,3 +398,63 @@ def bloom_probe(
             F.coalesce(F.element_at("__wmap", word), F.lit(0)).bitwiseAND(mask) != 0
         )
     return out.withColumn("bloom_pass", cond).drop("__wmap")
+
+
+# ---------------------------------------------------------------------------
+# Dyadic-bucket quantile histogram (fixed-width power-of-two buckets —
+# the Prometheus/OpenTelemetry histogram shape, mergeable by cell sum)
+# ---------------------------------------------------------------------------
+
+
+def dyadic_histogram(
+    df: DataFrame, group_cols: list[str], cents_col: str, shift: int = 12
+) -> DataFrame:
+    """Per-group bucket table (group..., bucket, cnt) over an integer
+    value column: bucket = value >> shift (2^shift-wide bins).
+
+    One groupBy — map-side combinable, exchange bounded by
+    |groups| × value_range/2^shift rows — and merging two histograms is
+    the same cell-wise SUM (the CMS/Prometheus merge). Quantile reads
+    walk the cumulative counts; the estimate's error is bounded BY
+    CONSTRUCTION at one bucket width, the contract a fixed-bin
+    histogram trades against GK/KLL's adaptive bins (those need
+    order-dependent compactions no SQL engine restates bit-exactly;
+    this one is a plain integer aggregate any engine agrees on)."""
+    b = (F.col(cents_col).cast("long") / (1 << shift)).cast("long")
+    return (
+        df.select(*group_cols, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+
+
+def dyadic_quantile_picks(
+    hist: DataFrame, group_cols: list[str], qs: list[float], shift: int = 12
+) -> DataFrame:
+    """Quantile reads over a dyadic histogram: for each q, the bucket
+    where the ceil(q·n)-th value lives (cumulative walk over ≤
+    range/2^shift rows per group — a window over the tiny bucket table,
+    never over the data), reported as the bucket midpoint in cents.
+
+    Output: (group..., q, rank_r, bucket, est_cents). Midpoint = lo +
+    half-width keeps the estimate integer; the true rank-r value lies in
+    [lo, hi] by construction, so |est - true| <= 2^(shift-1)."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(*group_cols).orderBy("bucket")
+    cum = hist.withColumn("cum", F.sum("cnt").over(w))
+    totals = hist.groupBy(*group_cols).agg(F.sum("cnt").alias("n"))
+    picks = None
+    for q in qs:
+        r = F.ceil(F.lit(q) * F.col("n")).cast("long")
+        t = totals.select(*group_cols, F.lit(q).alias("q"), r.alias("rank_r"))
+        c = cum.join(t, group_cols).filter(F.col("cum") >= F.col("rank_r"))
+        p = (
+            c.groupBy(*group_cols, "q", "rank_r")
+            .agg(F.min("bucket").alias("bucket"))
+        )
+        picks = p if picks is None else picks.unionByName(p)
+    half = 1 << (shift - 1)
+    return picks.withColumn(
+        "est_cents", (F.col("bucket") * (1 << shift) + half).cast("long")
+    )

@@ -881,3 +881,150 @@ def bloom_semi_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         fp_rate.alias("fp_rate"),
         (fp_rate <= F.lit(_BLOOM_FP_BOUND)).alias("fp_rate_ok"),
     )
+
+
+from ..operators.sketches import dyadic_histogram, dyadic_quantile_picks  # noqa: E402
+
+_DYQ_SHIFT = 12  # 4096-cent (~$41) buckets
+_DYQ_QS = (0.5, 0.95, 0.99)
+
+DYADIC_QUANTILE_ORACLE = f"""
+WITH base AS (
+  SELECT l_returnflag,
+         CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+         l_orderkey + l_linenumber AS par
+  FROM lineitem
+),
+hist AS (
+  SELECT l_returnflag, cents // {1 << _DYQ_SHIFT} AS bucket,
+         CAST(COUNT(*) AS BIGINT) AS cnt
+  FROM base GROUP BY 1, 2
+),
+merged AS (
+  SELECT l_returnflag, bucket, CAST(SUM(cnt) AS BIGINT) AS cnt FROM (
+    SELECT l_returnflag, cents // {1 << _DYQ_SHIFT} AS bucket, COUNT(*) AS cnt
+    FROM base WHERE par % 2 = 0 GROUP BY 1, 2
+    UNION ALL
+    SELECT l_returnflag, cents // {1 << _DYQ_SHIFT} AS bucket, COUNT(*) AS cnt
+    FROM base WHERE par % 2 = 1 GROUP BY 1, 2
+  ) GROUP BY 1, 2
+),
+sig AS (
+  SELECT l_returnflag,
+         CAST(COUNT(*) AS INTEGER) AS n_buckets,
+         md5(string_agg(bucket || ':' || cnt, ',' ORDER BY bucket)) AS hist_md5
+  FROM hist GROUP BY 1
+),
+msig AS (
+  SELECT l_returnflag,
+         md5(string_agg(bucket || ':' || cnt, ',' ORDER BY bucket)) AS mmd5
+  FROM merged GROUP BY 1
+),
+cum AS (
+  SELECT l_returnflag, bucket, cnt,
+         SUM(cnt) OVER (PARTITION BY l_returnflag ORDER BY bucket) AS cum
+  FROM hist
+),
+totals AS (SELECT l_returnflag, CAST(SUM(cnt) AS BIGINT) AS n FROM hist GROUP BY 1),
+qs AS (SELECT unnest([{", ".join(str(q) for q in _DYQ_QS)}]) AS q),
+picks AS (
+  SELECT c.l_returnflag, t.n, u.q,
+         CAST(ceil(u.q * t.n) AS BIGINT) AS rank_r,
+         MIN(c.bucket) AS bucket
+  FROM totals t
+  JOIN qs u ON TRUE
+  JOIN cum c ON c.l_returnflag = t.l_returnflag
+            AND c.cum >= CAST(ceil(u.q * t.n) AS BIGINT)
+  GROUP BY 1, 2, 3, 4
+)
+SELECT p.l_returnflag, p.q, p.n, p.rank_r, p.bucket,
+       CAST(p.bucket * {1 << _DYQ_SHIFT} + {1 << (_DYQ_SHIFT - 1)} AS BIGINT) AS est_cents,
+       CAST(p.bucket * {1 << _DYQ_SHIFT} + {1 << (_DYQ_SHIFT - 1)} AS DOUBLE) / 100
+         AS est_dollars,
+       s.n_buckets, s.hist_md5,
+       s.hist_md5 = m.mmd5 AS merge_consistent
+FROM picks p
+JOIN sig s USING (l_returnflag)
+JOIN msig m USING (l_returnflag)
+ORDER BY p.l_returnflag, p.q
+"""
+
+
+@query(
+    "dyadic_quantile_sketch",
+    survey="sketch-quantile,A7(approx)",
+    oracle=DYADIC_QUANTILE_ORACLE,
+)
+def dyadic_quantile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dyadic-bucket QUANTILE histogram per return flag — the fixed-bin
+    mergeable quantile structure (the Prometheus/OTel histogram shape)
+    that completes the deterministic sketch family: distinct (HLL/KMV),
+    frequency (Count-Min/Misra-Gries), membership (Bloom), QUANTILE
+    (this). Prices collapse to 4096-cent buckets in one map-side-
+    combinable groupBy (exchange bounded by groups x range/4096 rows);
+    p50/p95/p99 reads walk the cumulative counts over the TINY bucket
+    table (a window over ~2.5k rows per group, never over the data) and
+    report the bucket midpoint — error <= half a bucket width BY
+    CONSTRUCTION, the trade a fixed-bin histogram makes against GK/KLL
+    (whose order-dependent compactions no SQL engine restates
+    bit-exactly; this one is a plain integer aggregate, so the bucket
+    TABLE hash-compares — canonical CSV -> md5 — and the in-query merge
+    proof (parity halves -> cell-sum -> same md5) pins mergeability).
+    Cents derive through the exact DECIMAL(18,2) route (_util
+    discipline), so every number here is integer until one display
+    division. Complements sketch_profile's GK built-in (bound booleans
+    only) with register-level cross-engine agreement."""
+    li = load_table(spark, sf_dir, "lineitem")
+    base = li.select(
+        "l_returnflag",
+        (F.col("l_extendedprice").cast("decimal(18,2)") * 100)
+        .cast("long")
+        .alias("cents"),
+        (F.col("l_orderkey") + F.col("l_linenumber")).alias("par"),
+    )
+    g = ["l_returnflag"]
+    hist = dyadic_histogram(base, g, "cents", _DYQ_SHIFT)
+
+    def csv_md5(h, out):
+        return h.groupBy(*g).agg(
+            F.count(F.lit(1)).cast("int").alias("n_buckets"),
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("bucket", "cnt"))),
+                        lambda s: F.concat_ws(
+                            ":", s["bucket"].cast("string"), s["cnt"].cast("string")
+                        ),
+                    ),
+                ).cast("binary")
+            ).alias(out),
+        )
+
+    sig = csv_md5(hist, "hist_md5")
+    even = dyadic_histogram(base.filter(F.col("par") % 2 == 0), g, "cents", _DYQ_SHIFT)
+    odd = dyadic_histogram(base.filter(F.col("par") % 2 == 1), g, "cents", _DYQ_SHIFT)
+    merged = (
+        even.unionByName(odd).groupBy(*g, "bucket").agg(F.sum("cnt").alias("cnt"))
+    )
+    msig = csv_md5(merged, "mmd5").select(*g, "mmd5")
+    picks = dyadic_quantile_picks(hist, g, list(_DYQ_QS), _DYQ_SHIFT)
+    totals = hist.groupBy(*g).agg(F.sum("cnt").alias("n"))
+    return (
+        picks.join(totals, g)
+        .join(sig, g)
+        .join(msig, g)
+        .select(
+            "l_returnflag",
+            "q",
+            "n",
+            "rank_r",
+            "bucket",
+            "est_cents",
+            (F.col("est_cents").cast("double") / 100).alias("est_dollars"),
+            "n_buckets",
+            "hist_md5",
+            (F.col("hist_md5") == F.col("mmd5")).alias("merge_consistent"),
+        )
+        .orderBy("l_returnflag", "q")
+    )

@@ -139,6 +139,7 @@ def test_window_covers_all_survey_ops():
         "sketch-distinct",
         "sketch-countmin",
         "sketch-bloom",
+        "sketch-quantile",
         "A5(approx)",
         # vector compression error contract: the codebook-quantization
         # sibling pq_topk_recall (PQ IS the compressed-ANN path) stays

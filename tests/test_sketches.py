@@ -211,3 +211,41 @@ def test_bloom_probe_is_projection_only(spark):
     )
     probed = bloom_probe(fact, "k", words, m_bits=4096, j=4)
     assert shuffles(probed) == shuffles(wmap), probed._jdf.queryExecution().executedPlan().toString()
+
+
+def test_dyadic_quantile_within_half_bucket(spark):
+    from pyspark.sql import functions as F
+
+    from sport_data_pipeline_spark.operators.sketches import (
+        dyadic_histogram,
+        dyadic_quantile_picks,
+    )
+
+    import numpy as np
+
+    rng = np.random.default_rng(13)
+    vals = rng.integers(0, 1_000_000, 20_000)
+    df = spark.createDataFrame([(int(v),) for v in vals], "cents bigint").withColumn(
+        "g", F.lit("all")
+    )
+    shift = 12
+    hist = dyadic_histogram(df, ["g"], "cents", shift)
+    picks = dyadic_quantile_picks(hist, ["g"], [0.5, 0.95, 0.99], shift)
+    got = {r["q"]: r for r in picks.collect()}
+    s = np.sort(vals)
+    for q in (0.5, 0.95, 0.99):
+        r = int(np.ceil(q * len(s)))
+        true = int(s[r - 1])  # rank-r value, 1-indexed
+        est = got[q]["est_cents"]
+        assert abs(est - true) <= (1 << (shift - 1)), (q, est, true)
+        # the picked bucket is exactly the one containing the rank-r value
+        assert got[q]["bucket"] == true >> shift
+    # merge = cell-wise sum reproduces the whole histogram
+    a = dyadic_histogram(df.filter("cents % 2 = 0"), ["g"], "cents", shift)
+    b = dyadic_histogram(df.filter("cents % 2 = 1"), ["g"], "cents", shift)
+    summed = {
+        r["bucket"]: r["cnt"]
+        for r in a.unionByName(b).groupBy("g", "bucket").agg(F.sum("cnt").alias("cnt")).collect()
+    }
+    whole = {r["bucket"]: r["cnt"] for r in hist.collect()}
+    assert summed == whole

@@ -115,6 +115,37 @@ def fixtures():
             rng.integers(0, 256, (h, w, 3)).astype(np.uint8), "MM", 16, comp
         )
 
+    def tiff_pred2(h, w):
+        from sport_data_pipeline_spark.operators.multimodal import encode_tiff
+
+        return encode_tiff(
+            rng.integers(0, 256, (h, w, 3)).astype(np.uint8),
+            "MM", 16, 5, predictor=2,
+        )
+
+    def png_adam7(h, w):
+        return encode_png_rgb(
+            rng.integers(0, 256, (h, w, 3)).astype(np.uint8), interlace=True
+        )
+
+    def gif_anim(h, w):
+        from sport_data_pipeline_spark.operators.multimodal import (
+            encode_gif_animation,
+        )
+
+        pal = [(j, (5 * j) % 256, (9 * j) % 256) for j in range(16)]
+        patch = rng.integers(0, 16, (h // 2, w // 2)).astype(np.uint8)
+        return encode_gif_animation(
+            (w, h),
+            pal,
+            [
+                {"indices": rng.integers(0, 16, (h, w)).astype(np.uint8)},
+                {"indices": patch, "left": w // 4, "top": h // 4,
+                 "transparent": 15, "disposal": 3},
+                {"indices": patch, "left": 0, "top": 0, "disposal": 2},
+            ],
+        )
+
     return [
         ("png", "query", [png(35, 44) for _ in range(64)]),
         ("png", "128px", [png(128, 128) for _ in range(64)]),
@@ -131,6 +162,9 @@ def fixtures():
         ("bmp", "128px", [bmp(128, 128) for _ in range(64)]),
         ("tiff", "128px", [tiff(128, 128) for _ in range(64)]),
         ("tiff_lzw", "128px", [tiff(128, 128, 5) for _ in range(16)]),
+        ("tiff_pred2", "128px", [tiff_pred2(128, 128) for _ in range(16)]),
+        ("png_adam7", "128px", [png_adam7(128, 128) for _ in range(32)]),
+        ("gif_anim", "128px", [gif_anim(128, 128) for _ in range(8)]),
         ("wav_pcm", "1s", [wav(32000) for _ in range(64)]),
         ("wav_pcm", "10s", [wav(320000) for _ in range(32)]),
     ]
@@ -148,6 +182,9 @@ DECODERS = {
     "bmp": "decode_bmp_rgb",
     "tiff": "decode_tiff_rgb",
     "tiff_lzw": "decode_tiff_rgb",
+    "tiff_pred2": "decode_tiff_rgb",
+    "png_adam7": "decode_png_rgb",
+    "gif_anim": "decode_gif_animation",
     "wav_pcm": "decode_wav_pcm",
 }
 
@@ -163,6 +200,9 @@ OPERATORS = {
     "bmp": "bmp_stats",  # extract_pixel_stats with the decoder= seam
     "tiff": "tiff_stats",
     "tiff_lzw": "tiff_stats",
+    "tiff_pred2": "tiff_stats",
+    "png_adam7": "extract_pixel_stats",
+    "gif_anim": "anim_stats",  # per composited FRAME rows out
     "wav_pcm": "extract_audio_stats",
 }
 
@@ -206,6 +246,9 @@ def op_run(spark, codec: str, payloads: list[bytes], target_items: int):
     elif OPERATORS[codec] == "tiff_stats":
         def op(d):
             return M.extract_pixel_stats(d, decoder=M.decode_tiff_rgb)
+    elif OPERATORS[codec] == "anim_stats":
+        def op(d):
+            return M.extract_gif_animation_stats(d)
     else:
         op = getattr(M, OPERATORS[codec])
     t0 = time.perf_counter()

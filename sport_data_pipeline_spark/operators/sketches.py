@@ -127,16 +127,16 @@ def hll_constants(p: int = 8) -> tuple[float, int]:
 
 
 def hll_estimate_expr(p: int = 8):
-    """Aggregate expressions over a register table grouped by group_cols:
-    returns (S bigint column expr, estimate double column expr builder).
+    """(per-register term expression, numerator literal C) for the raw
+    HLL estimate over a register table.
 
-    S = Σ_present 2^(W+1-rho) + (m - n_present)·2^(W+1) — exact in int64
-    (max 2^p · 2^(W+1) = 2^(61) for p=8... actually bounded by
-    m·2^(W+1) = 2^(p+W+1) = 2^61, inside int64). The estimate is the
-    raw HLL formula C/S; no small-range linear-counting branch (ln is
-    not bit-portable across engines) — the queries assert the 5σ error
-    bound instead, and at the cardinalities the corpus tables carry the
-    raw regime is the operative one anyway."""
+    Summing the term over present registers and adding
+    (m - n_present)·2^(W+1) gives S = Σ 2^(W+1-rho) exact in int64
+    (bounded by m·2^(W+1) = 2^(p+W+1) = 2^61 for p=8). The estimate is
+    then C/S — one double division; no small-range linear-counting
+    branch (ln is not bit-portable across engines) — the queries assert
+    the 5σ error bound instead, and at the cardinalities the corpus
+    tables carry the raw regime is the operative one anyway."""
     m_scale, shift = hll_constants(p)
     term = F.expr(f"shiftleft(CAST(1 AS BIGINT), {shift} - rho)")
     return term, m_scale

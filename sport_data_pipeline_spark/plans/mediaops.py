@@ -3165,3 +3165,72 @@ def png_adam7_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((3100 + i, payload, "image/png", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_pixel_stats(media).orderBy("media_id")
+
+
+# WARC oracle: framing is lossless (Content-Length framed bodies through
+# per-record gzip members), so the oracle restates the record-synthesis
+# formulas directly — types by position, bodies as repeat() strings whose
+# lengths AND md5s both engines derive identically (ASCII, codepoints =
+# bytes). A framing bug (member resync, Content-Length trust, terminator
+# skip) moves the canonical type:length CSV md5; a body corruption moves
+# the concatenated-conversion-text md5.
+WARC_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+recs AS (
+  SELECT d.i, uj.j,
+         CASE WHEN uj.j = 0 THEN 'warcinfo'
+              WHEN uj.j % 2 = 1 THEN 'conversion'
+              ELSE 'metadata' END AS t,
+         repeat('doc-' || d.i || '-' || uj.j || ' ', 5 + uj.j) AS body
+  FROM (SELECT i, 3 + (i % 3) AS nr FROM idx) d,
+       LATERAL (SELECT unnest(range(d.nr)) AS j) uj
+)
+SELECT CAST(4000 + i AS BIGINT) AS media_id,
+       CAST(COUNT(*) AS INTEGER) AS n_records,
+       CAST(SUM(CASE WHEN t = 'conversion' THEN 1 ELSE 0 END) AS INTEGER)
+         AS n_conversion,
+       CAST(SUM(length(body)) AS BIGINT) AS total_body_bytes,
+       CAST(MAX(length(body)) AS BIGINT) AS max_body_bytes,
+       md5(string_agg(t || ':' || length(body), ',' ORDER BY j)) AS records_md5,
+       md5(string_agg(CASE WHEN t = 'conversion' THEN body ELSE '' END,
+                      '' ORDER BY j)) AS text_md5
+FROM recs GROUP BY i ORDER BY media_id
+"""
+
+
+@query("warc_extract_stats", survey="llm-multimodal,X6", oracle=WARC_ORACLE)
+def warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WARC/WET web-archive record extraction, distributed — the Common
+    Crawl ingestion shape a 100 TB text pipeline starts from: archives
+    arrive as per-record GZIP MEMBERS (so splitters resync on member
+    boundaries), each member a WARC/1.0 header block + Content-Length-
+    framed body + CRLF CRLF terminator (ISO 28500). The operator
+    (``operators/webarchive.extract_warc_stats``) inflates members with
+    stdlib zlib (wbits=31, decode-bomb capped), parses the framing
+    WITHOUT trusting anything it can derive, and emits per archive the
+    record/conversion counts, body byte totals, the canonical
+    type:length CSV md5 (framing under the hash) and the md5 of the
+    concatenated conversion bodies (content under the hash). Even
+    fixtures are gzip-membered, odd are plain concatenation — both
+    layouts in profile; corruption honesty (truncated members, bad
+    Content-Length, missing terminators -> whole-item NULL) is
+    unit-pinned in test_webarchive."""
+    from ..operators.webarchive import encode_warc, extract_warc_stats
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        nr = 3 + (i % 3)
+        recs = []
+        for j in range(nr):
+            t = "warcinfo" if j == 0 else ("conversion" if j % 2 == 1 else "metadata")
+            body = (f"doc-{i}-{j} " * (5 + j)).encode()
+            recs.append(
+                (
+                    {"WARC-Type": t, "WARC-Record-ID": f"<urn:uuid:{i}-{j}>"},
+                    body,
+                )
+            )
+        payload = encode_warc(recs, gzip_members=(i % 2 == 0))
+        rows.append((4000 + i, payload, "application/warc", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_warc_stats(media).orderBy("media_id")

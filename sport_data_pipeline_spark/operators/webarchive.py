@@ -197,3 +197,68 @@ def extract_warc_stats(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=WARC_STATS_SCHEMA)
+
+
+WARC_RECORDS_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("rec_idx", IntegerType(), False),
+        StructField("warc_type", StringType(), True),
+        StructField("target_uri", StringType(), True),
+        StructField("content_length", LongType(), False),
+        StructField("body_text", StringType(), True),
+    ]
+)
+
+
+def warc_text_records(df: DataFrame) -> DataFrame:
+    """One output row per WARC record — the one-to-many SOURCE primitive
+    that turns landed WET archives into a documents table (compose with
+    the quality gates / dedup / tokenizer exactly like the synthetic
+    `documents` table): (media_id, rec_idx, warc_type, target_uri,
+    content_length, body_text). body_text is the strict-UTF-8 decode of
+    conversion-record bodies (WET text payloads); non-conversion records
+    keep their framing columns with NULL text, and a body that is not
+    valid UTF-8 yields NULL text rather than mojibake (the downstream
+    encoding gate is the policy point, not this extractor). Archives the
+    parser rejects produce NO rows (filtered, not crashed) — the
+    `sample_frames` discipline for source primitives, vs the stats
+    operators' NULL-row voiding for per-item reports."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        out_id: list[int] = []
+        out_idx: list[int] = []
+        out_type: list[str | None] = []
+        out_uri: list[str | None] = []
+        out_len: list[int] = []
+        out_text: list[str | None] = []
+        for pdf in batches:
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                recs = parse_warc_records(None if payload is None else bytes(payload))
+                if recs is None:
+                    continue
+                for k, (h, body) in enumerate(recs):
+                    text = None
+                    if h.get("warc-type") == "conversion":
+                        try:
+                            text = body.decode("utf-8", "strict")
+                        except UnicodeDecodeError:
+                            text = None
+                    out_id.append(int(mid))
+                    out_idx.append(k)
+                    out_type.append(h.get("warc-type"))
+                    out_uri.append(h.get("warc-target-uri"))
+                    out_len.append(len(body))
+                    out_text.append(text)
+        yield pd.DataFrame(
+            {
+                "media_id": pd.array(out_id, dtype="int64"),
+                "rec_idx": pd.array(out_idx, dtype="Int32"),
+                "warc_type": pd.array(out_type, dtype="object"),
+                "target_uri": pd.array(out_uri, dtype="object"),
+                "content_length": pd.array(out_len, dtype="int64"),
+                "body_text": pd.array(out_text, dtype="object"),
+            }
+        )
+
+    return df.mapInPandas(run, schema=WARC_RECORDS_SCHEMA)

@@ -3234,3 +3234,81 @@ def warc_extract_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((4000 + i, payload, "application/warc", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_warc_stats(media).orderBy("media_id")
+
+
+# WARC-to-documents oracle: the one-to-many explode is deterministic
+# framing, so the oracle regenerates the record grid and restates the
+# per-record text features (lengths, whitespace token counts, md5s) from
+# the repeat() formulas — the record ORDER (rec_idx) and the
+# conversion-only text policy are both under the hash.
+WARC_DOCS_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+recs AS (
+  SELECT d.i, uj.j,
+         CASE WHEN uj.j = 0 THEN 'warcinfo'
+              WHEN uj.j % 2 = 1 THEN 'conversion'
+              ELSE 'metadata' END AS t,
+         repeat('doc-' || d.i || '-' || uj.j || ' ', 5 + uj.j) AS body
+  FROM (SELECT i, 3 + (i % 3) AS nr FROM idx) d,
+       LATERAL (SELECT unnest(range(d.nr)) AS j) uj
+)
+SELECT CAST(4100 + i AS BIGINT) AS media_id,
+       CAST(j AS INTEGER) AS rec_idx,
+       t AS warc_type,
+       CASE WHEN t = 'conversion' THEN 'http://ex/' || i || '/' || j END AS target_uri,
+       CAST(length(body) AS BIGINT) AS content_length,
+       CASE WHEN t = 'conversion' THEN CAST(length(body) AS BIGINT) END AS n_chars,
+       CASE WHEN t = 'conversion'
+            THEN CAST(len(regexp_split_to_array(trim(body), '\\s+')) AS INTEGER) END
+         AS n_tokens,
+       CASE WHEN t = 'conversion' THEN md5(body) END AS text_md5
+FROM recs ORDER BY media_id, rec_idx
+"""
+
+
+@query("warc_to_documents", survey="llm-multimodal,X6,UDTF", oracle=WARC_DOCS_ORACLE)
+def warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WET archive -> documents-table explode, distributed — the
+    one-to-many SOURCE primitive (``operators/webarchive.
+    warc_text_records``) that starts every crawl-text pipeline: each
+    archive's records become rows (framing columns for every record,
+    strict-UTF-8 body text for conversion records only), then the
+    text-feature projection every downstream gate consumes (codepoint
+    length, whitespace token count, content md5) runs JVM-side on the
+    extracted column. Composes with the in-window gates exactly like
+    the synthetic documents table — this query externally pins the
+    EXPLODE (record order, conversion-only text policy, framing
+    passthrough), the per-archive stats twin pins the aggregates.
+    Fixture bodies are repeat() formulas, so the oracle regenerates
+    everything; gzip-member and plain layouts alternate by fixture."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.webarchive import encode_warc, warc_text_records
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        nr = 3 + (i % 3)
+        recs = []
+        for j in range(nr):
+            t = "warcinfo" if j == 0 else ("conversion" if j % 2 == 1 else "metadata")
+            hdr = {"WARC-Type": t, "WARC-Record-ID": f"<urn:uuid:{i}-{j}>"}
+            if t == "conversion":
+                hdr["WARC-Target-URI"] = f"http://ex/{i}/{j}"
+            recs.append((hdr, (f"doc-{i}-{j} " * (5 + j)).encode()))
+        payload = encode_warc(recs, gzip_members=(i % 2 == 0))
+        rows.append((4100 + i, payload, "application/warc", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    recs_df = warc_text_records(media)
+    return recs_df.select(
+        "media_id",
+        "rec_idx",
+        "warc_type",
+        "target_uri",
+        "content_length",
+        SF.length("body_text").cast("long").alias("n_chars"),
+        SF.when(
+            SF.col("body_text").isNotNull(),
+            SF.size(SF.split(SF.trim(SF.col("body_text")), r"\s+")),
+        ).alias("n_tokens"),
+        SF.md5(SF.col("body_text").cast("binary")).alias("text_md5"),
+    ).orderBy("media_id", "rec_idx")

@@ -104,3 +104,27 @@ def test_warc_operator_voids_whole_items(spark):
     assert got[1]["n_records"] == 4 and got[1]["n_conversion"] == 2
     assert got[1]["total_body_bytes"] == sum(len(b) for _, b in RECS)
     assert got[2]["n_records"] is None and got[3]["n_records"] is None
+
+
+def test_warc_text_records_explode(spark):
+    from sport_data_pipeline_spark.operators.webarchive import warc_text_records
+
+    bad_utf8 = ({"WARC-Type": "conversion"}, b"\xff\xfe broken")
+    rows = [
+        (1, encode_warc(RECS + [bad_utf8]), "application/warc", 0, None),
+        (2, b"garbage", None, 0, None),  # rejected archive -> NO rows
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "media_id long, payload binary, mime_type string, n_bytes long, meta_json string",
+    )
+    got = warc_text_records(df).orderBy("media_id", "rec_idx").collect()
+    assert [r["media_id"] for r in got] == [1] * 5
+    assert [r["rec_idx"] for r in got] == list(range(5))
+    assert got[0]["warc_type"] == "warcinfo" and got[0]["body_text"] is None
+    assert got[1]["body_text"] == "hello " * 40
+    assert got[1]["target_uri"] == "http://ex/a"
+    assert got[3]["body_text"] == "café text"
+    # conversion body that is not valid UTF-8: framing kept, text NULL
+    assert got[4]["warc_type"] == "conversion" and got[4]["body_text"] is None
+    assert got[4]["content_length"] == len(b"\xff\xfe broken")

@@ -11,32 +11,44 @@ built-ins cannot give is a CROSS-ENGINE BIT-EXACT artifact: their
 register layouts and hash functions are implementation-private, so the
 strongest oracle available is an error-bound boolean.
 
-This module implements both sketches deterministically over md5-derived
-hashes (the same portability trick as ``dedup.simhash_portable``: the top
-15 hex chars of md5 = 60 unsigned bits that any SQL engine reconstructs
-identically), with all arithmetic integer until one final double
-division. The sketch REGISTERS themselves hash-compare across engines —
-a far stronger contract than "estimate within bound":
+This module implements the full sketch family deterministically over
+md5-derived hashes (the same portability trick as
+``dedup.simhash_portable``: the top 15 hex chars of md5 = 60 unsigned
+bits that any SQL engine reconstructs identically), with all arithmetic
+integer until one final double division. The sketch REGISTERS themselves
+hash-compare across engines — a far stronger contract than "estimate
+within bound":
 
-- ``hll_registers``: per-group HLL register table (register index, max
-  rho) at precision p. One ``groupBy(group, register).max(rho)`` — the
-  partial max combines map-side, the shuffle carries at most
-  groups × 2^p rows regardless of input size, and merging two sketches
-  IS the same max (demonstrated by ``merge_hll_registers``). rho uses
-  ``length(bin(w))`` for bit-length — integer-only, no log2 rounding
-  hazard.
-- ``hll_estimate_expr``: the raw HLL estimator alpha·m²/Σ2^-rho with the
-  sum kept exact in a BIGINT (every 2^-rho term scaled by 2^(W+1); the
-  numerator constant is folded into ONE double literal so the only
-  floating-point operation is the final division — bit-identical in any
-  IEEE engine).
-- ``cms_cells`` / ``cms_point_estimates``: Count-Min over d independent
-  md5-derived row hashes; cells are plain BIGINT counts (cell-wise SUM
+- DISTINCT — ``hll_registers``: per-group HLL register table (register
+  index, max rho) at precision p. One ``groupBy(group, register)
+  .max(rho)`` — the partial max combines map-side (plan-verified in
+  tests), the shuffle carries at most groups × 2^p rows regardless of
+  input size, and merging two sketches IS the same max
+  (``merge_hll_registers``). rho uses ``length(bin(w))`` for bit-length
+  — integer-only, no log2 rounding hazard. ``hll_estimate_expr`` keeps
+  the Σ2^-rho sum exact in a BIGINT and folds the bias constant into
+  ONE double literal, so the only floating-point operation is the final
+  division.
+- DISTINCT/OVERLAP — ``kmv_bottomk`` / ``kmv_overlap``: the k smallest
+  distinct hashes (plans as TakeOrderedAndProject — per-partition
+  top-k, k-row merge, no full sort); union-merge is bottom-k of the
+  concatenation, and the Jaccard/intersection estimates let a corpus
+  ask "how much do A and B overlap" without joining either.
+- FREQUENCY — ``cms_cells`` / ``cms_point_estimates``: Count-Min over d
+  independent row hashes; cells are plain BIGINT counts (cell-wise SUM
   is the merge), point estimates are min-over-rows — all integers.
+- MEMBERSHIP — ``bloom_build`` / ``bloom_probe``: semi-join reduction;
+  the filter is a ≤ m/32-row word table (bit_or merge), the probe a
+  zero-shuffle projection over one broadcast map.
+- QUANTILE — ``dyadic_histogram`` / ``dyadic_quantile_picks``:
+  fixed-width power-of-two bins (cell-sum merge); reads walk the tiny
+  cumulative bucket table, error ≤ half a bin by construction.
 
-Scale: both sketches reduce unbounded key cardinality to fixed-size
-state (m registers / d·w cells) in one map-side-combinable pass; that is
-the entire point vs exact COUNT(DISTINCT)/per-key counts at 100 TB.
+Scale: every structure here reduces unbounded key cardinality to
+fixed-size state in one map-side-combinable pass, and every merge is
+the same aggregate shape as the build — that is the entire point vs
+exact COUNT(DISTINCT)/per-key counts/sorts at 100 TB (measured flat-to-
+sublinear at 10× data, SCALE.md §8k).
 """
 
 from __future__ import annotations

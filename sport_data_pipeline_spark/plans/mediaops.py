@@ -3312,3 +3312,165 @@ def warc_to_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("n_tokens"),
         SF.md5(SF.col("body_text").cast("binary")).alias("text_md5"),
     ).orderBy("media_id", "rec_idx")
+
+
+# WARC ingest-pipeline oracle: the end-to-end routing table is replayed
+# in SQL -- record grid regeneration, artifact injection by position,
+# the encoding gate verbatim (replacement chars; PAIR-anchored mojibake;
+# C0 controls), then exact dedup over the surviving docs with the
+# min-(archive, record) keeper rule as a window. The duplicate pair
+# SPANS archives, so the route is only right if extraction, gating and
+# dedup compose -- the integration seam none of the per-operator WARC
+# oracles exercises (the e2e_daily_pipeline discipline, applied to the
+# crawl-ingest path).
+WARC_PIPELINE_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+grid AS (
+  SELECT d.i, uj.j
+  FROM (SELECT i, 2 + (i % 3) AS nc FROM idx) d,
+       LATERAL (SELECT 1 + unnest(range(d.nc)) AS j) uj
+),
+docs AS (
+  SELECT i, j, 'http://ex/' || i || '/' || j AS uri,
+         CASE
+           WHEN j = 1 AND i IN (2, 5) THEN repeat('shared duplicate text ', 8)
+           WHEN j = 2 THEN 'caf' || chr(195) || chr(169) || ' ' ||
+                           repeat('doc-' || i || '-' || j || ' ', 6 + j)
+           WHEN j = 3 THEN repeat('doc-' || i || '-' || j || ' ', 6 + j)
+                           || chr(1) || 'tail'
+           ELSE repeat('doc-' || i || '-' || j || ' ', 6 + j)
+         END AS text
+  FROM grid
+),
+gated AS (
+  SELECT i, j, uri, text,
+         CASE WHEN length(text) - length(replace(text, '\uFFFD', '')) > 0
+                   OR len(regexp_extract_all(text, '\u00c3[\u0080-\u00bf]')) > 0
+              THEN 'bad_encoding'
+              WHEN length(text) - length(replace(text, chr(1), '')) > 0
+              THEN 'suspect'
+              ELSE 'ok' END AS gate
+  FROM docs
+),
+ranked AS (
+  SELECT i, j, row_number() OVER (PARTITION BY md5(text) ORDER BY i, j) AS rn
+  FROM gated WHERE gate <> 'bad_encoding'
+),
+final AS (
+  SELECT g.i, g.j, g.uri, g.text,
+         CASE WHEN g.gate = 'bad_encoding' THEN 'bad_encoding'
+              WHEN r.rn > 1 THEN 'dup_exact'
+              ELSE g.gate END AS status
+  FROM gated g LEFT JOIN ranked r ON r.i = g.i AND r.j = g.j
+)
+SELECT CAST(4200 + i AS BIGINT) AS media_id,
+       CAST(j AS INTEGER) AS rec_idx,
+       uri AS target_uri,
+       status,
+       status IN ('ok', 'suspect') AS kept,
+       CASE WHEN status IN ('ok', 'suspect')
+            THEN CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+       END AS n_tokens
+FROM final ORDER BY media_id, rec_idx
+"""
+
+
+@query(
+    "warc_ingest_pipeline",
+    survey="llm-pipeline-e2e,llm-multimodal,F2,X6",
+    oracle=WARC_PIPELINE_ORACLE,
+)
+def warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """End-to-end CRAWL-INGEST pipeline -- the WARC twin of
+    e2e_daily_pipeline's integration seam: landed WET archives ->
+    record explode (``warc_text_records``) -> encoding-health gate
+    (replacement chars, PAIR-anchored mojibake, C0 controls -- the
+    encoding_quality_gate expressions on extracted text) -> exact
+    dedup over the survivors (md5 grouping, min-(archive, record)
+    keeper via one partitioned window), emitting the full per-record
+    routing table: bad_encoding / dup_exact / suspect / ok, kept flag,
+    and token counts for kept docs. The planted duplicate SPANS
+    archives and the keeper rule crosses them, so the hash only
+    matches if extraction, gating and dedup COMPOSE -- none of the
+    per-operator WARC oracles checks that. Everything after the
+    Arrow-batched explode is JVM expressions + one window partitioned
+    by content hash (no Python in the pipeline body, plan-linted)."""
+    from pyspark.sql import Window, functions as SF
+
+    from ..operators.webarchive import encode_warc, warc_text_records
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        nc = 2 + (i % 3)
+        recs = [({"WARC-Type": "warcinfo"}, b"software: ingest\r\n")]
+        for j in range(1, nc + 1):
+            base = f"doc-{i}-{j} " * (6 + j)
+            if j == 1 and i in (2, 5):
+                text = "shared duplicate text " * 8
+            elif j == 2:
+                text = "caf\u00c3\u00a9 " + base
+            elif j == 3:
+                text = base + "\u0001tail"
+            else:
+                text = base
+            recs.append(
+                (
+                    {
+                        "WARC-Type": "conversion",
+                        "WARC-Target-URI": f"http://ex/{i}/{j}",
+                    },
+                    text.encode("utf-8"),
+                )
+            )
+        payload = encode_warc(recs, gzip_members=(i % 2 == 0))
+        rows.append((4200 + i, payload, "application/warc", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    docs = warc_text_records(media).filter(SF.col("warc_type") == "conversion")
+    occ = lambda c, lit_: SF.length(c) - SF.length(SF.replace(c, SF.lit(lit_)))
+    body = SF.col("body_text")
+    gate = (
+        SF.when(
+            (occ(body, "\ufffd") > 0)
+            | (SF.regexp_count(body, SF.lit("\u00c3[\u0080-\u00bf]")) > 0),
+            "bad_encoding",
+        )
+        .when(occ(body, "\u0001") > 0, "suspect")
+        .otherwise("ok")
+    )
+    gated = docs.select(
+        "media_id", "rec_idx", "target_uri", "body_text", gate.alias("gate")
+    )
+    surv = gated.filter(SF.col("gate") != "bad_encoding")
+    w = Window.partitionBy(SF.md5(SF.col("body_text").cast("binary"))).orderBy(
+        "media_id", "rec_idx"
+    )
+    ranked = surv.select(
+        "media_id", "rec_idx", SF.row_number().over(w).alias("rn")
+    )
+    status = (
+        SF.when(SF.col("gate") == "bad_encoding", "bad_encoding")
+        .when(SF.col("rn") > 1, "dup_exact")
+        .otherwise(SF.col("gate"))
+    )
+    out = (
+        gated.join(ranked, ["media_id", "rec_idx"], "left")
+        .select(
+            "media_id",
+            "rec_idx",
+            "target_uri",
+            status.alias("status"),
+            "body_text",
+        )
+        .select(
+            "media_id",
+            "rec_idx",
+            "target_uri",
+            "status",
+            SF.col("status").isin("ok", "suspect").alias("kept"),
+            SF.when(
+                SF.col("status").isin("ok", "suspect"),
+                SF.size(SF.split(SF.trim(SF.col("body_text")), r"\s+")),
+            ).alias("n_tokens"),
+        )
+    )
+    return out.orderBy("media_id", "rec_idx")

@@ -283,3 +283,124 @@ def test_audio_fingerprint_level_robust_property(n, scale, seed):
         comp -= 1 << 64
     assert fp == comp
     assert audio_fingerprint64(x * scale)[0] == fp
+
+
+@given(
+    w=st.integers(min_value=1, max_value=40),
+    h=st.integers(min_value=1, max_value=40),
+    kind=st.sampled_from(["rgb", "gray", "indexed"]),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_png_adam7_roundtrip_property(w, h, kind, seed):
+    """Adam7 encode -> decode is the identity for ANY size and color
+    type — including sizes where most passes are empty."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_png_rgb,
+        encode_png_gray,
+        encode_png_indexed,
+        encode_png_rgb,
+    )
+
+    rng = np.random.default_rng(seed)
+    if kind == "rgb":
+        img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+        assert np.array_equal(decode_png_rgb(encode_png_rgb(img, interlace=True)), img)
+    elif kind == "gray":
+        g = rng.integers(0, 256, (h, w)).astype(np.uint8)
+        exp = np.repeat(g[:, :, None], 3, axis=2)
+        assert np.array_equal(decode_png_rgb(encode_png_gray(g, interlace=True)), exp)
+    else:
+        pal = [(j, (5 * j) % 256, (9 * j) % 256) for j in range(16)]
+        idx = rng.integers(0, 16, (h, w)).astype(np.uint8)
+        exp = np.array(pal, np.uint8)[idx]
+        assert np.array_equal(
+            decode_png_rgb(encode_png_indexed(idx, pal, interlace=True)), exp
+        )
+
+
+@given(
+    w=st.integers(min_value=1, max_value=32),
+    h=st.integers(min_value=1, max_value=32),
+    order=st.sampled_from(["II", "MM"]),
+    comp=st.sampled_from([1, 5, 32773]),
+    rps=st.integers(min_value=1, max_value=33),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=60, deadline=None)
+def test_tiff_predictor2_roundtrip_property(w, h, order, comp, rps, seed):
+    """Predictor-2 encode -> decode is the identity for ANY array, byte
+    order, compression, and strip height (the per-row delta chain resets
+    per row, so strip boundaries must be irrelevant)."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_tiff_rgb,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(seed)
+    img = rng.integers(0, 256, (h, w, 3)).astype(np.uint8)
+    got = decode_tiff_rgb(encode_tiff(img, order, rps, comp, predictor=2))
+    assert np.array_equal(got, img)
+
+
+@given(
+    w=st.integers(min_value=2, max_value=24),
+    h=st.integers(min_value=2, max_value=24),
+    seed=st.integers(min_value=0, max_value=2**31 - 1),
+)
+@settings(max_examples=40, deadline=None)
+def test_gif_animation_composites_like_reference_property(w, h, seed):
+    """Random patch animations composite identically to a pure-Python
+    per-pixel reference (placement + transparency + disposal 0/2/3)."""
+    import numpy as np
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_gif_animation,
+        encode_gif_animation,
+    )
+
+    rng = np.random.default_rng(seed)
+    pal = [((5 * j + 3) % 256, (9 * j + 2) % 256, (13 * j + 7) % 256) for j in range(8)]
+    frames = [{"indices": rng.integers(0, 7, (h, w)).astype(np.uint8)}]
+    for _ in range(3):
+        fw = int(rng.integers(1, w + 1))
+        fh = int(rng.integers(1, h + 1))
+        left = int(rng.integers(0, w - fw + 1))
+        top = int(rng.integers(0, h - fh + 1))
+        frames.append(
+            {
+                "indices": rng.integers(0, 8, (fh, fw)).astype(np.uint8),
+                "left": left,
+                "top": top,
+                "transparent": 7,
+                "disposal": int(rng.integers(0, 4)),
+            }
+        )
+    b = encode_gif_animation((w, h), pal, frames, bg_index=0)
+    got = decode_gif_animation(b)
+    assert got is not None and len(got) == len(frames)
+    # pure-python reference composite
+    palarr = np.array(pal, np.uint8)
+    canvas = np.empty((h, w, 3), np.uint8)
+    canvas[:, :] = palarr[0]
+    for k, fr in enumerate(frames):
+        idx = fr["indices"]
+        fh, fw = idx.shape
+        left, top = fr.get("left", 0), fr.get("top", 0)
+        trans = fr.get("transparent")
+        disp = fr.get("disposal", 0)
+        region = canvas[top : top + fh, left : left + fw]
+        saved = region.copy()
+        for y in range(fh):
+            for x in range(fw):
+                if trans is None or idx[y, x] != trans:
+                    region[y, x] = palarr[idx[y, x]]
+        assert np.array_equal(got[k], canvas), k
+        if disp == 2:
+            region[:, :] = palarr[0]
+        elif disp == 3:
+            region[:, :] = saved

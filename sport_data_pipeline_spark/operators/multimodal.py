@@ -4632,9 +4632,31 @@ def _tiff_lzw_decode(data: bytes, expect: int) -> bytes | None:
     return bytes(out) if len(out) == expect else None
 
 
+def _tiff_deflate_decode(raw: bytes, expect: int) -> bytes | None:
+    """Bounded zlib inflate of one Deflate strip (TIFF compression 8,
+    "Adobe Deflate" — what ImageMagick/Photoshop write): ask for at most
+    expect+1 bytes so an over-long strip is detected without ever
+    materializing (the PNG IDAT discipline); under-length and trailing
+    garbage also reject."""
+    import zlib
+
+    d = zlib.decompressobj()
+    try:
+        out = d.decompress(raw, expect + 1)
+    except zlib.error:
+        return None
+    if len(out) != expect or not d.eof or d.unused_data:
+        return None
+    return out
+
+
 _TIFF_STRIP_CODECS = {
     1: (lambda raw: raw, lambda raw, expect: raw if len(raw) == expect else None),
     5: (_tiff_lzw_encode, _tiff_lzw_decode),
+    8: (
+        lambda raw: __import__("zlib").compress(raw, 6),
+        _tiff_deflate_decode,
+    ),
     32773: (_packbits_encode, _packbits_decode),
 }
 
@@ -4669,7 +4691,8 @@ def encode_tiff(
 ) -> bytes:
     """Encode an (h, w) grayscale or (h, w, 3) RGB uint8 array as a
     spec-valid TIFF 6.0 (chunky, strip layout, 'II' little- or 'MM'
-    big-endian; ``compression`` 1 = none, 5 = LZW, 32773 = PackBits,
+    big-endian; ``compression`` 1 = none, 5 = LZW, 8 = Deflate (zlib),
+    32773 = PackBits,
     applied per strip as the spec requires; ``predictor`` 2 horizontal-
     differences each row per sample before compression — TIFF 6.0 §14,
     the layout libtiff writes for LZW by default — and emits tag 317).
@@ -4684,7 +4707,7 @@ def encode_tiff(
     rps = rows_per_strip or h
     e = "<" if order == "II" else ">"
     if compression not in _TIFF_STRIP_CODECS:
-        raise ValueError("compression must be 1 (none), 5 (LZW), or 32773 (PackBits)")
+        raise ValueError("compression must be 1 (none), 5 (LZW), 8 (Deflate), or 32773 (PackBits)")
     if predictor not in (1, 2):
         raise ValueError("predictor must be 1 (none) or 2 (horizontal differencing)")
     if predictor == 2:
@@ -4725,7 +4748,8 @@ def encode_tiff(
 def decode_tiff_rgb(b: bytes | None):
     """Full pixel decode of a TIFF payload at the supported profile —
     TIFF 6.0, either byte order, compression 1 (none) / 5 (LZW, early-
-    change) / 32773 (PackBits), predictor 1 (none) or 2 (horizontal
+    change) / 8 (Deflate, bounded zlib) / 32773 (PackBits), predictor
+    1 (none) or 2 (horizontal
     differencing, TIFF 6.0 §14 — rows are per-sample delta streams and
     the decoder re-accumulates mod 256), 8 bits per sample, chunky
     grayscale (replicated to RGB) or RGB, strip layout — returning

@@ -3474,3 +3474,79 @@ def warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return out.orderBy("media_id", "rec_idx")
+
+
+# Deflate-TIFF oracle: zlib is lossless, so the oracle restates the pixel
+# formula directly (the tiff_predictor discipline); odd fixtures ALSO run
+# predictor 2 through the Deflate path, pinning the codec x predictor
+# composition real TIFF writers emit (ImageMagick defaults to
+# Deflate+predictor for RGB).
+TIFF_DEFLATE_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+dims AS (SELECT i, 21 + 2*i AS w, 14 + i AS h, i % 2 AS rgb FROM idx),
+px AS (
+  SELECT d.i, d.w, d.h,
+         (19*uy.y + (2 + d.i)*ux.x + 7*d.i) % 256 AS r,
+         (19*uy.y + (2 + d.i)*ux.x + 7*d.i + 83*d.rgb) % 256 AS g,
+         (19*uy.y + (2 + d.i)*ux.x + 7*d.i + 166*d.rgb) % 256 AS b
+  FROM dims d,
+       LATERAL (SELECT unnest(range(d.w)) AS x) ux,
+       LATERAL (SELECT unnest(range(d.h)) AS y) uy
+)
+SELECT CAST(4300 + i AS BIGINT) AS media_id,
+       CAST(w AS INTEGER) AS width,
+       CAST(h AS INTEGER) AS height,
+       CAST(w * h AS BIGINT) AS n_px,
+       CAST(SUM(r) AS BIGINT) AS sum_r,
+       CAST(SUM(g) AS BIGINT) AS sum_g,
+       CAST(SUM(b) AS BIGINT) AS sum_b,
+       CAST(SUM(r) AS DOUBLE) / (w * h) AS mean_r,
+       CAST(SUM(g) AS DOUBLE) / (w * h) AS mean_g,
+       CAST(SUM(b) AS DOUBLE) / (w * h) AS mean_b
+FROM px GROUP BY i, w, h ORDER BY media_id
+"""
+
+
+@query(
+    "tiff_deflate_pixel_stats",
+    survey="llm-multimodal,X6",
+    oracle=TIFF_DEFLATE_ORACLE,
+)
+def tiff_deflate_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deflate-compressed TIFF decode (compression 8, "Adobe Deflate" —
+    zlib per strip, what ImageMagick/Photoshop write), distributed —
+    the bounded-inflate discipline of the PNG IDAT path applied to TIFF
+    strips (over-long, under-length, and trailing-garbage strips all
+    reject). Even fixtures grayscale plain Deflate; odd fixtures RGB
+    Deflate + PREDICTOR 2 — the codec x predictor composition real
+    writers default to for RGB. Both byte orders, ragged multi-strip.
+    Same stats operator through the ``decoder=`` seam; lossless formula
+    oracle. Unit twin: test_tiff_deflate."""
+    import numpy as np
+
+    from ..operators.multimodal import (
+        decode_tiff_rgb,
+        encode_tiff,
+        extract_pixel_stats,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        w, h = 21 + 2 * i, 14 + i
+        x, y = np.meshgrid(np.arange(w), np.arange(h))
+        base = 19 * y + (2 + i) * x + 7 * i
+        if i % 2 == 0:
+            img = (base % 256).astype(np.uint8)
+            pred = 1
+        else:
+            img = np.stack(
+                [(base + 83 * c) % 256 for c in range(3)], axis=-1
+            ).astype(np.uint8)
+            pred = 2
+        order = "II" if i < 4 else "MM"
+        payload = encode_tiff(
+            img, order=order, rows_per_strip=5, compression=8, predictor=pred
+        )
+        rows.append((4300 + i, payload, "image/tiff", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_pixel_stats(media, decoder=decode_tiff_rgb).orderBy("media_id")

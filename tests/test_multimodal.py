@@ -2834,3 +2834,44 @@ def test_tiff_deflate():
     if len(strip_bad) <= len(strip_ok):  # need in-place fit; else skip
         patched[8 : 8 + len(strip_bad)] = strip_bad
         assert decode_tiff_rgb(bytes(patched)) is None
+
+
+def test_mp3_frame_walk():
+    """MP3 frame walk: table-correct lengths across versions, ID3 skip,
+    profile honesty (mixed version/rate, bad indexes, truncation, byte
+    gaps all reject), and fuzz."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        encode_mp3_stream,
+        mp3_frame_length,
+        parse_mp3_frames,
+    )
+
+    for ver, sr_idx, sr, spf in (("1", 0, 44100, 1152), ("2", 1, 24000, 576), ("2.5", 2, 8000, 576)):
+        frames = [(ver, 1 + (k % 14), sr_idx, k % 2) for k in range(9)]
+        b = encode_mp3_stream(frames, id3v2=b"\x01" * 23, id3v1=True)
+        got = parse_mp3_frames(b)
+        assert got is not None
+        v, got_sr, nf, samples, abytes, kbps_sum = got
+        assert (v, got_sr, nf, samples) == (ver, sr, 9, 9 * spf)
+    # mixed version / samplerate chains reject (profile honesty)
+    assert parse_mp3_frames(encode_mp3_stream([("1", 5, 0, 0), ("2", 5, 0, 0)])) is None
+    assert parse_mp3_frames(encode_mp3_stream([("1", 5, 0, 0), ("1", 5, 1, 0)])) is None
+    # free (0) and bad (15) bitrate indexes reject
+    good = bytearray(encode_mp3_stream([("1", 5, 0, 0)]))
+    for bad_idx in (0, 15):
+        buf = bytearray(good)
+        buf[2] = (bad_idx << 4) | (buf[2] & 0x0F)
+        assert parse_mp3_frames(bytes(buf)) is None
+    # truncated final frame and inter-frame garbage reject
+    assert parse_mp3_frames(bytes(good[:-10])) is None
+    assert parse_mp3_frames(bytes(good) + b"junk") is None
+    # fuzz: flips/truncations never crash
+    rng = np.random.default_rng(41)
+    base = encode_mp3_stream([("1", 1 + (k % 14), 1, 0) for k in range(6)], id3v2=b"\x00" * 16)
+    for _ in range(120):
+        buf = bytearray(base)
+        if rng.integers(0, 2):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        else:
+            buf = buf[: int(rng.integers(1, len(buf)))]
+        parse_mp3_frames(bytes(buf))  # must not raise

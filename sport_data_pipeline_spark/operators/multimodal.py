@@ -5069,3 +5069,127 @@ def extract_mp3_meta(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=MP3_META_SCHEMA)
+
+
+def encode_flac_header(
+    sample_rate: int,
+    channels: int,
+    bits: int,
+    total_samples: int,
+    audio_md5: bytes,
+    extra_blocks: int = 0,
+) -> bytes:
+    """Write a spec-valid FLAC header: fLaC magic + STREAMINFO (RFC 9639
+    §8.2: blocksize/framesize bounds, then the packed
+    rate/channels/bits/samples bitfield, then the 16-byte raw-audio
+    md5) + ``extra_blocks`` PADDING blocks; the last block carries the
+    last-metadata flag. Frame data is omitted — the header is the
+    metadata layer; audio decode is the documented seam."""
+    if len(audio_md5) != 16:
+        raise ValueError("audio_md5 must be 16 bytes")
+    packed = (
+        (sample_rate << 44)
+        | ((channels - 1) << 41)
+        | ((bits - 1) << 36)
+        | total_samples
+    )
+    info = (
+        struct.pack(">HH", 4096, 4096)
+        + (0).to_bytes(3, "big") * 2
+        + packed.to_bytes(8, "big")
+        + audio_md5
+    )
+    out = bytearray(b"fLaC")
+    last = 0x80 if extra_blocks == 0 else 0x00
+    out += bytes((last | 0,)) + len(info).to_bytes(3, "big") + info
+    for k in range(extra_blocks):
+        last = 0x80 if k == extra_blocks - 1 else 0x00
+        pad = bytes(8 + k)
+        out += bytes((last | 1,)) + len(pad).to_bytes(3, "big") + pad
+    return bytes(out)
+
+
+def parse_flac_streaminfo(b: bytes | None):
+    """Parse a FLAC header's metadata chain: returns (sample_rate,
+    channels, bits_per_sample, total_samples, audio_md5_hex, n_blocks)
+    or None outside the profile (missing magic, first block not
+    STREAMINFO or wrong length — both spec requirements — short reads,
+    or a chain that never sets the last-metadata flag)."""
+    if not b or b[:4] != b"fLaC" or len(b) < 4 + 4 + 34:
+        return None
+    i, n = 4, len(b)
+    first = True
+    info = None
+    blocks = 0
+    while True:
+        if i + 4 > n:
+            return None
+        head = b[i]
+        btype, last = head & 0x7F, head & 0x80
+        ln = int.from_bytes(b[i + 1 : i + 4], "big")
+        body = b[i + 4 : i + 4 + ln]
+        if len(body) != ln:
+            return None
+        if first:
+            if btype != 0 or ln != 34:
+                return None  # spec: STREAMINFO must come first, 34 bytes
+            info = body
+            first = False
+        blocks += 1
+        i += 4 + ln
+        if last:
+            break
+    packed = int.from_bytes(info[10:18], "big")
+    rate = packed >> 44
+    channels = ((packed >> 41) & 0x07) + 1
+    bits = ((packed >> 36) & 0x1F) + 1
+    samples = packed & ((1 << 36) - 1)
+    if rate == 0:
+        return None
+    return (rate, channels, bits, samples, info[18:34].hex(), blocks)
+
+
+FLAC_META_SCHEMA = StructType(
+    [
+        StructField("media_id", LongType(), False),
+        StructField("sample_rate", IntegerType(), True),
+        StructField("channels", IntegerType(), True),
+        StructField("bits_per_sample", IntegerType(), True),
+        StructField("total_samples", LongType(), True),
+        StructField("audio_md5", StringType(), True),
+        StructField("n_blocks", IntegerType(), True),
+        StructField("duration_sec", DoubleType(), True),
+    ]
+)
+
+
+def extract_flac_meta(df: DataFrame) -> DataFrame:
+    """Distributed FLAC STREAMINFO metadata: rate/channels/bits/samples,
+    the container's own raw-audio md5 (the integrity anchor a corpus
+    can verify after any future transcode), metadata block count, and
+    duration (one double division). NULL rows for out-of-profile
+    payloads. O(files) rows out."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                got = parse_flac_streaminfo(
+                    None if payload is None else bytes(payload)
+                )
+                if got is None:
+                    rows.append((int(mid),) + (None,) * 7)
+                    continue
+                rate, ch, bits, samples, md5hex, blocks = got
+                rows.append(
+                    (int(mid), rate, ch, bits, samples, md5hex, blocks, samples / rate)
+                )
+            yield _typed_frame(
+                rows,
+                ["media_id", "sample_rate", "channels", "bits_per_sample",
+                 "total_samples", "audio_md5", "n_blocks", "duration_sec"],
+                ["int64", "Int32", "Int32", "Int32", "Int64", "object",
+                 "Int32", "Float64"],
+            )
+
+    return df.mapInPandas(run, schema=FLAC_META_SCHEMA)

@@ -3626,3 +3626,58 @@ def audio_mp3_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((4400 + i, payload, "audio/mpeg", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     return extract_mp3_meta(media).orderBy("media_id")
+
+
+# FLAC-meta oracle: STREAMINFO is a packed bitfield over formula values,
+# and the container's raw-audio md5 slot carries md5('flac-seed-i') by
+# fixture — both engines derive the hex identically, so the whole
+# header parse (magic, block chain with last-flag, 34-byte STREAMINFO
+# shape, 20/3/5/36-bit unpack) sits under the hash.
+FLAC_META_ORACLE = """
+WITH idx AS (SELECT unnest(range(8)) AS i)
+SELECT CAST(4500 + i AS BIGINT) AS media_id,
+       CAST([8000, 16000, 22050, 24000, 32000, 44100, 48000, 96000][i + 1]
+            AS INTEGER) AS sample_rate,
+       CAST(1 + (i % 2) AS INTEGER) AS channels,
+       CAST(CASE WHEN i % 2 = 0 THEN 16 ELSE 24 END AS INTEGER) AS bits_per_sample,
+       CAST(100000 + 12345 * i AS BIGINT) AS total_samples,
+       md5('flac-seed-' || i) AS audio_md5,
+       CAST(1 + (i % 3) AS INTEGER) AS n_blocks,
+       CAST(100000 + 12345 * i AS DOUBLE)
+         / [8000, 16000, 22050, 24000, 32000, 44100, 48000, 96000][i + 1]
+         AS duration_sec
+FROM idx ORDER BY media_id
+"""
+
+
+@query("audio_flac_meta", survey="llm-multimodal,X6", oracle=FLAC_META_ORACLE)
+def audio_flac_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC STREAMINFO metadata parse, distributed (RFC 9639) — the
+    lossless-audio triage sibling of the MP3 walk: fLaC magic, the
+    metadata block chain (STREAMINFO must come first at exactly 34
+    bytes — spec rules enforced, last-metadata flag walked through
+    PADDING blocks), and the packed 20/3/5/36-bit
+    rate/channels/bits/samples field, plus the container's OWN raw-audio
+    md5 (the integrity anchor for any future transcode) and duration.
+    Fixtures sweep eight sample rates, mono/stereo, 16/24-bit, and
+    block-chain lengths; the md5 slot carries md5('flac-seed-i') so the
+    oracle derives every column. Frame/audio decode stays behind the
+    codec seam. Unit twin: test_flac_streaminfo."""
+    import hashlib
+
+    from ..operators.multimodal import encode_flac_header, extract_flac_meta
+
+    rates = [8000, 16000, 22050, 24000, 32000, 44100, 48000, 96000]
+    rows = []
+    for i in range(_N_PER_KIND):
+        payload = encode_flac_header(
+            rates[i],
+            1 + (i % 2),
+            16 if i % 2 == 0 else 24,
+            100000 + 12345 * i,
+            hashlib.md5(f"flac-seed-{i}".encode()).digest(),
+            extra_blocks=i % 3,
+        )
+        rows.append((4500 + i, payload, "audio/flac", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    return extract_flac_meta(media).orderBy("media_id")

@@ -2875,3 +2875,44 @@ def test_mp3_frame_walk():
         else:
             buf = buf[: int(rng.integers(1, len(buf)))]
         parse_mp3_frames(bytes(buf))  # must not raise
+
+
+def test_flac_streaminfo():
+    """FLAC header parse: packed-field round-trip, spec rules (STREAMINFO
+    first at 34 bytes, last-flag chain), rejects, fuzz."""
+    import hashlib
+
+    from sport_data_pipeline_spark.operators.multimodal import (
+        encode_flac_header,
+        parse_flac_streaminfo,
+    )
+
+    md5 = hashlib.md5(b"x").digest()
+    for rate, ch, bits, samples, extra in (
+        (44100, 2, 16, 1, 0),
+        (8000, 1, 24, (1 << 36) - 1, 2),  # 36-bit sample-count ceiling
+        (96000, 2, 32, 123456789, 1),
+    ):
+        b = encode_flac_header(rate, ch, bits, samples, md5, extra)
+        got = parse_flac_streaminfo(b)
+        assert got == (rate, ch, bits, samples, md5.hex(), 1 + extra)
+    good = bytearray(encode_flac_header(44100, 2, 16, 1000, md5, 1))
+    assert parse_flac_streaminfo(bytes(good[:-3])) is None  # short padding
+    assert parse_flac_streaminfo(b"OggS" + bytes(good[4:])) is None
+    # STREAMINFO-not-first: flip the first block's type to PADDING
+    notfirst = bytearray(good)
+    notfirst[4] = (notfirst[4] & 0x80) | 1
+    assert parse_flac_streaminfo(bytes(notfirst)) is None
+    # chain that never sets the last flag runs off the buffer -> None
+    nolast = bytearray(good)
+    nolast[4] &= 0x7F
+    nolast[4 + 4 + 34] &= 0x7F
+    assert parse_flac_streaminfo(bytes(nolast)) is None
+    rng = np.random.default_rng(43)
+    for _ in range(100):
+        buf = bytearray(good)
+        if rng.integers(0, 2):
+            buf[int(rng.integers(0, len(buf)))] = int(rng.integers(0, 256))
+        else:
+            buf = buf[: int(rng.integers(1, len(buf)))]
+        parse_flac_streaminfo(bytes(buf))  # never raises

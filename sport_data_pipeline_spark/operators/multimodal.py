@@ -1995,7 +1995,16 @@ def extract_audio_channel_stats(df: DataFrame, decoder=None) -> DataFrame:
             rows = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 dec = decoder(None if payload is None else bytes(payload))
-                if dec is None or dec[2].size == 0 or dec[0] not in (1, 2):
+                if (
+                    dec is None
+                    or dec[2].size == 0
+                    or dec[0] not in (1, 2)
+                    # an interleaved buffer not divisible by the channel
+                    # count (possible only via the decoder= seam —
+                    # decode_wav_pcm enforces block alignment) cannot be
+                    # de-interleaved: void the item, don't crash the task
+                    or dec[2].size % dec[0] != 0
+                ):
                     rows.append((int(mid),) + (None,) * 9)
                     continue
                 ch, rate, s = dec

@@ -431,8 +431,13 @@ def dyadic_histogram(
     CONSTRUCTION at one bucket width, the contract a fixed-bin
     histogram trades against GK/KLL's adaptive bins (those need
     order-dependent compactions no SQL engine restates bit-exactly;
-    this one is a plain integer aggregate any engine agrees on)."""
-    b = (F.col(cents_col).cast("long") / (1 << shift)).cast("long")
+    this one is a plain integer aggregate any engine agrees on).
+
+    Bucketing is an arithmetic right shift (exact int64 floor, never a
+    double): negative values floor toward -inf exactly as the
+    ``value >> shift`` contract states (-1 cent → bucket -1, not 0),
+    and values ≥ 2^53 cannot be mis-bucketed by double rounding."""
+    b = F.shiftright(F.col(cents_col).cast("long"), shift)
     return (
         df.select(*group_cols, b.alias("bucket"))
         .groupBy(*group_cols, "bucket")

@@ -90,16 +90,30 @@ def parse_warc_records(b: bytes | None):
         if lines[0] not in (b"WARC/1.0", b"WARC/1.1"):
             return None
         headers: dict[str, str] = {}
+        last_key: str | None = None
         for ln in lines[1:]:
+            if ln[:1] in (b" ", b"\t"):
+                # ISO 28500 §4: a header value may span lines; each
+                # continuation line begins with SP/HT and folds onto the
+                # previous value (joined with a single space). A fold with
+                # no preceding header line is malformed.
+                if last_key is None:
+                    return None
+                try:
+                    cont = ln.decode("utf-8", "strict").strip()
+                except UnicodeDecodeError:
+                    return None
+                headers[last_key] = (headers[last_key] + " " + cont).strip()
+                continue
             sep = ln.find(b":")
             if sep <= 0:
                 return None
             try:
-                headers[ln[:sep].decode("ascii").strip().lower()] = (
-                    ln[sep + 1 :].decode("utf-8", "strict").strip()
-                )
+                key = ln[:sep].decode("ascii").strip().lower()
+                headers[key] = ln[sep + 1 :].decode("utf-8", "strict").strip()
             except UnicodeDecodeError:
                 return None
+            last_key = key
         try:
             length = int(headers["content-length"])
         except (KeyError, ValueError):
@@ -226,13 +240,16 @@ def warc_text_records(df: DataFrame) -> DataFrame:
     operators' NULL-row voiding for per-item reports."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        out_id: list[int] = []
-        out_idx: list[int] = []
-        out_type: list[str | None] = []
-        out_uri: list[str | None] = []
-        out_len: list[int] = []
-        out_text: list[str | None] = []
+        # One output frame PER ARROW BATCH (like extract_warc_stats): a
+        # task's worth of decoded record text never accumulates in Python —
+        # peak memory is bounded by one input batch's records, not the task.
         for pdf in batches:
+            out_id: list[int] = []
+            out_idx: list[int] = []
+            out_type: list[str | None] = []
+            out_uri: list[str | None] = []
+            out_len: list[int] = []
+            out_text: list[str | None] = []
             for mid, payload in zip(pdf["media_id"], pdf["payload"]):
                 recs = parse_warc_records(None if payload is None else bytes(payload))
                 if recs is None:
@@ -250,15 +267,15 @@ def warc_text_records(df: DataFrame) -> DataFrame:
                     out_uri.append(h.get("warc-target-uri"))
                     out_len.append(len(body))
                     out_text.append(text)
-        yield pd.DataFrame(
-            {
-                "media_id": pd.array(out_id, dtype="int64"),
-                "rec_idx": pd.array(out_idx, dtype="Int32"),
-                "warc_type": pd.array(out_type, dtype="object"),
-                "target_uri": pd.array(out_uri, dtype="object"),
-                "content_length": pd.array(out_len, dtype="int64"),
-                "body_text": pd.array(out_text, dtype="object"),
-            }
-        )
+            yield pd.DataFrame(
+                {
+                    "media_id": pd.array(out_id, dtype="int64"),
+                    "rec_idx": pd.array(out_idx, dtype="Int32"),
+                    "warc_type": pd.array(out_type, dtype="object"),
+                    "target_uri": pd.array(out_uri, dtype="object"),
+                    "content_length": pd.array(out_len, dtype="int64"),
+                    "body_text": pd.array(out_text, dtype="object"),
+                }
+            )
 
     return df.mapInPandas(run, schema=WARC_RECORDS_SCHEMA)

@@ -2765,6 +2765,32 @@ def test_audio_channel_stats_downmix(spark):
     assert got[4]["channels"] is None
 
 
+def test_audio_channel_stats_odd_sample_count_voids(spark):
+    """A decoder= seam returning a stereo buffer whose total sample count
+    is odd (impossible via decode_wav_pcm, which enforces block
+    alignment) must yield the documented NULL row, not a numpy broadcast
+    crash during de-interleave."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        extract_audio_channel_stats,
+    )
+
+    def ragged_decoder(payload):
+        if payload is None:
+            return None
+        return (2, 8000, np.array([1, 2, 3], dtype=np.int16))  # 3 % 2 != 0
+
+    df = spark.createDataFrame(
+        [(1, b"x", "audio/wav", 1, None), (2, None, None, 0, None)],
+        "media_id long, payload binary, mime_type string, n_bytes long, meta_json string",
+    )
+    got = {
+        r["media_id"]: r
+        for r in extract_audio_channel_stats(df, decoder=ragged_decoder).collect()
+    }
+    assert got[1]["channels"] is None and got[1]["sum_mix"] is None
+    assert got[2]["channels"] is None
+
+
 def test_png_adam7_roundtrip_matrix():
     """Adam7 interlace round-trips across color types and edge sizes —
     including sizes where several passes are EMPTY (1x1 has only pass 1;

@@ -213,6 +213,24 @@ def test_bloom_probe_is_projection_only(spark):
     assert shuffles(probed) == shuffles(wmap), probed._jdf.queryExecution().executedPlan().toString()
 
 
+def test_dyadic_histogram_floor_buckets_negatives(spark):
+    """Bucketing is an arithmetic shift (exact int64 floor): negative
+    cents floor toward -inf (-1 -> bucket -1, -4097 -> bucket -2 at
+    shift 12), never collapsing -4095..4095 into bucket 0 the way a
+    truncating double division would — the half-bucket error contract
+    depends on every bucket spanning exactly 2^shift values."""
+    from pyspark.sql import functions as F
+
+    from sport_data_pipeline_spark.operators.sketches import dyadic_histogram
+
+    vals = [-4097, -4096, -1, 0, 4095, 4096]
+    df = spark.createDataFrame([(v,) for v in vals], "cents bigint").withColumn(
+        "g", F.lit("all")
+    )
+    got = {r["bucket"]: r["cnt"] for r in dyadic_histogram(df, ["g"], "cents", 12).collect()}
+    assert got == {-2: 1, -1: 2, 0: 2, 1: 1}
+
+
 def test_dyadic_quantile_within_half_bucket(spark):
     from pyspark.sql import functions as F
 

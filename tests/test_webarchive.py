@@ -55,6 +55,31 @@ def test_warc_rejects_malformed_framing():
     assert parse_warc_records(plain.replace(b"WARC/1.0", b"WARC/9.9", 1)) is None
 
 
+def test_warc_folded_header_continuation():
+    """ISO 28500 §4 header values may span lines (continuation lines
+    start with SP/HT and fold onto the previous value); real Common
+    Crawl records occasionally fold long WARC-Target-URI values, so a
+    fold must parse — and a fold with no preceding header must reject."""
+    plain = encode_warc(RECS, gzip_members=False)
+    folded = plain.replace(
+        b"WARC-Target-URI: http://ex/a\r\n",
+        b"WARC-Target-URI: http://ex\r\n\t/a\r\n",
+        1,
+    )
+    got = parse_warc_records(folded)
+    assert got is not None and len(got) == len(RECS)
+    # folded value joins with a single space; body framing is untouched
+    assert got[1][0]["warc-target-uri"] == "http://ex /a"
+    assert got[1][1] == RECS[1][1]
+    # fold as the FIRST header line (nothing to fold onto) is malformed
+    orphan = plain.replace(
+        b"WARC/1.0\r\nWARC-Type: warcinfo",
+        b"WARC/1.0\r\n cont\r\nWARC-Type: warcinfo",
+        1,
+    )
+    assert parse_warc_records(orphan) is None
+
+
 def test_warc_gzip_bomb_capped():
     # a single member inflating past the cap must reject, not allocate
     big = b"\x00" * (_MAX_ARCHIVE_BYTES + 1024)

@@ -51,6 +51,7 @@ import struct
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..checkpointing import stage_checkpoint
 from ..operators.multimodal import (
     MEDIA_SCHEMA,
     extract_audio_meta,
@@ -2220,7 +2221,7 @@ def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         def route_batch(batch: DataFrame, _epoch: int) -> None:
             hashes = extract_image_dhash(batch, decoder=decode_bmp_rgb)
             state = spark.read.parquet(state_dir)
-            routed = media_neardup_route(hashes, state).localCheckpoint(eager=True)
+            routed = stage_checkpoint(media_neardup_route(hashes, state))
             routed.select("media_id", "status", "match_id").write.mode(
                 "append"
             ).parquet(routed_dir)
@@ -2242,11 +2243,10 @@ def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
         # the tmp dirs `finally` deletes, keeping the routing table on
         # executors instead of shipping every row through the driver.
-        return (
+        return stage_checkpoint(
             spark.read.parquet(routed_dir)
             .select("media_id", "status", "match_id")
             .orderBy("media_id")
-            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -3377,7 +3377,7 @@ FROM final ORDER BY media_id, rec_idx
 
 @query(
     "warc_ingest_pipeline",
-    survey="llm-pipeline-e2e,llm-multimodal,F2,X6",
+    survey="llm-pipeline-e2e,llm-multimodal,llm-quality,F2,X6",
     oracle=WARC_PIPELINE_ORACLE,
 )
 def warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -210,6 +210,33 @@ def query(
 #: via bpe_encode_corpus, whose oracle replays the trainer's merge
 #: chain), and length_percentile_gate (llm-quality via
 #: encoding_quality_gate; A7/W2 via global_exact_quantiles).
+#: r13 rotation (12 swaps): IN came the twelve priority candidates from
+#: COVERAGE.md "r13 candidates" (each re-verified bit-exact at sf0.01
+#: with tools/oracle_check.py this session, immediately before the
+#: swap): the four r12-deferred media rows (tiff_compressed_pixel_stats,
+#: bmp_rle_pixel_stats, video_keyframe_stats, audio_float_stats), the
+#: five deterministic sketches (hll_distinct_sketch, cms_event_frequency,
+#: kmv_corpus_overlap, bloom_semi_prune, dyadic_quantile_sketch — a new
+#: operator family earning external rows), and the WARC trio
+#: (warc_extract_stats, warc_to_documents, warc_ingest_pipeline — the
+#: crawl-ingest integration seam). OUT went twelve green-row holders
+#: whose tags stay in-window: the eight r12 media first-row holders
+#: (audio_adpcm/bmp/tiff pixel stats, image_dhash/audio_fingerprint
+#: near-dup, video_scene_changes, incremental/stream media dedup —
+#: X6/llm-multimodal via the nine incoming media/WARC rows,
+#: dedup-simhash via media_neardup_clusters which STAYS, T1/X3 via the
+#: stream equivalence rows, dedup-incremental via
+#: incremental_semantic_dedup_ivf + e2e_daily_pipeline),
+#: contamination_overlap (llm-decontam via kmv_corpus_overlap, the
+#: set-level scale path beside the token-level exact check),
+#: encoding_quality_gate (llm-quality + F2 via warc_ingest_pipeline,
+#: whose gate stage IS the encoding_quality_gate expressions; P8 via
+#: string_normalize_slug), heavy_hitters_sketch (green r8-r12; the
+#: frequency-sketch family stays via cms_event_frequency — new accepted
+#: exception sketch-heavy-hitters), and pii_redaction (green r8-r12;
+#: map-only regexp-chain projection shape stays via
+#: warc_ingest_pipeline's gate + string_normalize_slug — new accepted
+#: exception llm-pii).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
@@ -227,13 +254,12 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # distributed quantile / rank family
     "global_exact_quantiles",
     "systematic_token_sample",
-    # text / parsing / encoding health
+    # text / parsing
     "json_extract_stats",
     "string_normalize_slug",
     "parse_functions",
     "field_coverage",
     "doc_winnow_fingerprint",
-    "encoding_quality_gate",
     # similarity / dedup / ANN
     "fuzzy_entity_match_blocked",
     "minhash_jaccard_neardup",
@@ -247,13 +273,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "term_mapping",
     "record_unification",
     "external_id_lookup",
-    "heavy_hitters_sketch",
+    # deterministic sketch family (register-level cross-engine oracles)
+    "hll_distinct_sketch",
+    "cms_event_frequency",
+    "kmv_corpus_overlap",
+    "bloom_semi_prune",
+    "dyadic_quantile_sketch",
     # e2e: bronze snapshots -> DataSource read -> refine -> gate -> dedup
     "e2e_daily_pipeline",
     # LLM corpus prep + tokenizer family (encode leg; the trainer's merge
     # chain is replayed inside its oracle)
-    "pii_redaction",
-    "contamination_overlap",
     "corpus_train_shards",
     "bpe_encode_corpus",
     # event analytics + streaming
@@ -262,16 +291,16 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_batch_equivalence",
     "stream_session_equivalence",
     "stream_join_equivalence",
-    # multimodal decode + media near-dup / dedup family
-    "audio_adpcm_stats",
-    "bmp_pixel_stats",
-    "tiff_pixel_stats",
-    "image_dhash_neardup",
-    "audio_fingerprint_neardup",
-    "video_scene_changes",
-    "incremental_media_dedup",
-    "stream_media_ingest_dedup",
+    # multimodal decode + media near-dup clusters
     "media_neardup_clusters",
+    "tiff_compressed_pixel_stats",
+    "bmp_rle_pixel_stats",
+    "video_keyframe_stats",
+    "audio_float_stats",
+    # WARC/WET web-archive ingestion (extract -> explode -> e2e pipeline)
+    "warc_extract_stats",
+    "warc_to_documents",
+    "warc_ingest_pipeline",
 )
 
 

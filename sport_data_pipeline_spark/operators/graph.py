@@ -10,15 +10,18 @@ the loop is a handful of rounds in practice, with ``max_iterations`` as the
 runaway guard.
 
 Each round is join + min-aggregate (two hash shuffles over edge-sized
-data); ``localCheckpoint`` truncates the lineage every round so the plan
-does not grow with the iteration count (a production cluster would point
-``spark.sparkContext.setCheckpointDir`` at durable storage and use
-``checkpoint`` instead — same shape).
+data); ``stage_checkpoint`` truncates the lineage every round so the plan
+does not grow with the iteration count — executor-local blocks by default,
+the RELIABLE checkpoint directory when the session sets
+``checkpointing.CHECKPOINT_DIR_CONF`` (a production cluster points it at
+durable storage so label-propagation rounds survive executor loss).
 """
 
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+
+from ..checkpointing import stage_checkpoint
 
 
 def connected_components(
@@ -40,20 +43,19 @@ def connected_components(
         edges.select(F.col(src).alias("a"), F.col(dst).alias("b"))
         .union(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
         .distinct()
-        .localCheckpoint()
     )
+    sym = stage_checkpoint(sym)
     labels = sym.select(F.col("a").alias("id")).distinct().withColumn("label", F.col("id"))
-    labels = labels.localCheckpoint()
+    labels = stage_checkpoint(labels)
 
     for _ in range(max_iterations):
         neighbor = sym.join(labels, sym["b"] == labels["id"]).select(
             F.col("a").alias("id"), F.col("label")
         )
-        new_labels = (
+        new_labels = stage_checkpoint(
             labels.unionByName(neighbor)
             .groupBy("id")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint()
         )
         # min-label is monotone, so "changed" = any strict decrease.
         changed = (

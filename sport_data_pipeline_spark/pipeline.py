@@ -21,6 +21,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 
+from .checkpointing import stage_checkpoint
 from .engine import SportsAnalyticsEngine
 from .operators.merge import merge_latest
 from .reports import render_report
@@ -57,7 +58,7 @@ class SilverStore:
             else merge_latest(batch, keys, [order_col])
         )
         # cut lineage so we can overwrite the path we just read
-        out = merged.localCheckpoint(eager=True)
+        out = stage_checkpoint(merged)
         out.write.mode("overwrite").parquet(self.path(name))
         return out
 

@@ -19,6 +19,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..checkpointing import stage_checkpoint
 from ..functions.text import tokens, word_shingles
 from .registry import query
 
@@ -1280,14 +1281,14 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .orderBy("doc_id")
         )
-        # Materialize DISTRIBUTED (executor block storage) before `finally`
-        # deletes the tmp snapshot dirs the lineage reads from. This keeps
-        # the routing table off the driver — formerly a .collect() +
-        # createDataFrame round-trip, a linear driver allocation at a 100×
-        # daily batch. localCheckpoint severs the lineage eagerly; blocks
-        # live on executors for the session (local mode: in-process), the
-        # right trade vs. shipping every row through the driver.
-        return result.localCheckpoint(eager=True)
+        # Materialize DISTRIBUTED before `finally` deletes the tmp
+        # snapshot dirs the lineage reads from. This keeps the routing
+        # table off the driver — formerly a .collect() + createDataFrame
+        # round-trip, a linear driver allocation at a 100× daily batch.
+        # stage_checkpoint severs the lineage eagerly; executor-local
+        # blocks by default, the reliable checkpoint dir when the session
+        # configures one (checkpointing.CHECKPOINT_DIR_CONF).
+        return stage_checkpoint(result)
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -1538,7 +1539,7 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     asc — a 1-row collect), and merge it everywhere with the sentinel
     literal-replace (map-only over the vocabulary, greedy left-to-right
     by construction of non-overlapping literal replace). The vocabulary
-    frame is localCheckpointed per iteration so the lineage stays flat
+    frame is stage_checkpointed per iteration so the lineage stays flat
     across merges."""
     merges, _ = _bpe_train(spark, sf_dir, _BPE_MERGES)
     return spark.createDataFrame(
@@ -1557,11 +1558,10 @@ def _bpe_train(
         .select(F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("w"))
         .filter(F.col("w").rlike("^[a-z]{2,}$"))
     )
-    vocab = (
+    vocab = stage_checkpoint(
         words.groupBy("w")
         .agg(F.count(F.lit(1)).alias("wn"))
         .select(F.regexp_replace("w", "(.)", "<$1>").alias("s"), "wn")
-        .localCheckpoint(eager=True)
     )
     merges: list[tuple[int, str, str, str, int]] = []
     for step in range(1, n_merges + 1):
@@ -1578,12 +1578,14 @@ def _bpe_train(
         row = top[0]
         l_, r_, n_ = row["l"], row["r"], int(row["n"])
         merges.append((step, l_, r_, l_ + r_, n_))
-        vocab = vocab.select(
-            F.replace(
-                F.col("s"), F.lit(f"<{l_}><{r_}>"), F.lit(f"<{l_}{r_}>")
-            ).alias("s"),
-            "wn",
-        ).localCheckpoint(eager=True)
+        vocab = stage_checkpoint(
+            vocab.select(
+                F.replace(
+                    F.col("s"), F.lit(f"<{l_}><{r_}>"), F.lit(f"<{l_}{r_}>")
+                ).alias("s"),
+                "wn",
+            )
+        )
     return merges, vocab
 
 

@@ -13,6 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..catalog import load_table
+from ..checkpointing import stage_checkpoint
 from ..operators.dedup import jaccard_pairs, minhash_near_dup, simhash_near_dup
 from ..operators.entity import resolve_entities
 from ..operators.similarity import (
@@ -924,10 +925,10 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).write.parquet(f"{tmp}/index")
         index = spark.read.parquet(f"{tmp}/index")
         # distributed materialization (r11, same reasoning as the
-        # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
+        # e2e_daily_pipeline fix): stage_checkpoint severs the lineage from
         # the tmp dirs `finally` deletes, keeping the routing table on
         # executors instead of shipping every row through the driver.
-        return (
+        return stage_checkpoint(
             incremental_dedup(
                 batch, index, "doc_id", "text",
                 block_cols=["lang", "source"], threshold=0.5, shingle_n=3,
@@ -938,7 +939,6 @@ def incremental_dedup_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("match_id").cast("long").alias("match_id"),
             )
             .orderBy("doc_id")
-            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1276,9 +1276,9 @@ def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # operating point): the registered query runs the SAME configuration
     # you would run at 100×, where a pinned k is the superlinear knob.
     # Determinism survives because k is a function of the corpus count.
-    routed = semantic_dedup_cells(
-        corpus, "vec_id", threshold=0.7
-    ).localCheckpoint(eager=True)  # 3 rows/vec of lineage reuse below
+    routed = stage_checkpoint(
+        semantic_dedup_cells(corpus, "vec_id", threshold=0.7)
+    )  # 3 rows/vec of lineage reuse below
 
     n_vectors = routed.count()
     kept_ids = routed.filter(F.col("kept")).select(F.col("vec_id").alias("keep_id"))
@@ -1443,15 +1443,17 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         def route_batch(batch: DataFrame, _epoch: int) -> None:
             state = spark.read.parquet(state_dir)
-            routed = incremental_dedup(
-                batch,
-                state,
-                "doc_id",
-                "text",
-                block_cols=["lang", "source"],
-                threshold=0.5,
-                shingle_n=3,
-            ).localCheckpoint(eager=True)  # cut lineage before state append
+            routed = stage_checkpoint(
+                incremental_dedup(
+                    batch,
+                    state,
+                    "doc_id",
+                    "text",
+                    block_cols=["lang", "source"],
+                    threshold=0.5,
+                    shingle_n=3,
+                )
+            )  # cut lineage before state append
             routed.write.mode("append").parquet(routed_dir)
             # fold kept docs into the corpus state APPEND-ONLY: the state
             # grows by exactly the kept rows and is never rewritten, so
@@ -1481,11 +1483,10 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
         # the tmp dirs `finally` deletes, keeping the routing table on
         # executors instead of shipping every row through the driver.
-        return (
+        return stage_checkpoint(
             spark.read.parquet(routed_dir)
             .select("doc_id", "status", "match_id")
             .orderBy("doc_id")
-            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
@@ -1702,9 +1703,11 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n_parts, "__cell", "__cid"
             )
             cell_list = [(c, v, r) for c, (v, r) in sorted(cells.items())]
-            routed = _route_with_cells(
-                batch, state, cell_list, "vec_id", "embedding", _SEM_TAU, dim=dim
-            ).localCheckpoint(eager=True)  # cut lineage before state append
+            routed = stage_checkpoint(
+                _route_with_cells(
+                    batch, state, cell_list, "vec_id", "embedding", _SEM_TAU, dim=dim
+                )
+            )  # cut lineage before state append
             routed.write.mode("append").parquet(routed_dir)
             kept = batch.join(
                 routed.filter(F.col("status") == "kept"), "vec_id", "left_semi"
@@ -1734,11 +1737,10 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
         # the tmp dirs `finally` deletes, keeping the routing table on
         # executors instead of shipping every row through the driver.
-        return (
+        return stage_checkpoint(
             spark.read.parquet(routed_dir)
             .select("vec_id", "status", "match_id")
             .orderBy("vec_id")
-            .localCheckpoint(eager=True)
         )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -20,6 +20,7 @@ from pyspark.sql import DataFrame, SparkSession, functions as F
 from pyspark.sql.streaming import StreamingQuery
 from pyspark.sql.types import StructType
 
+from ..checkpointing import stage_checkpoint
 from ..operators.merge import merge_latest
 from ..sources.sinks import read_parquet_if_exists
 
@@ -75,8 +76,8 @@ def start_upsert_sink(
             )
         else:  # first batch: target does not exist yet
             merged = merge_latest(batch, keys, list(order_by))
-        # localCheckpoint cuts the lineage so we can overwrite the path we read.
-        merged.localCheckpoint(eager=True).write.mode("overwrite").parquet(target_path)
+        # stage_checkpoint cuts the lineage so we can overwrite the path we read.
+        stage_checkpoint(merged).write.mode("overwrite").parquet(target_path)
 
     writer = stream.writeStream.foreachBatch(merge_batch).option(
         "checkpointLocation", checkpoint

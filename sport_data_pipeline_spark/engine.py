@@ -88,7 +88,57 @@ class SportsAnalyticsEngine:
             .limit(limit)
         )
 
-    def analyze_player_performance(self, season: str | None = None) -> dict[str, DataFrame]:
+    def _kmv_count(self, df: DataFrame, col: str, out: str, k: int = 256) -> DataFrame:
+        """One-row KMV distinct-count estimate (column ``out``, long).
+
+        Exact below k distinct values (the sketch holds every hash), the
+        (k-1)·2^60/h_k estimator above — ~1/√k relative error (6% at
+        k=256). The scan combines map-side and the bottom-k plans as
+        TakeOrderedAndProject: at 100 TB this replaces countDistinct's
+        all-keys exchange with a k-row merge."""
+        from .operators.sketches import kmv_bottomk, kmv_estimate_literal
+
+        sk = kmv_bottomk(df, col, k)
+        return sk.agg(
+            F.count(F.lit(1)).alias("__n"), F.max("h").alias("__hk")
+        ).select(
+            F.round(
+                F.when(F.col("__n") < k, F.col("__n").cast("double")).otherwise(
+                    F.lit(kmv_estimate_literal(k)) / F.col("__hk").cast("double")
+                )
+            )
+            .cast("long")
+            .alias(out)
+        )
+
+    def _hll_count(self, df: DataFrame, col: str, out: str, p: int = 8) -> DataFrame:
+        """One-row HLL distinct-count estimate (column ``out``, long).
+
+        The register build is the scale story: map-side max per (reg),
+        ≤ 2^p rows ever shuffle — vs countDistinct's all-keys exchange.
+        Unlike the cross-engine-oracled sketch queries (which pin the
+        raw estimator because ln is not bit-portable), this ENGINE
+        consumer applies Flajolet's small-range correction — linear
+        counting m·ln(m/(m - n_registers)) when the raw estimate is
+        ≤ 2.5m — so league-sized cardinalities (~20 teams) come back
+        right, not raw-regime garbage."""
+        from .operators.sketches import hll_registers, hll_sketch_summary
+
+        m = 1 << p
+        s = hll_sketch_summary(hll_registers(df, [], col), [], p)
+        lc = F.lit(float(m)) * F.log(
+            F.lit(float(m)) / (F.lit(m) - F.col("n_registers")).cast("double")
+        )
+        est = (
+            F.when(F.col("n_registers") == 0, F.lit(0.0))
+            .when((F.col("est") <= 2.5 * m) & (F.col("n_registers") < m), lc)
+            .otherwise(F.col("est"))
+        )
+        return s.select(F.round(est).cast("long").alias(out))
+
+    def analyze_player_performance(
+        self, season: str | None = None, approx_distinct: bool = False
+    ) -> dict[str, DataFrame]:
         """Player performance pack (engine.py:299-327 + the §2.11 declared
         contract): summary aggregates, per-player report fields, trends
         across seasons, peer-group percentile comparison, and next-season
@@ -101,15 +151,28 @@ class SportsAnalyticsEngine:
         weighted contribution rate 4·goals/match + 3·assists/match,
         trend_direction is the sign of the mean season-over-season goals
         delta, and predictions come from the closed-form OLS forecast
-        (operators/forecast.py) — deterministic, shuffle-once, no UDFs."""
+        (operators/forecast.py) — deterministic, shuffle-once, no UDFs.
+
+        ``approx_distinct=True`` swaps the summary's exact
+        ``player_count`` for the KMV bottom-k estimate (same column
+        name; ~6% relative error at k=256, exact under 256 players) —
+        the 100 TB path where countDistinct's all-keys exchange is the
+        bottleneck. All other summary fields stay exact."""
         from .operators.forecast import linear_trend_forecast
 
         base = self._player_season_base(season)
-        summary = base.agg(
-            F.countDistinct("player_id").alias("player_count"),
-            (F.sum("goals").cast("double") / F.sum("matches_played")).alias("avg_goals_per_match"),
-            (F.sum("assists").cast("double") / F.sum("matches_played")).alias("avg_assists_per_match"),
-        )
+        if approx_distinct:
+            rates = base.agg(
+                (F.sum("goals").cast("double") / F.sum("matches_played")).alias("avg_goals_per_match"),
+                (F.sum("assists").cast("double") / F.sum("matches_played")).alias("avg_assists_per_match"),
+            )
+            summary = self._kmv_count(base, "player_id", "player_count").crossJoin(rates)
+        else:
+            summary = base.agg(
+                F.countDistinct("player_id").alias("player_count"),
+                (F.sum("goals").cast("double") / F.sum("matches_played")).alias("avg_goals_per_match"),
+                (F.sum("assists").cast("double") / F.sum("matches_played")).alias("avg_assists_per_match"),
+            )
 
         gpm = safe_div(F.col("total_goals").cast("double"), F.col("total_matches"))
         apm = safe_div(F.col("total_assists").cast("double"), F.col("total_matches"))
@@ -293,13 +356,44 @@ class SportsAnalyticsEngine:
             [F.desc("points"), F.desc("goal_diff"), F.desc("goals_for"), F.asc("team_id")],
         )
 
-    def generate_league_analytics(self, season: str | None = None) -> dict[str, DataFrame]:
+    def generate_league_analytics(
+        self, season: str | None = None, approx_distinct: bool = False
+    ) -> dict[str, DataFrame]:
         """League dashboard pack (§2.11 contract from reports.py:111-215:
-        summary, home/away/draw rates, high-scoring share, standings)."""
+        summary, home/away/draw rates, high-scoring share, standings).
+
+        ``approx_distinct=True`` swaps the summary's exact
+        ``total_teams`` for the deterministic-HLL estimate (same column
+        name; register table is at most 256 rows after the map-side max,
+        vs countDistinct's all-keys exchange — the 100 TB path), with
+        the small-range linear-counting correction so league-sized
+        counts stay exact-ish (see ``_hll_count``). All other fields
+        stay exact."""
         m = self.t["matches"].filter(F.col("status") == "finished")
         if season is not None:
             m = m.filter(F.col("season") == season)
         total_goals = F.col("home_score") + F.col("away_score")
+        if approx_distinct:
+            teams = self._hll_count(m, "home_team_id", "total_teams")
+            rest = m.agg(
+                F.count(F.lit(1)).alias("matches_played"),
+                F.sum(total_goals).alias("total_goals"),
+                F.avg(total_goals.cast("double")).alias("avg_goals_per_match"),
+                (F.sum(F.when(F.col("home_score") > F.col("away_score"), 1).otherwise(0)).cast("double")
+                 / F.count(F.lit(1))).alias("home_win_rate"),
+                (F.sum(F.when(F.col("home_score") == F.col("away_score"), 1).otherwise(0)).cast("double")
+                 / F.count(F.lit(1))).alias("draw_rate"),
+                (F.sum(F.when(F.col("home_score") < F.col("away_score"), 1).otherwise(0)).cast("double")
+                 / F.count(F.lit(1))).alias("away_win_rate"),
+                (F.sum(F.when(total_goals >= 4, 1).otherwise(0)).cast("double")
+                 / F.count(F.lit(1))).alias("high_scoring_share"),
+            )
+            summary = teams.crossJoin(rest).select(
+                "total_teams", "matches_played", "total_goals",
+                "avg_goals_per_match", "home_win_rate", "draw_rate",
+                "away_win_rate", "high_scoring_share",
+            )
+            return {"summary": summary, "standings": self.standings(season)}
         summary = m.agg(
             F.countDistinct(F.col("home_team_id")).alias("total_teams"),
             F.count(F.lit(1)).alias("matches_played"),

@@ -701,6 +701,7 @@ def incremental_dedup(
     shingle_n: int = 3,
     minhash_candidates: tuple[int, int] | None = None,
     max_bucket_size: int = 200,
+    bloom_m_bits: int | None = None,
 ) -> DataFrame:
     """Dedup a NEW batch against an EXISTING corpus (incremental ingestion).
 
@@ -740,6 +741,23 @@ def incremental_dedup(
     ``__fp``/``__set`` columns) — the indexed path routes bit-identically
     (unit-pinned) while never touching corpus text at batch time.
 
+    ``bloom_m_bits`` turns on SEMI-JOIN REDUCTION of the
+    exact gate: a Bloom bitmap over the (small) batch's fingerprints
+    collapses to one broadcast map, and the (huge) corpus fingerprint
+    scan is pre-filtered by a pure projection before it ever reaches the
+    equi-join — at 100 TB the corpus rows entering the exact join's
+    exchange drop to true matches + the ~(1-e^(-jn/m))^j false-positive
+    sliver, instead of the whole corpus. False negatives are impossible
+    (the Bloom guarantee), so routing is bit-identical with the filter
+    on or off (unit-pinned), and the probe adds ZERO exchanges on the
+    corpus side (plan-asserted) — only the fixed tiny build-side
+    aggregates over batch fingerprints. Default OFF: at bench scale the
+    build's fixed stage overhead exceeds the corpus scan it prunes
+    (SCALE.md §7 — small-SF and 100 TB plans intentionally diverge);
+    the steady-state ingest loops (stream_ingest_dedup's foreachBatch)
+    enable it, which is where an unbounded corpus makes the exact
+    gate's corpus-side exchange the dominant cost.
+
     Returns one row per batch doc: (id, status, match_id).
     """
     block_exprs = [F.col(c) for c in block_cols]
@@ -752,6 +770,15 @@ def incremental_dedup(
 
     bfp = batch.select(F.col(id_col), content_fingerprint(text_col).alias("__fp"))
     cfp = cindex.select(F.col(id_col).alias("__cid"), "__fp")
+    if bloom_m_bits:
+        from .sketches import bloom_build, bloom_probe
+
+        words = bloom_build(bfp, "__fp", m_bits=bloom_m_bits)
+        cfp = (
+            bloom_probe(cfp, "__fp", words, m_bits=bloom_m_bits)
+            .filter(F.col("bloom_pass"))
+            .drop("bloom_pass")
+        )
     exact = bfp.join(cfp, "__fp").groupBy(id_col).agg(F.min("__cid").alias("__exact"))
 
     def shingled(df: DataFrame, idc: Column, tag: str) -> DataFrame:

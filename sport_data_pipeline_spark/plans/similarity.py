@@ -1452,6 +1452,11 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     block_cols=["lang", "source"],
                     threshold=0.5,
                     shingle_n=3,
+                    # steady-state loop: the corpus state grows without
+                    # bound, so Bloom semi-join reduction of the exact
+                    # gate's corpus scan is the 100 TB setting (routing
+                    # is bit-identical either way — unit-pinned)
+                    bloom_m_bits=65536,
                 )
             )  # cut lineage before state append
             routed.write.mode("append").parquet(routed_dir)

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from sport_data_pipeline_spark.operators.dedup import (
     exact_dedup,
@@ -337,3 +338,76 @@ def test_incremental_dedup_index_routes_identically(spark):
     got = routes2(index2)
     assert got == routes2(corpus2)
     assert ("dup_exact") in {r[1] for r in got}  # 20 hits the folded-in 12
+
+
+def test_incremental_dedup_bloom_prefilter_equivalent_and_projection_only(spark):
+    """The Bloom semi-join reduction of the exact gate is invisible to
+    results (false negatives impossible) and adds ZERO exchanges on the
+    corpus side — only the fixed build-side aggregates over the batch's
+    fingerprints (distinct -> bit positions -> word bit_or -> 1-row map,
+    all batch-sized)."""
+    from sport_data_pipeline_spark.operators.dedup import (
+        content_fingerprint,
+        incremental_dedup,
+    )
+    from sport_data_pipeline_spark.operators.sketches import bloom_build, bloom_probe
+
+    corpus = spark.createDataFrame(
+        [
+            (0, "b", "the quick brown fox jumps over the lazy dog"),
+            (2, "b", "completely different words about spark engines"),
+            (4, "c", "another block entirely with its own phrasing here"),
+        ],
+        "doc_id long, blk string, text string",
+    )
+    batch = spark.createDataFrame(
+        [
+            (10, "b", "the quick brown fox jumps over the lazy dog"),
+            (11, "b", "the quick brown fox jumps over the lazy cat"),
+            (12, "b", "entirely novel content never seen before today again"),
+        ],
+        "doc_id long, blk string, text string",
+    )
+
+    def routes(**kw):
+        return sorted(
+            tuple(r)
+            for r in incremental_dedup(
+                batch, corpus, "doc_id", "text", ["blk"], threshold=0.3, shingle_n=3, **kw
+            ).collect()
+        )
+
+    on, off = routes(bloom_m_bits=65536), routes(bloom_m_bits=None)
+    assert on == off
+    assert {r[1] for r in on} == {"dup_exact", "near_dup", "kept"}
+
+    def shuffles(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return sum(
+            1
+            for ln in plan.splitlines()
+            if "Exchange" in ln and "BroadcastExchange" not in ln
+        )
+
+    def plan_of(**kw):
+        return incremental_dedup(
+            batch, corpus, "doc_id", "text", ["blk"], threshold=0.3, shingle_n=3, **kw
+        )
+
+    bfp = batch.select("doc_id", content_fingerprint("text").alias("__fp"))
+    wmap = bloom_build(bfp, "__fp").agg(
+        F.map_from_entries(F.collect_list(F.struct("word", "wbits"))).alias("m")
+    )
+    # enabling the Bloom adds exactly the build's own (tiny, batch-side)
+    # exchanges; the corpus probe side contributes none
+    assert shuffles(plan_of(bloom_m_bits=65536)) - shuffles(
+        plan_of(bloom_m_bits=None)
+    ) == shuffles(wmap)
+
+    # and the probe in isolation is projection-only over the corpus scan
+    cfp = corpus.select("doc_id", content_fingerprint("text").alias("__fp"))
+    words = bloom_build(bfp, "__fp")
+    probed = bloom_probe(cfp, "__fp", words).filter("bloom_pass")
+    assert shuffles(probed) == shuffles(
+        words.agg(F.map_from_entries(F.collect_list(F.struct("word", "wbits"))).alias("m"))
+    )

@@ -244,3 +244,59 @@ def test_comparisons_plan_distributed_rank(eng):
     )
     assert "percent_rank" not in plan
     assert "Exchange rangepartitioning" in plan
+
+
+def test_approx_distinct_paths_consume_sketches(eng):
+    """approx_distinct=True swaps the pack summaries' exact distinct
+    counts for the deterministic sketch estimates (HLL for league teams,
+    KMV for player count) under the SAME column names. At unit scale
+    both sketches are exact (cardinality far below 2^p registers / k
+    hashes), so the swap is value-identical here; the error bounds at
+    real cardinality are pinned by test_sketches + the driver rows."""
+    exact = eng.generate_league_analytics("2024")["summary"].collect()[0]
+    approx = eng.generate_league_analytics("2024", approx_distinct=True)[
+        "summary"
+    ].collect()[0]
+    assert approx["total_teams"] == exact["total_teams"]
+    # every non-distinct field stays exact, bit-for-bit
+    for f in (
+        "matches_played", "total_goals", "avg_goals_per_match",
+        "home_win_rate", "draw_rate", "away_win_rate", "high_scoring_share",
+    ):
+        assert approx[f] == exact[f], f
+    assert approx.__fields__ == exact.__fields__
+
+    pe = eng.analyze_player_performance(season="2024")["summary"].collect()[0]
+    pa = eng.analyze_player_performance(season="2024", approx_distinct=True)[
+        "summary"
+    ].collect()[0]
+    assert pa["player_count"] == pe["player_count"] == 3
+    assert pa["avg_goals_per_match"] == pe["avg_goals_per_match"]
+
+
+def test_approx_distinct_bounded_at_cardinality(spark):
+    """At cardinality where the estimators actually estimate, both stay
+    inside their 5-sigma contracts (HLL p=8: 32.5%; KMV k=256: 31.3%)."""
+    from pyspark.sql import functions as F
+
+    from sport_data_pipeline_spark.operators.sketches import (
+        hll_registers,
+        hll_sketch_summary,
+        kmv_bottomk,
+        kmv_estimate_literal,
+    )
+
+    n = 20_000
+    df = spark.range(n).select((F.col("id") * 2654435761 % 1000003).alias("v"))
+    true = df.select("v").distinct().count()
+
+    est_hll = hll_sketch_summary(hll_registers(df, [], "v"), []).collect()[0]["est"]
+    assert abs(est_hll - true) / true < 0.325
+
+    k = 256
+    sk = kmv_bottomk(df, "v", k)
+    row = sk.agg(F.count(F.lit(1)).alias("n"), F.max("h").alias("hk")).collect()[0]
+    est_kmv = (
+        row["n"] if row["n"] < k else kmv_estimate_literal(k) / float(row["hk"])
+    )
+    assert abs(est_kmv - true) / true < 0.313

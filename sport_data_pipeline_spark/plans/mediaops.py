@@ -3476,6 +3476,275 @@ def warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("media_id", "rec_idx")
 
 
+# Streaming crawl-ingest oracle: the 4-batch state evolution collapses to
+# one global composition BECAUSE the keeper rule is first-seen-wins and
+# media ids increase with batch number -- the index preseed (archive
+# 4390) and every batch's surviving docs pool together, and the global
+# min-(archive, record) window reproduces exactly what the per-batch
+# index probe + append-only fold must produce. The hash therefore only
+# matches if the STREAMING execution's state evolved correctly: batch
+# k's cross-batch duplicate must match the doc batch k-1 KEPT (and
+# folded), the suspect doc from batch 0 must be probe-able in batch 3,
+# and the intra-batch duplicate must resolve to its in-batch keeper.
+STREAM_CRAWL_ORACLE = """
+WITH seed AS (
+  SELECT 4390 AS mid, uj.j, repeat('crawl-seed-' || uj.j || ' ', 6 + uj.j) AS text
+  FROM (SELECT 1 + unnest(range(2)) AS j) uj
+),
+grid AS (
+  SELECT uk.k, uj.j, 4400 + uk.k AS mid
+  FROM (SELECT unnest(range(4)) AS k) uk,
+       (SELECT 1 + unnest(range(3)) AS j) uj
+),
+stream AS (
+  SELECT mid, k, j,
+         CASE
+           WHEN j = 1 THEN repeat('crawl-' || k || '-a ', 5 + k)
+           WHEN j = 2 AND k = 0 THEN 'caf' || chr(195) || chr(169) || ' ' ||
+                                     repeat('crawl-0-a ', 5)
+           WHEN j = 2 AND k = 1 THEN repeat('crawl-seed-1 ', 7)
+           WHEN j = 2 AND k = 2 THEN repeat('crawl-1-a ', 6)
+           WHEN j = 2 AND k = 3 THEN repeat('crawl-3-a ', 8)
+           WHEN j = 3 AND k = 0 THEN repeat('crawl-0-b ', 7) || chr(1) || 'tail'
+           WHEN j = 3 AND k = 3 THEN repeat('crawl-0-b ', 7) || chr(1) || 'tail'
+           ELSE repeat('crawl-' || k || '-b ', 7 + k)
+         END AS text
+  FROM grid
+),
+gated AS (
+  SELECT mid, k, j, text,
+         CASE WHEN length(text) - length(replace(text, '�', '')) > 0
+                   OR len(regexp_extract_all(text, 'Ã[-¿]')) > 0
+              THEN 'bad_encoding'
+              WHEN length(text) - length(replace(text, chr(1), '')) > 0
+              THEN 'suspect'
+              ELSE 'ok' END AS gate
+  FROM stream
+),
+pool AS (
+  SELECT mid, j, text FROM seed
+  UNION ALL
+  SELECT mid, j, text FROM gated WHERE gate <> 'bad_encoding'
+),
+ranked AS (
+  SELECT mid, j,
+         row_number() OVER (PARTITION BY md5(text) ORDER BY mid, j) AS rn,
+         first_value(mid) OVER (PARTITION BY md5(text) ORDER BY mid, j) AS f_mid,
+         first_value(j) OVER (PARTITION BY md5(text) ORDER BY mid, j) AS f_rec
+  FROM pool
+),
+final AS (
+  SELECT g.mid, g.k, g.j, g.text,
+         CASE WHEN g.gate = 'bad_encoding' THEN 'bad_encoding'
+              WHEN r.rn > 1 THEN 'dup_exact'
+              ELSE g.gate END AS status,
+         CASE WHEN g.gate <> 'bad_encoding' AND r.rn > 1 THEN r.f_mid END AS match_mid,
+         CASE WHEN g.gate <> 'bad_encoding' AND r.rn > 1 THEN r.f_rec END AS match_rec
+  FROM gated g LEFT JOIN ranked r ON r.mid = g.mid AND r.j = g.j
+)
+SELECT CAST(mid AS BIGINT) AS media_id,
+       CAST(j AS INTEGER) AS rec_idx,
+       'http://crawl/' || k || '/' || j AS target_uri,
+       status,
+       status IN ('ok', 'suspect') AS kept,
+       CASE WHEN status IN ('ok', 'suspect')
+            THEN CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+       END AS n_tokens,
+       CAST(match_mid AS BIGINT) AS match_mid,
+       CAST(match_rec AS INTEGER) AS match_rec
+FROM final ORDER BY media_id, rec_idx
+"""
+
+
+@query(
+    "stream_crawl_ingest",
+    survey="T1,X3,llm-pipeline-e2e,llm-multimodal,X6",
+    oracle=STREAM_CRAWL_ORACLE,
+)
+def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming crawl ingest against an evolving content-hash index --
+    the T1/X3 twin of ``warc_ingest_pipeline`` (reference shape: the
+    scraping_orchestrator poll loops, scraping_orchestrator.py:311-331,
+    landing crawler output continuously instead of daily). A REAL
+    StreamingQuery (file source, one WARC archive per micro-batch,
+    arrival order pinned by mtime) runs the full ingest per batch:
+    record explode (``warc_text_records``) -> encoding-health gate ->
+    EXACT dedup as a ONE-SIDED probe of the persisted md5 index (never
+    a corpus self-join) plus an in-batch keeper window -> routing rows
+    appended; each batch's KEPT docs fold their hashes back APPEND-ONLY
+    (the ``stream_media_ingest_dedup`` discipline -- per-batch write
+    cost O(batch), not O(corpus)). The fixtures force every state
+    transition across batch boundaries: batch 1 re-crawls a preseeded
+    corpus doc, batch 2 re-crawls a doc batch 1 kept, batch 3 both
+    duplicates INTRA-batch and re-crawls the SUSPECT doc batch 0 kept
+    (proving suspect docs entered the index), so the hash only matches
+    if the index actually evolved batch by batch."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from pyspark.sql import Window, functions as SF
+
+    from ..operators.webarchive import encode_warc, warc_text_records
+
+    def conv(uri: str, text: str):
+        return ({"WARC-Type": "conversion", "WARC-Target-URI": uri}, text.encode())
+
+    def archive(mid: int, texts: list[tuple[str, str]], gz: bool) -> tuple:
+        recs = [({"WARC-Type": "warcinfo"}, b"software: crawl\r\n")]
+        recs += [conv(u, t) for u, t in texts]
+        payload = encode_warc(recs, gzip_members=gz)
+        return (mid, payload, "application/warc", len(payload), None)
+
+    a_txt = lambda k: f"crawl-{k}-a " * (5 + k)
+    b_txt = lambda k: f"crawl-{k}-b " * (7 + k)
+    s_txt = b_txt(0) + "\x01tail"
+    batch_texts = {
+        0: [("http://crawl/0/1", a_txt(0)),
+            ("http://crawl/0/2", "cafÃ© " + a_txt(0)),
+            ("http://crawl/0/3", s_txt)],
+        1: [("http://crawl/1/1", a_txt(1)),
+            ("http://crawl/1/2", "crawl-seed-1 " * 7),
+            ("http://crawl/1/3", b_txt(1))],
+        2: [("http://crawl/2/1", a_txt(2)),
+            ("http://crawl/2/2", a_txt(1)),
+            ("http://crawl/2/3", b_txt(2))],
+        3: [("http://crawl/3/1", a_txt(3)),
+            ("http://crawl/3/2", a_txt(3)),
+            ("http://crawl/3/3", s_txt)],
+    }
+
+    tmp = tempfile.mkdtemp(prefix="sdp_crawl_ingest_")
+    try:
+        in_dir, state_dir, routed_dir, ckpt = (
+            f"{tmp}/in", f"{tmp}/state", f"{tmp}/routed", f"{tmp}/ckpt",
+        )
+        # preseed the index from the existing corpus archive -- every
+        # conversion record's content hash, keyed by its (archive, record)
+        corpus = spark.createDataFrame(
+            [archive(
+                4390,
+                [(f"http://crawl/seed/{j}", f"crawl-seed-{j} " * (6 + j)) for j in (1, 2)],
+                gz=True,
+            )],
+            MEDIA_SCHEMA,
+        )
+        (
+            warc_text_records(corpus)
+            .filter(SF.col("warc_type") == "conversion")
+            .select(
+                SF.md5(SF.col("body_text").cast("binary")).alias("h"),
+                SF.col("media_id").alias("k_mid"),
+                SF.col("rec_idx").alias("k_rec"),
+            )
+            .write.parquet(state_dir)
+        )
+
+        for k in range(4):
+            if k:
+                _time.sleep(1.1)  # strictly increasing mtime -> batch order
+            spark.createDataFrame(
+                [archive(4400 + k, batch_texts[k], gz=(k % 2 == 0))], MEDIA_SCHEMA
+            ).coalesce(1).write.mode("append").parquet(in_dir)
+
+        schema = spark.read.parquet(in_dir).schema
+        occ = lambda c, lit_: SF.length(c) - SF.length(SF.replace(c, SF.lit(lit_)))
+
+        def route_batch(batch: DataFrame, _epoch: int) -> None:
+            docs = warc_text_records(batch).filter(
+                SF.col("warc_type") == "conversion"
+            )
+            body = SF.col("body_text")
+            gate = (
+                SF.when(
+                    (occ(body, "�") > 0)
+                    | (SF.regexp_count(body, SF.lit("Ã[-¿]")) > 0),
+                    "bad_encoding",
+                )
+                .when(occ(body, "") > 0, "suspect")
+                .otherwise("ok")
+            )
+            gated = docs.select(
+                "media_id", "rec_idx", "target_uri", "body_text",
+                gate.alias("gate"),
+            )
+            state = spark.read.parquet(state_dir)
+            surv = gated.filter(SF.col("gate") != "bad_encoding").withColumn(
+                "h", SF.md5(SF.col("body_text").cast("binary"))
+            )
+            w = Window.partitionBy("h").orderBy("media_id", "rec_idx")
+            ranked = (
+                surv.withColumn("rn", SF.row_number().over(w))
+                .withColumn("f_mid", SF.first("media_id").over(w))
+                .withColumn("f_rec", SF.first("rec_idx").over(w))
+                .join(state, "h", "left")
+            )
+            dup = SF.col("k_mid").isNotNull() | (SF.col("rn") > 1)
+            routed = stage_checkpoint(
+                gated.join(
+                    ranked.select(
+                        "media_id", "rec_idx", "rn",
+                        SF.when(dup, SF.coalesce("k_mid", "f_mid")).alias("match_mid"),
+                        SF.when(dup, SF.coalesce("k_rec", "f_rec")).alias("match_rec"),
+                        dup.alias("is_dup"),
+                    ),
+                    ["media_id", "rec_idx"],
+                    "left",
+                ).select(
+                    "media_id",
+                    "rec_idx",
+                    "target_uri",
+                    SF.when(SF.col("gate") == "bad_encoding", "bad_encoding")
+                    .when(SF.col("is_dup"), "dup_exact")
+                    .otherwise(SF.col("gate"))
+                    .alias("status"),
+                    "body_text",
+                    SF.col("match_mid").cast("long").alias("match_mid"),
+                    SF.col("match_rec").cast("int").alias("match_rec"),
+                )
+            )
+            routed.select(
+                "media_id",
+                "rec_idx",
+                "target_uri",
+                "status",
+                SF.col("status").isin("ok", "suspect").alias("kept"),
+                SF.when(
+                    SF.col("status").isin("ok", "suspect"),
+                    SF.size(SF.split(SF.trim(SF.col("body_text")), r"\s+")),
+                ).alias("n_tokens"),
+                "match_mid",
+                "match_rec",
+            ).write.mode("append").parquet(routed_dir)
+            # append-only fold: kept docs' hashes join the index
+            routed.filter(SF.col("status").isin("ok", "suspect")).select(
+                SF.md5(SF.col("body_text").cast("binary")).alias("h"),
+                SF.col("media_id").alias("k_mid"),
+                SF.col("rec_idx").alias("k_rec"),
+            ).write.mode("append").parquet(state_dir)
+
+        q = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", "1")
+            .parquet(in_dir)
+            .writeStream.foreachBatch(route_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return stage_checkpoint(
+            spark.read.parquet(routed_dir)
+            .select(
+                "media_id", "rec_idx", "target_uri", "status", "kept",
+                "n_tokens", "match_mid", "match_rec",
+            )
+            .orderBy("media_id", "rec_idx")
+        )
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 # Deflate-TIFF oracle: zlib is lossless, so the oracle restates the pixel
 # formula directly (the tiff_predictor discipline); odd fixtures ALSO run
 # predictor 2 through the Deflate path, pinning the codec x predictor

@@ -410,10 +410,19 @@ class SportsAnalyticsEngine:
         )
         return {"summary": summary, "standings": self.standings(season)}
 
-    def transfer_analysis(self) -> dict[str, DataFrame]:
+    def transfer_analysis(self, approx_quantiles: bool = False) -> dict[str, DataFrame]:
         """Transfer segmentation (reports.py:323-495): hot prospects
         (age ≤ 25, value ≥ 5M), bargains (age ≥ 28, value ≤ 3M), position
-        counts, age bands, value stats — all engine-side."""
+        counts, age bands, value stats — all engine-side.
+
+        ``approx_quantiles=True`` swaps value_stats' exact
+        ``percentile(…, 0.5)`` — which buffers every group's values in
+        one task — for the mergeable dyadic-histogram median
+        (operators/sketches): per (position, bucket) counts shuffle at
+        most |positions|·range/2^shift rows and combine map-side, and
+        the error is ≤ half a bucket (2^11 cents ≈ 20 €) BY
+        CONSTRUCTION. Same column names; the 100 TB path for a
+        value distribution too wide to sort per group."""
         p = self.t["players"].select(
             "player_id",
             F.concat_ws(" ", "first_name", "last_name").alias("player_name"),
@@ -435,11 +444,33 @@ class SportsAnalyticsEngine:
             F.count(F.lit(1)).alias("n_players"),
             F.avg("market_value").alias("avg_value"),
         )
-        value_stats = p.groupBy("position").agg(
-            F.avg("market_value").alias("avg_value"),
-            F.expr("percentile(market_value, 0.5)").alias("median_value"),
-            F.sum("market_value").alias("total_value"),
-        )
+        if approx_quantiles:
+            from .operators.sketches import dyadic_histogram, dyadic_quantile_picks
+
+            cents = p.select(
+                "position",
+                (F.col("market_value") * 100).cast("long").alias("__cents"),
+            )
+            hist = dyadic_histogram(cents, ["position"], "__cents")
+            med = dyadic_quantile_picks(hist, ["position"], [0.5]).select(
+                "position",
+                (F.col("est_cents").cast("double") / 100).alias("median_value"),
+            )
+            value_stats = (
+                p.groupBy("position")
+                .agg(
+                    F.avg("market_value").alias("avg_value"),
+                    F.sum("market_value").alias("total_value"),
+                )
+                .join(med, "position")
+                .select("position", "avg_value", "median_value", "total_value")
+            )
+        else:
+            value_stats = p.groupBy("position").agg(
+                F.avg("market_value").alias("avg_value"),
+                F.expr("percentile(market_value, 0.5)").alias("median_value"),
+                F.sum("market_value").alias("total_value"),
+            )
         return {
             "hot_prospects": hot,
             "bargains": bargains,

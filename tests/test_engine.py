@@ -300,3 +300,23 @@ def test_approx_distinct_bounded_at_cardinality(spark):
         row["n"] if row["n"] < k else kmv_estimate_literal(k) / float(row["hk"])
     )
     assert abs(est_kmv - true) / true < 0.313
+
+
+def test_transfer_value_stats_approx_quantiles_within_half_bucket(eng):
+    """approx_quantiles=True swaps the exact per-position median for the
+    dyadic-histogram pick under the same column names; avg/total stay
+    exact and the median lands within half a bucket (2^11 cents) of the
+    exact percentile."""
+    exact = {r["position"]: r for r in eng.transfer_analysis()["value_stats"].collect()}
+    approx = {
+        r["position"]: r
+        for r in eng.transfer_analysis(approx_quantiles=True)["value_stats"].collect()
+    }
+    assert set(approx) == set(exact)
+    half_bucket_eur = (1 << 11) / 100
+    for pos, e in exact.items():
+        a = approx[pos]
+        assert a["avg_value"] == e["avg_value"]
+        assert a["total_value"] == e["total_value"]
+        assert abs(a["median_value"] - e["median_value"]) <= half_bucket_eur, pos
+        assert list(a.__fields__) == list(e.__fields__)

@@ -52,6 +52,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..checkpointing import stage_checkpoint
+from ..streaming.idempotent import epoch_read, epoch_write
 from ..operators.multimodal import (
     MEDIA_SCHEMA,
     extract_audio_meta,
@@ -2199,7 +2200,9 @@ def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             media_rows([(2100 + i, encode_bmp_rgb(gradient(i))) for i in range(8)]),
             MEDIA_SCHEMA,
         )
-        extract_image_dhash(corpus, decoder=decode_bmp_rgb).write.parquet(state_dir)
+        epoch_write(
+            extract_image_dhash(corpus, decoder=decode_bmp_rgb), state_dir, -1
+        )  # preseed: visible to all epochs
 
         for k in range(4):
             if k:
@@ -2218,16 +2221,24 @@ def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         schema = spark.read.parquet(in_dir).schema
 
-        def route_batch(batch: DataFrame, _epoch: int) -> None:
+        def route_batch(batch: DataFrame, epoch: int) -> None:
+            # epoch-partitioned sinks (streaming/idempotent.py): replayed
+            # epochs observe only completed predecessors and overwrite
+            # their own partition — exactly-once observable folds on top
+            # of foreachBatch's at-least-once delivery.
             hashes = extract_image_dhash(batch, decoder=decode_bmp_rgb)
-            state = spark.read.parquet(state_dir)
+            state = epoch_read(spark, state_dir, before_epoch=epoch)
             routed = stage_checkpoint(media_neardup_route(hashes, state))
-            routed.select("media_id", "status", "match_id").write.mode(
-                "append"
-            ).parquet(routed_dir)
-            hashes.join(
-                routed.filter(F.col("status") == "kept"), "media_id", "left_semi"
-            ).write.mode("append").parquet(state_dir)
+            epoch_write(
+                routed.select("media_id", "status", "match_id"), routed_dir, epoch
+            )
+            epoch_write(
+                hashes.join(
+                    routed.filter(F.col("status") == "kept"), "media_id", "left_semi"
+                ),
+                state_dir,
+                epoch,
+            )
 
         q = (
             spark.readStream.schema(schema)
@@ -3629,16 +3640,17 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             )],
             MEDIA_SCHEMA,
         )
-        (
+        epoch_write(
             warc_text_records(corpus)
             .filter(SF.col("warc_type") == "conversion")
             .select(
                 SF.md5(SF.col("body_text").cast("binary")).alias("h"),
                 SF.col("media_id").alias("k_mid"),
                 SF.col("rec_idx").alias("k_rec"),
-            )
-            .write.parquet(state_dir)
-        )
+            ),
+            state_dir,
+            -1,
+        )  # preseed: visible to all epochs
 
         for k in range(4):
             if k:
@@ -3650,7 +3662,10 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(in_dir).schema
         occ = lambda c, lit_: SF.length(c) - SF.length(SF.replace(c, SF.lit(lit_)))
 
-        def route_batch(batch: DataFrame, _epoch: int) -> None:
+        def route_batch(batch: DataFrame, epoch: int) -> None:
+            # epoch-partitioned sinks (streaming/idempotent.py): replayed
+            # epochs observe only completed predecessors and overwrite
+            # their own partition — exactly-once observable folds.
             docs = warc_text_records(batch).filter(
                 SF.col("warc_type") == "conversion"
             )
@@ -3668,7 +3683,7 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "media_id", "rec_idx", "target_uri", "body_text",
                 gate.alias("gate"),
             )
-            state = spark.read.parquet(state_dir)
+            state = epoch_read(spark, state_dir, before_epoch=epoch)
             surv = gated.filter(SF.col("gate") != "bad_encoding").withColumn(
                 "h", SF.md5(SF.col("body_text").cast("binary"))
             )
@@ -3703,25 +3718,33 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
                     SF.col("match_rec").cast("int").alias("match_rec"),
                 )
             )
-            routed.select(
-                "media_id",
-                "rec_idx",
-                "target_uri",
-                "status",
-                SF.col("status").isin("ok", "suspect").alias("kept"),
-                SF.when(
-                    SF.col("status").isin("ok", "suspect"),
-                    SF.size(SF.split(SF.trim(SF.col("body_text")), r"\s+")),
-                ).alias("n_tokens"),
-                "match_mid",
-                "match_rec",
-            ).write.mode("append").parquet(routed_dir)
+            epoch_write(
+                routed.select(
+                    "media_id",
+                    "rec_idx",
+                    "target_uri",
+                    "status",
+                    SF.col("status").isin("ok", "suspect").alias("kept"),
+                    SF.when(
+                        SF.col("status").isin("ok", "suspect"),
+                        SF.size(SF.split(SF.trim(SF.col("body_text")), r"\s+")),
+                    ).alias("n_tokens"),
+                    "match_mid",
+                    "match_rec",
+                ),
+                routed_dir,
+                epoch,
+            )
             # append-only fold: kept docs' hashes join the index
-            routed.filter(SF.col("status").isin("ok", "suspect")).select(
-                SF.md5(SF.col("body_text").cast("binary")).alias("h"),
-                SF.col("media_id").alias("k_mid"),
-                SF.col("rec_idx").alias("k_rec"),
-            ).write.mode("append").parquet(state_dir)
+            epoch_write(
+                routed.filter(SF.col("status").isin("ok", "suspect")).select(
+                    SF.md5(SF.col("body_text").cast("binary")).alias("h"),
+                    SF.col("media_id").alias("k_mid"),
+                    SF.col("rec_idx").alias("k_rec"),
+                ),
+                state_dir,
+                epoch,
+            )
 
         q = (
             spark.readStream.schema(schema)

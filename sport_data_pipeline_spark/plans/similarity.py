@@ -1464,8 +1464,10 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                     # steady-state loop: the corpus state grows without
                     # bound, so Bloom semi-join reduction of the exact
                     # gate's corpus scan is the 100 TB setting (routing
-                    # is bit-identical either way — unit-pinned)
-                    bloom_m_bits=65536,
+                    # is bit-identical either way — unit-pinned); m sized
+                    # to the ~10^2-row batches (FP < 0.1% at j=4), which
+                    # also keeps the plan-literal bitmap small
+                    bloom_m_bits=16384,
                 )
             )  # cut lineage before state append
             epoch_write(routed, routed_dir, epoch)

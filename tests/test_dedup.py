@@ -394,20 +394,19 @@ def test_incremental_dedup_bloom_prefilter_equivalent_and_projection_only(spark)
             batch, corpus, "doc_id", "text", ["blk"], threshold=0.3, shingle_n=3, **kw
         )
 
-    bfp = batch.select("doc_id", content_fingerprint("text").alias("__fp"))
-    wmap = bloom_build(bfp, "__fp").agg(
-        F.map_from_entries(F.collect_list(F.struct("word", "wbits"))).alias("m")
-    )
-    # enabling the Bloom adds exactly the build's own (tiny, batch-side)
-    # exchanges; the corpus probe side contributes none
-    assert shuffles(plan_of(bloom_m_bits=65536)) - shuffles(
+    # the probe folds the collected word table into the plan as a literal
+    # array (the Spark runtime-filter shape), so enabling the Bloom adds
+    # ZERO exchanges anywhere in the routing plan — the build's word
+    # aggregation runs as its own tiny job at plan-construction time
+    assert shuffles(plan_of(bloom_m_bits=65536)) == shuffles(
         plan_of(bloom_m_bits=None)
-    ) == shuffles(wmap)
+    )
 
-    # and the probe in isolation is projection-only over the corpus scan
+    # and the probe in isolation is a literal projection over the corpus
+    # scan: zero exchanges, zero joins
+    bfp = batch.select("doc_id", content_fingerprint("text").alias("__fp"))
     cfp = corpus.select("doc_id", content_fingerprint("text").alias("__fp"))
     words = bloom_build(bfp, "__fp")
     probed = bloom_probe(cfp, "__fp", words).filter("bloom_pass")
-    assert shuffles(probed) == shuffles(
-        words.agg(F.map_from_entries(F.collect_list(F.struct("word", "wbits"))).alias("m"))
-    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan and "Join" not in plan, plan

@@ -1,20 +1,37 @@
 #!/usr/bin/env python
-"""Bloom semi-join-reduction crossover probe.
+"""Bloom semi-join-reduction probe: measure BOTH join regimes.
 
-Measures ``incremental_dedup``'s exact+near routing with the Bloom
-pre-filter OFF vs ON across corpus:batch ratios, holding the batch fixed
-and growing the corpus. The build side is O(batch) with a handful of tiny
-fixed stages, so the filter costs roughly a constant; the benefit grows
-with the corpus rows it keeps out of the exact gate's join. The probe
-prints the measured crossover so the default-off-at-bench-scale /
-on-in-steady-state-loops choice (operators/dedup.py, SCALE.md §4) is a
-number, not a guess.
+``incremental_dedup``'s exact gate joins batch fingerprints against corpus
+fingerprints. Two physical regimes exist:
+
+- BROADCAST regime (small batch — the steady-state ingest shape): the
+  batch side broadcasts, the corpus STREAMS through a broadcast-hash join
+  with no exchange; the probe saves only the hash-table lookup per
+  corpus row.
+- SHUFFLE regime (batch past the broadcast threshold — a backfill or a
+  giant crawl drop): the gate becomes a sort-merge join that EXCHANGES
+  the corpus side. Pre-filtering the corpus with the plan-literal Bloom
+  (a pure projection) prunes the rows entering the exchange to true
+  matches + the false-positive sliver — the classic semi-join reduction.
+  The probe simulates this regime at test scale by disabling auto
+  broadcast (what naturally happens at 100 TB when the batch outgrows
+  the threshold).
+
+The probe separates CONSTRUCTION cost (the Bloom build job + the
+plan-literal bitmap through analysis — paid once per micro-batch) from
+steady-state EXECUTION. At incremental_dedup level the exec effect is
+within noise at test scale (the near gate's shingling dominates the
+operator); the isolated exact-gate A/B at 20M corpus rows measures the
+mechanism itself at 3.1x (shuffle) / 2.3x (broadcast) — numbers recorded
+in SCALE.md §4. This is why ``bloom_m_bits`` defaults to None and the
+streaming loop opts in.
 
 Usage:
-  PYTHONPATH=. python tools/bloom_crossover_probe.py [SF_DIR] [RUNS]
+  PYTHONPATH=. python tools/bloom_crossover_probe.py [SF_DIR] [RUNS] [COPIES]
 
-Defaults: SF_DIR=/root/testdata/sf0.1, RUNS=3. Prints one JSON line:
-  {ratio: {"off": sec, "on": sec, "speedup": off/on}, ...}
+Defaults: SF_DIR=/root/testdata/sf0.1, RUNS=3, COPIES=64 (corpus =
+documents replicated with disjoint ids -> ~320k docs at sf0.1). Prints one
+JSON line with both regimes' off/on medians.
 """
 
 from __future__ import annotations
@@ -33,6 +50,7 @@ def median(xs: list[float]) -> float:
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     runs = int(sys.argv[2]) if len(sys.argv) > 2 else 3
+    copies = int(sys.argv[3]) if len(sys.argv) > 3 else 64
 
     from pyspark.sql import functions as F
 
@@ -41,38 +59,64 @@ def main() -> None:
     from sport_data_pipeline_spark.session import get_session
 
     spark = get_session("bloom_crossover_probe")
-    docs = load_table(spark, sf_dir, "documents")
-    n_docs = docs.count()
-    # fixed small batch (the steady-state shape: batch << corpus)
-    batch = docs.filter(F.col("doc_id") % 97 == 0).limit(200).persist()
-    batch.count()
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang", "source"
+    )
+    base = docs.count()
+    # corpus: disjoint-id replicas; texts get a per-copy suffix so the
+    # replicas are distinct content (no cross-copy dup matches)
+    copy_ids = spark.range(copies).select(F.col("id").alias("__c"))
+    corpus = (
+        docs.crossJoin(F.broadcast(copy_ids))
+        .select(
+            (F.col("doc_id") + F.col("__c") * 1_000_000).alias("doc_id"),
+            F.concat(F.col("text"), F.lit(" rep"), F.col("__c")).alias("text"),
+            "lang",
+            "source",
+        )
+        .persist()
+    )
+    n_corpus = corpus.count()
+    batch = docs.filter(F.col("doc_id") % 25 == 0).persist()
+    n_batch = batch.count()
+
+    def run(bloom: int | None) -> tuple[float, float]:
+        # construction (the Bloom build job + plan literal + analysis,
+        # paid once per micro-batch in a loop) timed separately from
+        # steady-state execution (the per-row probe cost at scale)
+        t0 = time.time()
+        df = incremental_dedup(
+            batch, corpus, "doc_id", "text",
+            block_cols=["lang", "source"], threshold=0.5, shingle_n=3,
+            bloom_m_bits=bloom,
+        )
+        construct = time.time() - t0
+        ts = []
+        for _ in range(runs):
+            t = time.time()
+            df.count()
+            ts.append(time.time() - t)
+        return construct, median(ts)
 
     out: dict[str, dict[str, float]] = {}
-    for frac_denom in (8, 4, 2, 1):
-        corpus = docs.filter(F.col("doc_id") % frac_denom == 1).persist()
-        n_corpus = corpus.count()
-
-        def run(bloom: int | None) -> float:
-            ts = []
-            for _ in range(runs):
-                t = time.time()
-                incremental_dedup(
-                    batch, corpus, "doc_id", "text",
-                    block_cols=["lang", "source"], threshold=0.5, shingle_n=3,
-                    bloom_m_bits=bloom,
-                ).count()
-                ts.append(time.time() - t)
-            return median(ts)
-
-        off, on = run(None), run(65536)
-        out[f"corpus={n_corpus}"] = {
-            "off": round(off, 3),
-            "on": round(on, 3),
-            "speedup": round(off / on, 3),
+    for regime, conf in (
+        ("broadcast", "10485760"),  # Spark default threshold
+        ("shuffle", "-1"),          # what a past-threshold batch plans as
+    ):
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", conf)
+        (c_off, off), (c_on, on) = run(None), run(16384)
+        out[regime] = {
+            "construct_off": round(c_off, 3),
+            "construct_on": round(c_on, 3),
+            "exec_off": round(off, 3),
+            "exec_on": round(on, 3),
+            "exec_speedup": round(off / on, 3),
         }
-        corpus.unpersist()
-    print(json.dumps({"sf_dir": sf_dir, "n_docs": n_docs, "batch": 200,
-                      "runs": runs, "results": out}))
+    spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    print(json.dumps({
+        "sf_dir": sf_dir, "base_docs": base, "corpus": n_corpus,
+        "batch": n_batch, "runs": runs, "results": out,
+    }))
 
 
 if __name__ == "__main__":

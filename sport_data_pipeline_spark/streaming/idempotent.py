@@ -20,12 +20,19 @@ The fix is the standard epoch-partition discipline:
 
 Together these give exactly-once OBSERVABLE semantics for the
 append-only-fold ingest loops (stream_ingest_dedup and siblings) on top
-of at-least-once batch delivery. Unit-pinned in
+of at-least-once batch delivery. ``compact_epochs`` is the matching
+maintenance job: it rolls completed epochs into the base partition (one
+small file per epoch otherwise accrues without bound) without changing
+any future batch's visible state. Unit-pinned in
 tests/test_streaming_idempotent.py (replayed epoch leaves byte-identical
-state; reads never see the current epoch).
+state; reads never see the current epoch; compaction preserves
+visibility).
 """
 
 from __future__ import annotations
+
+import os
+import shutil
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -43,6 +50,72 @@ def epoch_write(df: DataFrame, path: str, epoch: int) -> None:
         .mode("overwrite")
         .parquet(path)
     )
+
+
+def compact_epochs(spark: SparkSession, path: str, below_epoch: int) -> int:
+    """Roll every ``__epoch < below_epoch`` partition into the base
+    ``__epoch=-1`` partition — the maintenance job for a long-running
+    ingest loop, whose state otherwise accrues one small file per epoch
+    (a million 100 KB files is a scheduler problem before it is an IO
+    problem).
+
+    Correctness under the epoch-visibility rule: a future batch at epoch
+    e >= ``below_epoch`` filters state to ``__epoch < e``, which
+    includes the base partition, so merging completed epochs into -1 is
+    invisible to it. MUST only be called between micro-batches (e.g.
+    from a trigger-completion hook) with ``below_epoch`` <= the next
+    epoch to run, and never concurrently with a reader — the partition
+    swap, like ``compact_parquet``'s, is not atomic. Returns the number
+    of epoch partitions rolled up."""
+    from ..checkpointing import stage_checkpoint
+
+    tmp_part = os.path.join(path, f"{EPOCH_COL}=-2")
+    marker = os.path.join(path, "__epoch_compact_commit")
+
+    def _finish(below: int) -> None:
+        # the tmp partition holds the complete merged base: drop the
+        # rolled-up sources + old base, promote tmp, clear the marker
+        for d in os.listdir(path):
+            if d.startswith(f"{EPOCH_COL}=") and -1 <= int(d.split("=", 1)[1]) < below:
+                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
+        os.rename(tmp_part, os.path.join(path, f"{EPOCH_COL}=-1"))
+        os.remove(marker)
+
+    if os.path.exists(marker):
+        # a previous run crashed AFTER committing its tmp (marker present
+        # => the tmp write completed): the tmp may hold the only full
+        # copy of partitions already removed, so finish THAT swap first
+        if os.path.isdir(tmp_part):
+            _finish(int(open(marker).read()))
+        else:
+            os.remove(marker)  # crashed after the rename, before cleanup
+    else:
+        # no marker => any tmp is an uncommitted partial write; sources
+        # are all intact, so discarding it and redoing is safe
+        shutil.rmtree(tmp_part, ignore_errors=True)
+
+    roll = [
+        d
+        for d in os.listdir(path)
+        if d.startswith(f"{EPOCH_COL}=")
+        and d != f"{EPOCH_COL}=-1"
+        and -1 <= int(d.split("=", 1)[1]) < below_epoch
+    ]
+    if not roll:
+        return 0
+    # materialize BEFORE touching directories (stage_checkpoint severs the
+    # lineage from the files about to be replaced — Spark refuses to
+    # overwrite a path its own plan still reads)
+    merged = stage_checkpoint(
+        spark.read.parquet(path)
+        .filter((F.col(EPOCH_COL) >= -1) & (F.col(EPOCH_COL) < below_epoch))
+        .drop(EPOCH_COL)
+    )
+    epoch_write(merged, path, -2)
+    with open(marker, "w") as fh:
+        fh.write(str(below_epoch))
+    _finish(below_epoch)
+    return len(roll)
 
 
 def epoch_read(spark: SparkSession, path: str, before_epoch: int | None = None) -> DataFrame:

@@ -57,3 +57,37 @@ def test_epoch_read_excludes_current_epoch(spark):
         assert "PartitionFilters" in plan and EPOCH_COL in plan
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compact_epochs_rolls_up_and_preserves_visibility(spark):
+    from sport_data_pipeline_spark.streaming.idempotent import compact_epochs
+
+    tmp = tempfile.mkdtemp(prefix="sdp_epoch_")
+    try:
+        import os
+
+        epoch_write(spark.range(0, 3).select(F.col("id")), tmp, -1)  # preseed
+        for e in range(4):
+            lo = 10 * (e + 1)
+            epoch_write(spark.range(lo, lo + 2).select(F.col("id")), tmp, e)
+        rolled = compact_epochs(spark, tmp, below_epoch=3)
+        assert rolled == 3  # epochs 0,1,2 folded into the base
+        # partition layout: only the base and epoch 3 remain
+        parts = sorted(d for d in os.listdir(tmp) if d.startswith(EPOCH_COL))
+        assert parts == [f"{EPOCH_COL}=-1", f"{EPOCH_COL}=3"]
+        # full contents unchanged
+        everything = [0, 1, 2, 10, 11, 20, 21, 30, 31, 40, 41]
+        assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == everything
+        # visibility for the NEXT batch (epoch 4) is unchanged: everything
+        assert (
+            sorted(r["id"] for r in epoch_read(spark, tmp, before_epoch=4).collect())
+            == everything
+        )
+        # and epoch 3's own view (base + earlier epochs) is also unchanged
+        assert sorted(
+            r["id"] for r in epoch_read(spark, tmp, before_epoch=3).collect()
+        ) == [0, 1, 2, 10, 11, 20, 21, 30, 31]
+        # idempotent: nothing below 3 left to roll
+        assert compact_epochs(spark, tmp, below_epoch=3) == 0
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

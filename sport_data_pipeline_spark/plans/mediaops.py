@@ -52,7 +52,7 @@ import struct
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
 from ..checkpointing import stage_checkpoint
-from ..streaming.idempotent import epoch_read, epoch_write
+from ..streaming.idempotent import compact_epochs, epoch_read, epoch_write
 from ..operators.multimodal import (
     MEDIA_SCHEMA,
     extract_audio_meta,
@@ -3756,6 +3756,13 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # maintenance between stream runs: roll completed epochs into the
+        # base partition (one small file per epoch otherwise accrues over
+        # an unbounded poll loop). The result read below runs AFTER the
+        # roll-up, so the compaction's content-preservation is under the
+        # same hash as the routing itself.
+        compact_epochs(spark, state_dir, below_epoch=4)
+        compact_epochs(spark, routed_dir, below_epoch=4)
         return stage_checkpoint(
             spark.read.parquet(routed_dir)
             .select(

@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window, functions as F
 
 from ..catalog import load_table
+from ..streaming.idempotent import epoch_read, epoch_write
 from .registry import query
 
 
@@ -728,8 +729,11 @@ def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         streamed_sessions = sessions_of(stream.withWatermark("ts", "3650 days"))
 
-        def sink(batch: DataFrame, _epoch: int) -> None:
-            batch.write.mode("append").parquet(out_dir)
+        def sink(batch: DataFrame, epoch: int) -> None:
+            # epoch-partitioned idempotent append (streaming/idempotent.py):
+            # a replayed epoch overwrites exactly its own partition, so
+            # at-least-once foreachBatch delivery cannot double-append
+            epoch_write(batch, out_dir, epoch)
 
         q = (
             streamed_sessions.writeStream.foreachBatch(sink)
@@ -742,7 +746,7 @@ def stream_session_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
         n_batches = sum(1 for p in q.recentProgress if p["numInputRows"] > 0)
 
         streamed = (
-            spark.read.parquet(out_dir).filter(F.col("user_id") != -999)
+            epoch_read(spark, out_dir).filter(F.col("user_id") != -999)
             if os.path.exists(out_dir)
             else None
         )

@@ -62,11 +62,14 @@ def compact_epochs(spark: SparkSession, path: str, below_epoch: int) -> int:
     Correctness under the epoch-visibility rule: a future batch at epoch
     e >= ``below_epoch`` filters state to ``__epoch < e``, which
     includes the base partition, so merging completed epochs into -1 is
-    invisible to it. MUST only be called between micro-batches (e.g.
-    from a trigger-completion hook) with ``below_epoch`` <= the next
-    epoch to run, and never concurrently with a reader — the partition
-    swap, like ``compact_parquet``'s, is not atomic. Returns the number
-    of epoch partitions rolled up."""
+    invisible to it. ``below_epoch`` must cover only COMMITTED epochs:
+    from inside a running foreachBatch at epoch e pass ``below_epoch=e``
+    (never e+1 — the current epoch's commit is not recorded yet, and a
+    crash-replay of it after a roll-up that swallowed its rows would
+    double-count them against the base); from between stream runs, the
+    next epoch to start. Never run concurrently with a reader — the
+    partition swap, like ``compact_parquet``'s, is not atomic. Returns
+    the number of epoch partitions rolled up."""
     from ..checkpointing import stage_checkpoint
 
     tmp_part = os.path.join(path, f"{EPOCH_COL}=-2")

@@ -17,10 +17,13 @@ per-batch cost grow with batch index? The fold is designed not to —
     production deployment amortizes it by persisting the signature table
     alongside the corpus (noted in SCALE.md §10).
 
-Every ``--compact-every`` batches the probe runs ``compact_parquet`` on
-the state dir (the maintenance op) so file-count growth from append-only
-folding doesn't degrade the scan — the integration the maintenance ops
-exist for.
+The fold uses the EXACTLY-ONCE epoch discipline the registered queries
+run (streaming/idempotent.py): per-epoch partitioned writes, state reads
+of strictly-earlier epochs, and every ``--compact-every`` batches an
+``compact_epochs`` roll-up of the state (the maintenance op) so the
+one-file-per-epoch accumulation doesn't degrade the scan — the
+integration the maintenance ops exist for, now exercised at ~100-epoch
+scale.
 
 Usage:
   PYTHONPATH=. python tools/stream_longrun_probe.py [SF_DIR] [N_BATCHES] [COMPACT_EVERY] [USE_INDEX]
@@ -64,7 +67,11 @@ def main() -> None:
         incremental_dedup,
     )
     from sport_data_pipeline_spark.session import get_session
-    from sport_data_pipeline_spark.sources.sinks import compact_parquet
+    from sport_data_pipeline_spark.streaming.idempotent import (
+        compact_epochs,
+        epoch_read,
+        epoch_write,
+    )
 
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
     n_batches = int(sys.argv[2]) if len(sys.argv) > 2 else 100
@@ -89,11 +96,15 @@ def main() -> None:
     batch_sec: list[float] = []
     state_trend: list[tuple[int, int]] = []  # (files, bytes) per batch
     try:
-        corpus0.write.parquet(state_dir)
+        epoch_write(corpus0, state_dir, -1)
         if use_index:
-            build_dedup_index(
-                corpus0, "doc_id", "text", ["lang", "source"], shingle_n=3
-            ).write.parquet(index_dir)
+            epoch_write(
+                build_dedup_index(
+                    corpus0, "doc_id", "text", ["lang", "source"], shingle_n=3
+                ),
+                index_dir,
+                -1,
+            )
 
         # pre-write one parquet file per micro-batch with strictly
         # increasing mtimes (the file source triggers oldest-first); much
@@ -125,9 +136,11 @@ def main() -> None:
 
         schema = spark.read.parquet(in_dir).schema
 
-        def route_batch(batch, _epoch: int) -> None:
+        def route_batch(batch, epoch: int) -> None:
             t = time.perf_counter()
-            corpus_side = spark.read.parquet(index_dir if use_index else state_dir)
+            corpus_side = epoch_read(
+                spark, index_dir if use_index else state_dir, before_epoch=epoch
+            )
             routed = incremental_dedup(
                 batch,
                 corpus_side,
@@ -138,23 +151,31 @@ def main() -> None:
                 shingle_n=3,
                 minhash_candidates=(32, 16),  # the full-corpus-scale gate
             ).localCheckpoint(eager=True)
-            routed.write.mode("append").parquet(routed_dir)
+            epoch_write(routed, routed_dir, epoch)
             kept = batch.join(
                 routed.filter(F.col("status") == "kept"), "doc_id", "left_semi"
             )
-            kept.write.mode("append").parquet(state_dir)
+            epoch_write(kept, state_dir, epoch)
             if use_index:  # fold the index forward like the corpus
-                build_dedup_index(
-                    kept, "doc_id", "text", ["lang", "source"], shingle_n=3
-                ).write.mode("append").parquet(index_dir)
+                epoch_write(
+                    build_dedup_index(
+                        kept, "doc_id", "text", ["lang", "source"], shingle_n=3
+                    ),
+                    index_dir,
+                    epoch,
+                )
             spark.catalog.clearCache()  # drop per-batch persisted signatures
             batch_sec.append(round(time.perf_counter() - t, 3))
             state_trend.append(dir_stats(state_dir))
             if compact_every and len(batch_sec) % compact_every == 0:
                 tc = time.perf_counter()
-                compact_parquet(spark, state_dir, target_mb=128)
+                # roll COMMITTED epochs (strictly before the current one)
+                # into the base partition; the current epoch stays its own
+                # partition so a crash-replay of it still overwrites
+                # cleanly instead of double-counting against the base
+                compact_epochs(spark, state_dir, below_epoch=epoch)
                 if use_index:
-                    compact_parquet(spark, index_dir, target_mb=128)
+                    compact_epochs(spark, index_dir, below_epoch=epoch)
                 print(
                     f"# compacted state after batch {len(batch_sec)}: "
                     f"{dir_stats(state_dir)[0]} files, "

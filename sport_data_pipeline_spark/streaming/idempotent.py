@@ -42,7 +42,16 @@ EPOCH_COL = "__epoch"
 def epoch_write(df: DataFrame, path: str, epoch: int) -> None:
     """Idempotently land ``df`` as the ``__epoch=epoch`` partition of
     ``path`` — dynamic overwrite replaces only this epoch's partition,
-    so a foreachBatch replay of the same epoch is a no-op in effect."""
+    so a foreachBatch replay of the same epoch is a no-op in effect.
+
+    The epoch's partition directory is dropped FIRST: dynamic overwrite
+    only replaces partitions present in the written rows, so a replay
+    whose recomputation legitimately produces ZERO rows would otherwise
+    leave the failed attempt's stale partition in place. (Local-path
+    delete; a DFS deployment swaps in the Hadoop FileSystem call.)"""
+    part = os.path.join(path, f"{EPOCH_COL}={int(epoch)}")
+    if os.path.isdir(part):
+        shutil.rmtree(part, ignore_errors=True)
     (
         df.withColumn(EPOCH_COL, F.lit(int(epoch)))
         .write.partitionBy(EPOCH_COL)
@@ -115,6 +124,10 @@ def compact_epochs(spark: SparkSession, path: str, below_epoch: int) -> int:
         .drop(EPOCH_COL)
     )
     epoch_write(merged, path, -2)
+    # an all-empty roll-up writes no files: materialize the tmp partition
+    # dir anyway so the promote-rename below is unconditional (an empty
+    # partition directory is invisible to readers)
+    os.makedirs(tmp_part, exist_ok=True)
     with open(marker, "w") as fh:
         fh.write(str(below_epoch))
     _finish(below_epoch)

@@ -91,3 +91,26 @@ def test_compact_epochs_rolls_up_and_preserves_visibility(spark):
         assert compact_epochs(spark, tmp, below_epoch=3) == 0
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_epoch_write_zero_row_replay_clears_stale_partition(spark):
+    """A replay whose recomputation produces ZERO rows must still erase
+    the failed attempt's partition — dynamic overwrite alone would not
+    (it only replaces partitions present in the written rows)."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="sdp_epoch_")
+    try:
+        epoch_write(spark.range(0, 3).select(F.col("id")), tmp, 0)
+        epoch_write(spark.range(50, 53).select(F.col("id")), tmp, 1)  # "failed" attempt
+        empty = spark.range(0, 0).select(F.col("id"))
+        epoch_write(empty, tmp, 1)  # replay computes nothing
+        assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == [0, 1, 2]
+        assert not os.path.isdir(os.path.join(tmp, f"{EPOCH_COL}=1"))
+        # compaction over a mix that includes zero-row epochs still works
+        from sport_data_pipeline_spark.streaming.idempotent import compact_epochs
+
+        assert compact_epochs(spark, tmp, below_epoch=2) == 1
+        assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == [0, 1, 2]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -472,6 +472,80 @@ def source_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Weighted corpus sampling (integer-weight replicated-hash bottom-k): each
+# document gets w deterministic md5 "tickets"; its selection key is the
+# minimum ticket, and the sample is the k smallest keys. Inclusion
+# probability rises monotonically with w (P = 1-(1-p)^w over the hash
+# space), giving a length/quality-weighted mixture draw that is
+# INTEGER-EXACT and engine-portable — no ln()/pow() order-statistics
+# (Efraimidis-Spirakis keys need floating-point transcendentals no two
+# engines bit-agree on).
+# ---------------------------------------------------------------------------
+
+_WSAMPLE_K = 50
+
+WEIGHTED_SAMPLE_ORACLE = f"""
+WITH w AS (
+  SELECT doc_id, LEAST(8, GREATEST(1, 1 + n_chars // 400)) AS w FROM documents
+),
+keys AS (
+  SELECT w.doc_id, w.w,
+         MIN(('0x' || substr(md5(j.j::VARCHAR || ':' || w.doc_id::VARCHAR),
+                             1, 15))::BIGINT) AS skey
+  FROM w, LATERAL (SELECT unnest(range(1, w.w + 1)) AS j) j
+  GROUP BY 1, 2
+)
+SELECT CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(w AS INTEGER) AS w,
+       CAST(skey AS BIGINT) AS skey
+FROM keys ORDER BY skey, doc_id LIMIT {_WSAMPLE_K}
+"""
+
+
+@query("weighted_doc_sample", survey="llm-mixture,O1", oracle=WEIGHTED_SAMPLE_ORACLE)
+def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic WEIGHTED sample of the corpus (new r13): documents
+    draw w = clamp(1 + n_chars/400, 1..8) replicated md5 tickets and the
+    k smallest minimum-tickets win — the mixture-sampling primitive for
+    "sample training docs proportionally to quality/length" that stays
+    bit-portable across engines (integer hashes only; the classic
+    exp/ln order-statistics keys are not cross-engine reproducible).
+
+    Physical shape is the scale story: the ticket array and its min are
+    ONE map-side projection (``transform`` over ``sequence(1, w)`` —
+    no explode, no shuffle), and the global bottom-k plans as
+    TakeOrderedAndProject (per-partition top-k, one k-row merge) — the
+    same no-global-sort shape as ``kmv_bottomk``. At 100 TB the sample
+    costs one corpus scan plus a k-row reduce."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.least(
+        F.lit(8), F.greatest(F.lit(1), (F.lit(1) + F.floor(F.col("n_chars") / 400)))
+    ).cast("int")
+
+    def ticket(j: Column) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        j.cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    skey = F.array_min(F.transform(F.sequence(F.lit(1), w), ticket))
+    return (
+        d.select(F.col("doc_id"), w.alias("w"), skey.alias("skey"))
+        .orderBy("skey", "doc_id")
+        .limit(_WSAMPLE_K)
+    )
+
+
+# ---------------------------------------------------------------------------
 # Sequence-packing statistics: greedy shard-local packing of documents into
 # fixed 512-token training bins (cumulative token count over a deterministic
 # doc order → bin id). Packing stays WITHIN (lang, source) shards so the

@@ -1646,6 +1646,11 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrouted scan), and the batch's kept vectors fold back APPEND-ONLY
     with ``assign_to_cells`` (nearest EXISTING cell, radii updated as a
     running max — no refit; production refits at compaction time).
+    RESTART caveat: the radius running-max rides the driver, so a
+    production deployment must persist the k-row cell table next to the
+    state (epoch_write of k rows per batch) and reload it on stream
+    restart — stale (smaller) radii would turn the lossless prune lossy.
+    Batch REPLAY within a run is safe as-is: max is idempotent.
     Per-batch cost is |batch|·k bound checks + the matched cells only —
     the first registration of this query scanned batch × full corpus and
     measured 26× at 10× data (both sides grow); the index routing is what

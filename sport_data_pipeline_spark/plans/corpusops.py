@@ -545,6 +545,78 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STRATIFIED_WSAMPLE_ORACLE = """
+WITH w AS (
+  SELECT doc_id, lang, LEAST(8, GREATEST(1, 1 + n_chars // 400)) AS w
+  FROM documents
+),
+keys AS (
+  SELECT w.doc_id, w.lang, w.w,
+         MIN(('0x' || substr(md5(j.j::VARCHAR || ':' || w.doc_id::VARCHAR),
+                             1, 15))::BIGINT) AS skey
+  FROM w, LATERAL (SELECT unnest(range(1, w.w + 1)) AS j) j
+  GROUP BY 1, 2, 3
+),
+ranked AS (
+  SELECT lang, doc_id, w, skey,
+         row_number() OVER (PARTITION BY lang ORDER BY skey, doc_id) AS rk
+  FROM keys
+)
+SELECT lang,
+       CAST(doc_id AS BIGINT) AS doc_id,
+       CAST(w AS INTEGER) AS w,
+       CAST(skey AS BIGINT) AS skey,
+       CAST(rk AS BIGINT) AS rk
+FROM ranked WHERE rk <= 10 ORDER BY lang, rk
+"""
+
+
+@query(
+    "stratified_weighted_sample",
+    survey="llm-mixture,W1",
+    oracle=STRATIFIED_WSAMPLE_ORACLE,
+)
+def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-language weighted sample (new r13) — the STRATIFIED twin of
+    ``weighted_doc_sample``: the same integer replicated-ticket keys,
+    but the k smallest are taken PER LANGUAGE via one window over the
+    (lang) hash partitioning — the mixture construction "n docs per
+    language, drawn proportionally to length/quality" that a training
+    recipe actually specifies. Same portability argument (integer md5
+    tickets, no transcendental order-statistics); physical shape is one
+    map-side projection + ONE partitioned window — no global sort, and
+    the per-group output bound keeps the result constant-size as the
+    corpus grows."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.least(
+        F.lit(8), F.greatest(F.lit(1), (F.lit(1) + F.floor(F.col("n_chars") / 400)))
+    ).cast("int")
+
+    def ticket(j: Column) -> Column:
+        return F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        j.cast("string"), F.lit(":"), F.col("doc_id").cast("string")
+                    ).cast("binary")
+                ),
+                1,
+                15,
+            ),
+            16,
+            10,
+        ).cast("long")
+
+    skey = F.array_min(F.transform(F.sequence(F.lit(1), w), ticket))
+    win = Window.partitionBy("lang").orderBy(F.asc("skey"), F.asc("doc_id"))
+    return (
+        d.select("lang", F.col("doc_id"), w.alias("w"), skey.alias("skey"))
+        .withColumn("rk", F.row_number().over(win).cast("long"))
+        .filter(F.col("rk") <= 10)
+        .orderBy("lang", "rk")
+    )
+
+
 # ---------------------------------------------------------------------------
 # Sequence-packing statistics: greedy shard-local packing of documents into
 # fixed 512-token training bins (cumulative token count over a deterministic

@@ -486,7 +486,7 @@ _WSAMPLE_K = 50
 
 WEIGHTED_SAMPLE_ORACLE = f"""
 WITH w AS (
-  SELECT doc_id, LEAST(8, GREATEST(1, 1 + n_chars // 400)) AS w FROM documents
+  SELECT doc_id, LEAST(8, GREATEST(1, 1 + COALESCE(n_chars, 0) // 400)) AS w FROM documents
 ),
 keys AS (
   SELECT w.doc_id, w.w,
@@ -519,7 +519,10 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     costs one corpus scan plus a k-row reduce."""
     d = _t(spark, sf_dir, "documents")
     w = F.least(
-        F.lit(8), F.greatest(F.lit(1), (F.lit(1) + F.floor(F.col("n_chars") / 400)))
+        F.lit(8),
+        F.greatest(
+            F.lit(1), (F.lit(1) + F.floor(F.coalesce(F.col("n_chars"), F.lit(0)) / 400))
+        ),
     ).cast("int")
 
     def ticket(j: Column) -> Column:
@@ -547,7 +550,7 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 STRATIFIED_WSAMPLE_ORACLE = """
 WITH w AS (
-  SELECT doc_id, lang, LEAST(8, GREATEST(1, 1 + n_chars // 400)) AS w
+  SELECT doc_id, lang, LEAST(8, GREATEST(1, 1 + COALESCE(n_chars, 0) // 400)) AS w
   FROM documents
 ),
 keys AS (
@@ -589,7 +592,10 @@ def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus grows."""
     d = _t(spark, sf_dir, "documents")
     w = F.least(
-        F.lit(8), F.greatest(F.lit(1), (F.lit(1) + F.floor(F.col("n_chars") / 400)))
+        F.lit(8),
+        F.greatest(
+            F.lit(1), (F.lit(1) + F.floor(F.coalesce(F.col("n_chars"), F.lit(0)) / 400))
+        ),
     ).cast("int")
 
     def ticket(j: Column) -> Column:

@@ -114,3 +114,63 @@ def test_epoch_write_zero_row_replay_clears_stale_partition(spark):
         assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == [0, 1, 2]
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
+
+
+from hypothesis import given, settings, strategies as st
+
+
+# op alphabet for the property below: (epoch, payload) writes where a
+# repeated epoch models a foreachBatch REPLAY (possibly with different
+# recomputed rows), interleaved with roll-ups of all committed epochs.
+_ops = st.lists(
+    st.one_of(
+        st.tuples(
+            st.integers(min_value=0, max_value=5),           # epoch
+            st.lists(st.integers(0, 99), max_size=4),        # recomputed rows
+        ),
+        st.just("compact"),
+    ),
+    min_size=1,
+    max_size=7,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_ops)
+def test_epoch_discipline_matches_pure_model(spark, ops):
+    """Any interleaving of epoch writes, replays (same epoch, possibly
+    different rows), and committed-epoch roll-ups must leave exactly the
+    last write per epoch visible — the pure-dict model of exactly-once."""
+    tmp = tempfile.mkdtemp(prefix="sdp_epoch_prop_")
+    try:
+        from sport_data_pipeline_spark.streaming.idempotent import compact_epochs
+
+        # non-empty preseed, like every real loop (an ALL-empty parquet
+        # dir cannot infer a schema — loops always land seed state first)
+        epoch_write(spark.createDataFrame([(1,)], "id bigint"), tmp, -1)
+        model: dict[int, list[int]] = {-1: [1]}
+        max_epoch = -1
+        for op in ops:
+            if op == "compact":
+                # roll everything committed so far (all epochs written are
+                # complete between ops in this model)
+                compact_epochs(spark, tmp, below_epoch=max_epoch + 1)
+                merged = sorted(v for rows in model.values() for v in rows)
+                model = {-1: merged}
+            else:
+                epoch, rows = op
+                vals = [10_000 * (epoch + 1) + r for r in rows]  # epoch-tagged
+                epoch_write(
+                    spark.createDataFrame([(v,) for v in vals], "id bigint")
+                    if vals
+                    else spark.range(0, 0).select(F.col("id")),
+                    tmp,
+                    epoch,
+                )
+                model[epoch] = vals  # replay REPLACES the epoch
+                max_epoch = max(max_epoch, epoch)
+        got = sorted(r["id"] for r in epoch_read(spark, tmp).collect())
+        want = sorted(v for rows in model.values() for v in rows)
+        assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)

@@ -237,6 +237,33 @@ def query(
 #: map-only regexp-chain projection shape stays via
 #: warc_ingest_pipeline's gate + string_normalize_slug — new accepted
 #: exception llm-pii).
+#: r14 rotation (10 swaps): IN came all ten COVERAGE.md "r14 candidates"
+#: (each re-verified bit-exact at sf0.01 with tools/oracle_check.py at
+#: the end of r13 AND again this session immediately before the swap):
+#: stream_crawl_ingest (the T1/X3 streaming twin of warc_ingest_pipeline
+#: — a real StreamingQuery folding per-batch KEPT hashes into the
+#: epoch-partitioned index), weighted_doc_sample +
+#: stratified_weighted_sample (deterministic weighted bottom-k corpus
+#: mixture draws, zero-exchange / one-window plans), and the seven
+#: deferred frozen-profile codec rows (gif_animation_stats,
+#: tiff_predictor_pixel_stats, png_adam7_pixel_stats,
+#: audio_stereo_downmix_stats, tiff_deflate_pixel_stats, audio_mp3_meta,
+#: audio_flac_meta — zero new decode code, per the r13 codec freeze).
+#: OUT went ten r13 green-row holders whose tags stay in-window:
+#: the four r13 media first-row holders (tiff_compressed/bmp_rle/
+#: video_keyframe/audio_float — llm-multimodal/X6 stays via the seven
+#: incoming codec rows + stream_crawl_ingest + media_neardup_clusters),
+#: warc_extract_stats + warc_to_documents (llm-multimodal/X6 as above;
+#: UDTF is a long-standing accepted exception, explode shape in-window
+#: via dedup_spans_rewrite + corpus_train_shards; warc_ingest_pipeline
+#: STAYS as the WARC/llm-quality holder), and four of the five
+#: deterministic sketches (hll_distinct_sketch, cms_event_frequency,
+#: bloom_semi_prune, dyadic_quantile_sketch — sketch-distinct/A2(approx)
+#: stay via kmv_corpus_overlap which STAYS as the llm-decontam holder;
+#: sketch-countmin/sketch-bloom/sketch-quantile/A5(approx)/A7(approx)
+#: fall back to their pre-r13 accepted exceptions, all still
+#: DuckDB-oracled locally; J1 stays via top_performers +
+#: snapshot_table_diff).
 DRIVER_WINDOW: tuple[str, ...] = (
     # relational core
     "top_performers",
@@ -254,6 +281,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # distributed quantile / rank family
     "global_exact_quantiles",
     "systematic_token_sample",
+    # weighted corpus mixture draws (deterministic bottom-k)
+    "weighted_doc_sample",
+    "stratified_weighted_sample",
     # text / parsing
     "json_extract_stats",
     "string_normalize_slug",
@@ -273,12 +303,9 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "term_mapping",
     "record_unification",
     "external_id_lookup",
-    # deterministic sketch family (register-level cross-engine oracles)
-    "hll_distinct_sketch",
-    "cms_event_frequency",
+    # deterministic sketch family representative (register-level
+    # cross-engine oracle; also the llm-decontam set-level scale path)
     "kmv_corpus_overlap",
-    "bloom_semi_prune",
-    "dyadic_quantile_sketch",
     # e2e: bronze snapshots -> DataSource read -> refine -> gate -> dedup
     "e2e_daily_pipeline",
     # LLM corpus prep + tokenizer family (encode leg; the trainer's merge
@@ -291,16 +318,19 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stream_batch_equivalence",
     "stream_session_equivalence",
     "stream_join_equivalence",
-    # multimodal decode + media near-dup clusters
+    # multimodal decode (frozen-profile codec rows) + media near-dup
     "media_neardup_clusters",
-    "tiff_compressed_pixel_stats",
-    "bmp_rle_pixel_stats",
-    "video_keyframe_stats",
-    "audio_float_stats",
-    # WARC/WET web-archive ingestion (extract -> explode -> e2e pipeline)
-    "warc_extract_stats",
-    "warc_to_documents",
+    "gif_animation_stats",
+    "tiff_predictor_pixel_stats",
+    "png_adam7_pixel_stats",
+    "audio_stereo_downmix_stats",
+    "tiff_deflate_pixel_stats",
+    "audio_mp3_meta",
+    "audio_flac_meta",
+    # WARC/WET web-archive ingestion: batch e2e + its streaming twin
+    # (a real StreamingQuery folding per-batch state via epoch sinks)
     "warc_ingest_pipeline",
+    "stream_crawl_ingest",
 )
 
 

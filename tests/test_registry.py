@@ -130,12 +130,13 @@ def test_window_covers_all_survey_ops():
         "dedup-exact",
         # (dedup-clusters was accepted here r9–r11; the r12 rotation
         # returned it to the window via media_neardup_clusters.)
-        # --- r12-new deterministic sketch family (r13 rotation
-        # candidates): register-level bit-exact HLL + Count-Min with the
-        # merge operator pinned in-query; the in-window siblings of the
-        # same bounded-state contract shape are heavy_hitters_sketch
-        # (Misra-Gries) and the error-bound pattern sketch_profile
-        # established. Both stay DuckDB-oracled locally until rotated in.
+        # --- r12-new deterministic sketch family: register-level
+        # bit-exact HLL + Count-Min with the merge operator pinned
+        # in-query. All five sketches held green driver rows in r13;
+        # the r14 rotation kept kmv_corpus_overlap in-window (the
+        # sketch-distinct / A2(approx) / llm-decontam holder) and
+        # returned the other four to these pre-r13 accepted exceptions,
+        # all still DuckDB-oracled locally. ---
         "sketch-distinct",
         "sketch-countmin",
         "sketch-bloom",

@@ -28,6 +28,18 @@ in tests/test_checkpointing.py) — the conf trades failure semantics only.
 Reference shape: the reference's long ETL jobs restart from scratch on
 worker loss (single-process: SURVEY.md §3); at 100 TB a restart is not a
 strategy, so durability must be a first-class knob.
+
+CLEANUP in reliable mode: ``DataFrame.checkpoint`` never deletes its
+files by default (``spark.cleaner.referenceTracking.cleanCheckpoints``
+is false), and the iterative consumers checkpoint EVERY pass (the BPE
+trainer per merge, connected components per round) — a long session
+with ``CHECKPOINT_DIR_CONF`` set accumulates files without bound. When
+enabling the reliable dir, also set
+``spark.cleaner.referenceTracking.cleanCheckpoints=true`` (session conf,
+must be set at session build) so checkpoints whose DataFrames are
+garbage-collected are reaped, and point the dir at storage with a
+retention policy as the backstop — orphans from a crashed driver outlive
+any in-process cleaner.
 """
 
 from __future__ import annotations

@@ -125,7 +125,7 @@ class SportsAnalyticsEngine:
         from .operators.sketches import hll_registers, hll_sketch_summary
 
         m = 1 << p
-        s = hll_sketch_summary(hll_registers(df, [], col), [], p)
+        s = hll_sketch_summary(hll_registers(df, [], col, p), [], p)
         lc = F.lit(float(m)) * F.log(
             F.lit(float(m)) / (F.lit(m) - F.col("n_registers")).cast("double")
         )
@@ -447,7 +447,11 @@ class SportsAnalyticsEngine:
         if approx_quantiles:
             from .operators.sketches import dyadic_histogram, dyadic_quantile_picks
 
-            cents = p.select(
+            # NULL market_value (parse_market_value yields NULL for 'n/a')
+            # must not enter the histogram: percentile() ignores NULLs, so
+            # the sketch path filters them too or the cumulative walk
+            # counts a NULL bucket and skews every pick.
+            cents = p.filter(F.col("market_value").isNotNull()).select(
                 "position",
                 (F.col("market_value") * 100).cast("long").alias("__cents"),
             )

@@ -1,0 +1,101 @@
+"""Hadoop-FileSystem adapter for maintenance-path metadata operations.
+
+The epoch-sink discipline (streaming/idempotent.py) and the table
+maintenance jobs need a handful of filesystem operations the DataFrame
+API does not expose: drop a partition directory, promote a tmp partition
+with an atomic rename, read/write a small commit marker. ``os``/``shutil``
+only work when the table lives on the driver's local disk; a cluster
+deployment keeps loop state on HDFS/object storage. This adapter routes
+those operations through Hadoop's FileSystem API, obtained from the live
+SparkContext's Hadoop configuration, which resolves each path's scheme —
+scheme-less and ``file:`` paths go to the local filesystem (so local mode
+and the unit suite exercise the SAME code path a cluster uses), while
+``hdfs://``/``s3a://``/... resolve to the matching connector with the
+session's credentials and settings.
+
+Every method is a driver-side metadata call on a maintenance path (one
+JVM round-trip each), never a per-row operation; the data itself always
+moves through DataFrame reads/writes.
+
+Semantics relied on by callers:
+
+- ``rename`` is atomic on HDFS and on the local filesystem (POSIX
+  rename(2)); object stores emulating rename (S3A) make it a copy, which
+  is not atomic — callers that need atomicity on such stores should point
+  the maintenance path at a real filesystem (the commit-marker protocol in
+  streaming/idempotent.py degrades to at-least-once visibility of the
+  merged base during the copy window, never to data loss).
+- ``delete`` is recursive and a no-op on a missing path.
+- ``write_text`` + ``rename`` gives an atomic small-file publish: the
+  marker either exists with its full content or not at all.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+
+def join(path: str, name: str) -> str:
+    """URI-safe child join (``os.path.join`` mangles ``scheme://`` paths
+    on some platforms and is local-only by intent)."""
+    return path.rstrip("/") + "/" + name
+
+
+class HadoopFS:
+    """Thin py4j wrapper over ``org.apache.hadoop.fs.FileSystem`` for one
+    base path's filesystem. Construct per maintenance call — the Hadoop
+    FileSystem object itself is cached JVM-side per (scheme, authority,
+    ugi), so this is cheap."""
+
+    def __init__(self, spark: SparkSession, path: str):
+        self._jvm = spark._jvm
+        self._conf = spark._jsc.hadoopConfiguration()
+        self._fs = self._jpath(path).getFileSystem(self._conf)
+
+    def _jpath(self, path: str):
+        return self._jvm.org.apache.hadoop.fs.Path(path)
+
+    def exists(self, path: str) -> bool:
+        return bool(self._fs.exists(self._jpath(path)))
+
+    def is_dir(self, path: str) -> bool:
+        p = self._jpath(path)
+        return bool(self._fs.exists(p)) and bool(self._fs.getFileStatus(p).isDirectory())
+
+    def listdir(self, path: str) -> list[str]:
+        """Child NAMES (not paths) of a directory; [] for a missing path."""
+        p = self._jpath(path)
+        if not self._fs.exists(p):
+            return []
+        return [st.getPath().getName() for st in self._fs.listStatus(p)]
+
+    def delete(self, path: str) -> None:
+        """Recursive delete; no-op when the path does not exist."""
+        self._fs.delete(self._jpath(path), True)
+
+    def rename(self, src: str, dst: str) -> None:
+        """Atomic move (HDFS / local); raises if the filesystem refuses —
+        a silent False here would break the commit protocols built on it."""
+        if not self._fs.rename(self._jpath(src), self._jpath(dst)):
+            raise IOError(f"rename failed: {src} -> {dst}")
+
+    def mkdirs(self, path: str) -> None:
+        self._fs.mkdirs(self._jpath(path))
+
+    def read_text(self, path: str) -> str:
+        stream = self._fs.open(self._jpath(path))
+        try:
+            return str(
+                self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
+            )
+        finally:
+            stream.close()
+
+    def write_text(self, path: str, text: str) -> None:
+        """Plain (non-atomic) small-file write; pair with ``rename`` for
+        an atomic publish."""
+        out = self._fs.create(self._jpath(path), True)
+        try:
+            out.write(bytearray(text.encode("utf-8")))
+        finally:
+            out.close()

@@ -13,30 +13,42 @@ The fix is the standard epoch-partition discipline:
   overwrite, so a replayed epoch overwrites exactly its own partition and
   nothing else — the write is idempotent per epoch, regardless of how
   many times the batch re-runs.
-- READS of loop-owned state filter to ``__epoch < current`` — a replayed
-  epoch can never observe the partial output of its own failed attempt
-  (which would make re-crawled docs match themselves), only the epochs
-  that completed before it. Preseeded state lands at ``__epoch=-1``.
+- READS of loop-owned state filter to ``-1 <= __epoch < current`` — a
+  replayed epoch can never observe the partial output of its own failed
+  attempt (which would make re-crawled docs match themselves), only the
+  epochs that completed before it; and the compactor's ``__epoch=-2``
+  scratch partition is NEVER reader-visible, even to an unrestricted
+  read, so a crash mid-compaction cannot double-count the merged rows.
+  Preseeded state lands at ``__epoch=-1``.
 
 Together these give exactly-once OBSERVABLE semantics for the
 append-only-fold ingest loops (stream_ingest_dedup and siblings) on top
 of at-least-once batch delivery. ``compact_epochs`` is the matching
 maintenance job: it rolls completed epochs into the base partition (one
 small file per epoch otherwise accrues without bound) without changing
-any future batch's visible state. Unit-pinned in
-tests/test_streaming_idempotent.py (replayed epoch leaves byte-identical
-state; reads never see the current epoch; compaction preserves
-visibility).
+any future batch's visible state.
+
+All directory/marker manipulation goes through the Hadoop FileSystem
+adapter (``fsio.HadoopFS``), so the discipline works unchanged when the
+state path lives on HDFS/object storage, not only on the driver's local
+disk; the commit marker is published atomically (write tmp + rename).
+Unit-pinned in tests/test_streaming_idempotent.py (replayed epoch leaves
+byte-identical state; reads never see the current epoch or the scratch
+partition; compaction preserves visibility; a property test checks any
+write/replay/compact interleaving against a pure dict model).
 """
 
 from __future__ import annotations
 
-import os
-import shutil
-
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
+from ..fsio import HadoopFS, join
+
 EPOCH_COL = "__epoch"
+
+#: Scratch partition used by ``compact_epochs`` while building the merged
+#: base. ``epoch_read`` filters it out unconditionally.
+_TMP_EPOCH = -2
 
 
 def epoch_write(df: DataFrame, path: str, epoch: int) -> None:
@@ -47,11 +59,9 @@ def epoch_write(df: DataFrame, path: str, epoch: int) -> None:
     The epoch's partition directory is dropped FIRST: dynamic overwrite
     only replaces partitions present in the written rows, so a replay
     whose recomputation legitimately produces ZERO rows would otherwise
-    leave the failed attempt's stale partition in place. (Local-path
-    delete; a DFS deployment swaps in the Hadoop FileSystem call.)"""
-    part = os.path.join(path, f"{EPOCH_COL}={int(epoch)}")
-    if os.path.isdir(part):
-        shutil.rmtree(part, ignore_errors=True)
+    leave the failed attempt's stale partition in place."""
+    fs = HadoopFS(df.sparkSession, path)
+    fs.delete(join(path, f"{EPOCH_COL}={int(epoch)}"))
     (
         df.withColumn(EPOCH_COL, F.lit(int(epoch)))
         .write.partitionBy(EPOCH_COL)
@@ -62,7 +72,7 @@ def epoch_write(df: DataFrame, path: str, epoch: int) -> None:
 
 
 def compact_epochs(spark: SparkSession, path: str, below_epoch: int) -> int:
-    """Roll every ``__epoch < below_epoch`` partition into the base
+    """Roll every ``-1 <= __epoch < below_epoch`` partition into the base
     ``__epoch=-1`` partition — the maintenance job for a long-running
     ingest loop, whose state otherwise accrues one small file per epoch
     (a million 100 KB files is a scheduler problem before it is an IO
@@ -76,39 +86,62 @@ def compact_epochs(spark: SparkSession, path: str, below_epoch: int) -> int:
     (never e+1 — the current epoch's commit is not recorded yet, and a
     crash-replay of it after a roll-up that swallowed its rows would
     double-count them against the base); from between stream runs, the
-    next epoch to start. Never run concurrently with a reader — the
-    partition swap, like ``compact_parquet``'s, is not atomic. Returns
-    the number of epoch partitions rolled up."""
+    next epoch to start.
+
+    MUST run inside the loop's serial schedule (from the foreachBatch
+    body, as stream_crawl_ingest does, or between stream runs): the
+    partition swap is not atomic, and a concurrent reader could observe
+    the window between source-drop and base-promote. Two guards enforce
+    the discipline's observable half: the ``__epoch=-2`` scratch
+    partition is invisible to ``epoch_read`` even mid-crash, and a call
+    that finds a commit marker recording a DIFFERENT ``below_epoch``
+    refuses loudly (either a concurrent compaction is mid-swap, or a
+    crashed one must be finished by re-running with ITS below_epoch)
+    rather than racing the swap. Returns the number of epoch partitions
+    rolled up."""
     from ..checkpointing import stage_checkpoint
 
-    tmp_part = os.path.join(path, f"{EPOCH_COL}=-2")
-    marker = os.path.join(path, "__epoch_compact_commit")
+    fs = HadoopFS(spark, path)
+    tmp_part = join(path, f"{EPOCH_COL}={_TMP_EPOCH}")
+    marker = join(path, "__epoch_compact_commit")
 
     def _finish(below: int) -> None:
         # the tmp partition holds the complete merged base: drop the
         # rolled-up sources + old base, promote tmp, clear the marker
-        for d in os.listdir(path):
+        for d in fs.listdir(path):
             if d.startswith(f"{EPOCH_COL}=") and -1 <= int(d.split("=", 1)[1]) < below:
-                shutil.rmtree(os.path.join(path, d), ignore_errors=True)
-        os.rename(tmp_part, os.path.join(path, f"{EPOCH_COL}=-1"))
-        os.remove(marker)
+                fs.delete(join(path, d))
+        fs.rename(tmp_part, join(path, f"{EPOCH_COL}=-1"))
+        fs.delete(marker)
 
-    if os.path.exists(marker):
-        # a previous run crashed AFTER committing its tmp (marker present
-        # => the tmp write completed): the tmp may hold the only full
-        # copy of partitions already removed, so finish THAT swap first
-        if os.path.isdir(tmp_part):
-            _finish(int(open(marker).read()))
-        else:
-            os.remove(marker)  # crashed after the rename, before cleanup
+    if fs.exists(marker):
+        recorded = int(fs.read_text(marker).strip())
+        if fs.exists(tmp_part):
+            # a previous run crashed AFTER committing its tmp (marker
+            # present => the tmp write completed): the tmp may hold the
+            # only full copy of partitions already removed, so THAT swap
+            # must be finished first — and only a call re-running the SAME
+            # roll-up may do it (a different below_epoch means either a
+            # concurrent compaction is mid-swap right now, or the caller
+            # skipped the serial schedule; racing the swap corrupts state)
+            if recorded != below_epoch:
+                raise RuntimeError(
+                    f"compact_epochs({path!r}): a compaction at "
+                    f"below_epoch={recorded} is mid-swap (crashed or "
+                    f"concurrent); finish it by re-running with "
+                    f"below_epoch={recorded} before compacting further"
+                )
+            _finish(recorded)
+            return 0  # this call's roll-up IS the recovered swap
+        fs.delete(marker)  # crashed after the rename, before cleanup
     else:
         # no marker => any tmp is an uncommitted partial write; sources
         # are all intact, so discarding it and redoing is safe
-        shutil.rmtree(tmp_part, ignore_errors=True)
+        fs.delete(tmp_part)
 
     roll = [
         d
-        for d in os.listdir(path)
+        for d in fs.listdir(path)
         if d.startswith(f"{EPOCH_COL}=")
         and d != f"{EPOCH_COL}=-1"
         and -1 <= int(d.split("=", 1)[1]) < below_epoch
@@ -123,13 +156,15 @@ def compact_epochs(spark: SparkSession, path: str, below_epoch: int) -> int:
         .filter((F.col(EPOCH_COL) >= -1) & (F.col(EPOCH_COL) < below_epoch))
         .drop(EPOCH_COL)
     )
-    epoch_write(merged, path, -2)
+    epoch_write(merged, path, _TMP_EPOCH)
     # an all-empty roll-up writes no files: materialize the tmp partition
     # dir anyway so the promote-rename below is unconditional (an empty
     # partition directory is invisible to readers)
-    os.makedirs(tmp_part, exist_ok=True)
-    with open(marker, "w") as fh:
-        fh.write(str(below_epoch))
+    fs.mkdirs(tmp_part)
+    # atomic marker publish: a crash mid-write must not leave a truncated
+    # marker that recovery would misparse as a committed swap
+    fs.write_text(marker + ".tmp", str(below_epoch))
+    fs.rename(marker + ".tmp", marker)
     _finish(below_epoch)
     return len(roll)
 
@@ -138,9 +173,12 @@ def epoch_read(spark: SparkSession, path: str, before_epoch: int | None = None) 
     """Read an epoch-partitioned table, optionally restricted to epochs
     STRICTLY before ``before_epoch`` (what a batch may observe of
     loop-owned state: completed predecessors only, never its own failed
-    attempt). The partition filter prunes at the file listing — the
-    excluded epoch's files are never opened. ``__epoch`` is dropped."""
-    df = spark.read.parquet(path)
+    attempt). The compactor's ``__epoch=-2`` scratch partition is
+    excluded UNCONDITIONALLY — a crash between its write and the swap
+    must not double-count the merged rows for any reader. Partition
+    filters prune at the file listing — excluded epochs' files are never
+    opened. ``__epoch`` is dropped."""
+    df = spark.read.parquet(path).filter(F.col(EPOCH_COL) >= -1)
     if before_epoch is not None:
         df = df.filter(F.col(EPOCH_COL) < int(before_epoch))
     return df.drop(EPOCH_COL)

@@ -320,3 +320,47 @@ def test_transfer_value_stats_approx_quantiles_within_half_bucket(eng):
         assert a["total_value"] == e["total_value"]
         assert abs(a["median_value"] - e["median_value"]) <= half_bucket_eur, pos
         assert list(a.__fields__) == list(e.__fields__)
+
+
+def test_transfer_approx_quantiles_ignores_null_values(spark, tables):
+    """percentile() ignores NULL market_value (nullable per schema —
+    parse_market_value yields NULL for 'n/a'); the dyadic-histogram path
+    must apply the same NULL semantics or NULL rows enter the cumulative
+    walk as a leading bucket and skew every pick (the r13 advice repro:
+    5 real values + 4 NULLs gave approx 102.4 vs exact 300.0)."""
+    from pyspark.sql import functions as F
+
+    players = spark.createDataFrame(
+        [(i, "P", str(i), dt.date(1998, 1, 1), "FW",
+          Decimal(v) if v is not None else None)
+         for i, v in enumerate(
+             ["100.00", "200.00", "300.00", "400.00", "500.00",
+              None, None, None, None])],
+        "player_id long, first_name string, last_name string, "
+        "birth_date date, position string, market_value decimal(14,2)",
+    )
+    eng = SportsAnalyticsEngine(
+        {**tables, "players": players}, as_of_date=dt.date(2025, 1, 1)
+    )
+    exact = eng.transfer_analysis()["value_stats"].collect()[0]
+    approx = eng.transfer_analysis(approx_quantiles=True)["value_stats"].collect()[0]
+    assert exact["median_value"] == 300.0
+    half_bucket_eur = (1 << 11) / 100
+    assert abs(approx["median_value"] - exact["median_value"]) <= half_bucket_eur
+    assert approx["avg_value"] == exact["avg_value"]
+
+
+def test_hll_count_threads_precision_through(spark, tables):
+    """_hll_count(p=...) must build its registers at the SAME precision it
+    estimates with — a p=10 call that silently built p=8 registers mixes
+    register width with estimator constants and drifts (the r13 advice's
+    latent bug)."""
+    from pyspark.sql import functions as F
+
+    eng = SportsAnalyticsEngine(tables, as_of_date=dt.date(2025, 1, 1))
+    df = spark.range(5000).select((F.col("id") * 2654435761 % 999983).alias("v"))
+    true = df.select("v").distinct().count()
+    for p in (8, 10, 12):
+        est = eng._hll_count(df, "v", "n", p=p).collect()[0]["n"]
+        # 5-sigma bound: 5 * 1.04 / sqrt(2^p)
+        assert abs(est - true) / true < 5 * 1.04 / (1 << p) ** 0.5, p

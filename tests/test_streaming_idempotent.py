@@ -116,6 +116,110 @@ def test_epoch_write_zero_row_replay_clears_stale_partition(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
+def test_crashed_compaction_tmp_partition_never_reader_visible(spark):
+    """A crash between the compactor's __epoch=-2 scratch write and the
+    swap leaves the merged copy on disk beside ALL source epochs; if any
+    reader could see it, every merged row would double-count until the
+    next maintenance run. epoch_read excludes -2 unconditionally."""
+    import os
+
+    tmp = tempfile.mkdtemp(prefix="sdp_epoch_")
+    try:
+        epoch_write(spark.range(0, 3).select(F.col("id")), tmp, -1)
+        epoch_write(spark.range(10, 12).select(F.col("id")), tmp, 0)
+        # fabricate the crash state: scratch partition written (the merged
+        # base), marker NOT yet published
+        epoch_write(
+            spark.read.parquet(tmp).filter(F.col(EPOCH_COL) >= -1).drop(EPOCH_COL),
+            tmp,
+            -2,
+        )
+        assert os.path.isdir(os.path.join(tmp, f"{EPOCH_COL}=-2"))
+        # neither the unrestricted read nor any epoch-bounded read sees -2
+        assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == [
+            0, 1, 2, 10, 11,
+        ]
+        assert sorted(
+            r["id"] for r in epoch_read(spark, tmp, before_epoch=1).collect()
+        ) == [0, 1, 2, 10, 11]
+        # the next maintenance run discards the uncommitted scratch and
+        # completes normally
+        from sport_data_pipeline_spark.streaming.idempotent import compact_epochs
+
+        assert compact_epochs(spark, tmp, below_epoch=1) == 1  # epoch 0
+        assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == [
+            0, 1, 2, 10, 11,
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_compact_epochs_refuses_foreign_midswap_marker(spark):
+    """A commit marker recording a DIFFERENT below_epoch means a crashed
+    or concurrent compaction is mid-swap; racing it would corrupt state,
+    so the call must refuse loudly — and re-running with the RECORDED
+    below_epoch must finish the swap correctly."""
+    import os
+
+    import pytest as _pytest
+
+    from sport_data_pipeline_spark.streaming.idempotent import compact_epochs
+
+    tmp = tempfile.mkdtemp(prefix="sdp_epoch_")
+    try:
+        epoch_write(spark.range(0, 3).select(F.col("id")), tmp, -1)
+        epoch_write(spark.range(10, 12).select(F.col("id")), tmp, 0)
+        epoch_write(spark.range(20, 22).select(F.col("id")), tmp, 1)
+        # fabricate a crash AFTER the marker publish, BEFORE the swap:
+        # scratch holds the full merge of epochs < 2, marker records 2
+        epoch_write(
+            spark.read.parquet(tmp)
+            .filter((F.col(EPOCH_COL) >= -1) & (F.col(EPOCH_COL) < 2))
+            .drop(EPOCH_COL),
+            tmp,
+            -2,
+        )
+        with open(os.path.join(tmp, "__epoch_compact_commit"), "w") as fh:
+            fh.write("2")
+        with _pytest.raises(RuntimeError, match="below_epoch=2"):
+            compact_epochs(spark, tmp, below_epoch=3)
+        # re-running the RECORDED roll-up finishes the swap
+        compact_epochs(spark, tmp, below_epoch=2)
+        assert not os.path.exists(os.path.join(tmp, "__epoch_compact_commit"))
+        parts = sorted(d for d in os.listdir(tmp) if d.startswith(EPOCH_COL))
+        assert parts == [f"{EPOCH_COL}=-1"]
+        assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == [
+            0, 1, 2, 10, 11, 20, 21,
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_epoch_sink_fs_ops_route_through_hadoop_filesystem(spark):
+    """The discipline's directory/marker manipulation must go through the
+    Hadoop FileSystem adapter (scheme-resolved: DFS-capable), not python
+    os/shutil — pin it by driving the sink through an explicit file: URI,
+    which os.path would mishandle."""
+    import os
+
+    from sport_data_pipeline_spark.streaming.idempotent import compact_epochs
+
+    tmp = tempfile.mkdtemp(prefix="sdp_epoch_uri_")
+    try:
+        uri = "file://" + tmp
+        epoch_write(spark.range(0, 3).select(F.col("id")), uri, -1)
+        epoch_write(spark.range(10, 12).select(F.col("id")), uri, 0)
+        epoch_write(spark.range(10, 12).select(F.col("id")), uri, 0)  # replay
+        assert compact_epochs(spark, uri, below_epoch=1) == 1  # epoch 0
+        assert sorted(r["id"] for r in epoch_read(spark, uri).collect()) == [
+            0, 1, 2, 10, 11,
+        ]
+        parts = sorted(d for d in os.listdir(tmp) if d.startswith(EPOCH_COL))
+        assert parts == [f"{EPOCH_COL}=-1"]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
 from hypothesis import given, settings, strategies as st
 
 

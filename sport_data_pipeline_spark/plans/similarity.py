@@ -1628,6 +1628,109 @@ c{k + 1} AS (
 STREAM_SEMANTIC_INGEST_ORACLE = _stream_semantic_oracle(4)
 
 
+def _persist_cell_table(
+    spark: SparkSession, cells_dir: str, cells: dict, epoch: int
+) -> None:
+    """Land the k-row driver-side cell table (centroid + running-max
+    radius) as this epoch's partition next to the loop state. The radii
+    live on the driver during a run; without this write a stream RESTART
+    would reload stale (smaller) radii and the lossless cell-bound prune
+    would silently turn lossy. k rows per batch — noise next to the
+    state fold. Replay-safe like every epoch_write (idempotent per
+    epoch), and the radius update itself is a running max, which
+    re-application cannot move."""
+    rows = [
+        (int(c), [float(x) for x in v], float(r))
+        for c, (v, r) in sorted(cells.items())
+    ]
+    epoch_write(
+        spark.createDataFrame(rows, "__cell int, __centroid array<double>, __r double"),
+        cells_dir,
+        epoch,
+    )
+
+
+def _load_cell_table(
+    spark: SparkSession, cells_dir: str, before_epoch: int | None = None
+) -> dict:
+    """Reload the cell table on stream restart: per-cell MAX radius over
+    the visible epochs. Radii only grow (running max) and centroids never
+    change after the fit, so the merge is exactly the radius state the
+    unbroken run carried after the last completed epoch — the prune stays
+    lossless across restarts (unit-pinned: restart-mid-stream routing
+    table is bit-identical to an unbroken run's)."""
+    rows = (
+        epoch_read(spark, cells_dir, before_epoch)
+        .groupBy("__cell")
+        .agg(F.max("__r").alias("__r"), F.first("__centroid").alias("__centroid"))
+        .collect()
+    )
+    return {
+        r["__cell"]: ([float(x) for x in r["__centroid"]], float(r["__r"]))
+        for r in rows
+    }
+
+
+def _sem_ingest_process_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch: int,
+    state_dir: str,
+    routed_dir: str,
+    cells_dir: str,
+    cells_holder: dict,
+    dim: int,
+    tau: float = _SEM_TAU,
+) -> None:
+    """One micro-batch of the semantic ingest-dedup loop: route against
+    corpus state visible at this epoch through the lossless cell-radius
+    bound, land the routing idempotently, fold kept vectors into the
+    state append-only, advance the driver-side radii, and persist the
+    cell table for restart. Module-level (not a closure) so the restart
+    path is directly testable: a fresh run passes ``{"cells": None}`` and
+    the table reloads from ``cells_dir``."""
+    from ..operators.similarity import _norm, _route_with_cells, assign_to_cells
+
+    if cells_holder.get("cells") is None:  # stream restart: reload radii
+        cells_holder["cells"] = _load_cell_table(spark, cells_dir, before_epoch=epoch)
+    cells = cells_holder["cells"]
+    # spread the state scan: a compacted small state bin-packs into
+    # one-few file partitions (openCostInBytes), which serializes the
+    # verify join into a single task (measured: one 6-minute task at 10×
+    # while 31 cores idled). The exchange is linear in state bytes — the
+    # same order as the scan itself — and stands in for the write-time
+    # partitioned-by-cell layout a production index directory has, where
+    # the scan is born parallel. epoch_read/epoch_write
+    # (streaming/idempotent.py): replayed epochs observe only completed
+    # predecessors and overwrite their own partition — exactly-once
+    # observable folds.
+    n_parts = spark.sparkContext.defaultParallelism
+    state = epoch_read(spark, state_dir, before_epoch=epoch).repartition(
+        n_parts, "__cell", "__cid"
+    )
+    cell_list = [(c, v, r) for c, (v, r) in sorted(cells.items())]
+    routed = stage_checkpoint(
+        _route_with_cells(batch, state, cell_list, "vec_id", "embedding", tau, dim=dim)
+    )  # cut lineage before state append
+    epoch_write(routed, routed_dir, epoch)
+    kept = (
+        batch.join(routed.filter(F.col("status") == "kept"), "vec_id", "left_semi")
+        .select(
+            F.col("vec_id").alias("__cid"),
+            F.col("embedding").alias("__cv"),
+            _norm(F.col("embedding")).alias("__cn"),
+        )
+        .filter(F.col("__cn") > 0)
+    )
+    folded = assign_to_cells(kept, cell_list, dim=dim)
+    # radius running-max per cell (≤ k rows to the driver)
+    for r in folded.groupBy("__cell").agg(F.max("__d").alias("__m")).collect():
+        v, old = cells[r["__cell"]]
+        cells[r["__cell"]] = (v, max(old, r["__m"]))
+    epoch_write(folded.drop("__d"), state_dir, epoch)
+    _persist_cell_table(spark, cells_dir, cells, epoch)
+
+
 @query(
     "stream_semantic_ingest_dedup",
     survey="dedup-semantic,dedup-incremental,T1,X3",
@@ -1646,11 +1749,14 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrouted scan), and the batch's kept vectors fold back APPEND-ONLY
     with ``assign_to_cells`` (nearest EXISTING cell, radii updated as a
     running max — no refit; production refits at compaction time).
-    RESTART caveat: the radius running-max rides the driver, so a
-    production deployment must persist the k-row cell table next to the
-    state (epoch_write of k rows per batch) and reload it on stream
-    restart — stale (smaller) radii would turn the lossless prune lossy.
-    Batch REPLAY within a run is safe as-is: max is idempotent.
+    The radius running-max rides the driver WITHIN a run and is
+    PERSISTED per epoch (``_persist_cell_table`` — k rows beside the
+    state), so a stream RESTART reloads exactly the radii the unbroken
+    run carried (``_load_cell_table``; restart-mid-stream pinned
+    bit-identical in tests/test_similarity.py) — without it, stale
+    (smaller) radii would turn the lossless prune lossy. Batch REPLAY
+    within a run is safe: max is idempotent and every write is
+    epoch-partitioned.
     Per-batch cost is |batch|·k bound checks + the matched cells only —
     the first registration of this query scanned batch × full corpus and
     measured 26× at 10× data (both sides grow); the index routing is what
@@ -1663,12 +1769,7 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time as _time
 
-    from ..operators.similarity import (
-        _norm,
-        _route_with_cells,
-        assign_to_cells,
-        build_semantic_cell_index,
-    )
+    from ..operators.similarity import _norm, build_semantic_cell_index
 
     emb = _t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     corpus0 = emb.filter(F.expr(_SEM_CORPUS))
@@ -1676,10 +1777,11 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     tmp = tempfile.mkdtemp(prefix="sdp_sem_ingest_")
     try:
-        in_dir, state_dir, routed_dir, ckpt = (
+        in_dir, state_dir, routed_dir, cells_dir, ckpt = (
             f"{tmp}/in",
             f"{tmp}/state",
             f"{tmp}/routed",
+            f"{tmp}/cells",
             f"{tmp}/ckpt",
         )
         prepared0 = corpus0.select(
@@ -1699,7 +1801,10 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # bounding every matched cell's exact-verify fan-out.
         assigned0, cells0 = build_semantic_cell_index(prepared0, target_cell_size=128)
         epoch_write(assigned0, state_dir, -1)  # preseed: visible to all epochs
-        cells = {c: (v, r) for c, v, r in cells0}  # driver-side k-row index
+        # driver-side k-row index, persisted at -1 beside the state so a
+        # restart before the first fold reloads the fit-time radii
+        holder = {"cells": {c: (v, r) for c, v, r in cells0}}
+        _persist_cell_table(spark, cells_dir, holder["cells"], -1)
         # fixed embedding width, read once: lets every per-batch cosine /
         # distance unroll to codegen (the zip_with fold runs on the
         # expression interpreter — a 10× probe of the fold variant spent
@@ -1716,42 +1821,9 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema = spark.read.parquet(in_dir).schema
 
         def route_batch(batch: DataFrame, epoch: int) -> None:
-            # spread the state scan: a compacted small state bin-packs into
-            # one-few file partitions (openCostInBytes), which serializes
-            # the verify join into a single task (measured: one 6-minute
-            # task at 10× while 31 cores idled). The exchange is linear in
-            # state bytes — the same order as the scan itself — and stands
-            # in for the write-time partitioned-by-cell layout a production
-            # index directory has, where the scan is born parallel.
-            # epoch_read/epoch_write (streaming/idempotent.py): replayed
-            # epochs observe only completed predecessors and overwrite
-            # their own partition — exactly-once observable folds. The
-            # driver-side radius dict is replay-safe separately: its
-            # update is a running max, which re-application cannot move.
-            n_parts = spark.sparkContext.defaultParallelism
-            state = epoch_read(spark, state_dir, before_epoch=epoch).repartition(
-                n_parts, "__cell", "__cid"
+            _sem_ingest_process_batch(
+                spark, batch, epoch, state_dir, routed_dir, cells_dir, holder, dim
             )
-            cell_list = [(c, v, r) for c, (v, r) in sorted(cells.items())]
-            routed = stage_checkpoint(
-                _route_with_cells(
-                    batch, state, cell_list, "vec_id", "embedding", _SEM_TAU, dim=dim
-                )
-            )  # cut lineage before state append
-            epoch_write(routed, routed_dir, epoch)
-            kept = batch.join(
-                routed.filter(F.col("status") == "kept"), "vec_id", "left_semi"
-            ).select(
-                F.col("vec_id").alias("__cid"),
-                F.col("embedding").alias("__cv"),
-                _norm(F.col("embedding")).alias("__cn"),
-            ).filter(F.col("__cn") > 0)
-            folded = assign_to_cells(kept, cell_list, dim=dim)
-            # radius running-max per cell (≤ k rows to the driver)
-            for r in folded.groupBy("__cell").agg(F.max("__d").alias("__m")).collect():
-                v, old = cells[r["__cell"]]
-                cells[r["__cell"]] = (v, max(old, r["__m"]))
-            epoch_write(folded.drop("__d"), state_dir, epoch)
 
         q = (
             spark.readStream.schema(schema)

@@ -525,3 +525,77 @@ def test_epoch_cell_index_rebuilds_on_same_size_regeneration(spark, tmp_path, mo
     monkeypatch.setenv("SPARK_GRAFT_CELL_INDEX_REBUILD", "1")
     _epoch_cell_index(spark, str(sf_dir), corpus2, n_cells=4, corpus_token="all")
     assert entries() == 3
+
+
+def test_stream_semantic_restart_reloads_radii_bit_identical(spark, tmp_path):
+    """The semantic ingest loop's driver-side radius table is persisted
+    per epoch beside the state; a stream RESTART (fresh driver, cells
+    unknown) must reload exactly the radii the unbroken run carried, so
+    the lossless cell-bound prune stays lossless — pinned by comparing
+    the full routing table of a run restarted after epoch 1 against an
+    unbroken 4-epoch run, bit-for-bit."""
+    from sport_data_pipeline_spark.catalog import load_table
+    from sport_data_pipeline_spark.operators.similarity import (
+        _norm,
+        build_semantic_cell_index,
+    )
+    from sport_data_pipeline_spark.plans.similarity import (
+        _SEM_CORPUS,
+        _load_cell_table,
+        _persist_cell_table,
+        _sem_ingest_process_batch,
+    )
+    from sport_data_pipeline_spark.streaming.idempotent import epoch_read, epoch_write
+
+    emb = load_table(spark, SF_DIR, "embeddings").select("vec_id", "embedding")
+    streamed = emb.filter(~F.expr(_SEM_CORPUS))
+    prepared0 = (
+        emb.filter(F.expr(_SEM_CORPUS))
+        .select(
+            F.col("vec_id").alias("__cid"),
+            F.col("embedding").alias("__cv"),
+            _norm(F.col("embedding")).alias("__cn"),
+        )
+        .filter(F.col("__cn") > 0)
+    )
+
+    def seed(base):
+        assigned0, cells0 = build_semantic_cell_index(prepared0, target_cell_size=128)
+        epoch_write(assigned0, f"{base}/state", -1)
+        holder = {"cells": {c: (v, r) for c, v, r in cells0}}
+        _persist_cell_table(spark, f"{base}/cells", holder["cells"], -1)
+        return holder, len(cells0[0][1])
+
+    def run(base, holder, dim, epochs):
+        for e in epochs:
+            _sem_ingest_process_batch(
+                spark,
+                streamed.filter(F.col("vec_id") % 4 == e),
+                e,
+                f"{base}/state",
+                f"{base}/routed",
+                f"{base}/cells",
+                holder,
+                dim,
+            )
+
+    unbroken, restarted = str(tmp_path / "unbroken"), str(tmp_path / "restart")
+    h_a, dim = seed(unbroken)
+    run(unbroken, h_a, dim, [0, 1, 2, 3])
+
+    h_b, dim_b = seed(restarted)
+    run(restarted, h_b, dim_b, [0, 1])
+    # "crash": the driver-side dict is gone; the new run reloads from disk
+    reloaded = _load_cell_table(spark, f"{restarted}/cells", before_epoch=2)
+    assert set(reloaded) == set(h_b["cells"])
+    for c, (v, r) in reloaded.items():
+        assert r == h_b["cells"][c][1], f"cell {c} radius drifted on reload"
+        assert v == [float(x) for x in h_b["cells"][c][0]]
+    run(restarted, {"cells": None}, dim_b, [2, 3])
+
+    table = lambda base: sorted(  # noqa: E731
+        (r["vec_id"], r["status"], r["match_id"])
+        for r in epoch_read(spark, f"{base}/routed").collect()
+    )
+    got_a, got_b = table(unbroken), table(restarted)
+    assert got_a == got_b and len(got_a) > 0

@@ -516,36 +516,16 @@ def weighted_doc_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     no explode, no shuffle), and the global bottom-k plans as
     TakeOrderedAndProject (per-partition top-k, one k-row merge) — the
     same no-global-sort shape as ``kmv_bottomk``. At 100 TB the sample
-    costs one corpus scan plus a k-row reduce."""
+    costs one corpus scan plus a k-row reduce. Since r14 the draw is the
+    shared :func:`~...operators.corpus.weighted_sample` operator — the
+    same machinery ``clean_corpus(sample_k=…)`` exposes as an engine
+    knob."""
+    from ..operators.corpus import weighted_sample
+
     d = _t(spark, sf_dir, "documents")
-    w = F.least(
-        F.lit(8),
-        F.greatest(
-            F.lit(1), (F.lit(1) + F.floor(F.coalesce(F.col("n_chars"), F.lit(0)) / 400))
-        ),
-    ).cast("int")
-
-    def ticket(j: Column) -> Column:
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        j.cast("string"), F.lit(":"), F.col("doc_id").cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-
-    skey = F.array_min(F.transform(F.sequence(F.lit(1), w), ticket))
-    return (
-        d.select(F.col("doc_id"), w.alias("w"), skey.alias("skey"))
-        .orderBy("skey", "doc_id")
-        .limit(_WSAMPLE_K)
-    )
+    return weighted_sample(
+        d, "doc_id", _WSAMPLE_K, _wsample_weight(), strata=None
+    ).select("doc_id", "w", "skey")
 
 
 STRATIFIED_WSAMPLE_ORACLE = """
@@ -589,38 +569,30 @@ def stratified_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     tickets, no transcendental order-statistics); physical shape is one
     map-side projection + ONE partitioned window — no global sort, and
     the per-group output bound keeps the result constant-size as the
-    corpus grows."""
-    d = _t(spark, sf_dir, "documents")
-    w = F.least(
+    corpus grows. Since r14 the draw is the shared
+    :func:`~...operators.corpus.weighted_sample` operator — the same
+    machinery ``clean_corpus(sample_k=…, sample_strata=…)`` exposes as
+    an engine knob."""
+    from ..operators.corpus import weighted_sample
+
+    d = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    return (
+        weighted_sample(d, "doc_id", 10, _wsample_weight(), strata=["lang"])
+        .select("lang", "doc_id", "w", "skey", "rk")
+        .orderBy("lang", "rk")
+    )
+
+
+def _wsample_weight() -> Column:
+    """The registered sampler queries' mixture weight: documents draw
+    clamp(1 + n_chars/400, 1..8) tickets — length-proportional with a
+    cap, NULL n_chars counted as empty."""
+    return F.least(
         F.lit(8),
         F.greatest(
             F.lit(1), (F.lit(1) + F.floor(F.coalesce(F.col("n_chars"), F.lit(0)) / 400))
         ),
     ).cast("int")
-
-    def ticket(j: Column) -> Column:
-        return F.conv(
-            F.substring(
-                F.md5(
-                    F.concat(
-                        j.cast("string"), F.lit(":"), F.col("doc_id").cast("string")
-                    ).cast("binary")
-                ),
-                1,
-                15,
-            ),
-            16,
-            10,
-        ).cast("long")
-
-    skey = F.array_min(F.transform(F.sequence(F.lit(1), w), ticket))
-    win = Window.partitionBy("lang").orderBy(F.asc("skey"), F.asc("doc_id"))
-    return (
-        d.select("lang", F.col("doc_id"), w.alias("w"), skey.alias("skey"))
-        .withColumn("rk", F.row_number().over(win).cast("long"))
-        .filter(F.col("rk") <= 10)
-        .orderBy("lang", "rk")
-    )
 
 
 # ---------------------------------------------------------------------------

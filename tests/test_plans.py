@@ -153,6 +153,28 @@ def test_doc_chunks_shuffle_free(spark):
     assert "Generate explode" in plan
 
 
+def test_weighted_doc_sample_zero_exchange_topk(spark):
+    # min-ticket bottom-k over replicated md5 tickets: the draw is a
+    # map-side scan + k-row merge — TakeOrderedAndProject, ZERO exchanges
+    # (the docstring's 100 TB claim, pinned so future edits keep it true).
+    plan = physical_plan(SPECS["weighted_doc_sample"].fn(spark, SF_DIR))
+    assert "Exchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_stratified_weighted_sample_single_hash_exchange(spark):
+    # per-language bottom-k: exactly ONE hash exchange (the lang window's
+    # partitioning), with the rank filter pushed into a partial+final
+    # WindowGroupLimit (per-partition top-k before the shuffle); the only
+    # other exchange is the presentation orderBy's range partitioning.
+    plan = physical_plan(SPECS["stratified_weighted_sample"].fn(spark, SF_DIR))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("Exchange rangepartitioning") == 1  # final orderBy only
+    assert "Exchange SinglePartition" not in plan
+    assert "WindowGroupLimit" in plan  # top-k pushed below the shuffle
+    assert "CartesianProduct" not in plan
+
+
 def test_pii_redaction_map_only(spark):
     # staged regexp_replace chain never shuffles — pure projection.
     plan = physical_plan(SPECS["pii_redaction"].fn(spark, SF_DIR))

@@ -82,6 +82,23 @@ class HadoopFS:
     def mkdirs(self, path: str) -> None:
         self._fs.mkdirs(self._jpath(path))
 
+    def files(self, path: str) -> list[tuple[str, int]]:
+        """Recursive ``(name, length)`` listing of the regular files under
+        ``path`` — file NAMES only (callers filter metadata by name), one
+        listStatus round-trip per directory. [] for a missing path."""
+        p = self._jpath(path)
+        if not self._fs.exists(p):
+            return []
+        out: list[tuple[str, int]] = []
+        stack = [p]
+        while stack:
+            for st in self._fs.listStatus(stack.pop()):
+                if st.isDirectory():
+                    stack.append(st.getPath())
+                else:
+                    out.append((str(st.getPath().getName()), int(st.getLen())))
+        return out
+
     def read_text(self, path: str) -> str:
         stream = self._fs.open(self._jpath(path))
         try:

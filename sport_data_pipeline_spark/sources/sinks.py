@@ -6,7 +6,6 @@
 from __future__ import annotations
 
 import datetime as dt
-import os
 
 from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 from pyspark.errors import AnalysisException
@@ -180,17 +179,19 @@ def enforce_retention(
     zero-padded numerics order correctly. Returns the dropped partition
     values. (On a transactional format this is `ALTER TABLE DROP
     PARTITION` / a lifecycle policy; the directory layout here is the
-    plain-parquet equivalent.)
+    plain-parquet equivalent.) Directory ops route through the Hadoop
+    FileSystem adapter, so the table may live on HDFS/object storage.
     """
-    import shutil
+    from ..fsio import HadoopFS, join as fs_join
 
+    fs = HadoopFS(spark, path)
     prefix = f"{partition_col}="
     dropped = []
-    if not os.path.isdir(path):
+    if not fs.is_dir(path):
         return dropped
-    for d in sorted(os.listdir(path)):
+    for d in sorted(fs.listdir(path)):
         if d.startswith(prefix) and d[len(prefix):] < cutoff:
-            shutil.rmtree(os.path.join(path, d))
+            fs.delete(fs_join(path, d))
             dropped.append(d[len(prefix):])
     return dropped
 
@@ -213,24 +214,23 @@ def compact_parquet(
     plain-parquet approximation). A crash between the renames leaves the
     full table intact in ``<path>.__compact_bak``; rerunning compaction
     is safe because the stale bak dir is cleared first. Returns the new
-    file count.
+    file count. Directory ops route through the Hadoop FileSystem
+    adapter, so the table may live on HDFS/object storage (on a store
+    emulating rename the swap window widens to the copy time — prefer a
+    transactional table format there).
     """
-    import shutil
+    from ..fsio import HadoopFS
 
+    fs = HadoopFS(spark, path)
     tmp, bak = f"{path}.__compact_tmp", f"{path}.__compact_bak"
-    if not os.path.isdir(path) and os.path.isdir(bak):
-        os.rename(bak, path)  # recover a mid-swap crash: bak holds the table
-    size = sum(
-        os.path.getsize(os.path.join(dp, f))
-        for dp, _, fs in os.walk(path)
-        for f in fs
-        if not f.startswith((".", "_"))
-    )
+    if not fs.is_dir(path) and fs.is_dir(bak):
+        fs.rename(bak, path)  # recover a mid-swap crash: bak holds the table
+    size = sum(n for name, n in fs.files(path) if not name.startswith((".", "_")))
     n_files = max(1, -(-size // (target_mb * 1024 * 1024)))
-    shutil.rmtree(tmp, ignore_errors=True)
+    fs.delete(tmp)
     spark.read.parquet(path).repartition(n_files).write.mode("overwrite").parquet(tmp)
-    shutil.rmtree(bak, ignore_errors=True)  # leftover bak from a prior crash
-    os.rename(path, bak)
-    os.rename(tmp, path)
-    shutil.rmtree(bak)
+    fs.delete(bak)  # leftover bak from a prior crash
+    fs.rename(path, bak)
+    fs.rename(tmp, path)
+    fs.delete(bak)
     return n_files

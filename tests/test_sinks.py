@@ -151,3 +151,29 @@ def test_compaction_recovers_from_mid_swap_crash(spark, tmp_path):
     n = compact_parquet(spark, p, target_mb=64)
     assert n == 1 and os.path.isdir(p) and not os.path.isdir(f"{p}.__compact_bak")
     assert spark.read.parquet(p).count() == 100
+
+
+def test_retention_and_compaction_work_on_file_uris(spark, tmp_path):
+    """Both maintenance jobs route their directory ops through the Hadoop
+    FileSystem adapter — pinned by driving them through explicit file:
+    URIs, which os/shutil-based code would mishandle."""
+    from sport_data_pipeline_spark.sources.sinks import (
+        compact_parquet,
+        enforce_retention,
+        write_partitioned,
+    )
+
+    p = str(tmp_path / "uri_table")
+    uri = "file://" + p
+    df = spark.createDataFrame(
+        [(i, f"2024-01-{d:02d}") for d in (1, 2, 3) for i in range(d)],
+        "v long, day string",
+    )
+    write_partitioned(df, uri, ["day"])
+    assert enforce_retention(spark, uri, "day", cutoff="2024-01-02") == ["2024-01-01"]
+    assert spark.read.parquet(uri).count() == 2 + 3
+
+    q = str(tmp_path / "uri_small")
+    spark.range(100).repartition(8).write.parquet("file://" + q)
+    assert compact_parquet(spark, "file://" + q, target_mb=64) == 1
+    assert spark.read.parquet("file://" + q).count() == 100

@@ -2250,6 +2250,14 @@ def stream_media_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # maintenance between stream runs (same discipline as
+        # stream_crawl_ingest): roll completed epochs into the base
+        # partition — an unbounded poll loop otherwise accrues one small
+        # file per epoch. The result read below runs AFTER the roll-up,
+        # so the compaction's content preservation is under the same
+        # oracle hash as the routing itself.
+        compact_epochs(spark, state_dir, below_epoch=4)
+        compact_epochs(spark, routed_dir, below_epoch=4)
         # distributed materialization (r11, same reasoning as the
         # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
         # the tmp dirs `finally` deletes, keeping the routing table on

@@ -23,7 +23,7 @@ from ..operators.similarity import (
     embedding_near_dup,
     ivf_topk,
 )
-from ..streaming.idempotent import epoch_read, epoch_write
+from ..streaming.idempotent import compact_epochs, epoch_read, epoch_write
 from .registry import query
 from .textops import _NORM_SQL
 
@@ -1499,6 +1499,14 @@ def stream_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # maintenance between stream runs (same discipline as
+        # stream_crawl_ingest): roll completed epochs into the base
+        # partition — an unbounded poll loop otherwise accrues one small
+        # file per epoch. The result read below runs AFTER the roll-up,
+        # so the compaction's content preservation is under the same
+        # oracle hash as the routing itself.
+        compact_epochs(spark, state_dir, below_epoch=4)
+        compact_epochs(spark, routed_dir, below_epoch=4)
         # distributed materialization (r11, same reasoning as the
         # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
         # the tmp dirs `finally` deletes, keeping the routing table on
@@ -1835,6 +1843,16 @@ def stream_semantic_ingest_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .start()
         )
         q.awaitTermination()
+        # maintenance between stream runs (same discipline as
+        # stream_crawl_ingest): roll completed epochs into the base
+        # partition — including the k-row-per-epoch CELL table, whose
+        # reload max-merges across rows so compaction is transparent to
+        # it. The result read below runs AFTER the roll-up, so the
+        # compaction's content preservation is under the same oracle
+        # hash as the routing itself.
+        compact_epochs(spark, state_dir, below_epoch=4)
+        compact_epochs(spark, routed_dir, below_epoch=4)
+        compact_epochs(spark, cells_dir, below_epoch=4)
         # distributed materialization (r11, same reasoning as the
         # e2e_daily_pipeline fix): localCheckpoint severs the lineage from
         # the tmp dirs `finally` deletes, keeping the routing table on

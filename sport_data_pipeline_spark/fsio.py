@@ -74,9 +74,19 @@ class HadoopFS:
         self._fs.delete(self._jpath(path), True)
 
     def rename(self, src: str, dst: str) -> None:
-        """Atomic move (HDFS / local); raises if the filesystem refuses —
-        a silent False here would break the commit protocols built on it."""
-        if not self._fs.rename(self._jpath(src), self._jpath(dst)):
+        """Atomic move (HDFS / local); raises IOError if the filesystem
+        refuses — filesystems disagree on HOW they refuse (HDFS returns
+        false, the local fs throws), and a silent False would break the
+        commit protocols built on this call."""
+        from py4j.protocol import Py4JJavaError
+
+        try:
+            ok = self._fs.rename(self._jpath(src), self._jpath(dst))
+        except Py4JJavaError as e:
+            raise IOError(
+                f"rename failed: {src} -> {dst}: {e.java_exception.getMessage()}"
+            ) from None
+        if not ok:
             raise IOError(f"rename failed: {src} -> {dst}")
 
     def mkdirs(self, path: str) -> None:

@@ -98,7 +98,9 @@ def compact_epochs(spark: SparkSession, path: str, below_epoch: int) -> int:
     refuses loudly (either a concurrent compaction is mid-swap, or a
     crashed one must be finished by re-running with ITS below_epoch)
     rather than racing the swap. Returns the number of epoch partitions
-    rolled up."""
+    rolled up; a call that merely finishes a crashed swap returns 0 (the
+    crashed run's sources are already partially dropped, so the count is
+    unknowable)."""
     from ..checkpointing import stage_checkpoint
 
     fs = HadoopFS(spark, path)

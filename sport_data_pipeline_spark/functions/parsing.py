@@ -83,3 +83,50 @@ def implied_probability(price: Column | str) -> Column:
     """1/price with a zero guard (F13, domain/models.py:524-532)."""
     p = _c(price)
     return F.when(p > 0, F.lit(1.0) / p)
+
+
+def canonicalize_url(col: Column | str) -> Column:
+    """Canonical URL form for crawl-frontier / corpus URL-level dedup —
+    the hygiene step that precedes content dedup in a crawl pipeline
+    (two fetches of ``HTTP://Site.com:80/a/?utm_source=x&b=2&a=1#top``
+    and ``http://site.com/a?a=1&b=2`` are the same document and should
+    cost one content-dedup candidate, not two). The reference handles
+    per-provider URL shapes ad hoc (id_from_url above is its extraction
+    side); this is the normalization side, generalized.
+
+    Rules (each a plain JVM expression — the whole chain is map-only at
+    any scale, no UDF): drop the fragment; lowercase scheme and host;
+    strip the scheme's default port (:80 http, :443 https — a
+    non-default port is PRESERVED, it names a different origin); strip
+    trailing slashes off non-root paths and collapse an empty path to
+    '/'; drop tracking parameters (utm_*, fbclid, gclid, ref) and sort
+    the surviving query parameters byte-wise so parameter order cannot
+    split a URL into two identities."""
+    u = F.regexp_replace(_c(col), r"#.*$", "")
+    scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
+    rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
+    host0 = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
+    host = (
+        F.when(scheme == F.lit("http"), F.regexp_replace(host0, r":80$", ""))
+        .when(scheme == F.lit("https"), F.regexp_replace(host0, r":443$", ""))
+        .otherwise(host0)
+    )
+    pathq = F.regexp_replace(rest, r"^[^/?]+", "")
+    path0 = F.regexp_extract(pathq, r"^([^?]*)", 1)
+    path1 = F.regexp_replace(path0, r"/+$", "")
+    path = F.when(path1 == F.lit(""), F.lit("/")).otherwise(path1)
+    qs = F.regexp_extract(pathq, r"\?(.*)$", 1)
+    params = F.array_sort(
+        F.filter(
+            F.split(qs, "&"),
+            lambda x: (x != F.lit("")) & ~x.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+        )
+    )
+    q = F.array_join(params, "&")
+    return F.concat(
+        scheme,
+        F.lit("://"),
+        host,
+        path,
+        F.when(q == F.lit(""), F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    )

@@ -497,3 +497,125 @@ def encoding_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("ok")
         .alias("status"),
     ).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# URL-level dedup for crawl pipelines: canonicalize fetched URLs (drop
+# fragments/tracking params, normalize case/ports/slashes, sort query
+# params) and keep the first-seen doc per canonical URL — the hygiene step
+# that runs BEFORE content dedup, because two spellings of one URL should
+# cost one content-dedup candidate, not two. The URL fixture is built
+# deterministically from doc_id: consecutive ids form a cluster whose six
+# spelling variants collapse to four canonical identities, so the oracle
+# only matches if every canonicalization rule fires correctly.
+# ---------------------------------------------------------------------------
+
+_URL_FIXTURE_SQL = """
+SELECT doc_id,
+       'site' || (doc_id // 6) % 37 || '.example.com' AS h,
+       CAST(doc_id // 6 AS BIGINT) AS pid,
+       doc_id % 6 AS v
+FROM documents
+"""
+
+URL_CANON_ORACLE = """
+WITH f AS (""" + _URL_FIXTURE_SQL + """),
+raw AS (
+  SELECT doc_id,
+         CASE v
+           WHEN 0 THEN 'http://' || h || '/art/' || pid
+           WHEN 1 THEN 'HTTP://' || upper(h) || ':80/art/' || pid || '/'
+           WHEN 2 THEN 'http://' || h || '/art/' || pid || '?utm_source=x&b=2&a=1#frag'
+           WHEN 3 THEN 'http://' || h || '/art/' || pid || '?a=1&b=2'
+           WHEN 4 THEN 'https://' || h || ':443/page/' || pid
+           ELSE 'https://' || h || '/page/' || pid || '?z=1&utm_campaign=c'
+         END AS url
+  FROM f
+),
+c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+c2 AS (
+  SELECT doc_id,
+         coalesce(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)), '') AS scheme,
+         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
+  FROM c1
+),
+c3 AS (
+  SELECT doc_id, scheme,
+         coalesce(lower(regexp_extract(rest, '^([^/?]+)', 1)), '') AS host0,
+         regexp_replace(rest, '^[^/?]+', '') AS pathq
+  FROM c2
+),
+c4 AS (
+  SELECT doc_id, scheme,
+         CASE WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
+              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
+              ELSE host0 END AS host,
+         coalesce(regexp_extract(pathq, '^([^?]*)', 1), '') AS path0,
+         coalesce(regexp_extract(pathq, '\\?(.*)$', 1), '') AS qs
+  FROM c3
+),
+c5 AS (
+  SELECT doc_id, scheme, host,
+         CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(path0, '/+$', '') END AS path,
+         coalesce(array_to_string(
+           list_sort(
+             list_filter(string_split(qs, '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+           '&'), '') AS q
+  FROM c4
+),
+canon AS (
+  SELECT doc_id,
+         scheme || '://' || host || path ||
+           CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+  FROM c5
+)
+SELECT canonical_url,
+       CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
+       CAST(COUNT(*) AS BIGINT) AS n_variants
+FROM canon
+GROUP BY 1
+ORDER BY 1
+"""
+
+
+@query("url_canonical_dedup", survey="F2,U3", oracle=URL_CANON_ORACLE)
+def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonicalize crawl URLs and dedup to first-seen per canonical form
+    (``functions.parsing.canonicalize_url``). The canonicalization is one
+    map-only JVM expression chain (regexp + array_sort — no UDF) and the
+    keeper selection one hash aggregation on the canonical key, so at
+    100 TB of crawl metadata this costs one scan + one key exchange —
+    and every URL-spelling duplicate it removes is a content-dedup
+    candidate the downstream MinHash/semantic stages never have to
+    generate. Six deterministic spelling variants per id cluster
+    (case, default ports, trailing slash, fragments, tracking params,
+    param order) collapse to four canonical identities, hash-checked."""
+    from ..functions.parsing import canonicalize_url
+
+    d = _t(spark, sf_dir, "documents").select("doc_id")
+    h = F.concat(
+        F.lit("site"),
+        (F.floor(F.col("doc_id") / 6) % 37).cast("long").cast("string"),
+        F.lit(".example.com"),
+    )
+    pid = F.floor(F.col("doc_id") / 6).cast("long").cast("string")
+    v = F.col("doc_id") % 6
+    url = (
+        F.when(v == 0, F.concat(F.lit("http://"), h, F.lit("/art/"), pid))
+        .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(h), F.lit(":80/art/"), pid, F.lit("/")))
+        .when(v == 2, F.concat(F.lit("http://"), h, F.lit("/art/"), pid, F.lit("?utm_source=x&b=2&a=1#frag")))
+        .when(v == 3, F.concat(F.lit("http://"), h, F.lit("/art/"), pid, F.lit("?a=1&b=2")))
+        .when(v == 4, F.concat(F.lit("https://"), h, F.lit(":443/page/"), pid))
+        .otherwise(F.concat(F.lit("https://"), h, F.lit("/page/"), pid, F.lit("?z=1&utm_campaign=c")))
+    )
+    return (
+        d.select("doc_id", canonicalize_url(url).alias("canonical_url"))
+        .groupBy("canonical_url")
+        .agg(
+            F.min("doc_id").alias("keeper_id"),
+            F.count(F.lit(1)).alias("n_variants"),
+        )
+        .orderBy("canonical_url")
+    )

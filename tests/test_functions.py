@@ -106,3 +106,30 @@ def test_mojibake_marker_requires_continuation_range(spark):
         for (s,) in rows
     ]
     assert duck == got
+
+
+def test_canonicalize_url_rules(spark):
+    from pyspark.sql import functions as F
+
+    from sport_data_pipeline_spark.functions.parsing import canonicalize_url
+
+    cases = [
+        # (raw, canonical)
+        ("HTTP://Site.COM:80/A/b/?utm_source=x&b=2&a=1#top",
+         "http://site.com/A/b?a=1&b=2"),          # host lowers, path case kept
+        ("http://site.com/a?a=1&b=2", "http://site.com/a?a=1&b=2"),
+        ("https://site.com:443/p", "https://site.com/p"),
+        ("https://site.com:8443/p", "https://site.com:8443/p"),  # non-default kept
+        ("http://site.com:443/p", "http://site.com:443/p"),      # wrong scheme's default kept
+        ("http://site.com", "http://site.com/"),                 # empty path -> root
+        ("http://site.com/", "http://site.com/"),
+        ("http://site.com/x///", "http://site.com/x"),
+        ("http://site.com/x?utm_a=1&fbclid=2&gclid=3&ref=z", "http://site.com/x"),
+        ("http://site.com/x?", "http://site.com/x"),
+        ("http://site.com/x#only-frag", "http://site.com/x"),
+        ("http://site.com/x?z=1&a=2", "http://site.com/x?a=2&z=1"),
+    ]
+    df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], "i int, url string")
+    got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url("url").alias("c")).collect()}
+    for i, (raw, want) in enumerate(cases):
+        assert got[i] == want, f"{raw!r}: {got[i]!r} != {want!r}"

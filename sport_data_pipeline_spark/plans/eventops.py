@@ -1387,3 +1387,68 @@ def status_transitions_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("event_id").alias("tick_id"),
     )
     return track_status_transitions_batch(ticks).orderBy("fixture_id", "transition_ts")
+
+
+# ---------------------------------------------------------------------------
+# Key-skew profiler: the diagnostic that decides WHETHER the skew
+# mitigations (operators/joins.salted_join, AQE skew-join) are needed and
+# WHICH keys are hot. At 100 TB a skewed join/agg key is the difference
+# between a balanced stage and one straggler task holding 1000 executors
+# idle; the profile costs one wordcount-shaped aggregation (map-side
+# combinable) plus a k-row TakeOrderedAndProject — run it on the join key
+# BEFORE the join, not on the wreckage after.
+# ---------------------------------------------------------------------------
+
+KEY_SKEW_ORACLE = """
+WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY 1),
+t AS (SELECT COUNT(*) AS n_keys, SUM(cnt) AS n_rows, MAX(cnt) AS max_cnt FROM c),
+top AS (SELECT user_id, cnt FROM c ORDER BY cnt DESC, user_id LIMIT 10)
+SELECT CAST(top.user_id AS BIGINT) AS user_id,
+       CAST(top.cnt AS BIGINT) AS cnt,
+       CAST(top.cnt AS DOUBLE) / n_rows AS share,
+       CAST(top.cnt * n_keys AS DOUBLE) / n_rows AS ratio_to_mean,
+       CAST(n_keys AS BIGINT) AS n_keys,
+       CAST(n_rows AS BIGINT) AS n_rows,
+       CAST(max_cnt * n_keys AS DOUBLE) / n_rows AS skew_factor
+FROM top, t
+ORDER BY cnt DESC, user_id
+"""
+
+
+@query("key_skew_profile", survey="skew,A4,O1", oracle=KEY_SKEW_ORACLE)
+def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key load profile of ``events.user_id``: the 10 heaviest keys
+    with their absolute counts, share of all rows, and ratio to the mean
+    key load, plus the global skew factor (max/mean — 1.0 means
+    perfectly uniform; >10 means the salted join / AQE skew split is
+    worth its overhead). Every ratio is one long-over-long double
+    division (IEEE-exact in both engines — no float accumulation), so
+    the whole profile hash-compares bit-exactly. Plan: one hash
+    aggregation (partial+final), a 1-row global aggregate broadcast
+    back, and TakeOrderedAndProject for the top keys — no sort of the
+    full key set, no second pass over the events."""
+    e = _t(spark, sf_dir, "events").select("user_id")
+    c = e.groupBy("user_id").agg(F.count(F.lit(1)).alias("cnt"))
+    t = c.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        F.sum("cnt").alias("n_rows"),
+        F.max("cnt").alias("max_cnt"),
+    )
+    top = c.orderBy(F.desc("cnt"), "user_id").limit(10)
+    return (
+        top.crossJoin(F.broadcast(t))
+        .select(
+            "user_id",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("n_rows")).alias("share"),
+            ((F.col("cnt") * F.col("n_keys")).cast("double") / F.col("n_rows")).alias(
+                "ratio_to_mean"
+            ),
+            "n_keys",
+            "n_rows",
+            (
+                (F.col("max_cnt") * F.col("n_keys")).cast("double") / F.col("n_rows")
+            ).alias("skew_factor"),
+        )
+        .orderBy(F.desc("cnt"), "user_id")
+    )

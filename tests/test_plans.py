@@ -175,6 +175,16 @@ def test_stratified_weighted_sample_single_hash_exchange(spark):
     assert "CartesianProduct" not in plan
 
 
+def test_key_skew_profile_topk_no_global_sort(spark):
+    # the skew diagnostic must itself be skew-proof: top keys via
+    # TakeOrderedAndProject (per-partition top-k + k-row merge), never a
+    # full sort of the key set.
+    plan = physical_plan(SPECS["key_skew_profile"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in plan
+    assert "Exchange rangepartitioning" not in plan  # no global sort
+    assert "CartesianProduct" not in plan
+
+
 def test_pii_redaction_map_only(spark):
     # staged regexp_replace chain never shuffles — pure projection.
     plan = physical_plan(SPECS["pii_redaction"].fn(spark, SF_DIR))

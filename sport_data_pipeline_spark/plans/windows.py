@@ -250,6 +250,74 @@ def latest_per_key_query(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# S13/U4: per-column COALESCE merge — the reference's partial-update sinks
+# (COALESCE(%s, venue_id): only overwrite with non-null). The update batch
+# is built deterministically from documents: every third doc gets a sparse
+# update row that overwrites source, leaves lang untouched (NULL), and
+# bumps n_chars only for every sixth doc — so the oracle only matches if
+# each column independently takes its latest NON-NULL value.
+# ---------------------------------------------------------------------------
+
+COALESCE_MERGE_ORACLE = """
+WITH e AS (SELECT doc_id, lang, source, n_chars, 0 AS ver FROM documents),
+u AS (
+  SELECT doc_id,
+         CAST(NULL AS VARCHAR) AS lang,
+         'recrawl' AS source,
+         CASE WHEN doc_id % 6 = 0 THEN n_chars + 1 ELSE NULL END AS n_chars,
+         1 AS ver
+  FROM documents WHERE doc_id % 3 = 0
+),
+all_rows AS (SELECT * FROM e UNION ALL SELECT * FROM u),
+merged AS (
+  SELECT DISTINCT doc_id,
+         last_value(lang IGNORE NULLS) OVER w AS lang,
+         last_value(source IGNORE NULLS) OVER w AS source,
+         last_value(n_chars IGNORE NULLS) OVER w AS n_chars,
+         last_value(ver IGNORE NULLS) OVER w AS ver
+  FROM all_rows
+  WINDOW w AS (PARTITION BY doc_id ORDER BY ver
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+)
+SELECT doc_id,
+       lang,
+       source,
+       CAST(n_chars AS BIGINT) AS n_chars,
+       CAST(ver AS INTEGER) AS ver
+FROM merged ORDER BY doc_id
+"""
+
+
+@query("coalesce_merge_updates", survey="S13,U3", oracle=COALESCE_MERGE_ORACLE)
+def coalesce_merge_updates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """merge_coalesce over a deterministic sparse-update batch: per key
+    and PER COLUMN the latest non-null value wins (the reference's
+    partial-update ON CONFLICT sinks, where an update row only carries
+    the fields the scraper actually saw). One key exchange for the
+    window, value columns folded with last(ignorenulls) — same
+    one-shuffle shape as merge_latest at any scale. The fixture updates
+    every third doc (source overwritten, lang deliberately NULL = keep,
+    n_chars bumped only for every sixth doc), so a merge that treats
+    NULL as a value, or that takes whole-row latest instead of
+    per-column latest, hash-mismatches."""
+    from ..operators.merge import merge_coalesce
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source", "n_chars")
+    existing = d.withColumn("ver", F.lit(0))
+    updates = (
+        d.filter(F.col("doc_id") % 3 == 0)
+        .select(
+            "doc_id",
+            F.lit(None).cast("string").alias("lang"),
+            F.lit("recrawl").alias("source"),
+            F.when(F.col("doc_id") % 6 == 0, F.col("n_chars") + 1).alias("n_chars"),
+            F.lit(1).alias("ver"),
+        )
+    )
+    return merge_coalesce(existing, updates, ["doc_id"], ["ver"]).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
 # W5/J11: open vs close value per key over a tick stream (odds open/close,
 # database/schema.sql:729-745).
 # ---------------------------------------------------------------------------

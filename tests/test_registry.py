@@ -162,13 +162,8 @@ def test_window_covers_all_survey_ops():
         # string_normalize_slug's normalize chain; pii_redaction carried
         # the tag green r8–r12.
         "llm-pii",
-        # --- r14-new tail query: per-column COALESCE merge
-        # (coalesce_merge_updates) upgraded S13 from unit-only to
-        # DuckDB-oracled; the union+key-window merge shape stays
-        # in-window via latest_per_key (S10/S11/U3 — merge_latest is the
-        # whole-row variant of the same one-shuffle plan). r15 rotation
-        # candidate.
-        "S13",
+        # (S13 was accepted here for r14 only; the r15 rotation returned
+        # it to the window via coalesce_merge_updates' first driver row.)
     }
     real = {n: [o for o in lost if o not in accepted] for n, lost in tail_only.items()}
     real = {n: lost for n, lost in real.items() if lost}

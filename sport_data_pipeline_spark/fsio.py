@@ -21,13 +21,20 @@ Semantics relied on by callers:
 
 - ``rename`` is atomic on HDFS and on the local filesystem (POSIX
   rename(2)); object stores emulating rename (S3A) make it a copy, which
-  is not atomic — callers that need atomicity on such stores should point
-  the maintenance path at a real filesystem (the commit-marker protocol in
-  streaming/idempotent.py degrades to at-least-once visibility of the
-  merged base during the copy window, never to data loss).
-- ``delete`` is recursive and a no-op on a missing path.
-- ``write_text`` + ``rename`` gives an atomic small-file publish: the
-  marker either exists with its full content or not at all.
+  is not atomic. The epoch-sink commit protocol therefore does NOT rely
+  on rename for its marker: streaming/idempotent.py publishes the marker
+  as a single small-object write whose content is self-validating
+  (payload + sha256) — a single PUT is atomic on object stores and a
+  torn write anywhere fails the checksum. rename-atomicity remains a
+  stated dependency only of the snapshot-swap sink (sources/sinks.py),
+  which documents it.
+- ``delete`` is recursive, a no-op on a missing path, and RAISES when
+  the filesystem reports failure on an existing path — a silently
+  swallowed failed delete would leave a stale failed-attempt partition
+  in place, exactly the replay hazard epoch_write defends against.
+- ``write_text`` is a plain overwrite of one small object; atomicity is
+  the caller's protocol (content validation, or pair with ``rename`` on
+  filesystems where rename is atomic).
 """
 
 from __future__ import annotations
@@ -70,8 +77,14 @@ class HadoopFS:
         return [st.getPath().getName() for st in self._fs.listStatus(p)]
 
     def delete(self, path: str) -> None:
-        """Recursive delete; no-op when the path does not exist."""
-        self._fs.delete(self._jpath(path), True)
+        """Recursive delete; no-op when the path does not exist; raises
+        when the filesystem reports failure on a path that still exists —
+        filesystems disagree on HOW they fail (some throw, HDFS-style
+        ones return false), and a silent false would leave the stale
+        partition the caller believes gone."""
+        p = self._jpath(path)
+        if not self._fs.delete(p, True) and self._fs.exists(p):
+            raise IOError(f"delete failed: {path}")
 
     def rename(self, src: str, dst: str) -> None:
         """Atomic move (HDFS / local); raises IOError if the filesystem
@@ -110,17 +123,21 @@ class HadoopFS:
         return out
 
     def read_text(self, path: str) -> str:
+        """Small-file read via Hadoop's own IO helper (a slim/shaded
+        deployment may not ship third-party jars like commons-io, so the
+        adapter stays within the Hadoop + JDK API surface)."""
         stream = self._fs.open(self._jpath(path))
         try:
-            return str(
-                self._jvm.org.apache.commons.io.IOUtils.toString(stream, "UTF-8")
-            )
+            sink = self._jvm.java.io.ByteArrayOutputStream()
+            self._jvm.org.apache.hadoop.io.IOUtils.copyBytes(stream, sink, 4096, False)
+            return bytes(sink.toByteArray()).decode("utf-8")
         finally:
             stream.close()
 
     def write_text(self, path: str, text: str) -> None:
-        """Plain (non-atomic) small-file write; pair with ``rename`` for
-        an atomic publish."""
+        """Plain overwrite of one small object. Atomicity is the caller's
+        protocol: content-validate on read (the epoch commit marker), or
+        pair with ``rename`` where rename is atomic."""
         out = self._fs.create(self._jpath(path), True)
         try:
             out.write(bytearray(text.encode("utf-8")))

@@ -99,10 +99,15 @@ def canonicalize_url(col: Column | str) -> Column:
     strip the scheme's default port (:80 http, :443 https — a
     non-default port is PRESERVED, it names a different origin); strip
     trailing slashes off non-root paths and collapse an empty path to
-    '/'; drop tracking parameters (utm_*, fbclid, gclid, ref) and sort
-    the surviving query parameters byte-wise so parameter order cannot
-    split a URL into two identities."""
-    u = F.regexp_replace(_c(col), r"#.*$", "")
+    '/'; drop tracking parameters (utm_*, fbclid, gclid, ref — with or
+    without an ``=value`` tail, so a bare ``?fbclid`` cannot split
+    identity) and sort the surviving query parameters byte-wise so
+    parameter order cannot split a URL into two identities. An input
+    with no ``scheme://`` prefix is passed through UNCHANGED — guessing
+    a scheme would merge http/https origins, and mangling it into
+    '://host' would be worse than leaving it for the caller's policy."""
+    raw = _c(col)
+    u = F.regexp_replace(raw, r"#.*$", "")
     scheme = F.lower(F.regexp_extract(u, r"^([A-Za-z][A-Za-z0-9+.\-]*)://", 1))
     rest = F.regexp_replace(u, r"^[A-Za-z][A-Za-z0-9+.\-]*://", "")
     host0 = F.lower(F.regexp_extract(rest, r"^([^/?]+)", 1))
@@ -119,14 +124,16 @@ def canonicalize_url(col: Column | str) -> Column:
     params = F.array_sort(
         F.filter(
             F.split(qs, "&"),
-            lambda x: (x != F.lit("")) & ~x.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)="),
+            lambda x: (x != F.lit("")) & ~x.rlike(r"^(utm_[^=]*|fbclid|gclid|ref)(=|$)"),
         )
     )
     q = F.array_join(params, "&")
-    return F.concat(
-        scheme,
-        F.lit("://"),
-        host,
-        path,
-        F.when(q == F.lit(""), F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+    return F.when(scheme == F.lit(""), raw).otherwise(
+        F.concat(
+            scheme,
+            F.lit("://"),
+            host,
+            path,
+            F.when(q == F.lit(""), F.lit("")).otherwise(F.concat(F.lit("?"), q)),
+        )
     )

@@ -1699,7 +1699,14 @@ def _sem_ingest_process_batch(
     the table reloads from ``cells_dir``."""
     from ..operators.similarity import _norm, _route_with_cells, assign_to_cells
 
-    if cells_holder.get("cells") is None:  # stream restart: reload radii
+    if cells_holder.get("cells") is None:  # stream (re)start
+        # heal any compaction swap a prior run's crash left committed-but-
+        # unfinished BEFORE the first state read (epoch_read refuses to
+        # read through that window; recovery makes the refusal transient)
+        from ..streaming.idempotent import recover_compaction
+
+        for d in (state_dir, routed_dir, cells_dir):
+            recover_compaction(spark, d)
         cells_holder["cells"] = _load_cell_table(spark, cells_dir, before_epoch=epoch)
     cells = cells_holder["cells"]
     # spread the state scan: a compacted small state bin-packs into

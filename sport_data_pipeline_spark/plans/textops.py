@@ -512,9 +512,9 @@ def encoding_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _URL_FIXTURE_SQL = """
 SELECT doc_id,
-       'site' || (doc_id // 6) % 37 || '.example.com' AS h,
-       CAST(doc_id // 6 AS BIGINT) AS pid,
-       doc_id % 6 AS v
+       'site' || (doc_id // 8) % 37 || '.example.com' AS h,
+       CAST(doc_id // 8 AS BIGINT) AS pid,
+       doc_id % 8 AS v
 FROM documents
 """
 
@@ -528,25 +528,27 @@ raw AS (
            WHEN 2 THEN 'http://' || h || '/art/' || pid || '?utm_source=x&b=2&a=1#frag'
            WHEN 3 THEN 'http://' || h || '/art/' || pid || '?a=1&b=2'
            WHEN 4 THEN 'https://' || h || ':443/page/' || pid
-           ELSE 'https://' || h || '/page/' || pid || '?z=1&utm_campaign=c'
+           WHEN 5 THEN 'https://' || h || '/page/' || pid || '?z=1&utm_campaign=c'
+           WHEN 6 THEN h || '/art/' || pid
+           ELSE 'http://' || h || '/art/' || pid || '?fbclid'
          END AS url
   FROM f
 ),
-c1 AS (SELECT doc_id, regexp_replace(url, '#.*$', '') AS u FROM raw),
+c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw),
 c2 AS (
-  SELECT doc_id,
+  SELECT doc_id, url,
          coalesce(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)), '') AS scheme,
          regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
   FROM c1
 ),
 c3 AS (
-  SELECT doc_id, scheme,
+  SELECT doc_id, url, scheme,
          coalesce(lower(regexp_extract(rest, '^([^/?]+)', 1)), '') AS host0,
          regexp_replace(rest, '^[^/?]+', '') AS pathq
   FROM c2
 ),
 c4 AS (
-  SELECT doc_id, scheme,
+  SELECT doc_id, url, scheme,
          CASE WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
               WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
               ELSE host0 END AS host,
@@ -555,20 +557,22 @@ c4 AS (
   FROM c3
 ),
 c5 AS (
-  SELECT doc_id, scheme, host,
+  SELECT doc_id, url, scheme, host,
          CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
               ELSE regexp_replace(path0, '/+$', '') END AS path,
          coalesce(array_to_string(
            list_sort(
              list_filter(string_split(qs, '&'),
-               x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)='))),
+               x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))),
            '&'), '') AS q
   FROM c4
 ),
 canon AS (
   SELECT doc_id,
-         scheme || '://' || host || path ||
-           CASE WHEN q = '' THEN '' ELSE '?' || q END AS canonical_url
+         CASE WHEN scheme = '' THEN url
+              ELSE scheme || '://' || host || path ||
+                CASE WHEN q = '' THEN '' ELSE '?' || q END
+         END AS canonical_url
   FROM c5
 )
 SELECT canonical_url,
@@ -589,26 +593,30 @@ def url_canonical_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     100 TB of crawl metadata this costs one scan + one key exchange —
     and every URL-spelling duplicate it removes is a content-dedup
     candidate the downstream MinHash/semantic stages never have to
-    generate. Six deterministic spelling variants per id cluster
-    (case, default ports, trailing slash, fragments, tracking params,
-    param order) collapse to four canonical identities, hash-checked."""
+    generate. Eight deterministic spelling variants per id cluster
+    (case, default ports, trailing slash, fragments, tracking params —
+    with and without '=value' — param order, and a scheme-less spelling
+    that must pass through UNCHANGED, not be mangled or merged) collapse
+    to five canonical identities, hash-checked."""
     from ..functions.parsing import canonicalize_url
 
     d = _t(spark, sf_dir, "documents").select("doc_id")
     h = F.concat(
         F.lit("site"),
-        (F.floor(F.col("doc_id") / 6) % 37).cast("long").cast("string"),
+        (F.floor(F.col("doc_id") / 8) % 37).cast("long").cast("string"),
         F.lit(".example.com"),
     )
-    pid = F.floor(F.col("doc_id") / 6).cast("long").cast("string")
-    v = F.col("doc_id") % 6
+    pid = F.floor(F.col("doc_id") / 8).cast("long").cast("string")
+    v = F.col("doc_id") % 8
     url = (
         F.when(v == 0, F.concat(F.lit("http://"), h, F.lit("/art/"), pid))
         .when(v == 1, F.concat(F.lit("HTTP://"), F.upper(h), F.lit(":80/art/"), pid, F.lit("/")))
         .when(v == 2, F.concat(F.lit("http://"), h, F.lit("/art/"), pid, F.lit("?utm_source=x&b=2&a=1#frag")))
         .when(v == 3, F.concat(F.lit("http://"), h, F.lit("/art/"), pid, F.lit("?a=1&b=2")))
         .when(v == 4, F.concat(F.lit("https://"), h, F.lit(":443/page/"), pid))
-        .otherwise(F.concat(F.lit("https://"), h, F.lit("/page/"), pid, F.lit("?z=1&utm_campaign=c")))
+        .when(v == 5, F.concat(F.lit("https://"), h, F.lit("/page/"), pid, F.lit("?z=1&utm_campaign=c")))
+        .when(v == 6, F.concat(h, F.lit("/art/"), pid))
+        .otherwise(F.concat(F.lit("http://"), h, F.lit("/art/"), pid, F.lit("?fbclid")))
     )
     return (
         d.select("doc_id", canonicalize_url(url).alias("canonical_url"))

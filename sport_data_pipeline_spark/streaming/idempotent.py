@@ -31,14 +31,29 @@ any future batch's visible state.
 All directory/marker manipulation goes through the Hadoop FileSystem
 adapter (``fsio.HadoopFS``), so the discipline works unchanged when the
 state path lives on HDFS/object storage, not only on the driver's local
-disk; the commit marker is published atomically (write tmp + rename).
+disk. The compaction commit marker is published as a SINGLE small-object
+write whose content is self-validating (below_epoch + sha256 of the
+payload): a single PUT is atomic on object stores and a torn/truncated
+write on any filesystem fails the checksum and reads as "no swap
+committed" — so the protocol needs no atomic rename and holds on
+S3A-class stores, where rename is a non-atomic copy. Crash recovery is
+symmetric: a committed-but-unfinished swap (marker valid + scratch
+present) is finished by ``recover_compaction`` / a re-run of
+``compact_epochs`` with the recorded ``below_epoch``, and
+``epoch_read`` REFUSES to read through that window rather than silently
+returning state whose source partitions are partially deleted.
 Unit-pinned in tests/test_streaming_idempotent.py (replayed epoch leaves
 byte-identical state; reads never see the current epoch or the scratch
-partition; compaction preserves visibility; a property test checks any
-write/replay/compact interleaving against a pure dict model).
+partition; compaction preserves visibility; corrupted/truncated markers
+read as uncommitted; mid-``_finish`` crashes are detected by readers and
+healed by recovery; a property test checks any write/replay/compact
+interleaving against a pure dict model).
 """
 
 from __future__ import annotations
+
+import hashlib
+import re
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -49,6 +64,48 @@ EPOCH_COL = "__epoch"
 #: Scratch partition used by ``compact_epochs`` while building the merged
 #: base. ``epoch_read`` filters it out unconditionally.
 _TMP_EPOCH = -2
+
+#: Commit-marker file name (child of the state path).
+_MARKER = "__epoch_compact_commit"
+
+
+def marker_body(below_epoch: int) -> str:
+    """Self-validating commit-marker content: the payload plus its own
+    sha256. A single-object write of this body is an atomic publish on
+    object stores (PUT is all-or-nothing) and a torn write anywhere else
+    fails the checksum — no atomic rename required."""
+    payload = f"v1 below_epoch={int(below_epoch)}"
+    return f"{payload} sha256={hashlib.sha256(payload.encode('ascii')).hexdigest()}"
+
+
+def _read_marker(fs: HadoopFS, marker: str) -> int | None:
+    """The recorded ``below_epoch`` of a COMMITTED swap, or None when the
+    marker is absent, truncated, or corrupt (checksum mismatch) — all of
+    which mean no swap committed, because the marker is written in one
+    object and validated by content."""
+    if not fs.exists(marker):
+        return None
+    m = re.fullmatch(
+        r"v1 below_epoch=(-?\d+) sha256=([0-9a-f]{64})", fs.read_text(marker).strip()
+    )
+    if m is None:
+        return None
+    payload = f"v1 below_epoch={m.group(1)}"
+    if hashlib.sha256(payload.encode("ascii")).hexdigest() != m.group(2):
+        return None
+    return int(m.group(1))
+
+
+def _finish_swap(fs: HadoopFS, path: str, below: int) -> None:
+    """Complete a committed swap: the ``__epoch=-2`` scratch holds the full
+    merged base, so drop the rolled-up sources + old base, promote the
+    scratch, clear the marker. Every step is idempotent, so a crash at any
+    point is healed by re-running (the marker survives until the end)."""
+    for d in fs.listdir(path):
+        if d.startswith(f"{EPOCH_COL}=") and -1 <= int(d.split("=", 1)[1]) < below:
+            fs.delete(join(path, d))
+    fs.rename(join(path, f"{EPOCH_COL}={_TMP_EPOCH}"), join(path, f"{EPOCH_COL}=-1"))
+    fs.delete(join(path, _MARKER))
 
 
 def epoch_write(df: DataFrame, path: str, epoch: int) -> None:
@@ -85,60 +142,58 @@ def compact_epochs(spark: SparkSession, path: str, below_epoch: int) -> int:
     from inside a running foreachBatch at epoch e pass ``below_epoch=e``
     (never e+1 — the current epoch's commit is not recorded yet, and a
     crash-replay of it after a roll-up that swallowed its rows would
-    double-count them against the base); from between stream runs, the
-    next epoch to start.
+    double-count them against the base); from between stream runs pass
+    the next epoch to start, as ``stream_crawl_ingest`` and the
+    semantic/media ingest twins do (they compact after
+    ``awaitTermination``, between runs — see plans/mediaops.py).
 
     MUST run inside the loop's serial schedule (from the foreachBatch
-    body, as stream_crawl_ingest does, or between stream runs): the
-    partition swap is not atomic, and a concurrent reader could observe
-    the window between source-drop and base-promote. Two guards enforce
-    the discipline's observable half: the ``__epoch=-2`` scratch
-    partition is invisible to ``epoch_read`` even mid-crash, and a call
-    that finds a commit marker recording a DIFFERENT ``below_epoch``
-    refuses loudly (either a concurrent compaction is mid-swap, or a
-    crashed one must be finished by re-running with ITS below_epoch)
-    rather than racing the swap. Returns the number of epoch partitions
-    rolled up; a call that merely finishes a crashed swap returns 0 (the
-    crashed run's sources are already partially dropped, so the count is
-    unknowable)."""
+    body or between stream runs): the partition swap is not atomic, and
+    a concurrent reader could observe the window between source-drop and
+    base-promote. Three guards enforce the discipline's observable half:
+    the ``__epoch=-2`` scratch partition is invisible to ``epoch_read``
+    even mid-crash; a call that finds a commit marker recording a
+    DIFFERENT ``below_epoch`` refuses loudly (either a concurrent
+    compaction is mid-swap, or a crashed one must be finished by
+    re-running with ITS below_epoch) rather than racing the swap; and
+    ``epoch_read`` itself refuses while a committed swap is unfinished
+    (marker + scratch both present), so a crash inside the swap can
+    never be read through as silently-missing state. Returns the number
+    of epoch partitions rolled up; a call that merely finishes a crashed
+    swap returns 0 (the crashed run's sources are already partially
+    dropped, so the count is unknowable)."""
     from ..checkpointing import stage_checkpoint
 
     fs = HadoopFS(spark, path)
     tmp_part = join(path, f"{EPOCH_COL}={_TMP_EPOCH}")
-    marker = join(path, "__epoch_compact_commit")
+    marker = join(path, _MARKER)
 
-    def _finish(below: int) -> None:
-        # the tmp partition holds the complete merged base: drop the
-        # rolled-up sources + old base, promote tmp, clear the marker
-        for d in fs.listdir(path):
-            if d.startswith(f"{EPOCH_COL}=") and -1 <= int(d.split("=", 1)[1]) < below:
-                fs.delete(join(path, d))
-        fs.rename(tmp_part, join(path, f"{EPOCH_COL}=-1"))
-        fs.delete(marker)
-
-    if fs.exists(marker):
-        recorded = int(fs.read_text(marker).strip())
+    recorded = _read_marker(fs, marker)
+    if recorded is not None:
         if fs.exists(tmp_part):
-            # a previous run crashed AFTER committing its tmp (marker
-            # present => the tmp write completed): the tmp may hold the
-            # only full copy of partitions already removed, so THAT swap
-            # must be finished first — and only a call re-running the SAME
-            # roll-up may do it (a different below_epoch means either a
-            # concurrent compaction is mid-swap right now, or the caller
+            # a previous run crashed AFTER committing its swap (valid
+            # marker => the scratch write completed): the scratch may hold
+            # the only full copy of partitions already removed, so THAT
+            # swap must be finished first — and only a call re-running the
+            # SAME roll-up may do it (a different below_epoch means either
+            # a concurrent compaction is mid-swap right now, or the caller
             # skipped the serial schedule; racing the swap corrupts state)
             if recorded != below_epoch:
                 raise RuntimeError(
                     f"compact_epochs({path!r}): a compaction at "
                     f"below_epoch={recorded} is mid-swap (crashed or "
                     f"concurrent); finish it by re-running with "
-                    f"below_epoch={recorded} before compacting further"
+                    f"below_epoch={recorded} (or recover_compaction) "
+                    f"before compacting further"
                 )
-            _finish(recorded)
+            _finish_swap(fs, path, recorded)
             return 0  # this call's roll-up IS the recovered swap
         fs.delete(marker)  # crashed after the rename, before cleanup
     else:
-        # no marker => any tmp is an uncommitted partial write; sources
-        # are all intact, so discarding it and redoing is safe
+        # no marker, or a torn/corrupt one (checksum failed => the swap
+        # never committed): sources are all intact, so discarding the
+        # marker remnant and any partial scratch and redoing is safe
+        fs.delete(marker)
         fs.delete(tmp_part)
 
     roll = [
@@ -160,15 +215,36 @@ def compact_epochs(spark: SparkSession, path: str, below_epoch: int) -> int:
     )
     epoch_write(merged, path, _TMP_EPOCH)
     # an all-empty roll-up writes no files: materialize the tmp partition
-    # dir anyway so the promote-rename below is unconditional (an empty
-    # partition directory is invisible to readers)
+    # dir anyway so the promote-rename in _finish_swap is unconditional
+    # (an empty partition directory is invisible to readers)
     fs.mkdirs(tmp_part)
-    # atomic marker publish: a crash mid-write must not leave a truncated
-    # marker that recovery would misparse as a committed swap
-    fs.write_text(marker + ".tmp", str(below_epoch))
-    fs.rename(marker + ".tmp", marker)
-    _finish(below_epoch)
+    # single-object, content-validated commit publish: atomic on object
+    # stores (one PUT), and a torn write anywhere fails the checksum and
+    # reads as uncommitted — no rename in the commit path
+    fs.write_text(marker, marker_body(below_epoch))
+    _finish_swap(fs, path, below_epoch)
     return len(roll)
+
+
+def recover_compaction(spark: SparkSession, path: str) -> int | None:
+    """Finish a committed-but-unfinished compaction swap at ``path``, if
+    one is recorded — the loop-startup recovery step: call it before the
+    first state read of a resumed ingest loop, so a crash inside a prior
+    run's ``compact_epochs`` swap never surfaces as missing state. A
+    torn/corrupt marker (checksum failure) means no swap committed and is
+    simply cleared. Returns the recovered swap's ``below_epoch``, or
+    None when there was nothing to recover."""
+    fs = HadoopFS(spark, path)
+    marker = join(path, _MARKER)
+    recorded = _read_marker(fs, marker)
+    if recorded is None:
+        fs.delete(marker)  # clear a torn remnant; no-op when absent
+        return None
+    if fs.exists(join(path, f"{EPOCH_COL}={_TMP_EPOCH}")):
+        _finish_swap(fs, path, recorded)
+        return recorded
+    fs.delete(marker)  # crashed after the rename, before cleanup: complete
+    return None
 
 
 def epoch_read(spark: SparkSession, path: str, before_epoch: int | None = None) -> DataFrame:
@@ -177,9 +253,23 @@ def epoch_read(spark: SparkSession, path: str, before_epoch: int | None = None) 
     loop-owned state: completed predecessors only, never its own failed
     attempt). The compactor's ``__epoch=-2`` scratch partition is
     excluded UNCONDITIONALLY — a crash between its write and the swap
-    must not double-count the merged rows for any reader. Partition
-    filters prune at the file listing — excluded epochs' files are never
-    opened. ``__epoch`` is dropped."""
+    must not double-count the merged rows for any reader. Symmetrically,
+    a COMMITTED swap left unfinished by a crash (valid marker + scratch
+    both present — source partitions may be partially deleted) REFUSES
+    the read instead of silently returning incomplete state; run
+    ``recover_compaction`` (or re-run ``compact_epochs`` with the
+    recorded below_epoch) to heal it. Partition filters prune at the
+    file listing — excluded epochs' files are never opened. ``__epoch``
+    is dropped."""
+    fs = HadoopFS(spark, path)
+    recorded = _read_marker(fs, join(path, _MARKER))
+    if recorded is not None and fs.exists(join(path, f"{EPOCH_COL}={_TMP_EPOCH}")):
+        raise RuntimeError(
+            f"epoch_read({path!r}): a compaction at below_epoch={recorded} "
+            f"is mid-swap (crashed or concurrent) — state would read "
+            f"incomplete; run recover_compaction (or compact_epochs with "
+            f"below_epoch={recorded}) first"
+        )
     df = spark.read.parquet(path).filter(F.col(EPOCH_COL) >= -1)
     if before_epoch is not None:
         df = df.filter(F.col(EPOCH_COL) < int(before_epoch))

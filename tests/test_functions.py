@@ -128,6 +128,15 @@ def test_canonicalize_url_rules(spark):
         ("http://site.com/x?", "http://site.com/x"),
         ("http://site.com/x#only-frag", "http://site.com/x"),
         ("http://site.com/x?z=1&a=2", "http://site.com/x?a=2&z=1"),
+        # tracking params written WITHOUT '=value' must still drop
+        ("http://site.com/x?fbclid", "http://site.com/x"),
+        ("http://site.com/x?utm_source&a=1", "http://site.com/x?a=1"),
+        # ...but a non-tracking param that merely PREFIXES one is kept
+        ("http://site.com/x?refresh=1", "http://site.com/x?refresh=1"),
+        # scheme-less input passes through unchanged (no '://host' mangle,
+        # no scheme guess that would merge http/https origins)
+        ("site.com/x?b=2&a=1#top", "site.com/x?b=2&a=1#top"),
+        ("/relative/path", "/relative/path"),
     ]
     df = spark.createDataFrame([(i, r) for i, (r, _) in enumerate(cases)], "i int, url string")
     got = {r["i"]: r["c"] for r in df.select("i", canonicalize_url("url").alias("c")).collect()}

@@ -179,8 +179,10 @@ def test_compact_epochs_refuses_foreign_midswap_marker(spark):
             tmp,
             -2,
         )
+        from sport_data_pipeline_spark.streaming.idempotent import marker_body
+
         with open(os.path.join(tmp, "__epoch_compact_commit"), "w") as fh:
-            fh.write("2")
+            fh.write(marker_body(2))
         with _pytest.raises(RuntimeError, match="below_epoch=2"):
             compact_epochs(spark, tmp, below_epoch=3)
         # re-running the RECORDED roll-up finishes the swap
@@ -276,5 +278,116 @@ def test_epoch_discipline_matches_pure_model(spark, ops):
         got = sorted(r["id"] for r in epoch_read(spark, tmp).collect())
         want = sorted(v for rows in model.values() for v in rows)
         assert got == want
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_torn_commit_marker_reads_as_uncommitted(spark):
+    """The commit marker is a single content-validated object: a torn or
+    corrupt write (crash mid-PUT on a filesystem without atomic create)
+    must read as NO swap committed — compact_epochs discards the remnant
+    and redoes the roll-up, and epoch_read does not refuse (sources are
+    all intact before the marker commits)."""
+    import os
+
+    from sport_data_pipeline_spark.streaming.idempotent import (
+        compact_epochs,
+        marker_body,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sdp_epoch_torn_")
+    try:
+        epoch_write(spark.range(0, 3).select(F.col("id")), tmp, -1)
+        epoch_write(spark.range(10, 12).select(F.col("id")), tmp, 0)
+        # partial scratch + a TRUNCATED marker (crash mid-write): the
+        # checksum cannot match, so the swap never committed
+        epoch_write(spark.range(0, 1).select(F.col("id")), tmp, -2)
+        for torn in ("", "v1 below_epoch=1 sha2", marker_body(1)[:-1] + "0", "1"):
+            with open(os.path.join(tmp, "__epoch_compact_commit"), "w") as fh:
+                fh.write(torn)
+            # reads stay available and complete
+            assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == [
+                0, 1, 2, 10, 11,
+            ]
+        # maintenance discards the remnant and completes the roll-up fresh
+        assert compact_epochs(spark, tmp, below_epoch=1) == 1
+        assert not os.path.exists(os.path.join(tmp, "__epoch_compact_commit"))
+        assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == [
+            0, 1, 2, 10, 11,
+        ]
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_epoch_read_refuses_midswap_and_recovery_heals(spark):
+    """Crash INSIDE the committed swap (marker valid, scratch present,
+    some source partitions already deleted): a silent read would return
+    incomplete state — duplicates would route as 'kept'. epoch_read must
+    refuse loudly, and recover_compaction must finish the recorded swap,
+    after which reads return the complete folded state."""
+    import os
+
+    import pytest as _pytest
+
+    from sport_data_pipeline_spark.streaming.idempotent import (
+        EPOCH_COL,
+        marker_body,
+        recover_compaction,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sdp_epoch_midswap_")
+    try:
+        epoch_write(spark.range(0, 3).select(F.col("id")), tmp, -1)
+        epoch_write(spark.range(10, 12).select(F.col("id")), tmp, 0)
+        epoch_write(spark.range(20, 22).select(F.col("id")), tmp, 1)
+        # scratch = full merge of epochs < 2, marker committed for 2
+        epoch_write(
+            spark.read.parquet(tmp)
+            .filter((F.col(EPOCH_COL) >= -1) & (F.col(EPOCH_COL) < 2))
+            .drop(EPOCH_COL),
+            tmp,
+            -2,
+        )
+        with open(os.path.join(tmp, "__epoch_compact_commit"), "w") as fh:
+            fh.write(marker_body(2))
+        # crash mid-_finish: epoch 0's source partition already deleted
+        shutil.rmtree(os.path.join(tmp, f"{EPOCH_COL}=0"))
+        with _pytest.raises(RuntimeError, match="mid-swap"):
+            epoch_read(spark, tmp)
+        with _pytest.raises(RuntimeError, match="recover_compaction"):
+            epoch_read(spark, tmp, before_epoch=2)
+        # loop-startup recovery finishes the recorded swap
+        assert recover_compaction(spark, tmp) == 2
+        assert not os.path.exists(os.path.join(tmp, "__epoch_compact_commit"))
+        assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == [
+            0, 1, 2, 10, 11, 20, 21,
+        ]
+        parts = sorted(d for d in os.listdir(tmp) if d.startswith(EPOCH_COL))
+        assert parts == [f"{EPOCH_COL}=-1"]
+        # idempotent: nothing left to recover
+        assert recover_compaction(spark, tmp) is None
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_recover_compaction_clears_post_rename_marker(spark):
+    """Crash AFTER the scratch promote but BEFORE the marker cleanup:
+    state is complete (the new base is in place), so reads need not
+    refuse and recovery just clears the marker."""
+    import os
+
+    from sport_data_pipeline_spark.streaming.idempotent import (
+        marker_body,
+        recover_compaction,
+    )
+
+    tmp = tempfile.mkdtemp(prefix="sdp_epoch_postswap_")
+    try:
+        epoch_write(spark.range(0, 3).select(F.col("id")), tmp, -1)
+        with open(os.path.join(tmp, "__epoch_compact_commit"), "w") as fh:
+            fh.write(marker_body(1))  # scratch absent: rename completed
+        assert sorted(r["id"] for r in epoch_read(spark, tmp).collect()) == [0, 1, 2]
+        assert recover_compaction(spark, tmp) is None
+        assert not os.path.exists(os.path.join(tmp, "__epoch_compact_commit"))
     finally:
         shutil.rmtree(tmp, ignore_errors=True)

@@ -323,17 +323,26 @@ class SportsAnalyticsEngine:
             ).alias("a_win_share"),
         )
 
-    def standings(self, season: str | None = None) -> DataFrame:
-        """League table from finished matches (A13/W6, schema.sql:491-507)."""
+    def standings(
+        self, season: str | None = None, per_season: bool = False
+    ) -> DataFrame:
+        """League table from finished matches (A13/W6, schema.sql:491-507).
+        ``per_season=True`` keeps every season and ranks WITHIN each (one
+        partitioned window — the scale path for a multi-season table);
+        the default filters to one season (or pools all, the reference's
+        all-time-table shape) and ranks the resulting single tiny table."""
         m = self.t["matches"].filter(F.col("status") == "finished")
         if season is not None:
             m = m.filter(F.col("season") == season)
+        season_cols = [F.col("season")] if per_season else []
         home = m.select(
+            *season_cols,
             F.col("home_team_id").alias("team_id"),
             F.col("home_score").alias("gf"),
             F.col("away_score").alias("ga"),
         )
         away = m.select(
+            *season_cols,
             F.col("away_team_id").alias("team_id"),
             F.col("away_score").alias("gf"),
             F.col("home_score").alias("ga"),
@@ -342,7 +351,8 @@ class SportsAnalyticsEngine:
         won = F.when(F.col("gf") > F.col("ga"), 1).otherwise(0)
         drawn = F.when(F.col("gf") == F.col("ga"), 1).otherwise(0)
         lost = F.when(F.col("gf") < F.col("ga"), 1).otherwise(0)
-        table = persp.groupBy("team_id").agg(
+        group = (["season"] if per_season else []) + ["team_id"]
+        table = persp.groupBy(*group).agg(
             F.count(F.lit(1)).alias("played"),
             F.sum(won).alias("won"),
             F.sum(drawn).alias("drawn"),
@@ -354,6 +364,7 @@ class SportsAnalyticsEngine:
         return rank_standings(
             table,
             [F.desc("points"), F.desc("goal_diff"), F.desc("goals_for"), F.asc("team_id")],
+            partition_cols=["season"] if per_season else None,
         )
 
     def generate_league_analytics(

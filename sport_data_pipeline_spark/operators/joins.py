@@ -419,3 +419,56 @@ def salted_join(
         .join(right.withColumn("__salt", salts), keys + ["__salt"], how)
         .drop("__salt")
     )
+
+
+def skew_aware_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: Sequence[str],
+    how: str = "inner",
+    threshold: float = 10.0,
+    salt: int = 16,
+    max_hot: int = 64,
+) -> DataFrame:
+    """Profile-then-route equi-join: measure the left side's per-key load
+    (the ``key_skew_profile`` diagnostic, inline), and only if some key
+    carries more than ``threshold``× the mean key load route THOSE keys
+    through ``salted_join``'s hot-key path while the cold remainder joins
+    plainly. Output is row-identical to ``left.join(right, on, how)``.
+
+    This closes the gap between the two standalone tools: the profiler
+    tells an operator WHEN salting pays and ``salted_join`` assumes the
+    caller already knows WHICH keys are hot; this helper makes the
+    decision mechanical. The profile pass is one map-side-combinable
+    count per key plus a 1-row global aggregate, and at most ``max_hot``
+    hot-key rows come back to the driver (bounded, like AQE's runtime
+    statistics — never the key set). With no key above threshold the
+    plan IS the plain join: zero salting overhead on uniform data.
+
+    Use when AQE's skew-join can't see the skew (e.g. the join feeds a
+    stateful streaming stage, or the skew only materializes after an
+    upstream explode); prefer plain join + AQE otherwise — measured
+    crossover in SCALE.md §8.
+    """
+    keys = list(on)
+    c = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt"))
+    t = c.agg(
+        F.count(F.lit(1)).alias("__n_keys"), F.sum("__cnt").alias("__n_rows")
+    )
+    hot_rows = (
+        c.crossJoin(F.broadcast(t))
+        # cnt/mean >= threshold, kept in integer-x-double form (one
+        # multiply each side; no per-row division)
+        .filter(
+            F.col("__cnt") * F.col("__n_keys")
+            >= F.lit(float(threshold)) * F.col("__n_rows")
+        )
+        .orderBy(F.desc("__cnt"))
+        .limit(int(max_hot))
+        .select(*keys)
+        .collect()
+    )
+    if not hot_rows:
+        return left.join(right, keys, how)
+    hot = left.sparkSession.createDataFrame(hot_rows, left.select(*keys).schema)
+    return salted_join(left, right, keys, how=how, salt=salt, hot_keys=hot)

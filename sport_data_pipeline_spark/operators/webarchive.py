@@ -279,3 +279,155 @@ def warc_text_records(df: DataFrame) -> DataFrame:
             )
 
     return df.mapInPandas(run, schema=WARC_RECORDS_SCHEMA)
+
+
+def crawl_route_records(
+    docs: DataFrame,
+    state: DataFrame | None = None,
+    canonical_urls: bool = False,
+) -> DataFrame:
+    """Route exploded crawl conversion records to their ingest fate — the
+    shared gate+dedup stage of ``warc_ingest_pipeline`` and its streaming
+    twin (reference shape: the scraping_orchestrator's per-item accept/
+    skip routing, scraping_orchestrator.py:311-331, as one declarative
+    pass). Stages, in strictly-cheapening order:
+
+    1. encoding-health gate (replacement chars, PAIR-anchored mojibake,
+       C0 controls — the ``encoding_quality_gate`` expressions) →
+       ``bad_encoding`` rejects;
+    2. with ``canonical_urls=True``, URL-LEVEL hygiene: rows whose
+       ``canonicalize_url(target_uri)`` duplicates an earlier surviving
+       row — first-seen by (media_id, rec_idx) in-batch, or any row the
+       persisted index already kept (``state`` carrying a ``u`` column)
+       — route as ``dup_url`` WITHOUT ever hashing their content: a
+       spelling duplicate removed here is a content-dedup candidate the
+       md5 stage (and every downstream MinHash/semantic stage) never
+       sees, so at 100 TB of crawl the knob strictly removes work
+       (one map-only canonicalization + one key exchange);
+    3. exact content dedup: in-batch keeper window over md5(body) plus,
+       when ``state`` is given, a ONE-SIDED probe of the persisted hash
+       index (never a corpus self-join) → ``dup_exact``;
+    4. survivors keep their gate verdict (``ok`` / ``suspect``).
+
+    Returns (media_id, rec_idx, target_uri, body_text, status, kept,
+    n_tokens, match_mid, match_rec); duplicates point at their keeper.
+    ``state`` is the loop's epoch-read index with columns (h, k_mid,
+    k_rec) and, when the loop runs with ``canonical_urls=True``, the
+    kept row's canonical ``u``. Everything below the caller's explode is
+    JVM expressions + bounded-key windows (no Python in this stage)."""
+    from pyspark.sql import Window, functions as F
+
+    from ..functions.parsing import canonicalize_url
+
+    occ = lambda c, lit_: F.length(c) - F.length(F.replace(c, F.lit(lit_)))
+    body = F.col("body_text")
+    gate = (
+        F.when(
+            (occ(body, "�") > 0)
+            | (F.regexp_count(body, F.lit("Ã[-¿]")) > 0),
+            "bad_encoding",
+        )
+        .when(occ(body, "") > 0, "suspect")
+        .otherwise("ok")
+    )
+    gated = docs.select(
+        "media_id", "rec_idx", "target_uri", "body_text", gate.alias("gate")
+    )
+    surv = gated.filter(F.col("gate") != "bad_encoding")
+
+    url_dup = None
+    if canonical_urls:
+        with_u = surv.withColumn("u", canonicalize_url(F.col("target_uri")))
+        uw = Window.partitionBy("u").orderBy("media_id", "rec_idx")
+        marked = (
+            with_u.withColumn("urn", F.row_number().over(uw))
+            .withColumn("uf_mid", F.first("media_id").over(uw))
+            .withColumn("uf_rec", F.first("rec_idx").over(uw))
+        )
+        if state is not None and "u" in state.columns:
+            # first-kept keeper per canonical URL already in the index
+            # (≤1 row per URL after the aggregate — a one-sided probe)
+            idx_u = (
+                state.select("u", F.struct("k_mid", "k_rec").alias("__k"))
+                .groupBy("u")
+                .agg(F.min("__k").alias("__k"))
+                .select(
+                    "u",
+                    F.col("__k.k_mid").alias("uk_mid"),
+                    F.col("__k.k_rec").alias("uk_rec"),
+                )
+            )
+            marked = marked.join(idx_u, "u", "left")
+        else:
+            marked = marked.withColumn(
+                "uk_mid", F.lit(None).cast("long")
+            ).withColumn("uk_rec", F.lit(None).cast("int"))
+        is_url_dup = F.col("uk_mid").isNotNull() | (F.col("urn") > 1)
+        url_dup = marked.select(
+            "media_id",
+            "rec_idx",
+            is_url_dup.alias("is_url_dup"),
+            F.when(is_url_dup, F.coalesce("uk_mid", "uf_mid")).alias("u_match_mid"),
+            F.when(is_url_dup, F.coalesce("uk_rec", "uf_rec")).alias("u_match_rec"),
+        )
+        # the content stage never sees URL-duplicate rows: their bodies
+        # are never hashed and they cannot become content keepers
+        surv = surv.join(
+            url_dup.filter(~F.col("is_url_dup")).select("media_id", "rec_idx"),
+            ["media_id", "rec_idx"],
+            "left_semi",
+        )
+
+    surv = surv.withColumn("h", F.md5(F.col("body_text").cast("binary")))
+    w = Window.partitionBy("h").orderBy("media_id", "rec_idx")
+    ranked = (
+        surv.withColumn("rn", F.row_number().over(w))
+        .withColumn("f_mid", F.first("media_id").over(w))
+        .withColumn("f_rec", F.first("rec_idx").over(w))
+    )
+    if state is not None:
+        ranked = ranked.join(state.select("h", "k_mid", "k_rec"), "h", "left")
+    else:
+        ranked = ranked.withColumn("k_mid", F.lit(None).cast("long")).withColumn(
+            "k_rec", F.lit(None).cast("int")
+        )
+    dup = F.col("k_mid").isNotNull() | (F.col("rn") > 1)
+    routed = gated.join(
+        ranked.select(
+            "media_id",
+            "rec_idx",
+            F.when(dup, F.coalesce("k_mid", "f_mid")).alias("c_match_mid"),
+            F.when(dup, F.coalesce("k_rec", "f_rec")).alias("c_match_rec"),
+            dup.alias("is_dup"),
+        ),
+        ["media_id", "rec_idx"],
+        "left",
+    )
+    if url_dup is not None:
+        routed = routed.join(url_dup, ["media_id", "rec_idx"], "left")
+    else:
+        routed = (
+            routed.withColumn("is_url_dup", F.lit(None).cast("boolean"))
+            .withColumn("u_match_mid", F.lit(None).cast("long"))
+            .withColumn("u_match_rec", F.lit(None).cast("int"))
+        )
+    status = (
+        F.when(F.col("gate") == "bad_encoding", "bad_encoding")
+        .when(F.coalesce(F.col("is_url_dup"), F.lit(False)), "dup_url")
+        .when(F.coalesce(F.col("is_dup"), F.lit(False)), "dup_exact")
+        .otherwise(F.col("gate"))
+    )
+    kept = status.isin("ok", "suspect")
+    return routed.select(
+        "media_id",
+        "rec_idx",
+        "target_uri",
+        "body_text",
+        status.alias("status"),
+        kept.alias("kept"),
+        F.when(kept, F.size(F.split(F.trim(F.col("body_text")), r"\s+"))).alias(
+            "n_tokens"
+        ),
+        F.coalesce("u_match_mid", "c_match_mid").cast("long").alias("match_mid"),
+        F.coalesce("u_match_rec", "c_match_rec").cast("int").alias("match_rec"),
+    )

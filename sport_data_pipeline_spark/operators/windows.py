@@ -106,12 +106,22 @@ def rank_standings(
     df: DataFrame,
     order_by: Sequence[Column | str],
     position_col: str = "position",
+    partition_cols: Sequence[str] | None = None,
 ) -> DataFrame:
     """Assign league positions (reference W6/A13: standings position,
-    database/schema.sql:491-507). Global ordering ⇒ single-partition
-    window; at scale, standings tables are per-competition-season, so
-    callers partition first (or accept the tiny global sort)."""
-    w = Window.orderBy(*_order_cols(order_by, descending=False))
+    database/schema.sql:491-507). With ``partition_cols`` (the scale
+    default for any multi-competition/multi-season table) positions are
+    per partition and the window is bounded by the largest league —
+    constant in data volume. Without it the window is a SINGLE global
+    sort: legitimate only for a table that is one league's standings
+    (≤ tens of rows), which is what the in-repo callers rank; any caller
+    holding more than one competition-season should pass the partition
+    columns rather than accept the unpartitioned window."""
+    order = _order_cols(order_by, descending=False)
+    if partition_cols:
+        w = Window.partitionBy(*partition_cols).orderBy(*order)
+    else:
+        w = Window.orderBy(*order)
     return df.withColumn(position_col, F.row_number().over(w))
 
 

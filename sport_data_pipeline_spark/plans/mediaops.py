@@ -3411,12 +3411,21 @@ def warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     and token counts for kept docs. The planted duplicate SPANS
     archives and the keeper rule crosses them, so the hash only
     matches if extraction, gating and dedup COMPOSE -- none of the
-    per-operator WARC oracles checks that. Everything after the
-    Arrow-batched explode is JVM expressions + one window partitioned
-    by content hash (no Python in the pipeline body, plan-linted)."""
-    from pyspark.sql import Window, functions as SF
+    per-operator WARC oracles checks that. The gate+dedup stage is the
+    shared ``crawl_route_records`` operator (also the streaming twin's
+    per-batch body), here with its defaults: no persisted index, URL
+    canonicalization off (``canonical_urls=True`` adds the URL-level
+    hygiene stage — equivalence unit-pinned in test_webarchive.py).
+    Everything after the Arrow-batched explode is JVM expressions + one
+    window partitioned by content hash (no Python in the pipeline body,
+    plan-linted)."""
+    from pyspark.sql import functions as SF
 
-    from ..operators.webarchive import encode_warc, warc_text_records
+    from ..operators.webarchive import (
+        crawl_route_records,
+        encode_warc,
+        warc_text_records,
+    )
 
     rows = []
     for i in range(_N_PER_KIND):
@@ -3445,54 +3454,63 @@ def warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         rows.append((4200 + i, payload, "application/warc", len(payload), None))
     media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
     docs = warc_text_records(media).filter(SF.col("warc_type") == "conversion")
-    occ = lambda c, lit_: SF.length(c) - SF.length(SF.replace(c, SF.lit(lit_)))
-    body = SF.col("body_text")
-    gate = (
-        SF.when(
-            (occ(body, "\ufffd") > 0)
-            | (SF.regexp_count(body, SF.lit("\u00c3[\u0080-\u00bf]")) > 0),
-            "bad_encoding",
-        )
-        .when(occ(body, "\u0001") > 0, "suspect")
-        .otherwise("ok")
-    )
-    gated = docs.select(
-        "media_id", "rec_idx", "target_uri", "body_text", gate.alias("gate")
-    )
-    surv = gated.filter(SF.col("gate") != "bad_encoding")
-    w = Window.partitionBy(SF.md5(SF.col("body_text").cast("binary"))).orderBy(
-        "media_id", "rec_idx"
-    )
-    ranked = surv.select(
-        "media_id", "rec_idx", SF.row_number().over(w).alias("rn")
-    )
-    status = (
-        SF.when(SF.col("gate") == "bad_encoding", "bad_encoding")
-        .when(SF.col("rn") > 1, "dup_exact")
-        .otherwise(SF.col("gate"))
-    )
-    out = (
-        gated.join(ranked, ["media_id", "rec_idx"], "left")
-        .select(
-            "media_id",
-            "rec_idx",
-            "target_uri",
-            status.alias("status"),
-            "body_text",
-        )
-        .select(
-            "media_id",
-            "rec_idx",
-            "target_uri",
-            "status",
-            SF.col("status").isin("ok", "suspect").alias("kept"),
-            SF.when(
-                SF.col("status").isin("ok", "suspect"),
-                SF.size(SF.split(SF.trim(SF.col("body_text")), r"\s+")),
-            ).alias("n_tokens"),
-        )
+    out = crawl_route_records(docs).select(
+        "media_id", "rec_idx", "target_uri", "status", "kept", "n_tokens"
     )
     return out.orderBy("media_id", "rec_idx")
+
+
+def _crawl_process_batch(
+    spark: SparkSession,
+    batch: DataFrame,
+    epoch: int,
+    state_dir: str,
+    routed_dir: str,
+    canonical_urls: bool = False,
+) -> None:
+    """One micro-batch of the streaming crawl-ingest loop: explode the
+    landed archives, route every conversion record through the shared
+    ``crawl_route_records`` stage against the index state visible at this
+    epoch (one-sided md5 probe + in-batch keeper window), land the
+    routing idempotently, and fold the kept docs' hashes back into the
+    index APPEND-ONLY. With ``canonical_urls=True`` the routing gains the
+    URL-level hygiene stage and the fold also persists each kept row's
+    canonical URL, so a later batch's spelling re-crawl of a kept page
+    routes as ``dup_url`` without its content ever being hashed.
+    Module-level (not a closure) so the knob is directly testable;
+    ``stream_crawl_ingest`` runs it with the default (off) under its
+    driver oracle, and test_webarchive.py pins the knob's cross-batch
+    equivalence."""
+    from pyspark.sql import functions as SF
+
+    from ..checkpointing import stage_checkpoint
+    from ..functions.parsing import canonicalize_url
+    from ..operators.webarchive import crawl_route_records, warc_text_records
+
+    docs = warc_text_records(batch).filter(SF.col("warc_type") == "conversion")
+    state = epoch_read(spark, state_dir, before_epoch=epoch)
+    routed = stage_checkpoint(
+        crawl_route_records(docs, state=state, canonical_urls=canonical_urls)
+    )
+    epoch_write(
+        routed.select(
+            "media_id", "rec_idx", "target_uri", "status", "kept",
+            "n_tokens", "match_mid", "match_rec",
+        ),
+        routed_dir,
+        epoch,
+    )
+    # append-only fold: kept docs' hashes (and, with the knob on, their
+    # canonical URLs) join the index
+    kept = routed.filter(SF.col("kept"))
+    fold_cols = [
+        SF.md5(SF.col("body_text").cast("binary")).alias("h"),
+        SF.col("media_id").alias("k_mid"),
+        SF.col("rec_idx").alias("k_rec"),
+    ]
+    if canonical_urls:
+        fold_cols.append(canonicalize_url(SF.col("target_uri")).alias("u"))
+    epoch_write(kept.select(*fold_cols), state_dir, epoch)
 
 
 # Streaming crawl-ingest oracle: the 4-batch state evolution collapses to
@@ -3602,7 +3620,7 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
     import time as _time
 
-    from pyspark.sql import Window, functions as SF
+    from pyspark.sql import functions as SF
 
     from ..operators.webarchive import encode_warc, warc_text_records
 
@@ -3668,91 +3686,15 @@ def stream_crawl_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).coalesce(1).write.mode("append").parquet(in_dir)
 
         schema = spark.read.parquet(in_dir).schema
-        occ = lambda c, lit_: SF.length(c) - SF.length(SF.replace(c, SF.lit(lit_)))
 
         def route_batch(batch: DataFrame, epoch: int) -> None:
             # epoch-partitioned sinks (streaming/idempotent.py): replayed
             # epochs observe only completed predecessors and overwrite
-            # their own partition — exactly-once observable folds.
-            docs = warc_text_records(batch).filter(
-                SF.col("warc_type") == "conversion"
-            )
-            body = SF.col("body_text")
-            gate = (
-                SF.when(
-                    (occ(body, "�") > 0)
-                    | (SF.regexp_count(body, SF.lit("Ã[-¿]")) > 0),
-                    "bad_encoding",
-                )
-                .when(occ(body, "") > 0, "suspect")
-                .otherwise("ok")
-            )
-            gated = docs.select(
-                "media_id", "rec_idx", "target_uri", "body_text",
-                gate.alias("gate"),
-            )
-            state = epoch_read(spark, state_dir, before_epoch=epoch)
-            surv = gated.filter(SF.col("gate") != "bad_encoding").withColumn(
-                "h", SF.md5(SF.col("body_text").cast("binary"))
-            )
-            w = Window.partitionBy("h").orderBy("media_id", "rec_idx")
-            ranked = (
-                surv.withColumn("rn", SF.row_number().over(w))
-                .withColumn("f_mid", SF.first("media_id").over(w))
-                .withColumn("f_rec", SF.first("rec_idx").over(w))
-                .join(state, "h", "left")
-            )
-            dup = SF.col("k_mid").isNotNull() | (SF.col("rn") > 1)
-            routed = stage_checkpoint(
-                gated.join(
-                    ranked.select(
-                        "media_id", "rec_idx", "rn",
-                        SF.when(dup, SF.coalesce("k_mid", "f_mid")).alias("match_mid"),
-                        SF.when(dup, SF.coalesce("k_rec", "f_rec")).alias("match_rec"),
-                        dup.alias("is_dup"),
-                    ),
-                    ["media_id", "rec_idx"],
-                    "left",
-                ).select(
-                    "media_id",
-                    "rec_idx",
-                    "target_uri",
-                    SF.when(SF.col("gate") == "bad_encoding", "bad_encoding")
-                    .when(SF.col("is_dup"), "dup_exact")
-                    .otherwise(SF.col("gate"))
-                    .alias("status"),
-                    "body_text",
-                    SF.col("match_mid").cast("long").alias("match_mid"),
-                    SF.col("match_rec").cast("int").alias("match_rec"),
-                )
-            )
-            epoch_write(
-                routed.select(
-                    "media_id",
-                    "rec_idx",
-                    "target_uri",
-                    "status",
-                    SF.col("status").isin("ok", "suspect").alias("kept"),
-                    SF.when(
-                        SF.col("status").isin("ok", "suspect"),
-                        SF.size(SF.split(SF.trim(SF.col("body_text")), r"\s+")),
-                    ).alias("n_tokens"),
-                    "match_mid",
-                    "match_rec",
-                ),
-                routed_dir,
-                epoch,
-            )
-            # append-only fold: kept docs' hashes join the index
-            epoch_write(
-                routed.filter(SF.col("status").isin("ok", "suspect")).select(
-                    SF.md5(SF.col("body_text").cast("binary")).alias("h"),
-                    SF.col("media_id").alias("k_mid"),
-                    SF.col("rec_idx").alias("k_rec"),
-                ),
-                state_dir,
-                epoch,
-            )
+            # their own partition — exactly-once observable folds. The
+            # routing itself is the shared crawl_route_records stage
+            # (module-level _crawl_process_batch; canonical_urls off here
+            # — the knob's streaming equivalence is unit-pinned).
+            _crawl_process_batch(spark, batch, epoch, state_dir, routed_dir)
 
         q = (
             spark.readStream.schema(schema)

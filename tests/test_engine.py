@@ -364,3 +364,36 @@ def test_hll_count_threads_precision_through(spark, tables):
         est = eng._hll_count(df, "v", "n", p=p).collect()[0]["n"]
         # 5-sigma bound: 5 * 1.04 / sqrt(2^p)
         assert abs(est - true) / true < 5 * 1.04 / (1 << p) ** 0.5, p
+
+
+def test_standings_per_season_partitioned_matches_filtered(spark, tables):
+    """per_season=True ranks WITHIN each season through one PARTITIONED
+    window (the scale path for a multi-season table) and must equal the
+    per-season filtered global call season by season."""
+    import pyspark.sql.functions as F
+
+    m24 = tables["matches"]
+    m23 = (
+        m24.withColumn("season", F.lit("2023"))
+        .withColumn("match_id", F.col("match_id") + 1000)
+        # swap the scores (simultaneous, via withColumns) so the two
+        # seasons' tables genuinely differ
+        .withColumns({"home_score": F.col("away_score"), "away_score": F.col("home_score")})
+    )
+    t2 = dict(tables)
+    t2["matches"] = m24.unionByName(m23)
+    eng2 = SportsAnalyticsEngine(t2, as_of_date=dt.date(2025, 1, 1))
+
+    per = eng2.standings(per_season=True)
+    # the window is partitioned: no "No Partition Defined" single-sort
+    plan = per._jdf.queryExecution().executedPlan().toString()
+    assert "No Partition Defined" not in plan
+    got = {
+        (r["season"], r["team_id"]): (r["position"], r["points"], r["played"])
+        for r in per.collect()
+    }
+    want = {}
+    for s in ("2023", "2024"):
+        for r in eng2.standings(season=s).collect():
+            want[(s, r["team_id"])] = (r["position"], r["points"], r["played"])
+    assert got == want

@@ -7,7 +7,7 @@ import time
 
 from pyspark.sql import functions as F
 
-from sport_data_pipeline_spark.operators.joins import salted_join
+from sport_data_pipeline_spark.operators.joins import salted_join, skew_aware_join
 from sport_data_pipeline_spark.streaming.monitor import ProgressRecorder, observe_rates
 
 
@@ -40,6 +40,40 @@ def test_salted_join_left_and_hot_keys(spark):
     assert _sorted_rows(salted.select("k", "fact_id", "v")) == _sorted_rows(
         plain.select("k", "fact_id", "v")
     )
+
+
+def test_skew_aware_join_routes_hot_keys_and_matches_plain(spark):
+    """The profile-then-route helper: on a hot-keyed fixture it must
+    detect the hot key, route it through the salted path, and still be
+    row-identical to the plain join; on uniform data it must decide NOT
+    to salt (the plan is the plain join — zero overhead)."""
+    # 90% of 10k facts on key 7, 11 distinct keys -> ratio-to-mean 9.9x
+    left = spark.range(10_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(7)).otherwise(F.col("id") % 100).alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    right = spark.range(100).select(
+        F.col("id").alias("k"), (F.col("id") * 2).alias("dim_val")
+    )
+    plain = left.join(right, ["k"], "inner")
+    routed = skew_aware_join(left, right, ["k"], threshold=8.0, salt=8)
+    assert _sorted_rows(routed) == _sorted_rows(plain)
+    # the hot key was actually salted: the plan carries the salt column
+    assert "__salt" in routed._jdf.queryExecution().analyzed().toString()
+    # left joins route too
+    routed_l = skew_aware_join(left, right, ["k"], how="left", threshold=8.0)
+    assert _sorted_rows(routed_l) == _sorted_rows(left.join(right, ["k"], "left"))
+
+
+def test_skew_aware_join_skips_salting_on_uniform_keys(spark):
+    left = spark.range(1_000).select(
+        (F.col("id") % 100).alias("k"), F.col("id").alias("fact_id")
+    )
+    right = spark.range(100).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    routed = skew_aware_join(left, right, ["k"], threshold=10.0)
+    # no key above threshold -> the returned plan IS the plain join
+    assert "__salt" not in routed._jdf.queryExecution().analyzed().toString()
+    assert _sorted_rows(routed) == _sorted_rows(left.join(right, ["k"]))
 
 
 def test_observed_metrics_and_listener(spark, tmp_path):

@@ -153,3 +153,131 @@ def test_warc_text_records_explode(spark):
     # conversion body that is not valid UTF-8: framing kept, text NULL
     assert got[4]["warc_type"] == "conversion" and got[4]["body_text"] is None
     assert got[4]["content_length"] == len(b"\xff\xfe broken")
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(
+        rows, "media_id long, rec_idx int, target_uri string, body_text string"
+    )
+
+
+def test_crawl_route_canonical_urls_batch_equivalence(spark):
+    """canonical_urls=True adds exactly the URL-level hygiene stage:
+    spelling duplicates of an earlier surviving row route as dup_url
+    (pointing at the URL keeper), every other row routes identically to
+    the knob-off run."""
+    from sport_data_pipeline_spark.operators.webarchive import crawl_route_records
+
+    rows = [
+        (1, 1, "http://site.com/a?b=2&a=1", "alpha text one"),
+        # URL-spelling duplicate of row 1 (case/port/slash/order), new text
+        (1, 2, "HTTP://SITE.com:80/a/?a=1&b=2#x", "different text two"),
+        # content duplicate of row 1 under a different URL
+        (1, 3, "http://site.com/b", "alpha text one"),
+        # bare tracking param drops; unique content
+        (1, 4, "http://site.com/c?fbclid", "unique text four"),
+        (1, 5, "http://site.com/bad", "cafÃ© mojibake"),
+        # another spelling of row 1's URL (explicit :80, extra tracking)
+        (1, 6, "http://site.com:80/a?utm_y=2&b=2&a=1", "third different text"),
+    ]
+    docs = _docs(spark, rows)
+    off = {
+        (r["media_id"], r["rec_idx"]): r
+        for r in crawl_route_records(docs).collect()
+    }
+    on = {
+        (r["media_id"], r["rec_idx"]): r
+        for r in crawl_route_records(docs, canonical_urls=True).collect()
+    }
+    assert {k: v["status"] for k, v in off.items()} == {
+        (1, 1): "ok", (1, 2): "ok", (1, 3): "dup_exact",
+        (1, 4): "ok", (1, 5): "bad_encoding", (1, 6): "ok",
+    }
+    assert {k: v["status"] for k, v in on.items()} == {
+        (1, 1): "ok", (1, 2): "dup_url", (1, 3): "dup_exact",
+        (1, 4): "ok", (1, 5): "bad_encoding", (1, 6): "dup_url",
+    }
+    for k in ((1, 2), (1, 6)):  # URL dups point at the URL keeper
+        assert (on[k]["match_mid"], on[k]["match_rec"]) == (1, 1)
+        assert not on[k]["kept"] and on[k]["n_tokens"] is None
+    # equivalence off/on for every row that is NOT a URL-spelling dup
+    for k in ((1, 1), (1, 3), (1, 4), (1, 5)):
+        assert off[k] == on[k], k
+
+
+def test_crawl_route_canonical_urls_cross_batch(spark, tmp_path):
+    """The streaming knob: with canonical_urls=True the per-batch fold
+    persists kept rows' canonical URLs, so a LATER batch's spelling
+    re-crawl of a kept page routes as dup_url against the index (its
+    content is never part of the hash probe); with the knob off the same
+    rows route by content alone."""
+    from pyspark.sql import functions as SF
+
+    from sport_data_pipeline_spark.functions.parsing import canonicalize_url
+    from sport_data_pipeline_spark.operators.webarchive import (
+        encode_warc,
+        warc_text_records,
+    )
+    from sport_data_pipeline_spark.plans.mediaops import (
+        MEDIA_SCHEMA,
+        _crawl_process_batch,
+    )
+    from sport_data_pipeline_spark.streaming.idempotent import epoch_write
+
+    def archive(mid, texts):
+        recs = [({"WARC-Type": "warcinfo"}, b"software: crawl\r\n")]
+        recs += [
+            ({"WARC-Type": "conversion", "WARC-Target-URI": u}, t.encode())
+            for u, t in texts
+        ]
+        payload = encode_warc(recs, gzip_members=True)
+        return (mid, payload, "application/warc", len(payload), None)
+
+    batches = {
+        0: [("http://crawl.ex/p1", "page one text " * 4),
+            ("http://crawl.ex/p2", "page two text " * 4)],
+        # spelling re-crawl of batch 0's kept p1 with CHANGED content, plus
+        # a content re-crawl of p2 under a fresh URL
+        1: [("HTTP://CRAWL.ex:80/p1/?utm_s=1", "page one REVISED " * 4),
+            ("http://crawl.ex/p3", "page two text " * 4)],
+    }
+
+    for knob, want in (
+        (False, {(4500, 1): "ok", (4500, 2): "ok",
+                 (4501, 1): "ok", (4501, 2): "dup_exact"}),
+        (True, {(4500, 1): "ok", (4500, 2): "ok",
+                (4501, 1): "dup_url", (4501, 2): "dup_exact"}),
+    ):
+        state_dir = str(tmp_path / f"state_{knob}")
+        routed_dir = str(tmp_path / f"routed_{knob}")
+        # preseed: empty-but-schema'd index (no seed corpus)
+        seed = warc_text_records(
+            spark.createDataFrame([archive(4490, [("http://crawl.ex/seed", "seed text")])],
+                                  MEDIA_SCHEMA)
+        ).filter(SF.col("warc_type") == "conversion")
+        fold = [
+            SF.md5(SF.col("body_text").cast("binary")).alias("h"),
+            SF.col("media_id").alias("k_mid"),
+            SF.col("rec_idx").alias("k_rec"),
+        ]
+        if knob:
+            fold.append(canonicalize_url(SF.col("target_uri")).alias("u"))
+        epoch_write(seed.select(*fold), state_dir, -1)
+        for e in (0, 1):
+            batch = spark.createDataFrame([archive(4500 + e, batches[e])], MEDIA_SCHEMA)
+            _crawl_process_batch(
+                spark, batch, e, state_dir, routed_dir, canonical_urls=knob
+            )
+        got = {
+            (r["media_id"], r["rec_idx"]): r
+            for r in spark.read.parquet(routed_dir).collect()
+        }
+        assert {k: v["status"] for k, v in got.items()} == want, knob
+        if knob:
+            # the cross-batch URL dup points at batch 0's keeper
+            assert (got[(4501, 1)]["match_mid"], got[(4501, 1)]["match_rec"]) == (4500, 1)
+        else:
+            # knob off: the revised re-crawl is (correctly, for content
+            # dedup) a NEW document — the URL identity is invisible
+            assert got[(4501, 1)]["kept"]
+        assert (got[(4501, 2)]["match_mid"], got[(4501, 2)]["match_rec"]) == (4500, 2)

@@ -47,6 +47,12 @@ def run_join(facts: DataFrame, dim: DataFrame, mode: str) -> int:
         from sport_data_pipeline_spark.operators.joins import salted_join
 
         joined = salted_join(facts, dim, ["user_id"], salt=32)
+    elif mode == "skew_aware":
+        from sport_data_pipeline_spark.operators.joins import skew_aware_join
+
+        # profile-then-route: pays the per-key count pass, salts ONLY the
+        # detected hot keys, joins the cold remainder plain
+        joined = skew_aware_join(facts, dim, ["user_id"], threshold=10.0, salt=32)
     else:
         joined = facts.join(dim, "user_id")
     # aggregate to a tiny result so the timing is join+shuffle, not collect
@@ -73,6 +79,8 @@ MODES = {
     # manual salting (the fallback for joins AQE can't split, e.g. ahead
     # of stateful streaming joins): correctness unit-tested vs plain join
     "salted": {"spark.sql.adaptive.enabled": "false"},
+    # profile-then-route: measures the skew first, salts only hot keys
+    "skew_aware": {"spark.sql.adaptive.enabled": "false"},
 }
 
 
@@ -90,11 +98,12 @@ def main() -> None:
     for mode, confs in MODES.items():
         for k, v in confs.items():
             spark.conf.set(k, v)
-        run_join(facts, dim, "salted" if mode == "salted" else "plain")  # warm
+        jm = mode if mode in ("salted", "skew_aware") else "plain"
+        run_join(facts, dim, jm)  # warm
         times: list[float] = []
         for _ in range(runs):
             t0 = time.perf_counter()
-            run_join(facts, dim, "salted" if mode == "salted" else "plain")
+            run_join(facts, dim, jm)
             times.append(time.perf_counter() - t0)
         out[mode] = {"sec": round(median(times), 3), "runs": [round(t, 3) for t in times]}
         print(f"# {mode}: {out[mode]['sec']}s {out[mode]['runs']}", file=sys.stderr)

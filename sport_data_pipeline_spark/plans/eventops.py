@@ -1452,3 +1452,60 @@ def key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("cnt"), "user_id")
     )
+
+# ---------------------------------------------------------------------------
+# skew (routed): the profile-then-route join under the oracle hash. The
+# fixture CONSTRUCTS a dominant key (~90% of events collapse onto k = -1,
+# scale-stable at every SF) so skew_aware_join's inline profile always
+# finds it hot and routes it through the salted path while the residual
+# keys join plain — and the result must still hash-match the plain-join
+# SQL restatement, which is precisely salted_join's row-identity contract.
+# ---------------------------------------------------------------------------
+
+SKEW_ROUTED_ORACLE = """
+WITH e AS (
+  SELECT CASE WHEN user_id % 10 < 9 THEN -1 ELSE user_id END AS k,
+         event_type, CAST(ts AS DATE) AS day
+  FROM events
+),
+dim AS (
+  SELECT k, day, CAST(COUNT(*) AS BIGINT) AS day_events
+  FROM e GROUP BY 1, 2
+)
+SELECT e.event_type,
+       CAST(COUNT(*) AS BIGINT) AS n_rows,
+       CAST(SUM(d.day_events) AS BIGINT) AS total_day_events
+FROM e JOIN dim d ON e.k = d.k
+GROUP BY 1
+"""
+
+
+@query("skew_routed_activity", survey="skew,J1,A1", oracle=SKEW_ROUTED_ORACLE)
+def skew_routed_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-keyed fact ⋈ per-(key, day) activity dimension through
+    ``skew_aware_join`` (operators/joins.py, r15): the helper profiles
+    the fact side (one map-side-combinable count + 1-row global agg),
+    detects the constructed dominant key (~90% of rows, ratio-to-mean
+    far above the threshold at every SF), salts exactly that key across
+    16 sub-partitions and joins the residual keys plain — and the
+    aggregate must hash-match the oracle's PLAIN join, because salting
+    is a physical rewrite only (SCALE.md §9a measures why routing only
+    the hot keys beats blanket salting ~2.5×). Every ingredient is
+    engine-portable: integer bucketing, date truncation, long counts."""
+    from ..operators.joins import skew_aware_join
+
+    e = _t(spark, sf_dir, "events").select(
+        F.when(F.col("user_id") % 10 < 9, F.lit(-1).cast("long"))
+        .otherwise(F.col("user_id"))
+        .alias("k"),
+        "event_type",
+        F.to_date("ts").alias("day"),
+    )
+    dim = e.groupBy("k", "day").agg(F.count(F.lit(1)).alias("day_events"))
+    j = skew_aware_join(
+        e.select("k", "event_type"), dim, ["k"], threshold=10.0, salt=16
+    )
+    return j.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum("day_events").alias("total_day_events"),
+    )

@@ -3460,6 +3460,153 @@ def warc_ingest_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.orderBy("media_id", "rec_idx")
 
 
+from .textops import canonical_url_sql_ctes
+
+CRAWL_URL_HYGIENE_ORACLE = (
+    """
+WITH idx AS (SELECT unnest(range(8)) AS i),
+grid AS (
+  SELECT d.i, uj.j
+  FROM (SELECT i, 2 + (i % 3) AS nc FROM idx) d,
+       LATERAL (SELECT 1 + unnest(range(d.nc)) AS j) uj
+),
+docs AS (
+  SELECT i, j,
+         CASE
+           WHEN j = 1 AND i = 2 THEN 'http://EX/shared/art?b=2&a=1'
+           WHEN j = 1 AND i = 5
+             THEN 'HTTP://ex:80/shared/art/?utm_source=x&a=1&b=2#frag'
+           ELSE 'http://ex/' || i || '/' || j
+         END AS uri,
+         CASE
+           WHEN j = 1 AND i = 2 THEN repeat('variant-one 2 ', 7)
+           WHEN j = 1 AND i = 5 THEN repeat('variant-two 5 ', 7)
+           WHEN j = 1 AND i IN (3, 6) THEN repeat('shared body text ', 8)
+           WHEN j = 2 THEN 'caf' || chr(195) || chr(169) || ' ' ||
+                           repeat('doc-' || i || '-2 ', 8)
+           WHEN j = 3 THEN repeat('doc-' || i || '-3 ', 9) || chr(1) || 'tail'
+           ELSE repeat('doc-' || i || '-' || j || ' ', 10)
+         END AS text
+  FROM grid
+),
+gated AS (
+  SELECT i, j, uri, text,
+         CASE WHEN length(text) - length(replace(text, '\ufffd', '')) > 0
+                   OR len(regexp_extract_all(text, '\u00c3[\u0080-\u00bf]')) > 0
+              THEN 'bad_encoding'
+              WHEN length(text) - length(replace(text, chr(1), '')) > 0
+              THEN 'suspect'
+              ELSE 'ok' END AS gate
+  FROM docs
+),
+surv AS (SELECT i, j, uri, text FROM gated WHERE gate <> 'bad_encoding'),"""
+    + canonical_url_sql_ctes("surv", "i, j", "uri")
+    + """,
+url_ranked AS (
+  SELECT i, j,
+         row_number()   OVER (PARTITION BY canonical_url ORDER BY i, j) AS urn,
+         first_value(i) OVER (PARTITION BY canonical_url ORDER BY i, j) AS uf_i,
+         first_value(j) OVER (PARTITION BY canonical_url ORDER BY i, j) AS uf_j
+  FROM canon
+),
+content AS (
+  SELECT s.i, s.j,
+         row_number()     OVER (PARTITION BY md5(s.text) ORDER BY s.i, s.j) AS rn,
+         first_value(s.i) OVER (PARTITION BY md5(s.text) ORDER BY s.i, s.j) AS f_i,
+         first_value(s.j) OVER (PARTITION BY md5(s.text) ORDER BY s.i, s.j) AS f_j
+  FROM surv s JOIN url_ranked u ON u.i = s.i AND u.j = s.j AND u.urn = 1
+),
+final AS (
+  SELECT g.i, g.j, g.uri, g.text,
+         CASE WHEN g.gate = 'bad_encoding' THEN 'bad_encoding'
+              WHEN u.urn > 1 THEN 'dup_url'
+              WHEN c.rn > 1 THEN 'dup_exact'
+              ELSE g.gate END AS status,
+         CASE WHEN g.gate <> 'bad_encoding' AND u.urn > 1 THEN u.uf_i
+              WHEN g.gate <> 'bad_encoding' AND c.rn > 1 THEN c.f_i END AS m_i,
+         CASE WHEN g.gate <> 'bad_encoding' AND u.urn > 1 THEN u.uf_j
+              WHEN g.gate <> 'bad_encoding' AND c.rn > 1 THEN c.f_j END AS m_j
+  FROM gated g
+  LEFT JOIN url_ranked u ON u.i = g.i AND u.j = g.j
+  LEFT JOIN content c ON c.i = g.i AND c.j = g.j
+)
+SELECT CAST(4300 + i AS BIGINT) AS media_id,
+       CAST(j AS INTEGER) AS rec_idx,
+       uri AS target_uri,
+       status,
+       status IN ('ok', 'suspect') AS kept,
+       CASE WHEN status IN ('ok', 'suspect')
+            THEN CAST(len(regexp_split_to_array(trim(text), '\\s+')) AS INTEGER)
+       END AS n_tokens,
+       CAST(4300 + m_i AS BIGINT) AS match_mid,
+       CAST(m_j AS INTEGER) AS match_rec
+FROM final ORDER BY media_id, rec_idx
+"""
+)
+
+
+@query(
+    "crawl_url_hygiene_pipeline",
+    survey="llm-pipeline-e2e,llm-multimodal,F2,U3,X6",
+    oracle=CRAWL_URL_HYGIENE_ORACLE,
+)
+def crawl_url_hygiene_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``warc_ingest_pipeline`` with the r15 ``canonical_urls=True`` knob
+    under the oracle hash: landed WET archives -> record explode ->
+    encoding gate -> URL-LEVEL hygiene (``canonicalize_url`` identity,
+    first-seen keeper — a spelling re-crawl routes as ``dup_url`` with
+    its content never hashed) -> exact content dedup over the URL
+    survivors. The fixture plants BOTH duplicate kinds across archives:
+    one page under two spellings (case/port/trailing-slash/utm/fragment)
+    with DIFFERENT bodies — only URL identity catches it — and one body
+    under two different URLs — only content identity catches it — so the
+    hash matches only if the two stages compose in the right order with
+    the right keepers. The oracle derives canonical URLs through the
+    same shared SQL chain as ``url_canonical_dedup``
+    (``canonical_url_sql_ctes``), so the Spark rule set and its
+    restatement cannot drift apart."""
+    from pyspark.sql import functions as SF
+
+    from ..operators.webarchive import (
+        crawl_route_records,
+        encode_warc,
+        warc_text_records,
+    )
+
+    rows = []
+    for i in range(_N_PER_KIND):
+        nc = 2 + (i % 3)
+        recs = [({"WARC-Type": "warcinfo"}, b"software: ingest\r\n")]
+        for j in range(1, nc + 1):
+            if j == 1 and i == 2:
+                uri, text = "http://EX/shared/art?b=2&a=1", "variant-one 2 " * 7
+            elif j == 1 and i == 5:
+                uri = "HTTP://ex:80/shared/art/?utm_source=x&a=1&b=2#frag"
+                text = "variant-two 5 " * 7
+            elif j == 1 and i in (3, 6):
+                uri, text = f"http://ex/{i}/1", "shared body text " * 8
+            elif j == 2:
+                uri, text = f"http://ex/{i}/2", "caf\u00c3\u00a9 " + f"doc-{i}-2 " * 8
+            elif j == 3:
+                uri, text = f"http://ex/{i}/3", f"doc-{i}-3 " * 9 + "\u0001tail"
+            else:
+                uri, text = f"http://ex/{i}/{j}", f"doc-{i}-{j} " * 10
+            recs.append(
+                (
+                    {"WARC-Type": "conversion", "WARC-Target-URI": uri},
+                    text.encode("utf-8"),
+                )
+            )
+        payload = encode_warc(recs, gzip_members=(i % 2 == 0))
+        rows.append((4300 + i, payload, "application/warc", len(payload), None))
+    media = spark.createDataFrame(rows, MEDIA_SCHEMA).repartition(4, "media_id")
+    docs = warc_text_records(media).filter(SF.col("warc_type") == "conversion")
+    return crawl_route_records(docs, canonical_urls=True).select(
+        "media_id", "rec_idx", "target_uri", "status", "kept", "n_tokens",
+        "match_mid", "match_rec",
+    ).orderBy("media_id", "rec_idx")
+
+
 def _crawl_process_batch(
     spark: SparkSession,
     batch: DataFrame,

@@ -518,8 +518,65 @@ SELECT doc_id,
 FROM documents
 """
 
-URL_CANON_ORACLE = """
-WITH f AS (""" + _URL_FIXTURE_SQL + """),
+def canonical_url_sql_ctes(src: str, keys: str, url_col: str = "url") -> str:
+    """DuckDB CTE chain restating ``functions.parsing.canonicalize_url``
+    rule for rule — the REUSABLE oracle half of the URL canonicalization
+    contract (every oracle that needs canonical URLs derives them through
+    this one chain, so the Spark expression and its SQL restatement can
+    never drift apart silently). Produces CTEs ``__c1..__c5`` and a final
+    ``canon`` CTE selecting ``{keys}, canonical_url`` from ``src``.
+    ``keys`` is the comma-separated passthrough column list."""
+    k = keys
+    u = url_col
+    return f"""
+__c1 AS (SELECT {k}, {u} AS __url, regexp_replace({u}, '#.*$', '') AS __u FROM {src}),
+__c2 AS (
+  SELECT {k}, __url,
+         coalesce(lower(regexp_extract(__u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)), '') AS __scheme,
+         regexp_replace(__u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS __rest
+  FROM __c1
+),
+__c3 AS (
+  SELECT {k}, __url, __scheme,
+         coalesce(lower(regexp_extract(__rest, '^([^/?]+)', 1)), '') AS __host0,
+         regexp_replace(__rest, '^[^/?]+', '') AS __pathq
+  FROM __c2
+),
+__c4 AS (
+  SELECT {k}, __url, __scheme,
+         CASE WHEN __scheme = 'http'  THEN regexp_replace(__host0, ':80$', '')
+              WHEN __scheme = 'https' THEN regexp_replace(__host0, ':443$', '')
+              ELSE __host0 END AS __host,
+         coalesce(regexp_extract(__pathq, '^([^?]*)', 1), '') AS __path0,
+         coalesce(regexp_extract(__pathq, '\\?(.*)$', 1), '') AS __qs
+  FROM __c3
+),
+__c5 AS (
+  SELECT {k}, __url, __scheme, __host,
+         CASE WHEN regexp_replace(__path0, '/+$', '') = '' THEN '/'
+              ELSE regexp_replace(__path0, '/+$', '') END AS __path,
+         coalesce(array_to_string(
+           list_sort(
+             list_filter(string_split(__qs, '&'),
+               x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))),
+           '&'), '') AS __q
+  FROM __c4
+),
+canon AS (
+  SELECT {k},
+         CASE WHEN __scheme = '' THEN __url
+              ELSE __scheme || '://' || __host || __path ||
+                CASE WHEN __q = '' THEN '' ELSE '?' || __q END
+         END AS canonical_url
+  FROM __c5
+)"""
+
+
+URL_CANON_ORACLE = (
+    '''
+WITH f AS ('''
+    + _URL_FIXTURE_SQL
+    + '''),
 raw AS (
   SELECT doc_id,
          CASE v
@@ -533,55 +590,17 @@ raw AS (
            ELSE 'http://' || h || '/art/' || pid || '?fbclid'
          END AS url
   FROM f
-),
-c1 AS (SELECT doc_id, url, regexp_replace(url, '#.*$', '') AS u FROM raw),
-c2 AS (
-  SELECT doc_id, url,
-         coalesce(lower(regexp_extract(u, '^([A-Za-z][A-Za-z0-9+.\\-]*)://', 1)), '') AS scheme,
-         regexp_replace(u, '^[A-Za-z][A-Za-z0-9+.\\-]*://', '') AS rest
-  FROM c1
-),
-c3 AS (
-  SELECT doc_id, url, scheme,
-         coalesce(lower(regexp_extract(rest, '^([^/?]+)', 1)), '') AS host0,
-         regexp_replace(rest, '^[^/?]+', '') AS pathq
-  FROM c2
-),
-c4 AS (
-  SELECT doc_id, url, scheme,
-         CASE WHEN scheme = 'http'  THEN regexp_replace(host0, ':80$', '')
-              WHEN scheme = 'https' THEN regexp_replace(host0, ':443$', '')
-              ELSE host0 END AS host,
-         coalesce(regexp_extract(pathq, '^([^?]*)', 1), '') AS path0,
-         coalesce(regexp_extract(pathq, '\\?(.*)$', 1), '') AS qs
-  FROM c3
-),
-c5 AS (
-  SELECT doc_id, url, scheme, host,
-         CASE WHEN regexp_replace(path0, '/+$', '') = '' THEN '/'
-              ELSE regexp_replace(path0, '/+$', '') END AS path,
-         coalesce(array_to_string(
-           list_sort(
-             list_filter(string_split(qs, '&'),
-               x -> x <> '' AND NOT regexp_matches(x, '^(utm_[^=]*|fbclid|gclid|ref)(=|$)'))),
-           '&'), '') AS q
-  FROM c4
-),
-canon AS (
-  SELECT doc_id,
-         CASE WHEN scheme = '' THEN url
-              ELSE scheme || '://' || host || path ||
-                CASE WHEN q = '' THEN '' ELSE '?' || q END
-         END AS canonical_url
-  FROM c5
-)
+),'''
+    + canonical_url_sql_ctes("raw", "doc_id")
+    + '''
 SELECT canonical_url,
        CAST(MIN(doc_id) AS BIGINT) AS keeper_id,
        CAST(COUNT(*) AS BIGINT) AS n_variants
 FROM canon
 GROUP BY 1
 ORDER BY 1
-"""
+'''
+)
 
 
 @query("url_canonical_dedup", survey="F2,U3", oracle=URL_CANON_ORACLE)

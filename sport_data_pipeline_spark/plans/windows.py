@@ -396,6 +396,68 @@ def standings(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+STANDINGS_BY_SEASON_ORACLE = """
+WITH points AS (
+  SELECT CAST(year(o.o_orderdate) AS INTEGER) AS season,
+         n.n_name AS team_name,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS wins,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS draws,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS losses,
+         CAST(SUM(CASE WHEN o.o_orderstatus = 'F' THEN 3
+                       WHEN o.o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS points,
+         CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS value_for
+  FROM orders o
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  JOIN nation n ON c.c_nationkey = n.n_nationkey
+  GROUP BY 1, 2
+)
+SELECT season, team_name, wins, draws, losses, points, value_for,
+       CAST(row_number() OVER (
+         PARTITION BY season
+         ORDER BY points DESC, value_for DESC, team_name) AS INTEGER) AS position
+FROM points
+"""
+
+
+@query("standings_by_season", survey="W6,A13", oracle=STANDINGS_BY_SEASON_ORACLE)
+def standings_by_season(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The multi-season standings table — W6/A13 on the SCALE path: one
+    window PARTITIONED by season (``rank_standings(partition_cols=...)``,
+    r15), bounded by teams-per-season regardless of how many seasons the
+    table holds, where the single-table ``standings`` query's global
+    ordering would funnel every row through one sort partition. Same
+    points/tiebreak contract (reference database/schema.sql:491-507),
+    seasons derived from the order year so every season ranks
+    independently under the oracle hash."""
+    o = _t(spark, sf_dir, "orders")
+    c = _t(spark, sf_dir, "customer")
+    n = _t(spark, sf_dir, "nation")
+    pts = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy(
+            F.year("o_orderdate").alias("season"),
+            n.n_name.alias("team_name"),
+        )
+        .agg(
+            F.sum(F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)).alias("wins"),
+            F.sum(F.when(F.col("o_orderstatus") == "O", 1).otherwise(0)).alias("draws"),
+            F.sum(F.when(F.col("o_orderstatus") == "P", 1).otherwise(0)).alias("losses"),
+            F.sum(
+                F.when(F.col("o_orderstatus") == "F", 3)
+                .when(F.col("o_orderstatus") == "O", 1)
+                .otherwise(0)
+            ).alias("points"),
+            dsum("o_totalprice").alias("value_for"),
+        )
+    )
+    return rank_standings(
+        pts,
+        [F.desc("points"), F.desc("value_for"), F.asc("team_name")],
+        partition_cols=["season"],
+    )
+
+
 # ---------------------------------------------------------------------------
 # T6 (stateful grouping, batch twin of streaming session windows).
 # ---------------------------------------------------------------------------

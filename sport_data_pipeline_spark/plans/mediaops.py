@@ -3633,6 +3633,23 @@ def _crawl_process_batch(
     from ..checkpointing import stage_checkpoint
     from ..functions.parsing import canonicalize_url
     from ..operators.webarchive import crawl_route_records, warc_text_records
+    from ..streaming.idempotent import recover_compaction
+
+    # Self-heal before the state read: a compaction swap a prior run's
+    # crash left committed-but-unfinished makes epoch_read refuse loudly
+    # (correct — the state would read incomplete), but refusing keeps the
+    # resumed loop down until an operator intervenes. Finishing the
+    # recorded swap here makes that refusal transient, at the cost of one
+    # marker-existence metadata call per directory per batch when there is
+    # nothing to recover. The semantic ingest twin does the same at stream
+    # (re)start (plans/similarity.py _sem_ingest_process_batch); this loop
+    # is stateless across batches, so the recovery runs per batch — which
+    # also heals a crash of the BETWEEN-RUNS compact_epochs maintenance
+    # call without waiting for a restart. Safe under the epoch sinks'
+    # serial-schedule contract: while this batch runs, no other compaction
+    # may be mid-swap.
+    for d in (state_dir, routed_dir):
+        recover_compaction(spark, d)
 
     docs = warc_text_records(batch).filter(SF.col("warc_type") == "conversion")
     state = epoch_read(spark, state_dir, before_epoch=epoch)

@@ -281,3 +281,113 @@ def test_crawl_route_canonical_urls_cross_batch(spark, tmp_path):
             # dedup) a NEW document — the URL identity is invisible
             assert got[(4501, 1)]["kept"]
         assert (got[(4501, 2)]["match_mid"], got[(4501, 2)]["match_rec"]) == (4500, 2)
+
+
+def test_crawl_batch_self_heals_crashed_compaction(spark, tmp_path):
+    """A between-runs compact_epochs that crashes INSIDE its committed
+    swap (marker valid, scratch present, a source partition already
+    deleted) must not keep the resumed loop down: _crawl_process_batch
+    heals the recorded swap before its state read (epoch_read alone
+    would refuse loudly), and the healed index is COMPLETE — the next
+    batch's re-crawl of a pre-crash keeper still routes dup_exact."""
+    import os
+    import shutil
+
+    from pyspark.sql import functions as SF
+
+    from sport_data_pipeline_spark.operators.webarchive import warc_text_records
+    from sport_data_pipeline_spark.plans.mediaops import (
+        MEDIA_SCHEMA,
+        _crawl_process_batch,
+    )
+    from sport_data_pipeline_spark.streaming.idempotent import (
+        EPOCH_COL,
+        epoch_read,
+        epoch_write,
+        marker_body,
+    )
+
+    def archive(mid, texts):
+        recs = [({"WARC-Type": "warcinfo"}, b"software: crawl\r\n")]
+        recs += [
+            ({"WARC-Type": "conversion", "WARC-Target-URI": u}, t.encode())
+            for u, t in texts
+        ]
+        payload = encode_warc(recs, gzip_members=True)
+        return (mid, payload, "application/warc", len(payload), None)
+
+    state_dir, routed_dir = str(tmp_path / "state"), str(tmp_path / "routed")
+    seed = warc_text_records(
+        spark.createDataFrame(
+            [archive(4590, [("http://crawl.ex/seed", "seed text " * 4)])],
+            MEDIA_SCHEMA,
+        )
+    ).filter(SF.col("warc_type") == "conversion")
+    epoch_write(
+        seed.select(
+            SF.md5(SF.col("body_text").cast("binary")).alias("h"),
+            SF.col("media_id").alias("k_mid"),
+            SF.col("rec_idx").alias("k_rec"),
+        ),
+        state_dir,
+        -1,
+    )
+    _crawl_process_batch(
+        spark,
+        spark.createDataFrame(
+            [archive(4600, [("http://crawl.ex/p1", "page one text " * 4)])],
+            MEDIA_SCHEMA,
+        ),
+        0,
+        state_dir,
+        routed_dir,
+    )
+    # simulate compact_epochs(state_dir, below_epoch=1) crashing inside
+    # _finish_swap: scratch holds the full merge, the marker committed,
+    # and epoch 0's source partition is already gone
+    epoch_write(
+        spark.read.parquet(state_dir)
+        .filter((SF.col(EPOCH_COL) >= -1) & (SF.col(EPOCH_COL) < 1))
+        .drop(EPOCH_COL),
+        state_dir,
+        -2,
+    )
+    with open(os.path.join(state_dir, "__epoch_compact_commit"), "w") as fh:
+        fh.write(marker_body(1))
+    shutil.rmtree(os.path.join(state_dir, f"{EPOCH_COL}=0"))
+    import pytest as _pytest
+
+    with _pytest.raises(RuntimeError, match="mid-swap"):
+        epoch_read(spark, state_dir, before_epoch=1)
+    # the resumed loop's next batch re-crawls BOTH the seed (pre-crash
+    # base) and batch 0's keeper (rows only the scratch still holds)
+    _crawl_process_batch(
+        spark,
+        spark.createDataFrame(
+            [archive(
+                4601,
+                [("http://crawl.ex/p1b", "page one text " * 4),
+                 ("http://crawl.ex/seed2", "seed text " * 4),
+                 ("http://crawl.ex/new", "brand new page " * 4)],
+            )],
+            MEDIA_SCHEMA,
+        ),
+        1,
+        state_dir,
+        routed_dir,
+    )
+    got = {
+        (r["media_id"], r["rec_idx"]): r
+        for r in spark.read.parquet(routed_dir).collect()
+    }
+    assert got[(4601, 1)]["status"] == "dup_exact"
+    assert (got[(4601, 1)]["match_mid"], got[(4601, 1)]["match_rec"]) == (4600, 1)
+    assert got[(4601, 2)]["status"] == "dup_exact"
+    assert (got[(4601, 2)]["match_mid"], got[(4601, 2)]["match_rec"]) == (4590, 1)
+    assert got[(4601, 3)]["status"] == "ok" and got[(4601, 3)]["kept"]
+    # the swap is finished: marker gone, sources rolled into the base
+    assert not os.path.exists(os.path.join(state_dir, "__epoch_compact_commit"))
+    parts = sorted(
+        d for d in os.listdir(state_dir) if d.startswith(f"{EPOCH_COL}=")
+    )
+    assert parts == [f"{EPOCH_COL}=-1", f"{EPOCH_COL}=1"]

@@ -233,9 +233,15 @@ def recover_compaction(spark: SparkSession, path: str) -> int | None:
     run's ``compact_epochs`` swap never surfaces as missing state. A
     torn/corrupt marker (checksum failure) means no swap committed and is
     simply cleared. Returns the recovered swap's ``below_epoch``, or
-    None when there was nothing to recover."""
+    None when there was nothing to recover.
+
+    The no-marker fast path is ONE metadata call: callers run this
+    per batch (the crawl loop) or per restart (the semantic loop), and
+    on an object store every round-trip here is a HEAD/DELETE request."""
     fs = HadoopFS(spark, path)
     marker = join(path, _MARKER)
+    if not fs.exists(marker):
+        return None
     recorded = _read_marker(fs, marker)
     if recorded is None:
         fs.delete(marker)  # clear a torn remnant; no-op when absent

@@ -445,11 +445,23 @@ def skew_aware_join(
     statistics — never the key set). With no key above threshold the
     plan IS the plain join: zero salting overhead on uniform data.
 
+    A hot NULL key — the commonest real-world skew shape (a mostly-null
+    foreign key) — gets the null-bypass treatment instead of salting:
+    NULL never equi-matches, so salting nulls is pure overhead (the
+    salted path's semi-join can't route them) while the plain join still
+    hashes every null row into ONE shuffle partition on an outer join.
+    When the profile finds the null group hot, null-keyed rows skip the
+    join entirely — inner drops them before the shuffle (the filter
+    Catalyst infers anyway), left appends them map-only with null right
+    columns. Output stays row-identical to the plain join.
+
     Use when AQE's skew-join can't see the skew (e.g. the join feeds a
     stateful streaming stage, or the skew only materializes after an
     upstream explode); prefer plain join + AQE otherwise — measured
     crossover in SCALE.md §8.
     """
+    from functools import reduce as _reduce
+
     keys = list(on)
     c = left.groupBy(*keys).agg(F.count(F.lit(1)).alias("__cnt"))
     t = c.agg(
@@ -468,7 +480,33 @@ def skew_aware_join(
         .select(*keys)
         .collect()
     )
-    if not hot_rows:
-        return left.join(right, keys, how)
-    hot = left.sparkSession.createDataFrame(hot_rows, left.select(*keys).schema)
-    return salted_join(left, right, keys, how=how, salt=salt, hot_keys=hot)
+    real_hot = [r for r in hot_rows if all(r[k] is not None for k in keys)]
+    # the bypass below is only row-preserving for inner/left (the hows
+    # salted_join supports); any other how falls through to the plain join
+    null_hot = len(real_hot) < len(hot_rows) and how in ("inner", "left")
+    bypass = None
+    if null_hot:
+        # null-keyed rows cannot match: route them around the join. The
+        # split is two branches of the same map-only scan — no shuffle
+        # ever sees the null rows.
+        any_null = _reduce(
+            lambda a, b: a | b, [F.col(k).isNull() for k in keys]
+        )
+        if how == "left":
+            bypass = left.filter(any_null).select(
+                "*",
+                *[
+                    F.lit(None).cast(f.dataType).alias(f.name)
+                    for f in right.schema.fields
+                    if f.name not in keys
+                ],
+            )
+        left = left.filter(~any_null)
+    if not real_hot:
+        joined = left.join(right, keys, how)
+    else:
+        hot = left.sparkSession.createDataFrame(
+            real_hot, left.select(*keys).schema
+        )
+        joined = salted_join(left, right, keys, how=how, salt=salt, hot_keys=hot)
+    return joined if bypass is None else joined.unionByName(bypass)

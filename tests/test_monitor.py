@@ -15,6 +15,11 @@ def _sorted_rows(df):
     return sorted(tuple(r) for r in df.collect())
 
 
+def _sorted_rows_nullsafe(df):
+    rows = [tuple(r) for r in df.collect()]
+    return sorted(rows, key=lambda r: tuple((v is None, v) for v in r))
+
+
 def test_salted_join_matches_plain_join(spark):
     # 10k facts, 90% on one hot key — the shape AQE skew-join targets.
     left = spark.range(10_000).select(
@@ -74,6 +79,52 @@ def test_skew_aware_join_skips_salting_on_uniform_keys(spark):
     # no key above threshold -> the returned plan IS the plain join
     assert "__salt" not in routed._jdf.queryExecution().analyzed().toString()
     assert _sorted_rows(routed) == _sorted_rows(left.join(right, ["k"]))
+
+
+def test_skew_aware_join_hot_null_key_bypasses_join(spark):
+    """The commonest real skew shape: a mostly-NULL foreign key. NULL
+    never equi-matches, so the hot null group must be routed AROUND the
+    join (inner: filtered before the shuffle; left: appended map-only
+    with null right columns), never through the salted machinery — and
+    the result must stay row-identical to the plain join."""
+    # 90% of 5k facts carry a NULL key; the rest spread over 50 keys
+    left = spark.range(5_000).select(
+        F.when(F.col("id") % 10 < 9, F.lit(None).cast("long"))
+        .otherwise(F.col("id") % 50)
+        .alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    right = spark.range(50).select(F.col("id").alias("k"), F.lit(1).alias("v"))
+    for how in ("inner", "left"):
+        routed = skew_aware_join(left, right, ["k"], how=how, threshold=5.0, salt=4)
+        assert _sorted_rows_nullsafe(routed) == _sorted_rows_nullsafe(left.join(right, ["k"], how)), how
+        # only the null group is hot -> no salting machinery in the plan
+        plan = routed._jdf.queryExecution().analyzed().toString()
+        assert "__salt" not in plan, how
+    # full joins cannot take the bypass: the helper must fall back to the
+    # row-identical plain join rather than dropping null-keyed rows
+    full = skew_aware_join(left, right, ["k"], how="full", threshold=5.0)
+    assert _sorted_rows_nullsafe(full) == _sorted_rows_nullsafe(left.join(right, ["k"], "full"))
+
+
+def test_skew_aware_join_mixed_null_and_real_hot_keys(spark):
+    """Null group AND a real hot key above threshold together: the real
+    key salts, the nulls bypass, the cold remainder joins plain — one
+    result, row-identical to the plain join both ways."""
+    left = spark.range(6_000).select(
+        F.when(F.col("id") % 3 == 0, F.lit(None).cast("long"))
+        .when(F.col("id") % 3 == 1, F.lit(7))
+        .otherwise(F.col("id") % 60)
+        .alias("k"),
+        F.col("id").alias("fact_id"),
+    )
+    right = spark.range(60).select(F.col("id").alias("k"), (F.col("id") * 2).alias("v"))
+    for how in ("inner", "left"):
+        routed = skew_aware_join(left, right, ["k"], how=how, threshold=5.0, salt=4)
+        assert _sorted_rows_nullsafe(routed) == _sorted_rows_nullsafe(left.join(right, ["k"], how)), how
+        # key 7 was actually salted
+        plan = routed._jdf.queryExecution().analyzed().toString()
+        assert "__salt" in plan, how
 
 
 def test_observed_metrics_and_listener(spark, tmp_path):

@@ -915,6 +915,17 @@ def _gif_lzw_encode(indices, mcs: int) -> bytes:
         run = bytes((int(v),))
     if run:
         put(table[run], width)
+        # The decoder (like every standard GIF decoder) adds a table entry
+        # for EVERY received data code — including this final one — and
+        # grows its code width when that entry lands on the 1<<width
+        # boundary. Mirror that virtual assignment here so the END marker
+        # is written at the width the decoder will read it with (giflib
+        # does the same before its EOF code); without it, a stream whose
+        # last data code sits exactly on the boundary desyncs (~1/2^width
+        # of random frames).
+        next_code += 1
+        if next_code == (1 << width) + 1 and width < 12:
+            width += 1
     put(end, width)
     if nbits:
         out.append(acc & 0xFF)

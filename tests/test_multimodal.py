@@ -1644,6 +1644,28 @@ def test_gif_lzw_layer_roundtrip_growth_and_reset():
     assert _gif_lzw_decode(enc, 2, len(seq) - 1) is None  # overshoot guard
 
 
+def test_gif_lzw_final_code_on_width_boundary():
+    """End-of-stream corner: the decoder adds a table entry for EVERY data
+    code including the last, so when that final entry lands exactly on a
+    1<<width boundary the decoder reads END at width+1 — the encoder must
+    perform the same virtual assignment before writing END (hypothesis
+    found a 22x22 frame hitting this at width 8; r15 fix). Sweep lengths
+    around every growth boundary for two alphabet sizes so the final data
+    code lands on each side of each bump."""
+    from sport_data_pipeline_spark.operators.multimodal import (
+        _gif_lzw_decode,
+        _gif_lzw_encode,
+    )
+
+    for mcs in (2, 3):
+        for ln in range(1, 700):
+            rng = np.random.default_rng(mcs * 10_000 + ln)
+            seq = rng.integers(0, 1 << mcs, ln).astype(np.uint8)
+            enc = _gif_lzw_encode(seq, mcs)
+            dec = _gif_lzw_decode(enc, mcs, ln)
+            assert dec is not None and bytes(dec) == bytes(seq), (mcs, ln)
+
+
 def test_gif_roundtrip_bitexact_matrix():
     """GIF is lossless: encode(index, palette) -> decode must reproduce
     palette[index] exactly across palette sizes (2/4/16/256 — different

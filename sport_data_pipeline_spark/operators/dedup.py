@@ -1039,39 +1039,53 @@ def remove_duplicated_spans(
 
     Returns ``(id, n_tok, n_tok_kept, text_clean)`` where ``n_tok`` is
     the pre-removal token count.
+
+    Removal shape (r15 optimization — guide §8 "decide with small rows,
+    move big rows once"): the span report collapses to ONE interval-list
+    row per affected document (a handful of (start, end) pairs — output-
+    bound), that tiny table joins the corpus on the id, and each document
+    drops its covered positions with an in-row array filter and
+    reassembles in place. The former shape exploded every corpus token to
+    a (id, pos, tok) row, anti-joined on (id, pos) and rebuilt with
+    array_sort(collect_list(...)) — THREE token-level exchanges (the
+    anti-join's two sides plus the rebuild's re-aggregation, since
+    hash(id, pos) does not satisfy a groupBy(id)); now corpus text
+    crosses exactly one doc-level exchange and tokens never leave their
+    row. Output is bit-identical (unit-pinned equivalence): untouched
+    documents still reassemble through the same concat_ws, so the
+    whitespace normalization the old rebuild applied is preserved.
     """
     spans = duplicated_spans(df, id_col, text_col, k=k)
-    removal = spans.select(
-        F.col(id_col),
-        F.explode(F.sequence("span_start", "span_end")).alias("pos"),
+    # one row per affected doc; sorted for deterministic (and mergeable)
+    # interval lists. groupBy(id) reuses the island window's hash(id)
+    # partitioning — no extra exchange.
+    per_doc = spans.groupBy(id_col).agg(
+        F.array_sort(F.collect_list(F.struct("span_start", "span_end"))).alias("__spans")
     )
-    toks = df.select(
-        F.col(id_col),
-        F.posexplode(F.split(F.trim(F.col(text_col)), r"\s+")).alias("pos", "tok"),
+    toks = F.split(F.trim(F.col(text_col)), r"\s+")
+    no_spans = F.array().cast("array<struct<span_start:bigint,span_end:bigint>>")
+    kept = F.filter(
+        F.transform(toks, lambda t, i: F.struct(t.alias("tok"), i.alias("pos"))),
+        lambda s: ~F.exists(
+            F.coalesce(F.col("__spans"), no_spans),
+            lambda sp: (sp["span_start"] <= s["pos"]) & (s["pos"] <= sp["span_end"]),
+        ),
     )
-    kept = (
-        toks.join(removal, [id_col, "pos"], "left_anti")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_tok_kept"),
+    return (
+        df.join(per_doc, id_col, "left")
+        .select(
+            F.col(id_col),
+            F.size(toks).cast("long").alias("n_tok"),
+            kept.alias("__kept"),
+        )
+        .select(
+            id_col,
+            "n_tok",
+            F.size("__kept").cast("long").alias("n_tok_kept"),
             F.concat_ws(
-                " ",
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("pos", "tok"))),
-                    lambda s: s.getField("tok"),
-                ),
+                " ", F.transform("__kept", lambda s: s.getField("tok"))
             ).alias("text_clean"),
         )
-    )
-    totals = df.select(
-        F.col(id_col),
-        F.size(F.split(F.trim(F.col(text_col)), r"\s+")).cast("long").alias("n_tok"),
-    )
-    return totals.join(kept, id_col, "left").select(
-        id_col,
-        "n_tok",
-        F.coalesce(F.col("n_tok_kept"), F.lit(0)).cast("long").alias("n_tok_kept"),
-        F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
     )
 
 

@@ -780,46 +780,30 @@ def build_semantic_cell_index(
     plain Python list ``(cell, centroid, radius)`` — kilobytes, so an
     ingest loop can carry it driver-side and maintain radii incrementally
     as the corpus grows (see ``stream_semantic_ingest_dedup``)."""
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    spark = c.sparkSession
-    n_parts = spark.sparkContext.defaultParallelism
-    feat = c.repartition(n_parts, F.col("__cid")).withColumn(
-        "__feat",
-        array_to_vector(F.transform("__cv", lambda x: x.cast("double") / F.col("__cn"))),
+    # r15: sample-fitted seeded k-means (see kmeans_fit_sample — one
+    # TakeOrdered job + driver numpy Lloyd) replaces the distributed
+    # pyspark.ml fit, which ran 2 + maxIter full corpus passes as dozens
+    # of scheduler-bound jobs. Every consumer is assignment-invariant
+    # (the routing bound is lossless for any consistent cell table), so
+    # only determinism of the partition matters, which the sample fit
+    # preserves. Assignment itself stays distributed and JVM-side
+    # (assign_to_cells: broadcast centroids + per-row argmin), and its
+    # __d column now yields the radii directly — the former second
+    # centroid join is gone.
+    unit = c.withColumn(
+        "__u", F.transform("__cv", lambda x: x.cast("double") / F.col("__cn"))
     )
     if n_cells is None:
-        n_cells = auto_n_cells(feat.count(), target_cell_size)
+        n_cells = auto_n_cells(c.count(), target_cell_size)
     n_cells = max(2, n_cells)
-    model = KMeans(
-        k=n_cells, seed=seed, featuresCol="__feat", predictionCol="__cell"
-    ).fit(feat)
-    assigned = model.transform(feat).drop("__feat")
-    centers = [(i, [float(x) for x in v]) for i, v in enumerate(model.clusterCenters())]
-    cent = spark.createDataFrame(centers, "__cell int, __centroid array<double>")
-    unit_dist = F.sqrt(
-        F.aggregate(
-            F.zip_with(
-                "__cv",
-                "__centroid",
-                lambda x, cc: (x.cast("double") / F.col("__cn") - cc)
-                * (x.cast("double") / F.col("__cn") - cc),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-    )
+    centers = list(enumerate(kmeans_fit_sample(unit, "__u", "__cid", n_cells, seed)))
+    assigned = assign_to_cells(c, [(i, v, 0.0) for i, v in centers])
     radii = {
         r["__cell"]: r["__r"]
-        for r in assigned.join(F.broadcast(cent), "__cell")
-        .select("__cell", unit_dist.alias("__d"))
-        .groupBy("__cell")
-        .agg(F.max("__d").alias("__r"))
-        .collect()
+        for r in assigned.groupBy("__cell").agg(F.max("__d").alias("__r")).collect()
     }
     cells = [(i, v, float(radii.get(i, 0.0))) for i, v in centers]
-    return assigned, cells
+    return assigned.drop("__d"), cells
 
 
 def write_semantic_cell_index(
@@ -1189,6 +1173,84 @@ def pq_topk(
     )
 
 
+#: Bounded quantizer-training sample (vectors collected to the driver for
+#: the k-means fit). 64k × dim-64 float64 is ~33 MB — driver-trivial; at
+#: 100 TB this is the point of the knob: coarse quantizers are fitted on a
+#: bounded sample (FAISS trains IVF codebooks on ~O(k·256) vectors; the
+#: SemDeDup paper's 25k clusters are likewise sample-fitted), never by
+#: iterating Lloyd over the full corpus.
+_KMEANS_SAMPLE_CAP = 65_536
+
+
+def kmeans_fit_sample(
+    df: DataFrame,
+    vec_col: str,
+    order_col: str,
+    k: int,
+    seed: int,
+    sample_cap: int = _KMEANS_SAMPLE_CAP,
+    max_iter: int = 25,
+) -> list[list[float]]:
+    """Seeded k-means (k-means++ init + Lloyd) fitted driver-side on a
+    DETERMINISTIC bounded sample — the r15 replacement for the inline
+    ``pyspark.ml`` fit in the cell-index builders (guide §1.2: fix the
+    distributed algorithm first).
+
+    Why: the distributed fit runs 2 + maxIter full passes over the corpus
+    as dozens of scheduler-bound jobs — measured 2-5 s to place 4
+    centroids over 2008 vectors at sf0.1, and at real scale it re-reads
+    the whole corpus per iteration. Every consumer of these centroids is
+    assignment-INVARIANT by construction (the cell partition only has to
+    be deterministic and disjoint: SemDeDup's per-cell dedup invariants
+    hold for any assignment, and the IVF routing bound is lossless for
+    any consistent (centroid, radius) table), so the fit needs a
+    representative sample, not the corpus.
+
+    Determinism: the sample is the ``sample_cap`` rows with the smallest
+    ``xxhash64(order_col)`` (ties broken by ``order_col``) — a seeded
+    uniform draw that is stable across partitioning, executed as one
+    TakeOrdered job; init and iteration use ``numpy.random.default_rng
+    (seed)`` and argmin ties resolve to the lowest cell id. Empty
+    clusters keep their previous center. Returns the k centroids (k is
+    capped at the sample size).
+    """
+    import numpy as np
+
+    rows = (
+        df.select(F.col(vec_col).alias("__x"), F.col(order_col).alias("__o"))
+        .orderBy(F.xxhash64(F.col("__o")), F.col("__o"))
+        .limit(sample_cap)
+        .collect()
+    )
+    x = np.asarray([r["__x"] for r in rows], dtype=np.float64)
+    n = len(x)
+    if n == 0:
+        raise ValueError("kmeans_fit_sample: empty input")
+    k = min(k, n)
+    rng = np.random.default_rng(seed)
+    centers = [x[int(rng.integers(n))]]
+    d2 = ((x - centers[0]) ** 2).sum(axis=1)
+    for _ in range(1, k):
+        tot = d2.sum()
+        probs = d2 / tot if tot > 0 else np.full(n, 1.0 / n)
+        centers.append(x[int(rng.choice(n, p=probs))])
+        d2 = np.minimum(d2, ((x - centers[-1]) ** 2).sum(axis=1))
+    c = np.vstack(centers)
+    xx = (x * x).sum(axis=1)[:, None]
+    assign = None
+    for _ in range(max_iter):
+        dist = xx - 2.0 * (x @ c.T) + (c * c).sum(axis=1)[None, :]
+        a = dist.argmin(axis=1)  # ties -> lowest cell id
+        if assign is not None and (a == assign).all():
+            break
+        assign = a
+        for j in range(k):
+            m = a == j
+            if m.any():
+                c[j] = x[m].mean(axis=0)
+    return [[float(v) for v in row] for row in c]
+
+
 def auto_n_cells(n_live: int, target_cell_size: int = 512) -> int:
     """SemDeDup's operating rule: cells must GROW with the corpus so
     per-cell |cell|² work stays task-sized (the paper runs 25k clusters
@@ -1252,9 +1314,6 @@ def semantic_dedup_cells(
     import numpy as np
     import pandas as pd
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
     spark = df.sparkSession
     n_parts = spark.sparkContext.defaultParallelism
     v = df.select(F.col(id_col), F.col(vec_col).alias("__v")).withColumn(
@@ -1267,40 +1326,57 @@ def semantic_dedup_cells(
     )
     live = v.filter(F.col("__n") > 0)
 
-    feat = live.repartition(n_parts, F.col(id_col)).withColumn(
-        "__feat", array_to_vector(F.col("__v").cast("array<double>"))
-    )
+    feat = live.repartition(n_parts, F.col(id_col))
     if n_cells is None:
         n_cells = auto_n_cells(live.count(), target_cell_size)
     if n_cells < 2:
-        # degenerate single-cell mode (KMeans requires k >= 2): the cell
-        # graph IS the global graph — exact, but one task does all pairs.
-        # Test/verify mode only; never the scale path.
-        assigned = feat.drop("__feat").withColumn("__cell", F.lit(0))
+        # degenerate single-cell mode: the cell graph IS the global graph
+        # — exact, but one task does all pairs. Test/verify mode only;
+        # never the scale path.
+        assigned = feat.withColumn("__cell", F.lit(0))
         dim_n = len(feat.select("__v").first()["__v"])
         means = live.agg(
             *[F.avg(F.element_at("__v", i + 1)).alias(f"m{i}") for i in range(dim_n)]
         ).first()
         centers = [(0, [float(means[i]) for i in range(dim_n)])]
     else:
-        # maxIter=8 (not Lloyd-converged): the cells are a coarse partition,
-        # not a model — every downstream guarantee (disjoint cells, per-cell
-        # exact cosine, keeper rule, the verdict invariants) holds for ANY
-        # assignment, and convergence only polishes cell balance. Measured
-        # at sf0.1: fit 5.8s → 1.6s with no per-cell-stage regression;
-        # k-means|| init kept (random init risks mega-cells, which the
-        # |cell|² stage pays for).
-        model = KMeans(
-            k=n_cells,
-            seed=seed,
-            maxIter=max_iter,
-            featuresCol="__feat",
-            predictionCol="__cell",
-        ).fit(feat)
-        assigned = model.transform(feat).drop("__feat")
+        # r15: sample-fitted seeded k-means in RAW vector space (the
+        # paper clusters raw embeddings) — see kmeans_fit_sample. The
+        # former distributed fit (even capped at maxIter=8) cost 2-5 s
+        # of scheduler-bound micro-jobs at sf0.1 and re-reads the corpus
+        # per iteration at scale; the cells are a coarse partition, not a
+        # model — every downstream guarantee (disjoint cells, per-cell
+        # exact cosine, keeper rule, the verdict invariants) holds for
+        # ANY deterministic assignment. Assignment runs JVM-side via the
+        # broadcast-centroid argmin; the converged-sample centroids keep
+        # cell balance at least as good as the truncated Lloyd they
+        # replace (probed: max-cell share unchanged at sf0.1).
         centers = [
-            (i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())
+            (i, c)
+            for i, c in enumerate(
+                kmeans_fit_sample(feat, "__v", id_col, n_cells, seed, max_iter=max_iter)
+            )
         ]
+        cent0 = F.broadcast(
+            spark.createDataFrame(centers, "__cell int, __centroid array<double>")
+        )
+        raw_d2 = F.aggregate(
+            F.zip_with(
+                "__v",
+                "__centroid",
+                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+            ),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+        w_assign = Window.partitionBy(id_col).orderBy("__d2", "__cell")
+        assigned = (
+            feat.crossJoin(cent0)
+            .withColumn("__d2", raw_d2)
+            .withColumn("__rk", F.row_number().over(w_assign))
+            .filter(F.col("__rk") == 1)
+            .drop("__rk", "__d2", "__centroid")
+        )
     cent = F.broadcast(
         spark.createDataFrame(centers, "__cell int, __centroid array<double>")
     )

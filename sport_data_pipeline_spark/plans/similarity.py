@@ -1127,7 +1127,7 @@ def _epoch_cell_index(
         size, mtime = st.st_size, st.st_mtime_ns
         sample = _sample(p)
     key = hashlib.md5(
-        f"{os.path.abspath(sf_dir)}|{size}|{mtime}|{n_cells}|{seed}|{corpus_token}|v2".encode()
+        f"{os.path.abspath(sf_dir)}|{size}|{mtime}|{n_cells}|{seed}|{corpus_token}|v3".encode()
         + sample
     ).hexdigest()
     root = os.environ.get(_CELL_INDEX_CACHE_ENV, "/tmp/sdp_cell_index_cache")

@@ -21,6 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from ..catalog import load_table
 from ..checkpointing import stage_checkpoint
 from ..functions.text import tokens, word_shingles
+from ._util import spread
 from .registry import query
 
 #: Tag separator for the single-pass unigram/bigram frequency explode.
@@ -330,8 +331,14 @@ def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     and max per-doc TF (the inverted-index posting-list statistics).
     Two-level groupBy instead of countDistinct keeps the plan free of an
     Expand operator and both exchanges map-side combinable."""
-    d = _t(spark, sf_dir, "documents")
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    # r15 (guide §2.4): one hash(term) exchange feeds BOTH aggregation
+    # levels — (term, doc_id) and term — instead of a partial-agg
+    # exchange per level; the second level was a full extra pass of the
+    # tf relation through the shuffle machinery for the same clustering.
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).repartition(
+        spark.sparkContext.defaultParallelism, "term"
+    )
     tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     return (
         tf.groupBy("term")
@@ -778,16 +785,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on term — the df side is vocabulary-sized, orders of
     magnitude smaller than the exploded token relation.
     """
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
-    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    # r15 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): establish hash(term) ONCE on the exploded tokens; the
+    # (term, doc_id) aggregate, the doc-frequency count, and their
+    # recombination all reuse that clustering with ZERO further
+    # exchanges — doc_freq becomes a window count over the same
+    # partitioning instead of a separate aggregate joined back (the
+    # former shape slammed the full tf relation through a second
+    # instance-scale exchange to meet the vocabulary table on `term`).
+    tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).repartition(
+        spark.sparkContext.defaultParallelism, "term"
+    )
     tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
-    df_ = tf.groupBy("term").agg(F.count(F.lit(1)).alias("doc_freq"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))
     scored = (
-        tf.join(df_, "term")
+        tf.withColumn("doc_freq", F.count(F.lit(1)).over(Window.partitionBy("term")))
         .crossJoin(F.broadcast(n_docs))
         .withColumn("score", (F.col("tf") * F.col("n_docs")).cast("double") / F.col("doc_freq"))
     )
@@ -1156,25 +1170,56 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     bi = d.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
-    c12 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    # r15 (guide §2.3 "aggregate before you shuffle", §1.2 "don't compute
+    # things twice"): the former shape scanned + re-exploded the corpus
+    # for c12, AGAIN for c1, and a third time for the instance relation,
+    # then shuffled every bigram INSTANCE through two join exchanges
+    # (by bg, then by ctx). Now the instance relation collapses once to
+    # per-document bigram counts — a zero-exchange aggregation, because
+    # hash(doc_id) already clusters (doc_id, bg) — and everything
+    # downstream is vocabulary-sized: c12 = Σ m over bg, c1 = Σ c12 over
+    # ctx (derived from c12, NOT from a corpus re-scan), the per-bigram
+    # quotient q joins c12×c1 on the vocab key, and instances re-enter
+    # only as the (doc, bg, m) table joining the q table once. Per-doc
+    # sums fold the multiplicity: Σ_instances q == Σ_bg m·q exactly
+    # (int64 arithmetic), so the output is bit-identical.
+    # The hash(bg) exchange placed directly on the per-doc counts is the
+    # SHARED boundary every consumer reuses (ReusedExchange): the c12
+    # aggregate, and the q join-back, both read it with zero further
+    # redistribution — so the corpus is exploded exactly once. Without
+    # the explicit boundary Catalyst re-runs the explode+aggregate
+    # subtree per consumer (measured: three Generate passes).
+    dbg = (
+        bi.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("m"))
+        .repartition(spark.sparkContext.defaultParallelism, "bg")
+    )
+    c12 = dbg.groupBy("bg").agg(F.sum("m").alias("c12"))
     ctx_of = F.substring_index(F.col("bg"), " ", 1)
-    c1 = bi.select(ctx_of.alias("ctx")).groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
+    c1 = c12.select(ctx_of.alias("ctx"), "c12").groupBy("ctx").agg(
+        F.sum("c12").alias("c1")
+    )
     n_v = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
         F.count_distinct("tok").alias("n_v")
     )
-    q = (
-        bi.join(c12, "bg")
-        .withColumn("ctx", ctx_of)
+    qtab = (
+        c12.withColumn("ctx", ctx_of)
         .join(c1, "ctx")
         .crossJoin(F.broadcast(n_v))
-        .select(
-            "doc_id",
-            F.expr(f"({LM_SCALE}L * (c12 + 1)) div (c1 + n_v)").alias("q"),
-        )
+        .select("bg", F.expr(f"({LM_SCALE}L * (c12 + 1)) div (c1 + n_v)").alias("q"))
     )
-    return q.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(LM_SCALE))).alias(
+    # shuffle_hash on the VOCABULARY side: the cost model's size estimate
+    # for dbg descends from the tiny text scan, so an unhinted planner
+    # broadcast the instance-scale side (BuildLeft — a corpus-sized hash
+    # relation); the hint pins the build to the q table, whose partitions
+    # are vocabulary-bounded at any scale, and dbg's existing hash(bg)
+    # partitioning makes its side exchange-free.
+    per_doc = dbg.join(qtab.hint("shuffle_hash"), "bg").select(
+        "doc_id", "m", (F.col("m") * F.col("q")).alias("mq")
+    )
+    return per_doc.groupBy("doc_id").agg(
+        F.sum("m").cast("long").alias("n_bigrams"),
+        (F.sum("mq").cast("double") / (F.sum("m") * F.lit(LM_SCALE))).alias(
             "lm_score"
         ),
     )
@@ -1338,13 +1383,17 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         poll1 = docs.filter((F.col("doc_id") % 5).isin(1, 2))
         poll2 = docs.filter((F.col("doc_id") % 5).isin(2, 3))
+        # latest=False (r15): the bronze read below EXCLUDES the *_latest
+        # alias, and each alias write re-runs the poll's whole upstream
+        # plan — the two aliases were half of the sink cost for a file
+        # nothing ever read.
         write_snapshot(
             poll1.coalesce(1), tmp, "crawl", fmt="json",
-            timestamp=_dt.datetime(2024, 1, 1, 8, 0, 0),
+            timestamp=_dt.datetime(2024, 1, 1, 8, 0, 0), latest=False,
         )
         write_snapshot(
             poll2.coalesce(1), tmp, "crawl", fmt="json",
-            timestamp=_dt.datetime(2024, 1, 1, 20, 0, 0),
+            timestamp=_dt.datetime(2024, 1, 1, 20, 0, 0), latest=False,
         )
         # conf-aware read: an external harness's vanilla session leaves
         # spark.sql.python.filterPushdown.enabled off, which makes a

@@ -74,21 +74,72 @@ def _stem(path: str) -> str:
     return os.path.basename(path).rsplit(".", 1)[0]
 
 
-def _iter_json_rows(path: str) -> Iterator[dict]:
+def _part_files(path: str) -> list[str]:
     if os.path.isdir(path):
-        parts = sorted(
+        return sorted(
             os.path.join(path, p)
             for p in os.listdir(path)
             if p.startswith("part-") and not p.endswith(".crc")
         )
-    else:
-        parts = [path]
-    for part in parts:
+    return [path]
+
+
+def _iter_json_rows(path: str) -> Iterator[dict]:
+    for part in _part_files(path):
         with open(part, encoding="utf-8") as fh:
             for line in fh:
                 line = line.strip()
                 if line:
                     yield json.loads(line)
+
+
+def _arrow_batches(path: str, schema: StructType, stem: str) -> list | None:
+    """Parse a JSON-lines snapshot into Arrow record batches (r15).
+
+    The batch reader originally yielded row-at-a-time Python tuples from
+    ``json.loads`` — every snapshot row paid an interpreted parse PLUS
+    pickle serialization across the Python→JVM boundary (guide §4.2:
+    hand whole batches to vectorized native code instead). pyarrow's
+    native JSON reader parses the file in C++ against the declared
+    schema and the Spark 4 DataSource API ships ``pyarrow.RecordBatch``
+    yields straight through as Arrow — no per-row Python work at all.
+    The ``snapshot`` file-stem column is appended as a constant array.
+
+    Returns None when the fast path cannot be used (unsupported type,
+    malformed file, pyarrow missing) — the caller falls back to the
+    row-at-a-time path, which remains the semantic reference.
+    """
+    try:
+        import pyarrow as pa
+        from pyarrow import json as pa_json
+        from pyspark.sql.pandas.types import to_arrow_type
+
+        value_schema = pa.schema(
+            [
+                pa.field(f.name, to_arrow_type(f.dataType))
+                for f in schema.fields
+                if f.name != "snapshot"
+            ]
+        )
+        out: list = []
+        for part in _part_files(path):
+            if os.path.getsize(part) == 0:
+                continue
+            tbl = pa_json.read_json(
+                part,
+                parse_options=pa_json.ParseOptions(
+                    explicit_schema=value_schema,
+                    unexpected_field_behavior="ignore",
+                ),
+            )
+            tbl = tbl.append_column(
+                pa.field("snapshot", pa.string()),
+                pa.array([stem] * tbl.num_rows, type=pa.string()),
+            )
+            out.extend(tbl.select([f.name for f in schema.fields]).to_batches())
+        return out
+    except Exception:
+        return None
 
 
 @dataclass
@@ -113,6 +164,7 @@ class SnapshotBatchReader(DataSourceReader):
         self.path = options["path"]
         self.suffix = options.get("suffix", ".json")
         self.exclude_latest = _truthy(options, "exclude_latest", True)
+        self.out_schema = schema
         self.fields = [f.name for f in schema.fields if f.name != "snapshot"]
         self.keep: set[str] | None = None  # None = no pruning
 
@@ -126,10 +178,17 @@ class SnapshotBatchReader(DataSourceReader):
             return [_SnapshotPartition(path=None)]
         return [_SnapshotPartition(p) for p in files]
 
-    def read(self, partition: _SnapshotPartition) -> Iterator[tuple]:
+    def read(self, partition: _SnapshotPartition) -> Iterator:
         if partition is None or partition.path is None:
             return  # empty sentinel: every file pruned
         stem = _stem(partition.path)
+        # Arrow fast path (guide §4.2): C++ JSON parse → RecordBatch
+        # yields, zero per-row Python. Tuple path kept as the fallback
+        # and semantic reference (and for schemas Arrow cannot map).
+        batches = _arrow_batches(partition.path, self.out_schema, stem)
+        if batches is not None:
+            yield from batches
+            return
         for rec in _iter_json_rows(partition.path):
             yield tuple(rec.get(k) for k in self.fields) + (stem,)
 

@@ -32,23 +32,33 @@ def write_snapshot(
     name: str,
     fmt: str = "json",
     timestamp: dt.datetime | None = None,
+    latest: bool = True,
 ) -> tuple[str, str]:
     """Write a timestamped snapshot and overwrite the `_latest` alias.
 
     Returns (snapshot_path, latest_path). Caller controls partition count
     (coalesce upstream for small report outputs).
+
+    ``latest=False`` skips the alias write (r15, guide §1.2 "don't compute
+    things you throw away"): the alias re-RUNS the whole upstream plan a
+    second time (`df.write` is an action), so a pipeline whose reader
+    excludes ``*_latest`` anyway — `bronze_snapshot`'s default — was
+    paying double for every snapshot it landed. The alias stays the
+    default because the latest-only batch lookup consumers depend on it.
     """
     ts = (timestamp or dt.datetime.now()).strftime("%Y%m%d_%H%M%S")
     snap = f"{base_dir}/{name}_{ts}.{fmt}"
-    latest = f"{base_dir}/{name}_latest.{fmt}"
+    latest_path = f"{base_dir}/{name}_latest.{fmt}"
     writer = df.write.mode("overwrite")
     if fmt == "csv":
         writer.option("header", "true").csv(snap)
-        df.write.mode("overwrite").option("header", "true").csv(latest)
+        if latest:
+            df.write.mode("overwrite").option("header", "true").csv(latest_path)
     else:
         writer.json(snap)
-        df.write.mode("overwrite").json(latest)
-    return snap, latest
+        if latest:
+            df.write.mode("overwrite").json(latest_path)
+    return snap, latest_path
 
 
 def write_partitioned(

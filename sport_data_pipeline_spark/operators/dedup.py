@@ -679,6 +679,18 @@ def build_dedup_index(
     full corpus scale (SCALE.md §10). After a batch routes, append
     ``build_dedup_index(kept_docs, ...)`` rows — the index folds forward
     exactly like the corpus does."""
+    from ..partitioning import spread
+
+    # r15: the fingerprint+shingle chain is the expensive map work of the
+    # whole indexed-dedup path, and a single-file corpus scans as ONE
+    # split — spread it across the cluster first (no-op when the scan is
+    # already parallel). Also parallelizes the index WRITE that callers
+    # chain onto this frame (one output file per task). Hashing on
+    # (blocks, id) — the exact clustering incremental_dedup's raw-corpus
+    # branch re-establishes — lets CollapseRepartition fold that branch's
+    # own repartition into this one, so the exchange carries TEXT once
+    # instead of the (larger) computed shingle sets.
+    df = spread(df, *block_cols, id_col)
     # two selects: Catalyst does not guarantee common-subexpression
     # elimination across higher-order-function chains, so computing __set
     # once and deriving __n from the materialized column guarantees the
@@ -980,10 +992,19 @@ def duplicated_spans(
     from ..functions.text import word_shingles
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
+    # r15 (guide §2.4 "two operations keyed the same way share one
+    # exchange"): the shingle-position frame is persisted ALREADY
+    # CLUSTERED on the shingle hash, so the dup-set aggregation and the
+    # semi-join back both run with ZERO further redistribution — the
+    # former shape paid two token-level exchanges here (the aggregation's
+    # partial shuffle plus the semi-join's re-shuffle of the full
+    # position frame by __h). The id repartition before the explode
+    # remains only as parallelism spreading for the single-file scan.
     sh = (
         df.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col), F.posexplode(word_shingles(text_col, k)).alias("pos", "__s"))
         .select(id_col, "pos", F.md5(F.col("__s").cast("binary")).alias("__h"))
+        .repartition(n_parts, F.col("__h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (
@@ -992,7 +1013,10 @@ def duplicated_spans(
         .where(F.col("__mn") != F.col("__mx"))
         .select("__h")
     )
-    hits = sh.join(dup, "__h", "left_semi")
+    # shuffle_hash: both sides are co-partitioned on __h, so the hint
+    # only swaps the needless sort-merge for a per-partition hash build
+    # of the (output-bound) dup set.
+    hits = sh.join(dup.hint("shuffle_hash"), "__h", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     new_span = (
         F.col("pos") - F.lag("pos", 1).over(w) > k

@@ -9,7 +9,7 @@ oracle side because DuckDB widens SUM(int) to HUGEINT.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, functions as F
+from pyspark.sql import Column, functions as F
 
 #: decimal type wide enough for sf0.1 money sums, scale matching 2-dec data.
 DEC = "decimal(18,2)"
@@ -40,23 +40,8 @@ def safe_div(num: Column, den: Column) -> Column:
     return F.when(den != 0, num / den).otherwise(F.lit(0.0))
 
 
-def spread(df: DataFrame, *cols: str) -> DataFrame:
-    """Scale-adaptive parallelism spread (r15, guide §2 "make partitioning
-    scale-adaptive rather than a constant tuned for either local mode or
-    the cluster").
-
-    The corpus queries historically opened with an unconditional
-    ``repartition(defaultParallelism, "doc_id")`` because the test
-    harness's single small parquet file scans as ONE input split, which
-    would serialize the CPU-heavy explode that follows. At 100 TB that
-    same line is NOT free — it shuffles every text byte even though the
-    scan already has thousands of splits. This helper pays the exchange
-    only when the upstream parallelism is actually short (fewer
-    partitions than cores), which keeps the local bench behavior
-    identical and makes the cluster plan a no-op. Results are
-    partition-layout-invariant by construction everywhere it is used.
-    """
-    p = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() >= p:
-        return df
-    return df.repartition(p, *[F.col(c) for c in cols]) if cols else df.repartition(p)
+#: Re-export: scale-adaptive parallelism spread (see partitioning.spread —
+#: the corpus queries historically opened with an unconditional
+#: ``repartition(defaultParallelism, "doc_id")`` for the one-split test
+#: files; at 100 TB that line shuffles every text byte for nothing).
+from ..partitioning import spread  # noqa: E402,F401

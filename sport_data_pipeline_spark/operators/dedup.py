@@ -1003,7 +1003,11 @@ def duplicated_spans(
     sh = (
         df.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col), F.posexplode(word_shingles(text_col, k)).alias("pos", "__s"))
-        .select(id_col, "pos", F.md5(F.col("__s").cast("binary")).alias("__h"))
+        # unhex: the hash is internal (the output carries positions, not
+        # hashes), so the exchange ships the 16 raw digest bytes instead
+        # of 32 hex chars — half the payload of the one token-level
+        # shuffle (guide §2.3 "narrower types").
+        .select(id_col, "pos", F.unhex(F.md5(F.col("__s").cast("binary"))).alias("__h"))
         .repartition(n_parts, F.col("__h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )

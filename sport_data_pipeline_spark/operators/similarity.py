@@ -919,6 +919,49 @@ def assign_to_cells(
     (production refits at compaction time). Returns the frame with
     ``__cell`` and ``__d`` (unit-space distance, for radius updates)."""
     spark = vectors.sparkSession
+    if len(cells) <= _ASSIGN_EXPR_MAX_K:
+        # r15 map-only argmin (see semantic_dedup_cells): one unit-space
+        # distance fold per centroid LITERAL, first centroid attaining
+        # the minimum wins (ties → lowest cell id — the same (d, cell)
+        # total order the window path used). No k-fold row blowup, no
+        # exchange, no sort; each fold is the identical expression, so
+        # __cell and __d are bit-identical to the former shape. The list
+        # is sorted by cell id first so the when-chain's first-match rule
+        # IS the lowest-id tie-break.
+        cells = sorted(cells, key=lambda t: t[0])
+        ds = []
+        for _i, v, _r in cells:
+            cent_lit = F.array(*[F.lit(float(x)) for x in v])
+            if dim is not None:
+                s: Column = F.lit(0.0)
+                for j in range(1, dim + 1):
+                    dj = F.element_at("__cv", j).cast("double") / F.col(
+                        "__cn"
+                    ) - F.element_at(cent_lit, j)
+                    s = s + dj * dj
+                ds.append(F.sqrt(s))
+            else:
+                ds.append(
+                    F.sqrt(
+                        F.aggregate(
+                            F.zip_with(
+                                "__cv",
+                                cent_lit,
+                                lambda x, cc: (x.cast("double") / F.col("__cn") - cc)
+                                * (x.cast("double") / F.col("__cn") - cc),
+                            ),
+                            F.lit(0.0),
+                            lambda acc, x: acc + x,
+                        )
+                    )
+                )
+        dmin = ds[0] if len(ds) == 1 else F.least(*ds)
+        cell_expr = F.when(ds[0] == dmin, F.lit(cells[0][0]))
+        for idx in range(1, len(ds)):
+            cell_expr = cell_expr.when(ds[idx] == dmin, F.lit(cells[idx][0]))
+        return vectors.withColumn("__cell", cell_expr.cast("int")).withColumn(
+            "__d", dmin
+        )
     cent = F.broadcast(
         spark.createDataFrame(
             [(i, v) for i, v, _ in cells], "__cell int, __centroid array<double>"
@@ -1181,6 +1224,10 @@ def pq_topk(
 #: iterating Lloyd over the full corpus.
 _KMEANS_SAMPLE_CAP = 65_536
 
+#: Above this k the literal-centroid argmin expression (k·dim literals,
+#: 2k folds per row) stops being a win over the broadcast-join path.
+_ASSIGN_EXPR_MAX_K = 32
+
 
 def kmeans_fit_sample(
     df: DataFrame,
@@ -1357,26 +1404,55 @@ def semantic_dedup_cells(
                 kmeans_fit_sample(feat, "__v", id_col, n_cells, seed, max_iter=max_iter)
             )
         ]
-        cent0 = F.broadcast(
-            spark.createDataFrame(centers, "__cell int, __centroid array<double>")
-        )
-        raw_d2 = F.aggregate(
-            F.zip_with(
-                "__v",
-                "__centroid",
-                lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
-            ),
-            F.lit(0.0),
-            lambda acc, x: acc + x,
-        )
-        w_assign = Window.partitionBy(id_col).orderBy("__d2", "__cell")
-        assigned = (
-            feat.crossJoin(cent0)
-            .withColumn("__d2", raw_d2)
-            .withColumn("__rk", F.row_number().over(w_assign))
-            .filter(F.col("__rk") == 1)
-            .drop("__rk", "__d2", "__centroid")
-        )
+        if len(centers) <= _ASSIGN_EXPR_MAX_K:
+            # r15 (guide §2.4 remove shuffles outright): map-only argmin
+            # over the centroid LITERALS — one d2 fold per centroid, pick
+            # the first centroid attaining the minimum (ties → lowest
+            # cell id, same total order as the window it replaces). The
+            # former crossJoin+row_number shape blew each vector up k-fold
+            # and paid an exchange + sort on n·k rows just to argmin k
+            # numbers per row. Each fold is the IDENTICAL left-to-right
+            # zip_with sum, so the chosen cell is bit-identical.
+            d2s = [
+                F.aggregate(
+                    F.zip_with(
+                        "__v",
+                        F.array(*[F.lit(float(x)) for x in c]),
+                        lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+                    ),
+                    F.lit(0.0),
+                    lambda acc, x: acc + x,
+                )
+                for _, c in centers
+            ]
+            dmin = d2s[0] if len(d2s) == 1 else F.least(*d2s)
+            cell_expr = F.when(d2s[0] == dmin, F.lit(0))
+            for i in range(1, len(d2s)):
+                cell_expr = cell_expr.when(d2s[i] == dmin, F.lit(i))
+            assigned = feat.withColumn("__cell", cell_expr.cast("int"))
+        else:
+            # large-k (scale) path: broadcast centroid table; the blowup
+            # is bounded per task and AQE splits skewed cells.
+            cent0 = F.broadcast(
+                spark.createDataFrame(centers, "__cell int, __centroid array<double>")
+            )
+            raw_d2 = F.aggregate(
+                F.zip_with(
+                    "__v",
+                    "__centroid",
+                    lambda x, cc: (x.cast("double") - cc) * (x.cast("double") - cc),
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            )
+            w_assign = Window.partitionBy(id_col).orderBy("__d2", "__cell")
+            assigned = (
+                feat.crossJoin(cent0)
+                .withColumn("__d2", raw_d2)
+                .withColumn("__rk", F.row_number().over(w_assign))
+                .filter(F.col("__rk") == 1)
+                .drop("__rk", "__d2", "__centroid")
+            )
     cent = F.broadcast(
         spark.createDataFrame(centers, "__cell int, __centroid array<double>")
     )

@@ -1281,20 +1281,37 @@ def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         semantic_dedup_cells(corpus, "vec_id", threshold=0.7)
     )  # 3 rows/vec of lineage reuse below
 
-    n_vectors = routed.count()
-    kept_ids = routed.filter(F.col("kept")).select(F.col("vec_id").alias("keep_id"))
-    keepers_kept = (
-        routed.select("keep_id").distinct().join(kept_ids, "keep_id", "left_anti").count()
-        == 0
-    )
-    routing_consistent = (
-        routed.filter(
-            (F.col("keep_id") == F.col("vec_id")) != F.col("kept")
-        ).count()
-        == 0
-    )
+    # r15 (guide §5 driver discipline): the scalar invariant checks fold
+    # into ONE aggregation job over the checkpointed routing table —
+    # n_vectors, routing consistency, and both planted-clone counts are
+    # row-local predicates, so five separate count() jobs (five full
+    # scheduler round-trips over the same 2k-row frame) collapse to one
+    # pass computing identical values. The two set-membership checks
+    # (keepers_kept, drops_sound) stay as the anti-join jobs they are.
+    scalars = routed.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(
+            F.when((F.col("keep_id") == F.col("vec_id")) != F.col("kept"), 1).otherwise(0)
+        ).alias("inconsistent"),
+        F.sum(
+            F.when((F.col("vec_id") >= _PLANT_BASE) & F.col("kept"), 1).otherwise(0)
+        ).alias("planted_kept"),
+        F.sum(F.when(F.col("vec_id") >= _PLANT_BASE, 1).otherwise(0)).alias("planted_n"),
+    ).first()
+    n_vectors = scalars["n"]
+    routing_consistent = scalars["inconsistent"] == 0
     from ..operators.similarity import embedding_near_dup_arrow
 
+    # both set-membership checks are anti-join emptiness tests; tagging
+    # and unioning them runs the pair op and the keeper check as ONE
+    # action instead of two scheduler round-trips.
+    kept_ids = routed.filter(F.col("kept")).select(F.col("vec_id").alias("keep_id"))
+    keeper_viol = (
+        routed.select("keep_id")
+        .distinct()
+        .join(kept_ids, "keep_id", "left_anti")
+        .select(F.lit("keeper").alias("check"))
+    )
     dropped = routed.filter(~F.col("kept")).select("vec_id")
     pairs = embedding_near_dup_arrow(corpus, "vec_id", threshold=0.7)
     with_neighbor = (
@@ -1302,11 +1319,13 @@ def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(pairs.select(F.col("id_b").alias("vec_id")))
         .distinct()
     )
-    drops_sound = dropped.join(with_neighbor, "vec_id", "left_anti").count() == 0
-    planted_dropped = (
-        routed.filter((F.col("vec_id") >= _PLANT_BASE) & F.col("kept")).count() == 0
-        and routed.filter(F.col("vec_id") >= _PLANT_BASE).count() == 8
+    drop_viol = dropped.join(with_neighbor, "vec_id", "left_anti").select(
+        F.lit("drops").alias("check")
     )
+    violations = {r["check"] for r in keeper_viol.unionByName(drop_viol).distinct().collect()}
+    keepers_kept = "keeper" not in violations
+    drops_sound = "drops" not in violations
+    planted_dropped = scalars["planted_kept"] == 0 and scalars["planted_n"] == 8
 
     verdict_schema = StructType(
         [

@@ -1416,14 +1416,23 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             threshold=0.5,
             shingle_n=3,
         )
-        routing = gated.select("doc_id", "n_tok", "text").join(
-            routed, "doc_id", "left"
-        ).select(
-            "doc_id",
-            F.coalesce("status", F.lit("quality_fail")).alias("status"),
-            "match_id",
-            "n_tok",
-            "text",
+        # stage_checkpoint (r15, guide §1.2 "don't compute things twice"):
+        # `routing` feeds BOTH the span-removal stage (kept_union) and the
+        # final assembly join, and there is no shared exchange boundary at
+        # its top — without the cut, the bronze read, latest-wins merge
+        # and incremental-dedup joins all execute twice inside the one
+        # materializing job. The cut also drops the Python-source scan out
+        # of the final plan's lineage.
+        routing = stage_checkpoint(
+            gated.select("doc_id", "n_tok", "text").join(
+                routed, "doc_id", "left"
+            ).select(
+                "doc_id",
+                F.coalesce("status", F.lit("quality_fail")).alias("status"),
+                "match_id",
+                "n_tok",
+                "text",
+            )
         )
         # the REMOVAL half (r8): docs that survive routing still get every
         # token span that appears verbatim elsewhere in the post-routing

@@ -992,23 +992,31 @@ def duplicated_spans(
     from ..functions.text import word_shingles
 
     n_parts = df.sparkSession.sparkContext.defaultParallelism
-    # r15 (guide §2.4 "two operations keyed the same way share one
-    # exchange"): the shingle-position frame is persisted ALREADY
-    # CLUSTERED on the shingle hash, so the dup-set aggregation and the
-    # semi-join back both run with ZERO further redistribution — the
-    # former shape paid two token-level exchanges here (the aggregation's
-    # partial shuffle plus the semi-join's re-shuffle of the full
-    # position frame by __h). The id repartition before the explode
-    # remains only as parallelism spreading for the single-file scan.
+    # r15 audit note: two restructures of this shape were tried and
+    # MEASURED WORSE, so the build-round shape stands (with one narrowing
+    # — see unhex below). (a) persist clustered on hash(__h): a cached
+    # plan exposes UnknownPartitioning under AQE
+    # (canChangeCachedPlanOutputPartitioning default false), so both
+    # consumers re-exchanged the full token frame — 3 token-level
+    # shuffles instead of 1. (b) no persist + shared explicit hash(__h)
+    # exchange: column pruning projects DIFFERENT columns into each
+    # consumer's copy of the exchange ((__h,id) vs (__h,id,pos)), the
+    # subtrees stop being canonically equal, ReusedExchange never fires,
+    # and the explode runs twice (executed-plan check: Generate×2,
+    # ReusedExchange×0). The persisted id-clustered frame + the
+    # broadcast semi-join is the minimum: explode once, ONE token-level
+    # exchange (the dup-set aggregation's), no probe-side exchange (the
+    # dup set broadcasts; at scale the estimator flips it to a shuffle
+    # join when the dup set outgrows the threshold), and the island
+    # window reuses the id clustering the cache preserves.
     sh = (
         df.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col), F.posexplode(word_shingles(text_col, k)).alias("pos", "__s"))
         # unhex: the hash is internal (the output carries positions, not
-        # hashes), so the exchange ships the 16 raw digest bytes instead
-        # of 32 hex chars — half the payload of the one token-level
-        # shuffle (guide §2.3 "narrower types").
+        # hashes), so the shuffle ships the 16 raw digest bytes instead
+        # of 32 hex chars — half the payload of the token-level exchange
+        # (guide §2.3 "narrower types").
         .select(id_col, "pos", F.unhex(F.md5(F.col("__s").cast("binary"))).alias("__h"))
-        .repartition(n_parts, F.col("__h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (
@@ -1017,10 +1025,7 @@ def duplicated_spans(
         .where(F.col("__mn") != F.col("__mx"))
         .select("__h")
     )
-    # shuffle_hash: both sides are co-partitioned on __h, so the hint
-    # only swaps the needless sort-merge for a per-partition hash build
-    # of the (output-bound) dup set.
-    hits = sh.join(dup.hint("shuffle_hash"), "__h", "left_semi")
+    hits = sh.join(dup, "__h", "left_semi")
     w = Window.partitionBy(id_col).orderBy("pos")
     new_span = (
         F.col("pos") - F.lag("pos", 1).over(w) > k

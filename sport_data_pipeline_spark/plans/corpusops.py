@@ -1170,56 +1170,43 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     bi = d.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
-    # r15 (guide §2.3 "aggregate before you shuffle", §1.2 "don't compute
-    # things twice"): the former shape scanned + re-exploded the corpus
-    # for c12, AGAIN for c1, and a third time for the instance relation,
-    # then shuffled every bigram INSTANCE through two join exchanges
-    # (by bg, then by ctx). Now the instance relation collapses once to
-    # per-document bigram counts — a zero-exchange aggregation, because
-    # hash(doc_id) already clusters (doc_id, bg) — and everything
-    # downstream is vocabulary-sized: c12 = Σ m over bg, c1 = Σ c12 over
-    # ctx (derived from c12, NOT from a corpus re-scan), the per-bigram
-    # quotient q joins c12×c1 on the vocab key, and instances re-enter
-    # only as the (doc, bg, m) table joining the q table once. Per-doc
-    # sums fold the multiplicity: Σ_instances q == Σ_bg m·q exactly
-    # (int64 arithmetic), so the output is bit-identical.
-    # The hash(bg) exchange placed directly on the per-doc counts is the
-    # SHARED boundary every consumer reuses (ReusedExchange): the c12
-    # aggregate, and the q join-back, both read it with zero further
-    # redistribution — so the corpus is exploded exactly once. Without
-    # the explicit boundary Catalyst re-runs the explode+aggregate
-    # subtree per consumer (measured: three Generate passes).
-    dbg = (
-        bi.groupBy("doc_id", "bg")
-        .agg(F.count(F.lit(1)).alias("m"))
-        .repartition(spark.sparkContext.defaultParallelism, "bg")
-    )
-    c12 = dbg.groupBy("bg").agg(F.sum("m").alias("c12"))
+    # r15 audit note: THREE restructures of this query were built,
+    # verified bit-exact against the oracle, and measured SLOWER on the
+    # benched configuration, so the build-round shape stands unchanged.
+    # (a) Pre-aggregate instances to per-doc bigram counts behind a
+    # shared hash(bg) exchange, vocab tables derived downstream, one
+    # shuffle_hash join back (corpus passes 4→2, zero vocab broadcasts —
+    # the purest 100 TB shape): min-of-7 1.14 s vs 0.76 s — the
+    # (doc, bg) string-keyed hash aggregate + the extra instance
+    # exchange cost more than the explodes they saved on 594k short
+    # documents. (b) Pre-join c12×c1 into one per-bigram quotient table,
+    # broadcast once: 1.27 s — the broadcast waits on a three-stage
+    # vocab join chain. (c) Keep this shape but derive c1 from c12
+    # (one less explode): the c1 broadcast then SERIALIZES behind c12's
+    # aggregation, while the three "redundant" explode subtrees here
+    # materialize as CONCURRENT AQE stages on otherwise-idle cores —
+    # fewer passes lost wall-clock. On a saturated 100 TB cluster the
+    # pass-count argument flips and (a) is the shape to revisit; locally
+    # the planner's broadcast choices make this the measured optimum.
+    c12 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     ctx_of = F.substring_index(F.col("bg"), " ", 1)
-    c1 = c12.select(ctx_of.alias("ctx"), "c12").groupBy("ctx").agg(
-        F.sum("c12").alias("c1")
-    )
+    c1 = bi.select(ctx_of.alias("ctx")).groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
     n_v = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
         F.count_distinct("tok").alias("n_v")
     )
-    qtab = (
-        c12.withColumn("ctx", ctx_of)
+    q = (
+        bi.join(c12, "bg")
+        .withColumn("ctx", ctx_of)
         .join(c1, "ctx")
         .crossJoin(F.broadcast(n_v))
-        .select("bg", F.expr(f"({LM_SCALE}L * (c12 + 1)) div (c1 + n_v)").alias("q"))
+        .select(
+            "doc_id",
+            F.expr(f"({LM_SCALE}L * (c12 + 1)) div (c1 + n_v)").alias("q"),
+        )
     )
-    # shuffle_hash on the VOCABULARY side: the cost model's size estimate
-    # for dbg descends from the tiny text scan, so an unhinted planner
-    # broadcast the instance-scale side (BuildLeft — a corpus-sized hash
-    # relation); the hint pins the build to the q table, whose partitions
-    # are vocabulary-bounded at any scale, and dbg's existing hash(bg)
-    # partitioning makes its side exchange-free.
-    per_doc = dbg.join(qtab.hint("shuffle_hash"), "bg").select(
-        "doc_id", "m", (F.col("m") * F.col("q")).alias("mq")
-    )
-    return per_doc.groupBy("doc_id").agg(
-        F.sum("m").cast("long").alias("n_bigrams"),
-        (F.sum("mq").cast("double") / (F.sum("m") * F.lit(LM_SCALE))).alias(
+    return q.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+        (F.sum("q").cast("double") / (F.count(F.lit(1)) * F.lit(LM_SCALE))).alias(
             "lm_score"
         ),
     )

@@ -1012,11 +1012,13 @@ def duplicated_spans(
     sh = (
         df.repartition(n_parts, F.col(id_col))
         .select(F.col(id_col), F.posexplode(word_shingles(text_col, k)).alias("pos", "__s"))
-        # unhex: the hash is internal (the output carries positions, not
-        # hashes), so the shuffle ships the 16 raw digest bytes instead
-        # of 32 hex chars — half the payload of the token-level exchange
-        # (guide §2.3 "narrower types").
-        .select(id_col, "pos", F.unhex(F.md5(F.col("__s").cast("binary"))).alias("__h"))
+        # (a third rejected variant: unhex(md5) to ship 16 digest bytes
+        # instead of 32 hex chars through the exchange — guide §2.3
+        # "narrower types" — measured 1.2× SLOWER in-protocol across two
+        # bench sessions; the binary key costs more in the hash
+        # aggregate/broadcast build than the narrower shuffle saves at
+        # this scale)
+        .select(id_col, "pos", F.md5(F.col("__s").cast("binary")).alias("__h"))
         .persist(StorageLevel.MEMORY_AND_DISK)
     )
     dup = (

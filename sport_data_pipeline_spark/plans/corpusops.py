@@ -21,7 +21,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window, functions as F
 from ..catalog import load_table
 from ..checkpointing import stage_checkpoint
 from ..functions.text import tokens, word_shingles
-from ._util import spread
+
 from .registry import query
 
 #: Tag separator for the single-pass unigram/bigram frequency explode.
@@ -331,11 +331,13 @@ def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     and max per-doc TF (the inverted-index posting-list statistics).
     Two-level groupBy instead of countDistinct keeps the plan free of an
     Expand operator and both exchanges map-side combinable."""
-    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    d = _t(spark, sf_dir, "documents")
     # r15 (guide §2.4): one hash(term) exchange feeds BOTH aggregation
     # levels — (term, doc_id) and term — instead of a partial-agg
     # exchange per level; the second level was a full extra pass of the
     # tf relation through the shuffle machinery for the same clustering.
+    # (The exchange doubles as the parallelism spread the explode's
+    # single-split local scan needs downstream.)
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).repartition(
         spark.sparkContext.defaultParallelism, "term"
     )
@@ -785,7 +787,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on term — the df side is vocabulary-sized, orders of
     magnitude smaller than the exploded token relation.
     """
-    d = spread(_t(spark, sf_dir, "documents"), "doc_id")
+    d = _t(spark, sf_dir, "documents").repartition(
+        spark.sparkContext.defaultParallelism, "doc_id"
+    )
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     # r15 (guide §2.4 "two operations keyed the same way share one
     # exchange"): establish hash(term) ONCE on the exploded tokens; the

@@ -1317,10 +1317,27 @@ def semantic_dedup_cells(
     seed: int = 42,
     target_cell_size: int = 512,
     max_iter: int = 8,
+    verify_neighbors: bool = False,
 ) -> DataFrame:
     """Paper-faithful SemDeDup (Abbas et al. 2023): k-means cells, per-cell
     pairwise cosine, centroid-distance keeper — the 100 TB semantic-dedup
     scale path.
+
+    ``verify_neighbors=True`` appends a ``__has_neighbor`` boolean: an
+    INDEPENDENT recomputation, inside the same per-cell stage, of whether
+    the row has ≥1 within-cell neighbor at ``threshold`` — computed with
+    the fold-order-preserving accumulation of ``embedding_near_dup_arrow``
+    (left-to-right float64 adds, bit-identical to the expression fold),
+    NOT the BLAS matmul the dedup decision uses. It exists for the
+    verdict query's ``drops_sound`` check (r15, guide §1.2): a vector is
+    dropped only when its within-cell ≥threshold component has ≥2 members,
+    and every member of a multi-node component has within-cell degree ≥1,
+    so dropped ⇒ within-cell neighbor exists — checking neighbors
+    within the cell is therefore STRICTER than the former global
+    block-grid pair sweep (within-cell neighbor ⇒ global neighbor) while
+    replacing an O(n²) global pass with work that rides the existing
+    O(Σ|cell|²) stage. Zero-norm rows are always kept; their
+    ``__has_neighbor`` is False and never consulted.
 
     ``plans/similarity.semantic_dedup`` (the closure variant) generates
     EXACT global pairs, which is quadratic when the threshold sits below
@@ -1366,11 +1383,14 @@ def semantic_dedup_cells(
     v = df.select(F.col(id_col), F.col(vec_col).alias("__v")).withColumn(
         "__n", _norm(F.col("__v"))
     )
-    zero = v.filter(F.col("__n") <= 0).select(
+    zero_cols = [
         F.col(id_col),
         F.col(id_col).alias("keep_id"),
         F.lit(True).alias("kept"),
-    )
+    ]
+    if verify_neighbors:
+        zero_cols.append(F.lit(False).alias("__has_neighbor"))
+    zero = v.filter(F.col("__n") <= 0).select(*zero_cols)
     live = v.filter(F.col("__n") > 0)
 
     feat = live.repartition(n_parts, F.col(id_col))
@@ -1466,6 +1486,8 @@ def semantic_dedup_cells(
     )
 
     out_schema = f"{id_col} long, keep_id long, kept boolean"
+    if verify_neighbors:
+        out_schema += ", __has_neighbor boolean"
 
     def dedup_cell(pdf: pd.DataFrame) -> pd.DataFrame:
         order = np.argsort(pdf[id_col].to_numpy(), kind="stable")
@@ -1497,13 +1519,29 @@ def semantic_dedup_cells(
             # (lowest ccos); ids are pre-sorted so argmin ties → min id
             keep_of[int(r)] = int(members[np.argmin(ccs[members])])
         keep_idx = np.array([keep_of[int(r)] for r in roots])
-        return pd.DataFrame(
-            {
-                id_col: ids,
-                "keep_id": ids[keep_idx],
-                "kept": keep_idx == np.arange(n),
-            }
-        )
+        out = {
+            id_col: ids,
+            "keep_id": ids[keep_idx],
+            "kept": keep_idx == np.arange(n),
+        }
+        if verify_neighbors:
+            # independent adjacency recomputation: fold-order float64
+            # accumulation (the arithmetic of embedding_near_dup_arrow /
+            # the expression fold), NOT the unit-vector BLAS matmul the
+            # dedup decision used — same reduction order as the former
+            # global checker, restricted to the cell (see docstring).
+            s = np.zeros(n, dtype=np.float64)
+            for k in range(mat.shape[1]):
+                s = s + mat[:, k] * mat[:, k]
+            nrm = np.sqrt(s)
+            dot = np.zeros((n, n), dtype=np.float64)
+            for k in range(mat.shape[1]):
+                dot = dot + mat[:, k, None] * mat[None, :, k]
+            cosm = dot / (nrm[:, None] * nrm[None, :])
+            am = cosm >= threshold
+            np.fill_diagonal(am, False)
+            out["__has_neighbor"] = am.any(axis=1)
+        return pd.DataFrame(out)
 
     deduped = staged.groupBy("__cell").applyInPandas(dedup_cell, schema=out_schema)
     return deduped.unionByName(zero)

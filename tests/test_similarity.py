@@ -294,6 +294,39 @@ def test_semantic_dedup_cells_auto_k_scales_with_corpus(spark):
     assert all((r["keep_id"] == r["vec_id"]) == r["kept"] for r in routed)
 
 
+def test_semantic_dedup_cells_verify_neighbors_column(spark):
+    """verify_neighbors=True appends an independently recomputed
+    within-cell neighbor flag and changes nothing else: the base
+    (vec_id, keep_id, kept) columns are identical to a plain run, every
+    dropped row reads True (the drops_sound invariant — a drop requires a
+    ≥2-member within-cell component, hence within-cell degree ≥1), and
+    singleton / zero-norm rows read False."""
+    from sport_data_pipeline_spark.operators.similarity import semantic_dedup_cells
+
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [1.0, 0.0, 0.0, 0.0]),  # exact clone of 0 → dropped
+        (2, [0.98, 0.199, 0.0, 0.0]),  # cos ≈ 0.98 to 0/1 → same component
+        (20, [0.0, 0.0, 1.0, 0.0]),  # singleton → kept, no neighbor
+        (30, [0.0, 0.0, 0.0, 0.0]),  # zero-norm → kept, flag False
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    base = {
+        r["vec_id"]: (r["keep_id"], r["kept"])
+        for r in semantic_dedup_cells(
+            df, "vec_id", threshold=0.9, n_cells=1, seed=7
+        ).collect()
+    }
+    flagged = semantic_dedup_cells(
+        df, "vec_id", threshold=0.9, n_cells=1, seed=7, verify_neighbors=True
+    ).collect()
+    assert {r["vec_id"]: (r["keep_id"], r["kept"]) for r in flagged} == base
+    nb = {r["vec_id"]: r["__has_neighbor"] for r in flagged}
+    assert all(nb[r["vec_id"]] for r in flagged if not r["kept"])
+    assert nb[0] and nb[1] and nb[2]
+    assert nb[20] is False and nb[30] is False
+
+
 def test_auto_n_cells_scales_with_corpus():
     # the SemDeDup operating rule: k grows linearly with the corpus so
     # per-cell quadratic work stays constant — a pinned k measured 5.5x

@@ -21,7 +21,7 @@ DOCS = [
 ]
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def docs(spark):
     return spark.createDataFrame(DOCS, "doc_id long, blk string, text string")
 

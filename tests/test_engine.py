@@ -16,7 +16,7 @@ def ts(s):
     return dt.datetime.fromisoformat(s)
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def tables(spark):
     players = spark.createDataFrame(
         [
@@ -84,7 +84,7 @@ def tables(spark):
     }
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def eng(tables):
     return SportsAnalyticsEngine(tables, as_of_date=dt.date(2025, 1, 1))
 

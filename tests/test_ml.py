@@ -17,7 +17,7 @@ from sport_data_pipeline_spark.ml.models import (
 )
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def tables(spark):
     import random
 

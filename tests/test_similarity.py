@@ -15,7 +15,7 @@ from sport_data_pipeline_spark.operators.similarity import (
 from conftest import SF_DIR
 
 
-@pytest.fixture(scope="module")
+@pytest.fixture()
 def emb(spark):
     from sport_data_pipeline_spark.catalog import load_table
 

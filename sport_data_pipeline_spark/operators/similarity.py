@@ -1339,6 +1339,27 @@ def semantic_dedup_cells(
     O(Σ|cell|²) stage. Zero-norm rows are always kept; their
     ``__has_neighbor`` is False and never consulted.
 
+    Two documented limits of that equivalence (r15 ADVICE):
+
+    - *Boundary ulp.* The dedup decision evaluates cosines via
+      unit-vector BLAS matmul; this check uses the fold-order raw-vector
+      cosine. A pair whose cosine sits at the exact float boundary of
+      ``threshold`` can be adjacent under one reduction order and not
+      the other, so "verdict identical whenever the operator is correct"
+      holds only for corpora with no pair within one reduction-order ulp
+      of the threshold (none observed at sf0.001–0.1; the two
+      arithmetics are pinned against each other on exact-threshold
+      clone pairs in tests/test_similarity.py).
+    - *Shared staging.* ``__has_neighbor`` is recomputed with independent
+      ARITHMETIC but inside the same ``dedup_cell`` function, on the same
+      argsort-ordered batch and cell assignment as the decision it
+      audits — a consistent row-alignment bug there would corrupt
+      decision and check identically. A structurally independent
+      end-to-end oracle is retained at small SF:
+      tests/test_similarity.py::test_semantic_dedup_cells_drops_cross_checked_globally
+      cross-checks every drop against ``embedding_near_dup_arrow`` over
+      the raw corpus, and the DuckDB oracle pins the full output.
+
     ``plans/similarity.semantic_dedup`` (the closure variant) generates
     EXACT global pairs, which is quadratic when the threshold sits below
     the LSH-prunable regime — correct as a verify-stage shape, measured

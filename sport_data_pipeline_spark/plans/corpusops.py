@@ -338,8 +338,14 @@ def term_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
     # tf relation through the shuffle machinery for the same clustering.
     # (The exchange doubles as the parallelism spread the explode's
     # single-split local scan needs downstream.)
+    # r16 (verdict item 7): KEYED-ONLY repartition — the pinned
+    # defaultParallelism count was a local-mode constant that also
+    # blocked AQE from sizing this exchange on a cluster; with the
+    # session's shuffle.partitions the local plan is unchanged, and the
+    # interleaved min-of-5 A/B measured neutral-or-better (0.654 s vs
+    # 0.680 s min), results identical.
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).repartition(
-        spark.sparkContext.defaultParallelism, "term"
+        "term"
     )
     tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     return (
@@ -787,9 +793,9 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle join on term — the df side is vocabulary-sized, orders of
     magnitude smaller than the exploded token relation.
     """
-    d = _t(spark, sf_dir, "documents").repartition(
-        spark.sparkContext.defaultParallelism, "doc_id"
-    )
+    # r16 (verdict item 7): keyed-only repartitions — see
+    # term_doc_frequency; A/B min 0.973 s vs 1.042 s, results identical.
+    d = _t(spark, sf_dir, "documents").repartition("doc_id")
     n_docs = d.groupBy().agg(F.count(F.lit(1)).alias("n_docs"))
     # r15 (guide §2.4 "two operations keyed the same way share one
     # exchange"): establish hash(term) ONCE on the exploded tokens; the
@@ -800,7 +806,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     # former shape slammed the full tf relation through a second
     # instance-scale exchange to meet the vocabulary table on `term`).
     tok = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term")).repartition(
-        spark.sparkContext.defaultParallelism, "term"
+        "term"
     )
     tf = tok.groupBy("term", "doc_id").agg(F.count(F.lit(1)).alias("tf"))
     w = Window.partitionBy("doc_id").orderBy(F.desc("score"), F.asc("term"))

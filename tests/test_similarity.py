@@ -632,3 +632,60 @@ def test_stream_semantic_restart_reloads_radii_bit_identical(spark, tmp_path):
     )
     got_a, got_b = table(unbroken), table(restarted)
     assert got_a == got_b and len(got_a) > 0
+
+
+def test_semantic_dedup_cells_drops_cross_checked_globally(spark, emb):
+    """Structurally independent oracle of drops_sound (r15 ADVICE): every
+    vector semantic_dedup_cells drops must have >=1 global neighbor at the
+    threshold according to embedding_near_dup_arrow over the RAW corpus —
+    a pipeline that shares nothing with the per-cell stage (block-grid
+    self-join, its own staging, its own arithmetic). Planted clones mirror
+    the verdict query so the drop set is non-empty."""
+    from sport_data_pipeline_spark.operators.similarity import (
+        embedding_near_dup_arrow,
+        semantic_dedup_cells,
+    )
+
+    base = emb.select("vec_id", "embedding")
+    planted = base.filter(F.col("vec_id") < 8).select(
+        (F.col("vec_id") + 1_000_000).alias("vec_id"), "embedding"
+    )
+    corpus = base.unionByName(planted)
+    routed = semantic_dedup_cells(
+        corpus, "vec_id", threshold=0.7, verify_neighbors=True
+    )
+    dropped = {r["vec_id"] for r in routed.filter(~F.col("kept")).collect()}
+    assert dropped  # planted clones guarantee a non-empty drop set
+    pairs = embedding_near_dup_arrow(corpus, "vec_id", threshold=0.7).collect()
+    with_neighbor = {r["id_a"] for r in pairs} | {r["id_b"] for r in pairs}
+    assert dropped <= with_neighbor  # dropped => global neighbor exists
+
+
+def test_semantic_dedup_cells_boundary_pair_agreement(spark):
+    """Boundary regression for the drops_sound arithmetic caveat (r15
+    ADVICE): on exact-threshold pairs — identical vectors (cosine exactly
+    1.0) and an orthogonal singleton — the BLAS unit-vector decision path
+    and the fold-order __has_neighbor recomputation must agree, so the
+    documented last-ulp divergence window stays confined to pairs that
+    land WITHIN one reduction-order ulp of the threshold, not ON it."""
+    from sport_data_pipeline_spark.operators.similarity import semantic_dedup_cells
+
+    # single-nonzero-component vectors: every product, norm and sum in
+    # BOTH reductions is exact in float64, so the pair's cosine computes
+    # to EXACTLY 1.0 under each path — the threshold boundary itself
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [2.0, 0.0, 0.0, 0.0]),   # scaled clone: cosine == 1.0 exactly
+        (9, [0.0, 3.0, 0.0, 0.0]),   # orthogonal: cosine == 0.0 exactly
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    # threshold=1.0: adjacency holds only at the exact boundary value
+    out = semantic_dedup_cells(
+        df, "vec_id", threshold=1.0, n_cells=1, seed=7, verify_neighbors=True
+    ).collect()
+    nb = {r["vec_id"]: r["__has_neighbor"] for r in out}
+    kept = {r["vec_id"]: r["kept"] for r in out}
+    # decision path: {0,1} form one exact-boundary component -> one drop
+    assert sorted(v for v, k in kept.items() if not k) == [1]
+    # checker path agrees at the boundary: both flagged, 9 not
+    assert nb[0] and nb[1] and not nb[9]

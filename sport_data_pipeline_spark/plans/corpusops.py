@@ -1140,6 +1140,15 @@ def dedup_spans_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 LM_SCALE = 1_000_000
 
+#: Session conf (r16, verdict item 9): "true" switches lm_quality_score to
+#: the aggregate-before-shuffle shape — corpus passes 4→2, zero
+#: vocabulary broadcast-hash joins — the plan for a SATURATED cluster,
+#: where concurrent broadcast subtrees stop overlapping on idle cores.
+#: Defaults to the measured-local winner (the concurrent-broadcast shape:
+#: r15 min-of-7 0.76 s vs 1.14 s for this one). Both shapes are bit-exact
+#: against the DuckDB oracle and plan-pinned in tests/test_plans.py.
+LM_SATURATED_CONF = "spark.sport_data_pipeline.lm_quality.saturated"
+
 LM_QUALITY_ORACLE = rf"""
 WITH t AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\s+') AS toks FROM documents
@@ -1180,30 +1189,74 @@ def lm_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.sparkContext.defaultParallelism, "doc_id"
     )
     bi = d.select("doc_id", F.explode(word_shingles(F.col("text"), 2)).alias("bg"))
-    # r15 audit note: THREE restructures of this query were built,
-    # verified bit-exact against the oracle, and measured SLOWER on the
-    # benched configuration, so the build-round shape stands unchanged.
-    # (a) Pre-aggregate instances to per-doc bigram counts behind a
-    # shared hash(bg) exchange, vocab tables derived downstream, one
-    # shuffle_hash join back (corpus passes 4→2, zero vocab broadcasts —
-    # the purest 100 TB shape): min-of-7 1.14 s vs 0.76 s — the
-    # (doc, bg) string-keyed hash aggregate + the extra instance
-    # exchange cost more than the explodes they saved on 594k short
-    # documents. (b) Pre-join c12×c1 into one per-bigram quotient table,
-    # broadcast once: 1.27 s — the broadcast waits on a three-stage
-    # vocab join chain. (c) Keep this shape but derive c1 from c12
-    # (one less explode): the c1 broadcast then SERIALIZES behind c12's
-    # aggregation, while the three "redundant" explode subtrees here
-    # materialize as CONCURRENT AQE stages on otherwise-idle cores —
-    # fewer passes lost wall-clock. On a saturated 100 TB cluster the
-    # pass-count argument flips and (a) is the shape to revisit; locally
-    # the planner's broadcast choices make this the measured optimum.
-    c12 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
     ctx_of = F.substring_index(F.col("bg"), " ", 1)
-    c1 = bi.select(ctx_of.alias("ctx")).groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
     n_v = d.select(F.explode(tokens(F.col("text"))).alias("tok")).agg(
         F.count_distinct("tok").alias("n_v")
     )
+    saturated = (
+        str(spark.conf.get(LM_SATURATED_CONF, "false") or "false").lower() == "true"
+    )
+    if saturated:
+        # Shape (a) — the 100 TB plan (r16, verdict item 9; built and
+        # measured in r15, now landed behind the conf): bigram INSTANCES
+        # collapse to per-(doc, bg) counts behind ONE shared hash(bg)
+        # exchange; c12 reduces that same clustering with no further
+        # exchange; c1 and the per-bigram quotient table derive from c12
+        # (vocabulary-scale exchanges only); one shuffle-hash join back
+        # on the shared hash(bg) clustering. Corpus passes 4→2, zero
+        # vocabulary broadcast-hash joins — the shape for a saturated
+        # cluster where the default's concurrent broadcast subtrees
+        # no longer overlap on idle cores. Arithmetic is bit-identical:
+        # per-doc sums of the integer q weight by the exact instance
+        # count n instead of repeating q per instance.
+        nb = (
+            bi.repartition("bg")
+            .groupBy("bg", "doc_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+        )
+        c12 = nb.groupBy("bg").agg(F.sum("n").alias("c12"))
+        c1 = (
+            c12.select(ctx_of.alias("ctx"), "c12")
+            .groupBy("ctx")
+            .agg(F.sum("c12").alias("c1"))
+        )
+        qt = (
+            c12.withColumn("ctx", ctx_of)
+            .join(c1, "ctx")
+            .crossJoin(F.broadcast(n_v))
+            .select(
+                "bg", F.expr(f"({LM_SCALE}L * (c12 + 1)) div (c1 + n_v)").alias("q")
+            )
+        )
+        q = nb.join(qt.hint("shuffle_hash"), "bg").select(
+            "doc_id", "n", F.col("q")
+        )
+        return q.groupBy("doc_id").agg(
+            F.sum("n").cast("long").alias("n_bigrams"),
+            (
+                F.sum(F.col("n") * F.col("q")).cast("double")
+                / (F.sum("n") * F.lit(LM_SCALE))
+            ).alias("lm_score"),
+        )
+    # r15 audit note: THREE restructures of this query were built,
+    # verified bit-exact against the oracle, and measured SLOWER on the
+    # benched configuration, so the build-round shape stands as the
+    # DEFAULT. (a) Pre-aggregate instances to per-doc bigram counts
+    # behind a shared hash(bg) exchange, vocab tables derived
+    # downstream, one shuffle_hash join back (corpus passes 4→2, zero
+    # vocab broadcasts — the purest 100 TB shape): min-of-7 1.14 s vs
+    # 0.76 s — the (doc, bg) string-keyed hash aggregate + the extra
+    # instance exchange cost more than the explodes they saved on 594k
+    # short documents. It is now available as LM_SATURATED_CONF=true
+    # (above) for the saturated-cluster regime. (b) Pre-join c12×c1 into
+    # one per-bigram quotient table, broadcast once: 1.27 s — the
+    # broadcast waits on a three-stage vocab join chain. (c) Keep this
+    # shape but derive c1 from c12 (one less explode): the c1 broadcast
+    # then SERIALIZES behind c12's aggregation, while the three
+    # "redundant" explode subtrees here materialize as CONCURRENT AQE
+    # stages on otherwise-idle cores — fewer passes lost wall-clock.
+    c12 = bi.groupBy("bg").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = bi.select(ctx_of.alias("ctx")).groupBy("ctx").agg(F.count(F.lit(1)).alias("c1"))
     q = (
         bi.join(c12, "bg")
         .withColumn("ctx", ctx_of)

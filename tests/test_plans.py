@@ -484,3 +484,43 @@ def test_no_undocumented_unpartitioned_windows(spark, name):
         "either partition the window or document the bound in "
         "_BOUNDED_WINDOW_ALLOWANCE"
     )
+
+
+def test_lm_quality_saturated_shape_equal_and_leaner(spark):
+    """LM_SATURATED_CONF=true switches lm_quality_score to the
+    aggregate-before-shuffle shape (r16): results must be BIT-identical
+    (including the double lm_score — the same exact integer operands
+    reach the one final division), the instance relation must meet the
+    quotient table through a SHUFFLED-hash join on the shared hash(bg)
+    clustering (the default broadcasts both vocab tables against the
+    instance relation — the local-overlap shape), and the shared
+    hash(bg) exchange must actually be REUSED at runtime rather than
+    re-running the bigram explode per consumer."""
+    from sport_data_pipeline_spark.plans.corpusops import (
+        LM_SATURATED_CONF,
+        lm_quality_score,
+    )
+
+    default_df = lm_quality_score(spark, SF_DIR)
+    default_plan = physical_plan(default_df)
+    default_rows = {
+        r["doc_id"]: (r["n_bigrams"], r["lm_score"]) for r in default_df.collect()
+    }
+    spark.conf.set(LM_SATURATED_CONF, "true")
+    try:
+        sat_df = lm_quality_score(spark, SF_DIR)
+        sat_plan = physical_plan(sat_df)
+        sat_rows = {
+            r["doc_id"]: (r["n_bigrams"], r["lm_score"]) for r in sat_df.collect()
+        }
+        # AQE final plan (available after the collect above executed it)
+        sat_final = physical_plan(sat_df)
+    finally:
+        spark.conf.unset(LM_SATURATED_CONF)
+    assert sat_rows == default_rows and len(sat_rows) > 0
+    assert "BroadcastHashJoin" in default_plan  # vocab x instances, twice
+    assert "ShuffledHashJoin" not in default_plan
+    assert "ShuffledHashJoin" in sat_plan  # the one join back, on hash(bg)
+    # the shared hash(bg) exchange deduplicates at runtime: the bigram
+    # explode feeds nb/c12/qt through ONE executed exchange
+    assert "ReusedExchange" in sat_final

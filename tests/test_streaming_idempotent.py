@@ -222,7 +222,7 @@ def test_epoch_sink_fs_ops_route_through_hadoop_filesystem(spark):
         shutil.rmtree(tmp, ignore_errors=True)
 
 
-from hypothesis import given, settings, strategies as st
+from hypothesis import HealthCheck, given, settings, strategies as st
 
 
 # op alphabet for the property below: (epoch, payload) writes where a
@@ -241,7 +241,16 @@ _ops = st.lists(
 )
 
 
-@settings(max_examples=15, deadline=None)
+@settings(
+    max_examples=15,
+    deadline=None,
+    # the spark fixture is function-scoped ONLY so the suite can recycle
+    # the JVM between tests (conftest, r16); within one test function the
+    # session is a stable cached singleton across generated examples —
+    # exactly the "fixture intentionally shared across examples" case
+    # this health check asks to be acknowledged.
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
 @given(_ops)
 def test_epoch_discipline_matches_pure_model(spark, ops):
     """Any interleaving of epoch writes, replays (same epoch, possibly

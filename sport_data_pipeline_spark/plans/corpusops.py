@@ -1453,14 +1453,25 @@ def e2e_daily_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         # repartition + exchange + 2x32 tiny part commits + 64 Python-
         # source read tasks) against a ~3 k-row poll; natural
         # partitioning measures 4.72 s min vs coalesce(1)'s 4.94 s.
-        write_snapshot(
-            poll1, tmp, "crawl", fmt="json",
-            timestamp=_dt.datetime(2024, 1, 1, 8, 0, 0), latest=False,
-        )
-        write_snapshot(
-            poll2, tmp, "crawl", fmt="json",
-            timestamp=_dt.datetime(2024, 1, 1, 20, 0, 0), latest=False,
-        )
+        # The two poll writes are INDEPENDENT actions on disjoint target
+        # paths — submit them concurrently (guide §2.6: actions are only
+        # sequential because driver code calls them sequentially), so the
+        # second poll's tasks back-fill cores the first one's tail frees.
+        # Interleaved min-of-7 A/B at sf0.1: 0.196 s vs 0.349 s min
+        # (0.25 vs 0.86 s median) for the writes phase.
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=2) as pool:
+            w1 = pool.submit(
+                write_snapshot, poll1, tmp, "crawl", "json",
+                _dt.datetime(2024, 1, 1, 8, 0, 0), False,
+            )
+            w2 = pool.submit(
+                write_snapshot, poll2, tmp, "crawl", "json",
+                _dt.datetime(2024, 1, 1, 20, 0, 0), False,
+            )
+            w1.result()
+            w2.result()
         # conf-aware read: an external harness's vanilla session leaves
         # spark.sql.python.filterPushdown.enabled off, which makes a
         # pushFilters-implementing reader fail at init — load_snapshots
